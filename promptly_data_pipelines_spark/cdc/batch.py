@@ -1,0 +1,231 @@
+"""Batch CDC queries (SURVEY.md §2h T1-T5 + S6 merge_upsert).
+
+The reference consumes CDC in batch: every dbt run re-reads the whole
+Kafka topic through Trino's connector and rebuilds the raw table
+(kafka.properties:7, raw_provider_postgres.sql:14-32), with a
+declared-but-inert merge config (:9-10). Here the batch path is the
+oracle-checked one; streaming.py provides the same transforms over
+readStream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .envelope import decode_envelopes, synthesize_envelopes
+
+# Shared op-derivation CASE used by every oracle below (must mirror
+# envelope.op_from_event_id exactly).
+_OP_SQL = (
+    "CASE WHEN event_id % 10 = 0 THEN 'd' "
+    "WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END"
+)
+
+
+@query(
+    "cdc_parse",
+    oracle=f"""
+    SELECT {_OP_SQL} AS op,
+           epoch_ms(ts) AS ts_ms,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_id END AS event_id,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value,
+           'events' AS src_table
+    FROM events
+    """,
+)
+def cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: Debezium envelope decode — JSON → typed columns
+    (provider.json:10-26 mapping; setup.py:68-85 connector config).
+    Synthesizes envelopes from ``events``, then decodes with the
+    declared schema; deletes surface null ``after`` fields."""
+    ev = table(spark, sf_dir, "events")
+    decoded = decode_envelopes(synthesize_envelopes(ev))
+    return decoded.select(
+        "op",
+        "ts_ms",
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+        F.col("source.table").alias("src_table"),
+    )
+
+
+@query(
+    "cdc_filter_tombstone",
+    oracle=f"""
+    SELECT {_OP_SQL} AS op, event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id % 10 <> 0
+    """,
+)
+def cdc_filter_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tombstone filtering — the raw model keeps only rows with a
+    live ``after`` image (raw_provider_postgres.sql:22
+    ``where json_query(_message,'lax $.payload.after') is not null``)."""
+    ev = table(spark, sf_dir, "events")
+    decoded = decode_envelopes(synthesize_envelopes(ev))
+    return decoded.filter(F.col("after").isNotNull()).select(
+        "op",
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+    )
+
+
+def latest_wins(changes: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """A5/T3 core: latest-wins compaction — one surviving row per key,
+    highest (ts, tiebreaker) wins. This is the Spark realization of the
+    declared Iceberg merge (raw_provider_postgres.sql:9-10
+    incremental_strategy='merge', unique_key='provider_id'). The window
+    shuffles once on the key; with a bucketed/pre-partitioned target
+    the shuffle is avoided entirely."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    return changes.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
+        "__rn"
+    )
+
+
+def merge_upsert_frames(snapshot: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """S6: MERGE upsert, engine-agnostic batch form: union the current
+    snapshot with the change set, keep latest per key. On an Iceberg/
+    Delta target this becomes ``MERGE INTO`` inside foreachBatch; the
+    unionByName+window form is storage-free and what the oracle checks."""
+    unioned = snapshot.unionByName(updates)
+    return latest_wins(unioned, key, ["ts", "event_id"])
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH snap AS (
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events WHERE event_id % 5 <> 0
+    ),
+    upd AS (
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+             value + 100.0 AS value
+      FROM events WHERE event_id % 2 = 0
+    ),
+    unioned AS (SELECT * FROM snap UNION ALL SELECT * FROM upd),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM unioned
+    )
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM ranked WHERE rn = 1
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/T3: incremental merge by unique key. Simulates: a current
+    snapshot (event_id %5 != 0) receiving a CDC update batch
+    (event_id %2 == 0, value+100, 1h later) — updates win on overlap,
+    inserts appear, untouched rows survive."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    snapshot = ev.filter(F.col("event_id") % 5 != 0)
+    updates = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") + F.lit(100.0)).alias("value"),
+    )
+    merged = merge_upsert_frames(snapshot, updates, "event_id")
+    return merged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: tumbling-window event counts (Elementary volume-metric intent,
+    app.py:52-58) — batch equivalent of the streaming windowed agg in
+    streaming.py (same 1-hour buckets; F.window's start == date_trunc
+    hour for hour-aligned tumbling windows)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT *, CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: session windows (30-min inactivity gap), batch-equivalent
+    form: gap-flag via lag, running sum → session id, aggregate per
+    session. The streaming form (F.session_window + watermark) lives in
+    streaming.py; this form is what the oracle can check."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # Microsecond-exact gap compare to match the oracle's interval
+    # arithmetic (a seconds-truncated cast would misclassify gaps that
+    # straddle the 30-minute boundary by <1s).
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

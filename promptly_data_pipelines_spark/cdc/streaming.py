@@ -1,0 +1,119 @@
+"""Structured Streaming forms of the CDC path (SURVEY.md §2h).
+
+The reference's "streaming" is batch-over-Kafka (Trino re-reads the
+topic each run). At 100 TB/day that is untenable — the scale mode is a
+real readStream with incremental state. These functions apply the SAME
+transforms as cdc.batch (decode_envelopes, latest_wins) to streaming
+DataFrames; tests drive them with a file source + availableNow
+trigger, production would use ``format("kafka")``:
+
+    spark.readStream.format("kafka")
+         .option("kafka.bootstrap.servers", ...)
+         .option("subscribe", "cdc.public.provider")   # source.yaml:8-9
+         .load()
+         .select(col("value").cast("string").alias("raw_message"),
+                 col("timestamp").alias("kafka_timestamp"))
+
+— the Kafka ``timestamp`` column is the Trino connector's
+``_timestamp`` internal column (kafka.properties:8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .batch import merge_upsert_frames
+from .envelope import decode_envelopes
+
+RAW_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("raw_message", T.StringType()),
+        T.StructField("kafka_timestamp", T.TimestampType()),
+    ]
+)
+
+
+def read_envelope_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stand-in for the Kafka topic: a directory of JSON
+    lines with the raw envelope per row. Explicit schema — streaming
+    sources never infer."""
+    return spark.readStream.schema(RAW_STREAM_SCHEMA).json(path)
+
+
+def live_rows(stream: DataFrame) -> DataFrame:
+    """Decode + tombstone-filter (T1+T2), streaming-safe (stateless
+    select/filter — identical semantics to the batch path)."""
+    decoded = decode_envelopes(stream)
+    return decoded.filter(F.col("after").isNotNull()).select(
+        "op",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5 streaming form: watermarked 1-hour tumbling windows. The
+    watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted."""
+    rows = live_rows(stream)
+    return (
+        rows.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """T6 streaming form: native session windows with an inactivity gap
+    (F.session_window merges overlapping per-key windows in state)."""
+    rows = live_rows(stream)
+    return (
+        rows.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str = "event_id"):
+    """T3/S6 streaming form: foreachBatch MERGE. Each micro-batch is
+    compacted latest-wins against the current target snapshot and the
+    result atomically replaces it. On Iceberg/Delta this body becomes a
+    single ``MERGE INTO`` (reference declares exactly that intent:
+    raw_provider_postgres.sql:9-10); plain-parquet rewrite keeps the
+    harness storage-free. Partitioned targets would rewrite only
+    touched partitions (dynamic partition overwrite)."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            snapshot = spark.read.parquet(target_path)
+            merged = merge_upsert_frames(snapshot, batch_df, key)
+        except Exception:  # first batch: no snapshot yet
+            merged = batch_df
+        # localCheckpoint materializes before overwrite (can't lazily
+        # read and overwrite the same path in one job)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

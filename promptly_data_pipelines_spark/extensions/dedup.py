@@ -1,0 +1,211 @@
+"""Deduplication family over ``documents`` (SURVEY.md §2j X3-X4):
+exact, MinHash+LSH, SimHash, n-gram Jaccard. The scale story:
+
+- exact: hash-groupBy on a 64-bit fingerprint — one shuffle keyed by
+  hash, no full-text comparison ever crosses the wire.
+- MinHash+LSH: shingle → k minhashes → band buckets → join within
+  buckets only. Candidate generation is linear + one shuffle on band
+  keys; no O(n²) pair enumeration.
+- SimHash: 64-bit signature via per-token hash bit-voting; near-dups
+  share signatures up to small Hamming distance.
+- n-gram Jaccard: the exact verifier — run on LSH candidates at scale;
+  here also run blocked by (lang) to give the oracle a checkable
+  all-pairs form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .text import words
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _normalized(d: DataFrame) -> DataFrame:
+    return d.withColumn("norm_text", F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM keyed
+    GROUP BY content_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact dedup via content-hash groupBy. Survivor = min(doc_id)
+    (deterministic, unlike dropDuplicates). Only hash+id shuffle; the
+    text column is pruned before the exchange."""
+    d = _normalized(table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", F.md5("norm_text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
+    """Word-shingle MinHash: explode w-shingles, hash each with
+    N_HASHES seeded xxhash64 functions, take the per-doc min of each.
+    Everything is built-in exprs; the only shuffle is the per-doc
+    re-aggregation."""
+    shingled = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words("text")) - shingle_len),
+                lambda i: F.array_join(F.slice(words("text"), i + 1, shingle_len), " "),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(N_HASHES)
+    ]
+    return shingled.groupBy("doc_id").agg(*mins)
+
+
+@query("dedup_near_text")  # xxhash64-based: not oracle-expressible → rows-only
+def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: MinHash+LSH near-dup candidates. Signatures → band keys
+    (hash of 4 consecutive minhashes) → self-join within (band, key)
+    buckets → estimated Jaccard = fraction of matching minhashes.
+    Pairs sharing ≥1 band are candidates; emit those with est ≥ 0.5.
+    At 100 TB the band join is the only pairwise step and touches only
+    colliding docs."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d).cache()
+    sig_arr = sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig"))
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig_arr.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(N_HASHES)),
+        4,
+    )
+    return (
+        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based: rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: SimHash — 64-bit signature from per-token hash bit votes
+    (positive bit → +1, else −1; sign of the sum per bit position).
+    Groups identical signatures as near-dup clusters. Bit arithmetic
+    via shiftright/bitwise-and, all codegen'd."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words("text")).alias("tok"))
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"bit_{i}")
+            for i in range(64)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(2**i).cast("bigint"))
+            for i in range(63)  # 63 bits: stay within signed long
+        ).alias("simhash"),
+    )
+    return (
+        sig.groupBy("simhash")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select("simhash", "cluster_size", "doc_ids")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, lang, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS wset
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                 (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))), 4) AS jaccard
+    FROM ws a JOIN ws b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+          (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: exact word-set Jaccard within (lang) blocks — the verifier
+    stage of near-dup dedup. Blocking keeps pairs bounded here; at
+    100 TB the block key is the LSH bucket (dedup_near_text) and this
+    join runs only on its candidates."""
+    d = table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "lang", F.array_distinct(words("text")).alias("wset"))
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.wset"), F.col("b.wset"))).cast("double")
+    union = F.size(F.col("a.wset")) + F.size(F.col("b.wset")) - F.size(
+        F.array_intersect(F.col("a.wset"), F.col("b.wset"))
+    )
+    jac = inter / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,159 @@
+"""Vector similarity search over ``embeddings`` (SURVEY.md §2j X5):
+brute-force cosine top-k as the exact baseline, an IVF-style
+coarse-quantized variant as the scale path.
+
+Scale posture: the query set is always the broadcast side (q ≪ n);
+the corpus never shuffles. Brute force is one pass over corpus
+partitions with a per-partition top-k then a k-way merge
+(TakeOrderedAndProject shape per query via window rank). IVF prunes
+that pass to nprobe/nlist of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with + aggregate — JVM expression, no UDF.
+    Inputs are cast to double first so accumulation order and width
+    match the oracle exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _doubled(df: DataFrame, out: str = "vec") -> DataFrame:
+    return df.withColumn(out, F.col("embedding").cast("array<double>"))
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.qvec, e.vec) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.vec, e.vec))),
+                   6) AS cos_sim
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 baseline: exact brute-force cosine top-k. Queries (vec_id<5)
+    broadcast against the full corpus; rank on cosine rounded to 6dp
+    with vec_id tiebreak keeps selection deterministic across engines."""
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@query("similarity_topk_ivf")  # pruned search: recall<1 by design → rows-only
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 scale path: IVF-style coarse quantization. Deterministic
+    centroids (the 8 vectors with vec_id ≡ 0 mod 64 — a stand-in for
+    k-means), every corpus vector assigned to its nearest centroid
+    (one broadcast pass), queries probe their nprobe=2 nearest cells
+    and search only those buckets. Same top-k contract as the exact
+    query; recall is approximate so the check is rows-only."""
+    nprobe = 2
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    cents = (
+        e.filter(F.col("vec_id") % 64 == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
+    )
+    # assign: nearest centroid per corpus vector (broadcast centroids)
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "vec",
+            "cent_id",
+            (1 - cosine(F.col("vec"), F.col("cvec"))).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(assign_w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
+    )
+    # queries probe nprobe nearest cells
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "cent_id", (1 - cosine(F.col("qvec"), F.col("cvec"))).alias("dist"))
+        .withColumn("rk", F.row_number().over(probe_w))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "qvec", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS comp_sum
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 support: per-vector L2 norm + component sum — the
+    normalization pass an ANN index build runs first (norms
+    precomputed once, stored alongside the vector)."""
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot(F.col("vec"), F.col("vec"))), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("comp_sum"),
+    )

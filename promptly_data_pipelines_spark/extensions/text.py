@@ -1,0 +1,159 @@
+"""Text analysis over the ``documents`` table (SURVEY.md §2j X6):
+tokenization + counts, quality scoring, language ID, BPE-ish token
+counting, document fingerprinting. All built-in expressions (split/
+explode/aggregate lambdas) — whole text processing stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+# Tiny per-language marker-word profiles for the heuristic language ID.
+# Real profiles would be char-trigram frequency tables; the mechanism
+# (score per language, argmax) is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "von", "ist"),
+    "fr": ("le", "et", "de", "est"),
+    "es": ("el", "y", "de", "es"),
+    "zh": ("de", "le", "shi", "he"),
+}
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: corpus token frequencies, top-25. explode → hash agg with
+    map-side combine; at 100 TB this is the canonical word-count shuffle
+    (one row per distinct token per map partition)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(words("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(25)
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_char,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INTEGER) AS n_words,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','a','an','of','and','to','in','is'))) AS INTEGER) AS n_stop,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                w -> w IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), w -> w <> '')), 4) AS stop_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), w -> w <> '')), 4) AS avg_word_len
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: per-document quality features — length, word count, stopword
+    ratio, mean word length. Pure expression tree (array lambdas), no
+    shuffle at all: embarrassingly parallel over document partitions."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop.cast("double") / n_words, 4).alias("stop_ratio"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words, 4
+        ).alias("avg_word_len"),
+    )
+
+
+@query(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: BPE-ish regex tokenizer count (word / number / punctuation
+    classes — the pre-tokenization split GPT-style BPE applies before
+    merges). regexp_count is codegen'd; no data movement."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("int").alias("n_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: document fingerprint — normalize whitespace/case, hash, keep
+    64 bits. The exact-dedup key (see dedup.dedup_exact) and the
+    cheapest change-detection signal for incremental pipelines."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
+
+
+@query("text_lang_id")  # heuristic scoring: rows-only check (SURVEY §2j)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: n-gram/marker-word language ID. Scores each language profile
+    by marker hits, argmax with lexicographic tiebreak — implemented as
+    an expression over array_intersect (no UDF). Returns doc_id,
+    predicted lang, declared lang, and agreement flag."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.array_distinct(words("text"))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in marks]))).alias("score"),
+                # negate lexicographic order so array_max's struct
+                # comparison tiebreaks toward the alphabetically-first lang
+                F.lit(-i).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, marks) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    return d.select(
+        "doc_id",
+        best.getField("lang").alias("lang_pred"),
+        F.col("lang").alias("lang_declared"),
+        (best.getField("lang") == F.col("lang")).alias("agrees"),
+    )

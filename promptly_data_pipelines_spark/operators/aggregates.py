@@ -1,0 +1,190 @@
+"""Aggregations (SURVEY.md §2d).
+
+The reference aggregates through dbt tests (``unique`` compiles to
+GROUP BY ... HAVING count(*)>1, schema.yaml:10-12), row-count checks
+(setup.py:19-21), pandas dedup (datagen.py:167,186-190), and the
+declared-but-inert CDC merge whose Spark realization is latest-wins
+window dedup. All grouped aggregations here are hash aggregates with
+map-side partial aggregation (Spark does this automatically); sums of
+doubles are rounded identically in the oracle because accumulation
+order is engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "agg_count",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT(*) — the reference's only value-level Python check is a
+    seeded row count (setup.py:19-21, conftest.py:52-57)."""
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_quantity), 2) / count(*) AS avg_qty,
+           round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: grouped agg, TPC-H-Q1 shape — count/sum/avg/min/max by key.
+    Partial (map-side) aggregation means the shuffle carries one row
+    per (partition × group), not per input row.
+
+    Oracle-parity discipline: sums are rounded at the true decimal
+    width of their inputs (2dp columns → 2dp, 4dp product → 4dp) so
+    the rounded value is exact; averages are round(sum)/count with no
+    further rounding — dividing identical doubles is bit-identical in
+    both engines, while rounding the quotient hits decimal boundaries
+    where the engines' round algorithms disagree."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: HAVING — post-aggregation filter, the dbt ``unique`` test
+    shape (schema.yaml:10-12 compiles to HAVING count(*)>1)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "dedup_subset",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars
+    FROM (
+      SELECT lang, source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: dedup by key subset. The reference uses pandas
+    ``drop_duplicates(subset=['npi'])`` (datagen.py:167) whose survivor
+    is row-order-dependent; distributed Spark has no stable row order,
+    so the deterministic form is a window ordered by an explicit
+    tiebreaker — same operator the CDC merge needs (A5)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_id", "n_chars")
+    )
+
+
+@query(
+    "dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: latest-wins dedup by key ordered by event time — the CDC
+    compaction the reference declares but never materializes
+    (raw_provider_postgres.sql:9-10 merge config + provider.json:21-22
+    op/ts_ms). event_id breaks ts ties deterministically."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact COUNT(DISTINCT) — Elementary's uniqueness metrics
+    (packages.yml:2-4). Exact distinct expands then re-aggregates
+    (two-phase shuffle); at 100 TB prefer approx_count_distinct below."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query("agg_approx_count_distinct")  # no oracle: HLL++ sketch != DuckDB's sketch
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (scale path): approx_count_distinct (HyperLogLog++, rsd=1%).
+    Single aggregation pass, fixed-size sketch per group — this is the
+    100 TB form of the uniqueness metric. Rows-only check: sketch
+    estimates are engine-specific by design."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )

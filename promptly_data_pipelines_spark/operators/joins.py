@@ -1,0 +1,140 @@
+"""Joins (SURVEY.md §2c).
+
+The reference's join surface: a left equi-join of curated facts onto a
+tiny dim (curated_provider.sql:66-68, care_site = 8 rows —
+datagen.py:46-55), the mandated CSV⋈Postgres inner merge
+(CHALLENGE.md:36-39), and dbt's relationships test, which is a left
+anti join (schema.yaml:34-37). Scale posture: dims (region/nation and
+anything < broadcast threshold) are explicitly ``F.broadcast`` — no
+shuffle of the fact side; the star join leaves lineitem partitioning
+untouched and lets AQE pick broadcast for every dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "join_left_equi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_left_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left outer equi-join fact→dim (curated_provider.sql:66-68).
+    Both dims are broadcast — the customer side never shuffles."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: inner equi-join — the CSV⋈Postgres provider merge shape
+    (CHALLENGE.md:36-39). Filter precedes the join so pushdown shrinks
+    the probe side before any shuffle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left anti join — exactly what dbt's ``relationships`` test
+    compiles to (schema.yaml:34-37): children with no parent."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    SEMI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left semi join (existence filter) — dual of J3."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_star",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           r.r_name AS region_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: multi-way star join (the OMOP star shape, CHALLENGE.md:83-106,
+    exercised TPC-H-Q5-style). lineitem is the only big table; orders
+    joins shuffle on the key, customer/nation/region broadcast. Revenue
+    is rounded identically on both sides because double summation order
+    differs between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+        .agg(
+            # 4dp: the product of two 2dp columns is exact at 4dp, so the
+            # rounded sum never sits on a cross-engine rounding boundary
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Scans, sources, sinks (SURVEY.md §2a).
+
+The reference's source surface: Parquet-backed Iceberg tables
+(raw_provider_postgres.sql:2-6), an all-VARCHAR schema-on-read
+external CSV (setup.py:111-128, ``skip_header_line_count=1``), a
+Postgres JDBC table (raw_care_site_postgres.sql:11-15), a Kafka topic
+(source.yaml, cdc module), and a date-partitioned Parquet sink
+(raw_provider_postgres.sql:5 ``partitioned_by=['ingestion_cdc_date']``).
+
+JDBC has no harness fixture; ``jdbc_scan`` below documents the
+partitioned-read pattern (partitionColumn/lowerBound/upperBound/
+numPartitions — without it the whole table funnels through one task)
+but is not registered as a driver query.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import date_key
+from ..registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: Parquet scan with projection + predicate. Catalyst pushes
+    both into the vectorized reader: the scan reads 4 columns and
+    skips row groups whose stats exclude l_quantity >= 45
+    (verify via .explain → PushedFilters/ReadSchema)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: CSV scan, header skipped, all-string declared schema — the
+    reference's external client CSV is declared every-column-VARCHAR
+    with skip_header_line_count=1 (setup.py:111-128); typing happens
+    downstream via explicit casts. Round-trips nation → CSV → typed
+    rows, so the oracle is the source table itself."""
+    out = os.path.join(tempfile.gettempdir(), f"pdp_csv_{os.path.basename(sf_dir)}")
+    n = table(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    raw = (
+        spark.read.schema("n_nationkey string, n_name string, n_regionkey string")
+        .option("header", True)
+        .csv(out)
+    )
+    return raw.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS ingestion_cdc_date,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/T4: date-partitioned Parquet sink + readback — the raw-layer
+    materialization (raw_provider_postgres.sql:2-12 writes Parquet
+    partitioned by ingestion_cdc_date). Readback aggregates per
+    partition directory; a per-partition filter would prune at the
+    directory level (dynamic partition pruning at scale)."""
+    out = os.path.join(tempfile.gettempdir(), f"pdp_sink_{os.path.basename(sf_dir)}")
+    ev = table(spark, sf_dir, "events").withColumn("ingestion_cdc_date", date_key("ts"))
+    ev.write.mode("overwrite").partitionBy("ingestion_cdc_date").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("ingestion_cdc_date").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def jdbc_scan(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """S3: JDBC table scan (reference raw_care_site_postgres.sql:11-15
+    reads Postgres through Trino's postgresql connector,
+    postgresql.properties:1-4). Partitioned read: without
+    partitionColumn bounds the entire table arrives through a single
+    connection/task. Filters and projections push down to the database
+    as WHERE/SELECT clauses. Not driver-checked (no JDBC endpoint in
+    the harness)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, dbtable: str, mode: str = "append", **options: str) -> None:
+    """S7: bulk load into an RDBMS — the reference's pandas→COPY loader
+    (datagen.py:196-207). Spark-side: df.write.jdbc with batchsize;
+    each partition opens one connection and streams batched inserts."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

@@ -1,0 +1,134 @@
+"""Window functions (SURVEY.md §2e).
+
+The reference contains no SQL window functions — windows are the
+idiomatic Spark realization of its declared semantics: CDC latest-wins
+merge (raw_provider_postgres.sql:9-10), dedup survivor choice
+(datagen.py:167), CDC before/after comparison (provider.json:13
+``payload.before``/``after``), and Elementary's rolling volume metrics
+(app.py:52-58). Every window here partitions by a real key so work
+distributes; none uses a global (unpartitioned) ordering, which would
+serialize onto one task at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "window_row_number",
+    oracle="""
+    SELECT user_id, event_id, event_type, rn
+    FROM (
+      SELECT user_id, event_id, event_type,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number over partition/order — first 3 events per user."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "rn")
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, bal_rank, bal_dense_rank
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_rank,
+             CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_dense_rank
+      FROM customer
+    ) WHERE bal_rank <= 5
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: rank/dense_rank — top-balance customers per nation (the
+    dedup-survivor-choice shape)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("bal_rank", F.rank().over(w).cast("bigint"))
+        .withColumn("bal_dense_rank", F.dense_rank().over(w).cast("bigint"))
+        .filter(F.col("bal_rank") <= 5)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "bal_rank", "bal_dense_rank")
+    )
+
+
+@query(
+    "window_sliding_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w10, 2) / count(*) OVER w10 AS moving_avg,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
+    FROM events
+    WINDOW w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: sliding-frame aggregation — Elementary's rolling volume
+    metric shape (app.py:52-58): 10-row moving average + running sum
+    per user. The moving average is round(sum,2)/count with NO outer
+    round: rounding the frame sum (2-decimal inputs → exact at 2dp)
+    collapses engine-specific accumulation differences onto the same
+    double, and IEEE division of identical doubles is bit-identical on
+    both engines — whereas rounding the quotient would land exactly on
+    decimal boundaries (sum/8 has 5 decimals) where the engines' round
+    algorithms disagree."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame10 = w.rowsBetween(-9, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.round(F.sum("value").over(frame10), 2) / F.count("*").over(frame10)).alias(
+            "moving_avg"
+        ),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_sum"
+        ),
+    )
+
+
+@query(
+    "window_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 2) AS value,
+           round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta,
+           CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+             AS ms_since_prev
+    FROM events
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: lag/lead — the CDC before/after delta (provider.json:13
+    carries ``payload.before`` and ``payload.after`` row images; lag
+    reconstructs the same comparison from an ordered event log)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_val = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(prev_val, 2).alias("prev_value"),
+        F.round(F.col("value") - prev_val, 2).alias("delta"),
+        (F.unix_millis("ts") - F.unix_millis(prev_ts)).alias("ms_since_prev"),
+    )

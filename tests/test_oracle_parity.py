@@ -1,0 +1,43 @@
+"""The core correctness gate, mirroring the driver: every registered
+query with an oracle is executed on Spark and DuckDB at sf0.001 and
+compared (columns, row count, order-insensitive values). Queries
+without an oracle are smoke-run (schema resolves, executes, returns a
+well-formed frame)."""
+
+from __future__ import annotations
+
+import pytest
+
+from promptly_data_pipelines_spark.registry import all_oracles, all_queries
+
+from conftest import SF_DIR, assert_oracle_match
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+WITH_ORACLE = sorted(ORACLES)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, oracle_con, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_oracle_match(df, oracle_con, ORACLES[name], name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_execute(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns, f"{name}: empty schema"
+    assert rows is not None
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    out = e.entry(spark)
+    assert out.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
