@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop sink (full pipeline runs, nothing
+collected to the driver) so timings measure the plan, not result
+transfer. One tiny warmup query amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from promptly_data_pipelines_spark.registry import all_queries
+from promptly_data_pipelines_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the flagship pipeline + the operators that dominate a
+# real workload (big shuffles, windows, joins, dedup, similarity).
+HEADLINE = [
+    "flagship_curated",
+    "join_star",
+    "agg_group",
+    "dedup_latest",
+    "window_sliding_avg",
+    "topk_group",
+    "merge_upsert",
+    "stream_session",
+    "text_token_counts",
+    "dedup_near_text",
+    "dedup_ngram_jaccard",
+    "similarity_topk",
+    "sink_partitioned",
+]
+
+
+def main() -> None:
+    spark = get_session("pdp-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    queries = all_queries()
+
+    # warmup: tiny query to load classes / JIT the common path
+    queries["agg_count"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
