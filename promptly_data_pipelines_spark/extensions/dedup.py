@@ -136,6 +136,53 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT doc_a, doc_b, round(cos_sim, 6) AS cos_sim FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos_sim
+      FROM e a JOIN e b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5: embedding-cosine near-dup pairs — semantic dedup. Blocked
+    on ``label`` (the cluster/bucket key; at 100 TB this is an
+    IVF/LSH cell from similarity.py, never all-pairs). Norms are
+    precomputed per vector so each pair costs one dot product.
+    Broadcast build side + round-robin probe repartition, same
+    parallelism reasoning as dedup_ngram_jaccard."""
+    from .similarity import dot
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    e = e.withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    par = spark.sparkContext.defaultParallelism
+    a = e.repartition(par).alias("a")
+    b = F.broadcast(e).alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 @query("dedup_simhash")  # xxhash64-based: rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: SimHash — 64-bit signature from per-token hash bit votes

@@ -1,0 +1,148 @@
+"""Unit coverage for the modules the driver contract doesn't exercise:
+orchestrator DAG, quality suite runner, streaming pipeline, parity
+helper functions, multimodal codec boundary."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from promptly_data_pipelines_spark.catalog import DECLARED_SCHEMAS, TABLES, load_tables, table
+from promptly_data_pipelines_spark.cdc import streaming as S
+from promptly_data_pipelines_spark.cdc.envelope import synthesize_envelopes
+from promptly_data_pipelines_spark.extensions.multimodal import decode_media
+from promptly_data_pipelines_spark.functions import (
+    json_str,
+    nullify_literal,
+    strip_quotes,
+    varchar_n,
+)
+from promptly_data_pipelines_spark.pipelines.orchestrator import Pipeline
+from promptly_data_pipelines_spark.quality.checks import (
+    not_null_check,
+    relationships_check,
+    run_suite,
+    unique_check,
+)
+
+
+def test_declared_schemas_match_fixtures(spark):
+    for name in TABLES:
+        df = table(spark, SF_DIR, name)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        want = dict(f.split(None, 1) for f in DECLARED_SCHEMAS[name].split(", "))
+        assert got == want, f"{name}: {got} != {want}"
+
+
+def test_functions_semantics(spark):
+    df = spark.createDataFrame(
+        [('{"a": {"b": "x"}}', '"quoted"', "NULL", "General Practice")],
+        "js string, q string, n string, s string",
+    )
+    row = df.select(
+        json_str("js", "$.a.b").alias("j"),
+        strip_quotes("q").alias("sq"),
+        nullify_literal("n").alias("nn"),
+        varchar_n("s", 10).alias("v"),
+    ).first()
+    assert row.j == "x"  # get_json_object unquotes (Trino json_query would not)
+    assert row.sq == "quoted"
+    assert row.nn is None  # the sample.csv literal-'NULL' case
+    assert row.v == "General Pr"  # Trino varchar(10) truncation parity
+
+
+def test_orchestrator_dag_order_and_views(spark):
+    p = Pipeline()
+    ran = []
+
+    @p.model("raw_a")
+    def raw_a(s, up):
+        ran.append("raw_a")
+        return s.range(3).withColumnRenamed("id", "k")
+
+    @p.model("raw_b")
+    def raw_b(s, up):
+        ran.append("raw_b")
+        return s.range(5).withColumnRenamed("id", "k")
+
+    @p.model("curated", deps=["raw_a", "raw_b"])
+    def curated(s, up):
+        ran.append("curated")
+        return up["raw_a"].join(up["raw_b"], "k")
+
+    out = p.run(spark)
+    assert ran.index("curated") > ran.index("raw_a")
+    assert ran.index("curated") > ran.index("raw_b")
+    assert out["curated"].count() == 3
+    assert spark.table("curated").count() == 3  # SQL surface (dbt ref() analog)
+
+
+def test_orchestrator_cycle_detection():
+    p = Pipeline()
+    p.model("a", deps=["b"])(lambda s, up: None)
+    p.model("b", deps=["a"])(lambda s, up: None)
+    with pytest.raises(ValueError, match="cycle"):
+        p.topo_order()
+
+
+def test_quality_suite(spark):
+    t = load_tables(spark, SF_DIR, ("orders", "customer", "events"))
+    suite = run_suite(
+        {
+            "orders_pk_unique": unique_check(t["orders"], ["o_orderkey"]),
+            "orders_fk_customer": relationships_check(
+                t["orders"], "o_custkey", t["customer"], "c_custkey"
+            ),
+        }
+    )
+    results = {r.check_name: (r.n_violations, r.passed) for r in suite.collect()}
+    assert results["orders_pk_unique"] == (0, True)
+    assert results["orders_fk_customer"] == (0, True)
+    nn = not_null_check(t["events"], ["event_id", "value"]).collect()
+    assert {r.column_name: r.n_nulls for r in nn} == {"event_id": 0, "value": 0}
+
+
+def test_streaming_matches_batch(spark):
+    """The streaming path must produce the same live-row set as the
+    batch tombstone filter (SURVEY §2h: same semantics, two modes)."""
+    d = tempfile.mkdtemp()
+    env_dir = os.path.join(d, "env")
+    ev = table(spark, SF_DIR, "events")
+    synthesize_envelopes(ev).write.json(env_dir)
+    q = (
+        S.live_rows(S.read_envelope_stream(spark, env_dir))
+        .writeStream.format("memory")
+        .queryName("live_rows_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct event_id) d from live_rows_t").first()
+    expected = ev.filter(F.col("event_id") % 10 != 0).count()
+    assert got.n == expected == got.d
+
+
+def test_streaming_upsert_sink(spark):
+    d = tempfile.mkdtemp()
+    env_dir, ckpt, tgt = (os.path.join(d, x) for x in ("env", "ck", "tgt"))
+    ev = table(spark, SF_DIR, "events")
+    synthesize_envelopes(ev).write.json(env_dir)
+    rows = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    q = S.upsert_sink(rows, tgt, ckpt).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(tgt)
+    assert back.count() == back.select("event_id").distinct().count()
+
+
+def test_multimodal_codec_boundary():
+    feats = decode_media(b"abc", "bytestats")
+    assert feats == {"n_bytes": 3, "first_byte": 97, "last_byte": 99, "byte_sum_mod": 38}
+    with pytest.raises(NotImplementedError, match="image/jpeg"):
+        decode_media(b"\xff\xd8", "image/jpeg")
