@@ -1,0 +1,118 @@
+"""The UDF/UDAF escape-hatch surface (SURVEY.md §2j X1/X2) + the
+salted-aggregation skew pattern.
+
+The reference contains zero UDFs (all logic SQL-expressible); these
+exist because a real LLM-data pipeline needs the escape hatch, and the
+engine's rule is: Arrow-vectorized pandas_udf / applyInPandas only —
+never row-at-a-time ``udf()`` on the hot path (10-100× slower).
+
+Both UDF queries use arithmetic that is bit-deterministic across
+engines (clip/min-max — no libm transcendentals, whose last-ulp
+behavior differs between numpy and C++), so even the Python-side
+operators are DuckDB-oracle-checked, not just rows-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import table
+from ..registry import query
+
+
+def _clip_scale_fn(v: pd.Series) -> pd.Series:
+    """Vectorized scalar transform: clip to [10, 90], scale to [0,1]-ish.
+    One Arrow batch per invocation; numpy clip + multiply are exact
+    IEEE ops, so results match the SQL least/greatest formulation."""
+    return v.clip(lower=10.0, upper=90.0) * 0.01
+
+
+def clip_scale():
+    # constructed lazily: pandas_udf parses its return-type DDL against
+    # the active session, which doesn't exist at import time
+    return pandas_udf(_clip_scale_fn, "double")
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id,
+           least(greatest(value, 10.0), 90.0) * 0.01 AS value_scaled
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: scalar pandas_udf (Arrow-batched). The plan shows
+    ArrowEvalPython — one Python worker round-trip per batch, the only
+    Python in this query."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", clip_scale()("value").alias("value_scaled"))
+
+
+def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group min-max scaling — the grouped-map shape. min/max are
+    exact selections and the division operates on identical doubles, so
+    the window-function oracle matches bit-for-bit."""
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    out = pdf[["user_id", "event_id"]].copy()
+    out["value_scaled"] = 0.0 if hi == lo else (pdf["value"] - lo) / (hi - lo)
+    return out
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS value_scaled
+    FROM (
+      SELECT user_id, event_id, value,
+             min(value) OVER (PARTITION BY user_id) AS mn,
+             max(value) OVER (PARTITION BY user_id) AS mx
+      FROM events
+    )
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: groupBy().applyInPandas — whole-group pandas transform (the
+    shape for per-group model scoring / featurization). One shuffle on
+    the group key; each group becomes one Arrow batch in one Python
+    call."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _minmax_scale, "user_id bigint, event_id bigint, value_scaled double"
+    )
+
+
+@query(
+    "agg_group_salted",
+    oracle="""
+    SELECT event_type,
+           round(sum(value), 2) AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pattern: two-phase salted aggregation. Phase 1 aggregates on
+    (key, salt) — a hot key's rows spread over 16 reducers instead of
+    one; phase 2 merges the 16 partials per key (tiny). Result is
+    identical to a plain groupBy (the oracle IS the plain groupBy);
+    only the shuffle layout differs. With AQE skew handling this is
+    rarely hand-written, but it is the fallback when a single group
+    key dominates (e.g. one event_type = 90% of 100 TB)."""
+    n_salts = 16
+    ev = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.sum("value").alias("psum"), F.count("*").alias("pcnt")
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+        F.sum("pcnt").cast("bigint").alias("n_events"),
+    )

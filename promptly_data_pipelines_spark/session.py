@@ -17,10 +17,46 @@ this module is the one place session-level performance posture is set:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package once per process for SparkContext.addPyFile."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        path = os.path.join(tempfile.gettempdir(), f"pdp_spark_pkg_{os.getpid()}.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, arc)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd/sys.path. Required for every pandas_udf /
+    applyInPandas / mapInPandas operator: cloudpickle serializes
+    module-level functions by reference (module + qualname), and the
+    externally-provided driver session runs from an arbitrary cwd where
+    workers cannot import ``promptly_data_pipelines_spark``."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pdp_pkg_shipped", False):
+        return
+    sc.addPyFile(_package_zip())
+    sc._pdp_pkg_shipped = True
 
 
 def get_session(
@@ -67,4 +103,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # rejects by default; read nanos as long and let the catalog convert
     # to microsecond timestamps (matching DuckDB's ns→µs truncation).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     return spark
