@@ -88,7 +88,12 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory level (dynamic partition pruning at scale)."""
     out = os.path.join(tempfile.gettempdir(), f"pdp_sink_{os.path.basename(sf_dir)}")
     ev = table(spark, sf_dir, "events").withColumn("ingestion_cdc_date", date_key("ts"))
-    ev.write.mode("overwrite").partitionBy("ingestion_cdc_date").parquet(out)
+    # repartition by the partition column first: without it every task
+    # writes a sliver into every partition dir (tasks × dates tiny
+    # files — the classic small-file problem at scale)
+    ev.repartition("ingestion_cdc_date").write.mode("overwrite").partitionBy(
+        "ingestion_cdc_date"
+    ).parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("ingestion_cdc_date").agg(
         F.count("*").alias("n_rows"),

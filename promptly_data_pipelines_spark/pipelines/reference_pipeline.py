@@ -1,0 +1,194 @@
+"""The reference's ACTUAL domain pipeline, end-to-end, on its own
+fixtures: CSV providers (bad data) + Postgres providers + care_site
+dim → curated OMOP provider table with every documented semantic.
+
+This is the closest-parity artifact in the repo — each step cites the
+reference behavior it reproduces:
+
+1. all-VARCHAR CSV read (setup.py:111-128 declares every column
+   VARCHAR, skip_header_line_count=1)
+2. literal-'NULL' nullification (sample.csv lines 6,9; CHALLENGE.md:75)
+3. specialty-abbreviation normalization (sample.csv 'Peds'/'Neuro'/
+   'Derma'/'Int Med' → the full names seeded by datagen.py:121-130)
+4. duplicate-provider canonicalization: ProviderID 001 appears as
+   'John Doe'/'Dr. J. Doe'/'Dr. John Doe' (sample.csv lines 2,4,7) —
+   longest-then-lexicographic-last name wins, deterministic
+5. multi-source merge CSV + Postgres (CHALLENGE.md:36-39) with
+   source-priority dedup by NPI (datagen dedups on npi:167)
+6. varchar(10) specialty truncation — curated_provider.sql:28-37
+   casts specialty to varchar(10); Trino silently truncates. Bug
+   parity preserved deliberately (documented in functions.varchar_n)
+7. left join onto care_site on the name (curated_provider.sql:66-68)
+8. OMOP-shaped output (CHALLENGE.md:83-106)
+
+Fixture rows are deterministic literals (FIXTURES.md §B), embedded as
+VALUES in both engines, so the whole pipeline is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import nullify_literal, varchar_n
+from ..registry import query
+
+# sample.csv reproduction (FIXTURES.md §B3): ProviderName, ProviderID,
+# NPI, Specialty, SiteName — deliberate bad data preserved.
+CSV_PROVIDERS = [
+    ("John Doe", "001", "1111111111", "Peds", "City Hospital"),
+    ("Jane Smith", "002", "2222222222", "Neuro", "Village Clinic"),
+    ("Dr. J. Doe", "001", "1111111111", "Peds", "City Hospital"),
+    ("Alice Brown", "003", "NULL", "Derma", "Metro Medical Center"),
+    ("Dr. John Doe", "001", "1111111111", "Pediatrics", "City Hospital"),
+    ("NULL", "004", "4444444444", "Int Med", "Suburban Health"),
+    ("Bob White", "005", "5555555555", "Cardiology", "North Health Institute"),
+]
+
+# Postgres provider seed shape (datagen.py:70-81; names from the 10x10 pool)
+PG_PROVIDERS = [
+    (101, "Emily Davis", "6666666666", "Oncology", "Eastside Clinic"),
+    (102, "Frank Miller", "7777777777", "General Practice", "Downtown Health"),
+    (103, "Grace Wilson", "2222222222", "Neurology", "Village Clinic"),
+    (104, "Henry Moore", "8888888888", "Orthopedics", "Westside Family Practice"),
+]
+
+# care_site: exactly the 8 rows datagen.py:46-55 seeds
+CARE_SITES = [
+    (1, "City Hospital", "CSH01"),
+    (2, "Village Clinic", "VCL01"),
+    (3, "Metro Medical Center", "MMC01"),
+    (4, "Suburban Health", "SH01"),
+    (5, "North Health Institute", "NHI01"),
+    (6, "Eastside Clinic", "EC01"),
+    (7, "Downtown Health", "DH01"),
+    (8, "Westside Family Practice", "WFP01"),
+]
+
+# The abbreviation map the CSV implies (sample.csv vs datagen.py:121-130)
+SPECIALTY_MAP = {
+    "Peds": "Pediatrics",
+    "Neuro": "Neurology",
+    "Derma": "Dermatology",
+    "Int Med": "Internal Medicine",
+}
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {vals}) AS t({', '.join(cols)})"
+
+
+@query(
+    "reference_curated_provider",
+    oracle=f"""
+    WITH csv_raw AS (SELECT * FROM {_values_sql(CSV_PROVIDERS, ["provider_name", "provider_id", "npi", "specialty", "site_name"])}),
+    csv_clean AS (
+      SELECT nullif(provider_name, 'NULL') AS provider_name,
+             CAST(provider_id AS INTEGER) AS provider_id,
+             nullif(npi, 'NULL') AS npi,
+             CASE specialty
+               WHEN 'Peds' THEN 'Pediatrics' WHEN 'Neuro' THEN 'Neurology'
+               WHEN 'Derma' THEN 'Dermatology' WHEN 'Int Med' THEN 'Internal Medicine'
+               ELSE specialty END AS specialty,
+             site_name
+      FROM csv_raw
+    ),
+    csv_canon AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY provider_id
+          ORDER BY length(provider_name) DESC, provider_name DESC) AS rn
+        FROM csv_clean WHERE provider_name IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    pg AS (SELECT * FROM {_values_sql(PG_PROVIDERS, ["provider_id", "provider_name", "npi", "specialty", "site_name"])}),
+    unioned AS (
+      SELECT provider_id, provider_name, npi, specialty, site_name, 1 AS src_priority FROM pg
+      UNION ALL
+      SELECT provider_id, provider_name, npi, specialty, site_name, 2 FROM csv_canon
+    ),
+    merged AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY coalesce(npi, 'missing-' || CAST(provider_id AS VARCHAR))
+          ORDER BY src_priority, provider_id) AS rn
+        FROM unioned
+      ) WHERE rn = 1
+    ),
+    care_site AS (SELECT * FROM {_values_sql(CARE_SITES, ["care_site_id", "care_site_name", "care_site_source_value"])})
+    SELECT m.provider_id, m.provider_name, m.npi,
+           substr(m.specialty, 1, 10) AS specialty,
+           c.care_site_id, m.site_name AS care_site_name,
+           c.care_site_source_value
+    FROM merged m LEFT JOIN care_site c ON m.site_name = c.care_site_name
+    """,
+)
+def reference_curated_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated_provider model (curated_provider.sql:12-68 +
+    CHALLENGE.md bad-data handling), Spark-first. ``sf_dir`` unused —
+    inputs are the reference's own fixture rows."""
+    csv_raw = spark.createDataFrame(
+        CSV_PROVIDERS, "provider_name string, provider_id string, npi string, specialty string, site_name string"
+    )
+    # steps 1-3: schema-on-read strings → nullify 'NULL' → typed casts →
+    # specialty normalization (P9/P5/P11)
+    spec = None
+    for k, v in SPECIALTY_MAP.items():
+        spec = F.when(F.col("specialty") == k, v) if spec is None else spec.when(
+            F.col("specialty") == k, v
+        )
+    csv_clean = csv_raw.select(
+        nullify_literal("provider_name").alias("provider_name"),
+        F.col("provider_id").cast("int").alias("provider_id"),
+        nullify_literal("npi").alias("npi"),
+        spec.otherwise(F.col("specialty")).alias("specialty"),
+        "site_name",
+    )
+    # step 4: canonicalize duplicate provider_id — longest name wins
+    w = Window.partitionBy("provider_id").orderBy(
+        F.length("provider_name").desc(), F.col("provider_name").desc()
+    )
+    csv_canon = (
+        csv_clean.filter(F.col("provider_name").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pg = spark.createDataFrame(
+        PG_PROVIDERS, "provider_id int, provider_name string, npi string, specialty string, site_name string"
+    )
+    # step 5: multi-source merge (U1) + source-priority dedup by NPI (A5)
+    unioned = pg.withColumn("src_priority", F.lit(1)).unionByName(
+        csv_canon.withColumn("src_priority", F.lit(2))
+    )
+    npi_key = F.coalesce(F.col("npi"), F.concat(F.lit("missing-"), F.col("provider_id").cast("string")))
+    wm = Window.partitionBy(npi_key).orderBy("src_priority", "provider_id")
+    merged = unioned.withColumn("rn", F.row_number().over(wm)).filter(F.col("rn") == 1).drop("rn")
+    care_site = spark.createDataFrame(
+        CARE_SITES, "care_site_id int, care_site_name string, care_site_source_value string"
+    )
+    # steps 6-8: varchar(10) truncation parity + dim join + OMOP shape
+    return (
+        merged.join(
+            F.broadcast(care_site),
+            merged.site_name == care_site.care_site_name,
+            "left",
+        )
+        .select(
+            "provider_id",
+            "provider_name",
+            "npi",
+            varchar_n("specialty", 10).alias("specialty"),
+            "care_site_id",
+            F.col("site_name").alias("care_site_name"),
+            "care_site_source_value",
+        )
+    )
