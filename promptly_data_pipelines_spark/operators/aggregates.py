@@ -178,6 +178,31 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_monthly_orders",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS month_revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 variant: calendar rollup on a timestamp_ntz column
+    (o_orderdate) — the freshness/volume-over-time report shape
+    (Elementary volume metrics, reference app.py:52-58)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
+        "o_orderstatus",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+    )
+
+
 @query("agg_approx_count_distinct")  # no oracle: HLL++ sketch != DuckDB's sketch
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (scale path): approx_count_distinct (HyperLogLog++, rsd=1%).

@@ -1,0 +1,67 @@
+"""Plan-quality regressions: the scale posture is part of the
+contract. These pin the physical-plan properties that make the
+operators viable at 100 TB — if a refactor silently drops a broadcast
+hint or breaks parquet pushdown, this fails before any benchmark
+notices."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from promptly_data_pipelines_spark.registry import all_queries
+
+from conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown(spark):
+    p = _plan(spark, "scan_parquet")
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in p  # predicate reached the scan
+    # projection pruned to exactly the 4 selected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double,l_extendedprice:double>" in p
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("join_left_equi", "flagship_curated", "join_star"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, f"{name}: dim join lost its broadcast"
+        assert "CartesianProduct" not in p, f"{name}: accidental cross join"
+
+
+def test_column_pruning_through_join(spark):
+    # flagship joins customer only for the nation mapping: the customer
+    # scan must read exactly (c_custkey, c_nationkey)
+    p = _plan(spark, "flagship_curated")
+    assert "struct<c_custkey:bigint,c_nationkey:int>" in p
+
+
+def test_no_python_in_relational_operators(spark):
+    # Python appears ONLY in the declared UDF escape hatches — every
+    # relational operator stays JVM-side (whole-stage codegen)
+    for name in ("agg_group", "dedup_latest", "window_sliding_avg", "merge_upsert", "join_star"):
+        p = _plan(spark, name)
+        assert "EvalPython" not in p, f"{name}: unexpected Python in the plan"
+
+
+def test_udf_queries_are_arrow_vectorized(spark):
+    # ...and where Python is intended, it must be the Arrow path, never
+    # row-pickling BatchEvalPython
+    p = _plan(spark, "udf_pandas_scalar")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_topk_uses_window_group_limit(spark):
+    # rank-limit pushed into the window sort: each partition keeps k
+    # rows instead of materializing the full rank
+    p = _plan(spark, "topk_group")
+    assert "WindowGroupLimit" in p
