@@ -130,12 +130,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
 
 
-@query("text_lang_id")  # heuristic scoring: rows-only check (SURVEY §2j)
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(w, ['der','und','von','ist'])) AS s_de,
+             len(list_intersect(w, ['the','and','of','is']))   AS s_en,
+             len(list_intersect(w, ['el','y','de','es']))      AS s_es,
+             len(list_intersect(w, ['le','et','de','est']))    AS s_fr,
+             len(list_intersect(w, ['de','le','shi','he']))    AS s_zh
+      FROM ws
+    )
+    SELECT doc_id,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           lang AS lang_declared,
+           (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END) = lang AS agrees
+    FROM scored
+    """,
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: n-gram/marker-word language ID. Scores each language profile
-    by marker hits, argmax with lexicographic tiebreak — implemented as
-    an expression over array_intersect (no UDF). Returns doc_id,
-    predicted lang, declared lang, and agreement flag."""
+    by marker hits, argmax with alphabetically-first tiebreak —
+    implemented as an expression over array_intersect (no UDF; the
+    oracle expresses the same argmax as a >= CASE cascade in
+    alphabetical order). Returns doc_id, predicted lang, declared
+    lang, and agreement flag."""
     d = table(spark, sf_dir, "documents")
     ws = F.array_distinct(words("text"))
     scored = F.array(

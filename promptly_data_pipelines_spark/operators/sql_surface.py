@@ -1,0 +1,118 @@
+"""The SQL API surface (SURVEY.md §3: dbt models are SQL text; our
+engine exposes the same authoring surface via temp views +
+``spark.sql``). Catalyst produces identical plans for SQL and
+DataFrame formulations — these queries exist to prove the SQL surface
+end-to-end, including the dbt-style model-over-model chaining
+(``ref()`` ≙ querying a registered view).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+
+@query(
+    "sql_surface_q3",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped query written as SQL text against registered
+    views — the exact authoring mode of the reference's dbt models
+    (curated_provider.sql is SQL over ref()-named relations)."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+               o.o_orderpriority
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "pipeline_orchestrated",
+    oracle="""
+    WITH raw_events AS (
+      SELECT event_id, user_id, nullif(event_type, 'error') AS event_type, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    dim_user_nation AS (
+      SELECT c.c_custkey AS user_id, n.n_name AS nation_name
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT coalesce(d.nation_name, 'unknown') AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(r.value), 2) AS sum_value
+    FROM raw_events r LEFT JOIN dim_user_nation d ON r.user_id = d.user_id
+    GROUP BY 1
+    """,
+)
+def pipeline_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orchestrator (pipelines/orchestrator.py — the app.py + dbt
+    DAG role) driven end-to-end as a driver-checked query: three models
+    with declared deps, topo-sorted, each registered as a view for the
+    next (the ref() chain of curated_provider.sql:52,67)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import table
+    from ..pipelines.orchestrator import Pipeline
+
+    p = Pipeline()
+
+    @p.model("raw_events")
+    def raw_events(s, up):
+        return (
+            table(s, sf_dir, "events")
+            .filter(F.col("value").isNotNull())
+            .select(
+                "event_id",
+                "user_id",
+                F.when(F.col("event_type") == "error", None)
+                .otherwise(F.col("event_type"))
+                .alias("event_type"),
+                "value",
+            )
+        )
+
+    @p.model("dim_user_nation")
+    def dim_user_nation(s, up):
+        c = table(s, sf_dir, "customer")
+        n = table(s, sf_dir, "nation")
+        return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left").select(
+            F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation_name")
+        )
+
+    @p.model("curated_activity", deps=["raw_events", "dim_user_nation"])
+    def curated_activity(s, up):
+        r, d = up["raw_events"], up["dim_user_nation"]
+        return (
+            r.join(F.broadcast(d), "user_id", "left")
+            .groupBy(F.coalesce("nation_name", F.lit("unknown")).alias("nation_name"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    return p.run(spark)["curated_activity"]

@@ -55,7 +55,16 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import aggregates, joins, projections, scans, setops, sorts, windows  # noqa: F401
+    from .operators import (  # noqa: F401
+        aggregates,
+        joins,
+        projections,
+        scans,
+        setops,
+        sorts,
+        sql_surface,
+        windows,
+    )
     from .cdc import batch  # noqa: F401
     from .quality import checks  # noqa: F401
     from .pipelines import flagship, reference_pipeline  # noqa: F401

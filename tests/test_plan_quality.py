@@ -60,6 +60,33 @@ def test_udf_queries_are_arrow_vectorized(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_partitioned_sink_prunes_on_readback(spark):
+    """A date filter on the partitioned sink must prune at the
+    directory level (PartitionFilters), reading zero data files from
+    other dates — the reason raw tables partition by ingestion date
+    (reference raw_provider_postgres.sql:5)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.functions import date_key
+
+    out = os.path.join(tempfile.gettempdir(), "pdp_prune_test")
+    ev = table(spark, SF_DIR, "events").withColumn("ingestion_cdc_date", date_key("ts"))
+    ev.repartition("ingestion_cdc_date").write.mode("overwrite").partitionBy(
+        "ingestion_cdc_date"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("ingestion_cdc_date") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "2024-01-05" in p
+    assert back.count() > 0
+
+
 def test_topk_uses_window_group_limit(spark):
     # rank-limit pushed into the window sort: each partition keeps k
     # rows instead of materializing the full rank
