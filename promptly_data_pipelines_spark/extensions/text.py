@@ -114,6 +114,58 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / idf.df AS score
+      FROM tf JOIN idf USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: characteristic terms per document — TF-IDF-shaped scoring
+    with a rational score (tf·N/df, no logarithm: libm last-ulp
+    behavior differs between engines; the ranking is identical). Two
+    shuffles (tf, df) + a broadcast of the tiny df table + windowed
+    top-3. The df table is vocabulary-sized — at 100 TB still tiny
+    relative to the corpus, always the broadcast side."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar: one tiny action, constant-folded into the plan
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "score", "rk")
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
