@@ -62,7 +62,14 @@ def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
     """Word-shingle MinHash: explode w-shingles, hash each with
     N_HASHES seeded xxhash64 functions, take the per-doc min of each.
     Everything is built-in exprs; the only shuffle is the per-doc
-    re-aggregation."""
+    re-aggregation.
+
+    The input is repartitioned first: fixture tables are single-row-
+    group parquet (unsplittable → 1 scan task), and shingling+16
+    hashes is the expensive stage — one small shuffle of raw docs buys
+    full-width parallelism for it. On a real multi-file table the
+    repartition is a no-op cost-wise (AQE coalesces)."""
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     shingled = d.select(
         "doc_id",
         F.explode(
@@ -87,7 +94,7 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band join is the only pairwise step and touches only
     colliding docs."""
     d = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d).cache()
+    sig = minhash_signatures(d)
     sig_arr = sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig"))
     rows_per_band = N_HASHES // N_BANDS
     bands = sig_arr.select(
