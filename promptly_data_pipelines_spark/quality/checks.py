@@ -136,6 +136,62 @@ def dq_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT d, n,
+             CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w AS mean_n,
+             CAST(count(*) OVER w AS BIGINT) AS n_days
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, n, mean_n,
+           CAST(n AS DOUBLE) / mean_n AS volume_ratio,
+           (n > 1.5 * mean_n OR 1.5 * n < mean_n) AS is_anomaly
+    FROM stats WHERE n_days >= 3
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4+: Elementary-style volume anomaly monitor (the freshness/
+    volume intent of app.py:52-58): each day's row count vs the
+    trailing 7-day mean (excluding today); flag >1.5× deviation either
+    way. Ratio arithmetic only — integer sums divide into identical
+    doubles on both engines (see aggregates.py float discipline).
+    The global date ordering is fine at scale: the window input is one
+    row per day, not per event."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d").rowsBetween(-6, -1)
+    stats = daily.select(
+        "d",
+        "n",
+        (F.sum("n").over(w).cast("double") / F.count("*").over(w)).alias("mean_n"),
+        F.count("*").over(w).cast("bigint").alias("n_days"),
+    )
+    return (
+        stats.filter(F.col("n_days") >= 3)
+        .select(
+            "d",
+            "n",
+            "mean_n",
+            (F.col("n").cast("double") / F.col("mean_n")).alias("volume_ratio"),
+            (
+                (F.col("n") > 1.5 * F.col("mean_n"))
+                | (1.5 * F.col("n") < F.col("mean_n"))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
     "dq_metrics",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS row_count,
