@@ -92,6 +92,29 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def route_by_op(decoded: DataFrame) -> dict[str, DataFrame]:
+    """T3: op-type routing (provider.json:21 op ∈ c|u|d|r). Returns one
+    branch per operation class — upserts (c/u/r, with the row image
+    from ``after``) and deletes (d, keyed from ``before``). Works on
+    batch and streaming frames alike; in foreachBatch the two branches
+    become the WHEN MATCHED UPDATE / WHEN MATCHED DELETE arms of a
+    storage MERGE."""
+    upserts = decoded.filter(F.col("op").isin("c", "u", "r")).select(
+        "op",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+    )
+    deletes = decoded.filter(F.col("op") == "d").select(
+        "op",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        F.col("before.event_id").alias("event_id"),
+    )
+    return {"upserts": upserts, "deletes": deletes}
+
+
 def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str = "event_id"):
     """T3/S6 streaming form: foreachBatch MERGE. Each micro-batch is
     compacted latest-wins against the current target snapshot and the

@@ -190,13 +190,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64-based: rows-only
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: SimHash — 64-bit signature from per-token hash bit votes
-    (positive bit → +1, else −1; sign of the sum per bit position).
-    Groups identical signatures as near-dup clusters. Bit arithmetic
-    via shiftright/bitwise-and, all codegen'd."""
-    d = table(spark, sf_dir, "documents")
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """63-bit SimHash per doc from per-token hash bit votes (positive
+    bit → +1, else −1; sign of the sum per bit position). Bit
+    arithmetic via shiftright/bitwise-and, all codegen'd."""
     toks = d.select("doc_id", F.explode(words("text")).alias("tok"))
     hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     votes = hashed.groupBy("doc_id").agg(
@@ -207,21 +204,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]
     )
-    sig = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             (F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(2**i).cast("bigint"))
             for i in range(63)  # 63 bits: stay within signed long
         ).alias("simhash"),
     )
-    return (
-        sig.groupBy("simhash")
-        .agg(
-            F.count("*").alias("cluster_size"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+
+
+@query("dedup_simhash")  # xxhash64-based: rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: SimHash near-dup pairs within Hamming distance ≤ 3, via the
+    block-and-verify scheme: split the 63-bit signature into 4 blocks
+    — any pair within distance 3 must match exactly on ≥1 block
+    (pigeonhole), so candidates come from 4 equi-joins on block keys
+    (linear + shuffle, never all-pairs), then the exact Hamming
+    distance (bit_count of XOR) verifies. Identical-signature exact
+    clusters fall out as distance 0."""
+    max_hamming = 3
+    n_blocks = max_hamming + 1
+    d = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sig = simhash_signatures(d.repartition(par))
+    # block b = bits [b*16, b*16+15] (last block 15 bits of the 63)
+    blocked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit((1 << 16) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("cluster_size") > 1)
-        .select("simhash", "cluster_size", "doc_ids")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -141,6 +141,37 @@ def test_streaming_upsert_sink(spark):
     assert back.count() == back.select("event_id").distinct().count()
 
 
+def test_cdc_op_routing(spark):
+    from promptly_data_pipelines_spark.cdc.envelope import decode_envelopes
+    from promptly_data_pipelines_spark.cdc.streaming import route_by_op
+
+    ev = table(spark, SF_DIR, "events")
+    branches = route_by_op(decode_envelopes(synthesize_envelopes(ev)))
+    n_total = ev.count()
+    n_del = branches["deletes"].count()
+    n_up = branches["upserts"].count()
+    assert n_del == ev.filter(F.col("event_id") % 10 == 0).count()
+    assert n_up + n_del == n_total
+    assert branches["deletes"].select("event_id").where(F.col("event_id").isNull()).count() == 0
+
+
+def test_compact_parquet_table(spark, tmp_path):
+    from promptly_data_pipelines_spark.operators.maintenance import compact_parquet_table
+
+    target = str(tmp_path / "frag")
+    ev = table(spark, SF_DIR, "events")
+    ev.repartition(24).write.parquet(target)  # fragment: 24 small files
+    import glob
+
+    assert len(glob.glob(f"{target}/*.parquet")) == 24
+    before = ev.count()
+    n_files = compact_parquet_table(spark, target)
+    assert n_files == 1  # tiny table → single target-size file
+    back = spark.read.parquet(target)
+    assert back.count() == before
+    assert set(back.columns) == set(ev.columns)
+
+
 def test_multimodal_codec_boundary():
     feats = decode_media(b"abc", "bytestats")
     assert feats == {"n_bytes": 3, "first_byte": 97, "last_byte": 99, "byte_sum_mod": 38}
