@@ -35,9 +35,13 @@ HEADLINE = [
     "merge_upsert",
     "stream_session",
     "text_token_counts",
+    "text_tfidf_topk",
     "dedup_near_text",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_topk",
+    "udf_grouped_map",
     "sink_partitioned",
 ]
 

@@ -70,13 +70,52 @@ class Pipeline:
             visit(name)
         return order
 
-    def run(self, spark: SparkSession) -> dict[str, DataFrame]:
+    def run(self, spark: SparkSession, parallel: bool = False) -> dict[str, DataFrame]:
+        """Sequential by default (deterministic logs, the reference's
+        observable behavior). ``parallel=True`` runs each topo level's
+        independent models concurrently — Spark's scheduler accepts
+        jobs from multiple threads, so independent models overlap their
+        cluster usage. The reference cannot do this (TRINO_DBT_THREADS=1,
+        profiles.yml:21); it is strictly a capability gain."""
+        if not parallel:
+            results: dict[str, DataFrame] = {}
+            for name in self.topo_order():
+                m = self._models[name]
+                log.info("running model %s (deps: %s)", name, m.deps)
+                upstream = {d: results[d] for d in m.deps}
+                df = m.fn(spark, upstream)
+                df.createOrReplaceTempView(name)
+                results[name] = df
+            return results
+        return self._run_parallel(spark)
+
+    def _topo_levels(self) -> list[list[str]]:
+        order = self.topo_order()
+        level: dict[str, int] = {}
+        for name in order:
+            deps = self._models[name].deps
+            level[name] = 1 + max((level[d] for d in deps), default=-1)
+        out: list[list[str]] = []
+        for name in order:
+            while len(out) <= level[name]:
+                out.append([])
+            out[level[name]].append(name)
+        return out
+
+    def _run_parallel(self, spark: SparkSession) -> dict[str, DataFrame]:
+        from concurrent.futures import ThreadPoolExecutor
+
         results: dict[str, DataFrame] = {}
-        for name in self.topo_order():
-            m = self._models[name]
-            log.info("running model %s (deps: %s)", name, m.deps)
-            upstream = {d: results[d] for d in m.deps}
-            df = m.fn(spark, upstream)
-            df.createOrReplaceTempView(name)
-            results[name] = df
+        for group in self._topo_levels():
+            log.info("running level: %s", group)
+
+            def run_one(name: str) -> tuple[str, DataFrame]:
+                m = self._models[name]
+                upstream = {d: results[d] for d in m.deps}
+                return name, m.fn(spark, upstream)
+
+            with ThreadPoolExecutor(max_workers=max(1, len(group))) as ex:
+                for name, df in ex.map(run_one, group):
+                    df.createOrReplaceTempView(name)
+                    results[name] = df
         return results

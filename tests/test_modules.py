@@ -90,6 +90,44 @@ def test_orchestrator_cycle_detection():
         p.topo_order()
 
 
+def test_orchestrator_parallel_matches_sequential(spark):
+    def build() -> Pipeline:
+        p = Pipeline()
+        p.model("a")(lambda s, up: s.range(10).withColumnRenamed("id", "k"))
+        p.model("b")(lambda s, up: s.range(5).withColumnRenamed("id", "k"))
+        p.model("c", deps=["a", "b"])(lambda s, up: up["a"].join(up["b"], "k"))
+        return p
+
+    seq = build().run(spark)["c"].collect()
+    par = build().run(spark, parallel=True)["c"].collect()
+    assert sorted(r.k for r in seq) == sorted(r.k for r in par) == list(range(5))
+
+
+def test_dq_report(spark, tmp_path):
+    from promptly_data_pipelines_spark.quality.checks import table_metrics
+    from promptly_data_pipelines_spark.quality.report import write_report
+
+    t = load_tables(spark, SF_DIR, ("orders", "customer", "events"))
+    suite = run_suite(
+        {
+            "orders_pk_unique": unique_check(t["orders"], ["o_orderkey"]),
+            "orders_fk_customer": relationships_check(
+                t["orders"], "o_custkey", t["customer"], "c_custkey"
+            ),
+        }
+    )
+    paths = write_report(
+        suite, {"events": table_metrics(t["events"], "ts", "user_id")}, str(tmp_path)
+    )
+    import json
+
+    rep = json.load(open(paths["json"]))
+    assert rep["passed"] is True
+    assert {c["check_name"] for c in rep["checks"]} == {"orders_pk_unique", "orders_fk_customer"}
+    assert rep["tables"]["events"]["row_count"] > 0
+    assert "| orders_pk_unique |" in open(paths["md"]).read()
+
+
 def test_quality_suite(spark):
     t = load_tables(spark, SF_DIR, ("orders", "customer", "events"))
     suite = run_suite(
