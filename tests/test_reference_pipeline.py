@@ -40,6 +40,33 @@ def test_bad_data_semantics(spark):
     assert rows["5555555555"].care_site_id == 5  # North Health Institute
 
 
+def test_elt_job_end_to_end(spark, tmp_path):
+    """The app.py run ladder analog: DAG executes, warehouse dirs
+    materialize, DQ passes, report artifact exists (the reference's
+    acceptance criterion), rerun is idempotent."""
+    import json
+    import os
+
+    from promptly_data_pipelines_spark.pipelines.elt_job import run_elt
+
+    wh = str(tmp_path / "wh")
+    out = run_elt(spark, SF_DIR, wh)
+    assert out["passed"] is True
+    # latest-wins compaction: exactly one curated row per distinct user
+    n_users = (
+        spark.read.parquet(os.path.join(wh, "raw", "events"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert out["counts"]["curated_activity"] == n_users >= 1
+    assert out["counts"]["raw_events"] > n_users
+    rep = json.load(open(out["report"]["json"]))
+    assert rep["passed"] is True and rep["tables"]["curated_activity"]["row_count"] > 0
+    out2 = run_elt(spark, SF_DIR, wh)  # rerun: overwrite semantics
+    assert out2["counts"] == out["counts"]
+
+
 def test_streaming_session_counts(spark):
     """The native session_window streaming form executes and bounds
     sessions by the inactivity gap."""
