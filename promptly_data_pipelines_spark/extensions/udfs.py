@@ -80,7 +80,12 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: groupBy().applyInPandas — whole-group pandas transform (the
     shape for per-group model scoring / featurization). One shuffle on
     the group key; each group becomes one Arrow batch in one Python
-    call."""
+    call. Cost note: one Python invocation PER GROUP — with many tiny
+    groups (here 10k groups of ~10 rows) the per-call overhead
+    dominates; when the logic is expressible with window functions
+    (as this min-max scaling is — see the oracle), the JVM
+    formulation is ~5× faster. Reserve applyInPandas for logic that
+    genuinely needs whole-group Python (model.predict per entity)."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return ev.groupBy("user_id").applyInPandas(
         _minmax_scale, "user_id bigint, event_id bigint, value_scaled double"

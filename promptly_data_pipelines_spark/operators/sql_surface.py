@@ -51,6 +51,88 @@ def sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: correlated EXISTS — Catalyst rewrites it to a
+    left semi join (same plan as operators.joins.join_semi); written as
+    SQL to cover the subquery surface."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP_NTZ '1995-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+    )
+    """,
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — semi join after rewrite; the dim subquery side
+    broadcasts."""
+    register_views(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        """
+    )
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    WITH m AS (SELECT round(sum(o_totalprice), 2) / count(*) AS avg_price FROM orders)
+    SELECT o_orderkey, o_totalprice
+    FROM orders, m
+    WHERE o_totalprice > 2 * m.avg_price
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders above 2× the mean price) — one extra
+    tiny aggregation job feeding a broadcast scalar. Mean uses the
+    round(sum)/count float discipline (see aggregates.py)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (
+          SELECT round(sum(o_totalprice), 2) / count(*) FROM orders
+        )
+        """
+    )
+
+
+@query(
     "pipeline_orchestrated",
     oracle="""
     WITH raw_events AS (
