@@ -1,0 +1,72 @@
+"""Object-store / filesystem operations (SURVEY.md §2a S8) — the
+reference's MinIO adapter surface (promptly/adapters/s3.py:25-63:
+upload_file, download_file, list_objects, create_bucket) re-provided
+over the Hadoop FileSystem API, so the same calls work on local paths
+in tests and on s3a:// / gs:// / abfs:// URIs on a cluster with the
+corresponding connector on the classpath. No boto3-style client: the
+engine's storage access goes through the same layer Spark's own
+readers use."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class FileSystemOps:
+    """Thin typed wrapper over org.apache.hadoop.fs.FileSystem."""
+
+    def __init__(self, spark: SparkSession, base_uri: str = ""):
+        self._spark = spark
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._base = base_uri.rstrip("/")
+
+    def _path(self, p: str):
+        full = f"{self._base}/{p}" if self._base and "://" not in p else p
+        return self._jvm.org.apache.hadoop.fs.Path(full)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    def mkdirs(self, path: str) -> bool:
+        """create_bucket analog (s3.py:56-63): ensure the container exists."""
+        return self._fs(path).mkdirs(self._path(path))
+
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._path(path))
+
+    def list_paths(self, path: str) -> list[str]:
+        """list_objects analog (s3.py:47-54)."""
+        fs = self._fs(path)
+        it = fs.listStatus(self._path(path))
+        return sorted(str(s.getPath()) for s in it)
+
+    def put_text(self, path: str, content: str) -> None:
+        """upload_file analog (s3.py:25-34) for small control files
+        (configs, manifests — the reference uploads a sample CSV)."""
+        fs = self._fs(path)
+        out = fs.create(self._path(path), True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+
+    def get_text(self, path: str) -> str:
+        """download_file analog (s3.py:36-45)."""
+        fs = self._fs(path)
+        stream = fs.open(self._path(path))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def delete(self, path: str, recursive: bool = False) -> bool:
+        return self._fs(path).delete(self._path(path), recursive)

@@ -179,6 +179,20 @@ def test_streaming_upsert_sink(spark):
     assert back.count() == back.select("event_id").distinct().count()
 
 
+def test_fs_ops(spark, tmp_path):
+    from promptly_data_pipelines_spark.operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark, f"file://{tmp_path}")
+    assert fs.mkdirs("bucket/sub")
+    fs.put_text("bucket/sample.csv", "a,b\n1,2")
+    assert fs.exists("bucket/sample.csv")
+    assert fs.get_text("bucket/sample.csv") == "a,b\n1,2"
+    names = [p.rsplit("/", 1)[-1] for p in fs.list_paths("bucket")]
+    assert names == ["sample.csv", "sub"]
+    assert fs.delete("bucket", recursive=True)
+    assert not fs.exists("bucket")
+
+
 def test_cdc_op_routing(spark):
     from promptly_data_pipelines_spark.cdc.envelope import decode_envelopes
     from promptly_data_pipelines_spark.cdc.streaming import route_by_op
