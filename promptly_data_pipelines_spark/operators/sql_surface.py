@@ -188,8 +188,9 @@ def pipeline_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     @p.model("curated_activity", deps=["raw_events", "dim_user_nation"])
     def curated_activity(s, up):
         r, d = up["raw_events"], up["dim_user_nation"]
+        # user-cardinality dim: no broadcast hint (see flagship.py)
         return (
-            r.join(F.broadcast(d), "user_id", "left")
+            r.join(d, "user_id", "left")
             .groupBy(F.coalesce("nation_name", F.lit("unknown")).alias("nation_name"))
             .agg(
                 F.count("*").alias("n_events"),

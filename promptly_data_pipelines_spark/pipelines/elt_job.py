@@ -67,8 +67,11 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
 
     @p.model("curated_activity", deps=["raw_events", "raw_user_nation"])
     def curated_activity(s: SparkSession, up: dict[str, DataFrame]) -> DataFrame:
+        # user_nation has user cardinality: no broadcast hint (AQE
+        # decides; at 100 TB both sides shuffle on user_id — or bucket
+        # both tables on user_id and the exchange disappears)
         latest = latest_wins(up["raw_events"], "user_id", ["ts", "event_id"])
-        joined = latest.join(F.broadcast(up["raw_user_nation"]), "user_id", "left")
+        joined = latest.join(up["raw_user_nation"], "user_id", "left")
         curated = joined.select(
             "user_id",
             "event_id",

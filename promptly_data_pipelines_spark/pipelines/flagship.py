@@ -82,10 +82,14 @@ def flagship_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = curated_events(spark, sf_dir)
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
+    # nation is a true dim (25 rows at any scale) → explicit broadcast;
+    # the customer→nation map has customer cardinality — broadcasting it
+    # would OOM at 100 TB, so AQE decides (it broadcasts at small SF,
+    # shuffles on the key at scale)
     dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left").select(
         "c_custkey", F.col("n_name").alias("nation_name")
     )
-    joined = latest.join(F.broadcast(dim), latest.user_id == dim.c_custkey, "left")
+    joined = latest.join(dim, latest.user_id == dim.c_custkey, "left")
     return joined.groupBy(
         "nation_name",
         F.coalesce("event_type_clean", F.lit("unknown")).alias("event_type"),
