@@ -67,6 +67,45 @@ def test_elt_job_end_to_end(spark, tmp_path):
     assert out2["counts"] == out["counts"]
 
 
+def test_stateful_user_tracker(spark):
+    """applyInPandasWithState: running per-user state across the
+    stream; snapshot totals must equal the batch aggregation."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.cdc.stateful import user_activity_tracker
+
+    d = tempfile.mkdtemp()
+    env_dir = os.path.join(d, "env")
+    ev = table(spark, SF_DIR, "events")
+    synthesize_envelopes(ev).write.json(env_dir)
+    live = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    q = (
+        user_activity_tracker(live)
+        .writeStream.format("memory")
+        .queryName("tracker_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql("select * from tracker_t where is_final = false").collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in ev.filter(F.col("event_id") % 10 != 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_streaming_session_counts(spark):
     """The native session_window streaming form executes and bounds
     sessions by the inactivity gap."""
