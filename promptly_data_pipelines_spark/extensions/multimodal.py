@@ -90,6 +90,97 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: mapInPandas with the output schema a real
+    image resize would produce (typed dims + new payload). The codec
+    is stubbed: 'bytestats' payloads are deterministically re-sampled
+    to width*height bytes (stride sampling — the shape of a nearest-
+    neighbor downscale); real image types raise NotImplementedError
+    in decode_media. Partitioning preserved, one Python call per
+    Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            out_payloads = []
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                if mt != "bytestats":
+                    decode_media(p, mt)  # raises: codec not available
+                stride = max(1, len(p) // target) if len(p) else 1
+                out_payloads.append(bytes(p[::stride][:target]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": out_payloads,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 16, frame_size: int = 32) -> DataFrame:
+    """Frame-sampling plumbing (video → every Nth frame): one input
+    row explodes to multiple typed frame rows. The stub treats the
+    payload as a concatenation of fixed-size 'frames' and emits every
+    Nth — the row-expansion shape (and batch-size behavior) of real
+    video sampling, with the decoder swappable at decode_media."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if mt != "bytestats":
+                    decode_media(p, mt)
+                n_frames = max(1, len(p) // frame_size)
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_bytes": bytes(p[idx * frame_size : (idx + 1) * frame_size]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+@query("multimodal_resize")  # stub codec: rows-only check
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: media resize over mapInPandas (stubbed codec,
+    real Spark plumbing — schema, Arrow batching, partitioning)."""
+    return resize_media(media_table(spark, sf_dir), 8, 8)
+
+
+@query("multimodal_frame_sample")  # stub codec: rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star: frame sampling over mapInPandas — 1→N row expansion
+    with typed frame rows (stubbed decoder)."""
+    return sample_frames(media_table(spark, sf_dir), every_n=4)
+
+
 @query("multimodal_features")  # byte-level UDF pipeline: rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7/north-star: binary media column → Arrow-batched feature

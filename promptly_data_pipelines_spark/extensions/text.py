@@ -182,6 +182,39 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
 
 
+@query("doc_winnowing")  # xxhash64-based: rows-only check
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: rolling-hash document fingerprinting via winnowing
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm):
+    hash every k-char-gram (k=8, the rolling-hash role played by
+    xxhash64 over substrings), slide a window of w=4 consecutive
+    gram hashes, keep each window's minimum — guaranteeing any match
+    of length ≥ w+k-1 shares a fingerprint. Output: distinct selected
+    fingerprints per doc, the index for plagiarism/near-dup lookup.
+    Pure expression tree (transform/slice/array ops), no shuffle
+    until the final explode-distinct."""
+    k, w = 8, 4
+    d = table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism).withColumn(
+        "norm", F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("norm") - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.col("norm").substr(i, F.lit(k))),
+    )
+    windows_min = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(grams) - w, F.lit(0))),
+            lambda i: F.array_min(F.slice(grams, i + 1, w)),
+        )
+    )
+    return (
+        d.select("doc_id", F.explode(windows_min).alias("fingerprint"))
+        .distinct()
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
 @query(
     "text_lang_id",
     oracle="""
