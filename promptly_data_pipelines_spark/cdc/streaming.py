@@ -92,6 +92,15 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def enrich_with_dim(live: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich the CDC stream with a batch dim table
+    (the curated_provider.sql:66-68 join, streaming edition). The
+    static side is re-read per micro-batch (picks up dim updates
+    between batches); Spark broadcasts it when small. No watermark
+    needed — stream-static joins are stateless."""
+    return live.join(dim, on, how)
+
+
 def route_by_op(decoded: DataFrame) -> dict[str, DataFrame]:
     """T3: op-type routing (provider.json:21 op ∈ c|u|d|r). Returns one
     branch per operation class — upserts (c/u/r, with the row image

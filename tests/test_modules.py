@@ -167,6 +167,38 @@ def test_streaming_matches_batch(spark):
     assert got.n == expected == got.d
 
 
+def test_stream_static_join(spark):
+    import tempfile
+
+    from promptly_data_pipelines_spark.cdc.streaming import enrich_with_dim
+
+    d = tempfile.mkdtemp()
+    env_dir = os.path.join(d, "env")
+    ev = table(spark, SF_DIR, "events")
+    synthesize_envelopes(ev).write.json(env_dir)
+    c = table(spark, SF_DIR, "customer")
+    n = table(spark, SF_DIR, "nation")
+    dim = c.join(n, c.c_nationkey == n.n_nationkey, "left").select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation_name")
+    )
+    live = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    q = (
+        enrich_with_dim(live, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "select count(*) n, count(nation_name) with_nation from enriched_t"
+    ).first()
+    assert out.n == ev.filter(F.col("event_id") % 10 != 0).count()
+    assert 0 < out.with_nation <= out.n
+
+
 def test_streaming_upsert_sink(spark):
     d = tempfile.mkdtemp()
     env_dir, ckpt, tgt = (os.path.join(d, x) for x in ("env", "ck", "tgt"))
