@@ -68,7 +68,7 @@ def _load_all() -> None:
     from .cdc import batch  # noqa: F401
     from .quality import checks  # noqa: F401
     from .pipelines import elt_job, flagship, reference_pipeline  # noqa: F401
-    from .extensions import dedup, multimodal, similarity, text, udfs  # noqa: F401
+    from .extensions import dedup, multimodal, sampling, similarity, text, udfs  # noqa: F401
 
     _LOADED = True
 
