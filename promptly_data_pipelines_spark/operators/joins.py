@@ -98,6 +98,39 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_case_agg",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END), 4) AS promo_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: fact⋈part with conditional aggregation (CASE
+    inside SUM — the promo-revenue ratio pattern). part is
+    catalog-sized → broadcast side; sums rounded at the 4dp product
+    grid (see aggregates.py float discipline)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type").like("PROMO%"), net).otherwise(0.0)), 4).alias(
+                "promo_revenue"
+            ),
+            F.round(F.sum(net), 4).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
     "join_star",
     oracle="""
     SELECT n.n_name AS nation_name,
