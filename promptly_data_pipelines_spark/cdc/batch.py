@@ -26,7 +26,8 @@ _OP_SQL = (
 
 
 @query(
-    "cdc_parse",
+    "cdc_parse_full",
+    registered=False,
     oracle=f"""
     SELECT {_OP_SQL} AS op,
            epoch_ms(ts) AS ts_ms,
@@ -37,7 +38,7 @@ _OP_SQL = (
     FROM events
     """,
 )
-def cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_parse_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: Debezium envelope decode — JSON → typed columns
     (provider.json:10-26 mapping; setup.py:68-85 connector config).
     Synthesizes envelopes from ``events``, then decodes with the
@@ -56,6 +57,7 @@ def cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_filter_tombstone",
+    registered=False,
     oracle=f"""
     SELECT {_OP_SQL} AS op, event_id, user_id, event_type, value
     FROM events
@@ -90,13 +92,29 @@ def latest_wins(changes: DataFrame, key: str, order_cols: list[str]) -> DataFram
     )
 
 
-def merge_upsert_frames(snapshot: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert_frames(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key: str,
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
     """S6: MERGE upsert, engine-agnostic batch form: union the current
     snapshot with the change set, keep latest per key. On an Iceberg/
-    Delta target this becomes ``MERGE INTO`` inside foreachBatch; the
-    unionByName+window form is storage-free and what the oracle checks."""
-    unioned = snapshot.unionByName(updates)
-    return latest_wins(unioned, key, ["ts", "event_id"])
+    Delta target this becomes ``MERGE INTO`` inside foreachBatch (see
+    lakehouse.merge_into_table for the jar-gated real-MERGE path); the
+    unionByName+window form is storage-free and what the oracle checks.
+
+    Determinism: a source-priority column breaks order_cols ties in
+    favor of the UPDATE side — without it, a snapshot row and an update
+    with equal (order_cols) pick a nondeterministic winner whenever the
+    caller's key makes the old event_id tiebreaker constant within the
+    partition (e.g. key='event_id'). order_cols is caller-suppliable
+    for change sets ordered by something other than ts."""
+    pri = "__src_priority"
+    unioned = snapshot.withColumn(pri, F.lit(0)).unionByName(
+        updates.withColumn(pri, F.lit(1))
+    )
+    return latest_wins(unioned, key, [*order_cols, pri]).drop(pri)
 
 
 @query(
@@ -228,4 +246,110 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "cdc_parse",
+    oracle=f"""
+    SELECT {_OP_SQL} AS op,
+           epoch_ms(ts) AS ts_ms,
+           event_id, user_id, event_type, value,
+           'events' AS src_table
+    FROM events
+    WHERE event_id % 10 <> 0
+    """,
+)
+def cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 composite (driver row for envelope decode + tombstone
+    filter; cdc_parse_full / cdc_filter_tombstone above are local-only):
+    Debezium envelope decode (provider.json:10-26 mapping) followed by
+    the raw model's tombstone filter (raw_provider_postgres.sql:22
+    ``where json_query(_message,'lax $.payload.after') is not null``),
+    projecting op, ts_ms, the live after-image fields, and the source
+    table."""
+    ev = table(spark, sf_dir, "events")
+    decoded = decode_envelopes(synthesize_envelopes(ev))
+    return decoded.filter(F.col("after").isNotNull()).select(
+        "op",
+        "ts_ms",
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+        F.col("source.table").alias("src_table"),
+    )
+
+
+@query(
+    "stream_late_drop",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 48 HOUR ELSE ts END AS event_time,
+             CAST(floor(event_id / 100) AS BIGINT) AS batch_id
+      FROM events
+    ),
+    bm AS (SELECT batch_id, max(event_time) AS bmax FROM arr GROUP BY batch_id),
+    wm AS (SELECT batch_id,
+                  max(bmax) OVER (ORDER BY batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    - INTERVAL 10 MINUTE AS w
+           FROM bm),
+    kept AS (
+      SELECT arr.* FROM arr JOIN wm USING (batch_id)
+      WHERE wm.w IS NULL OR arr.event_time >= wm.w
+    )
+    SELECT strftime(date_trunc('hour', event_time), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 watermark/late-data semantics, batch-deterministic twin of the
+    streaming form (streaming.py late_drop_stream): arrival order is
+    event_id; out-of-order arrivals are synthesized deterministically
+    (every 37th event's event time is 48 h older than its arrival
+    slot). Micro-batches of 100 arrivals update the watermark exactly
+    as Structured Streaming does — watermark entering batch N =
+    max(event_time) over batches < N minus the 10-minute delay — and
+    events below it are dropped before the tumbling hourly aggregation.
+
+    Scale posture: the per-batch max is a distributed groupBy; the
+    prefix-max runs on the tiny batch-summary table (rows = batches,
+    not events) so the unpartitioned window is safe; the watermark
+    table broadcasts back onto arrivals. In production this whole
+    construction IS `withWatermark("event_time", "10 minutes")` —
+    state-bounded, no global sort anywhere."""
+    ev = table(spark, sf_dir, "events")
+    event_time = F.when(
+        F.col("event_id") % 37 == 0, F.col("ts") - F.expr("INTERVAL 48 HOURS")
+    ).otherwise(F.col("ts"))
+    arr = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        event_time.alias("event_time"),
+        F.floor(F.col("event_id") / 100).cast("long").alias("batch_id"),
+    )
+    bm = arr.groupBy("batch_id").agg(F.max("event_time").alias("bmax"))
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bm.select(
+        "batch_id",
+        (F.max("bmax").over(w) - F.expr("INTERVAL 10 MINUTES")).alias("w"),
+    )
+    kept = arr.join(F.broadcast(wm), "batch_id").filter(
+        F.col("w").isNull() | (F.col("event_time") >= F.col("w"))
+    )
+    return (
+        kept.groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )

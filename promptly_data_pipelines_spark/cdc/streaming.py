@@ -135,10 +135,16 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        # Only a MISSING target means first batch. Anything else —
+        # corrupt snapshot, schema mismatch in the union, transient IO —
+        # must propagate: swallowing it here would overwrite the
+        # accumulated snapshot with just this micro-batch (silent loss).
+        from ..operators.fs import FileSystemOps
+
+        if FileSystemOps(spark).exists(target_path):
             snapshot = spark.read.parquet(target_path)
             merged = merge_upsert_frames(snapshot, batch_df, key)
-        except Exception:  # first batch: no snapshot yet
+        else:
             merged = batch_df
         # localCheckpoint materializes before overwrite (can't lazily
         # read and overwrite the same path in one job)
@@ -148,4 +154,26 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
+    )
+
+
+def late_drop_counts(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """T6 watermark/late-data streaming form — the twin of the
+    oracle-checked batch query cdc.batch.stream_late_drop: tumbling
+    hourly counts with ``withWatermark(delay)``, so events arriving
+    after the watermark passed their window are DROPPED from the
+    aggregation and state for finalized windows is evicted. The batch
+    twin reproduces exactly this micro-batch watermark advance
+    deterministically (arrival order = event_id, batches of 100)."""
+    rows = live_rows(stream)
+    return (
+        rows.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
     )

@@ -15,7 +15,7 @@ exact, MinHash+LSH, SimHash, n-gram Jaccard. The scale story:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -70,14 +70,22 @@ def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
     full-width parallelism for it. On a real multi-file table the
     repartition is a no-op cost-wise (AQE coalesces)."""
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    # Guard short documents: with fewer than shingle_len words the
+    # sequence upper bound goes negative (descending sequence → slice
+    # at start 0 throws). Such docs have no w-shingles — emit an empty
+    # array so they simply drop out of the posting explode, matching
+    # the zero-shingle semantics.
+    w = words("text")
+    shingle_arr = F.when(
+        F.size(w) >= shingle_len,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - shingle_len),
+            lambda i: F.array_join(F.slice(w, i + 1, shingle_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     shingled = d.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words("text")) - shingle_len),
-                lambda i: F.array_join(F.slice(words("text"), i + 1, shingle_len), " "),
-            )
-        ).alias("shingle"),
+        F.explode(shingle_arr).alias("shingle"),
     ).dropDuplicates(["doc_id", "shingle"])
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(N_HASHES)
@@ -164,17 +172,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ``label`` (the cluster/bucket key; at 100 TB this is an
     IVF/LSH cell from similarity.py, never all-pairs). Norms are
     precomputed per vector so each pair costs one dot product.
-    Broadcast build side + round-robin probe repartition, same
-    parallelism reasoning as dedup_ngram_jaccard."""
+    The pair join is a SHUFFLED sort-merge join on the block key —
+    never a broadcast of the corpus: at 100 TB the build side would be
+    the corpus itself (broadcast OOM). The ``merge`` hint pins that
+    plan even locally, where tiny size stats would otherwise tempt the
+    planner into a broadcast (tests/test_plan_quality.py asserts no
+    BroadcastExchange). Each label block's pairs are generated inside
+    its own shuffle partition; block sizes bound the pair count, and a
+    skewed block is AQE-splittable because the equi-key carries the
+    shuffle."""
     from .similarity import dot
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     e = e.withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
-    par = spark.sparkContext.defaultParallelism
-    a = e.repartition(par).alias("a")
-    b = F.broadcast(e).alias("b")
+    a = e.alias("a")
+    b = e.hint("merge").alias("b")
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     )
@@ -190,24 +204,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANE_MASK = 0x0001000100010001  # bits {0,16,32,48}: four 16-bit counter lanes
+
+
 def simhash_signatures(d: DataFrame) -> DataFrame:
     """63-bit SimHash per doc from per-token hash bit votes (positive
-    bit → +1, else −1; sign of the sum per bit position). Bit
-    arithmetic via shiftright/bitwise-and, all codegen'd."""
+    bit → +1, else −1; sign of the sum per bit position), computed
+    with SWAR bit-slicing: instead of 64 per-bit ``sum(when(...))``
+    aggregate columns (the round-1 form — the bench's #2 cost), each
+    of 16 aggregates packs FOUR 16-bit counters into one long
+    (``sum((h >> i) & 0x0001000100010001)`` accumulates the popcounts
+    of bit positions i, i+16, i+32, i+48 in parallel lanes). 4× fewer
+    aggregate expressions per token; lanes overflow only beyond 65 535
+    tokens per doc (far above any real document — and a cap upstream
+    is the right guard at 100 TB). The per-bit vote sign is recovered
+    per doc: bit set ⟺ 2·popcount(bit) > n_tokens, identical to the
+    sign-of-±1-sum formulation (pinned by the sf0.001 pairs test)."""
     toks = d.select("doc_id", F.explode(words("text")).alias("tok"))
     hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
+    packed = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"bit_{i}")
-            for i in range(64)
-        ]
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(_LANE_MASK))).alias(f"lane_{i}")
+            for i in range(16)
+        ],
     )
-    return votes.select(
+    # decode: popcount of bit position (i + 16*k) = lane_i's k-th 16-bit field
+    def _cnt(i: int) -> F.Column:
+        return F.shiftright(F.col(f"lane_{i % 16}"), (i // 16) * 16).bitwiseAND(F.lit(0xFFFF))
+
+    return packed.select(
         "doc_id",
         sum(
-            (F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("bigint")).otherwise(0) * F.lit(2**i).cast("bigint"))
+            (
+                F.when(_cnt(i) * 2 > F.col("n_tok"), F.lit(1).cast("bigint")).otherwise(0)
+                * F.lit(2**i).cast("bigint")
+            )
             for i in range(63)  # 63 bits: stay within signed long
         ).alias("simhash"),
     )
@@ -269,9 +301,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 256  # max document frequency a shingle may have and still join
+
+
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH w0 AS (
       SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
       FROM documents
@@ -282,14 +317,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gset
       FROM w0
     ),
-    s AS (SELECT doc_id, lang, gset, len(gset) AS sz FROM ws)
+    post0 AS (SELECT doc_id, lang, unnest(gset) AS sh FROM ws),
+    hot AS (SELECT sh FROM post0 GROUP BY sh HAVING count(*) > {DF_CAP}),
+    post AS (SELECT * FROM post0 WHERE sh NOT IN (SELECT sh FROM hot)),
+    sized AS (
+      SELECT doc_id, lang, sh, count(*) OVER (PARTITION BY doc_id) AS sz FROM post
+    )
     SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE) /
-             (a.sz + b.sz - len(list_intersect(a.gset, b.gset))) AS jaccard
-      FROM s a JOIN s b
-        ON a.lang = b.lang AND a.doc_id < b.doc_id
+             CAST(count(*) AS DOUBLE) /
+             (max(a.sz) + max(b.sz) - count(*)) AS jaccard
+      FROM sized a JOIN sized b
+        ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
        AND least(a.sz, b.sz) * 2 >= greatest(a.sz, b.sz)
+      GROUP BY a.doc_id, b.doc_id
     ) WHERE jaccard >= 0.5
     """,
 )
@@ -310,25 +351,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       all-pairs + array_intersect form at sf0.1.
     - Size-band pruning in the join condition: J ≥ 0.5 requires
       min(|A|,|B|)/max ≥ 0.5 (integer-arithmetic form, exact).
-    - At 100 TB: posting lists of ultra-frequent shingles are the skew
-      risk — cap df (drop shingles with df > threshold; they cannot
-      distinguish near-dups) or feed LSH candidates (dedup_near_text)
-      to the pairwise stage instead."""
-    d = table(spark, sf_dir, "documents")
+    - Skew guard (the 100 TB posting-list risk): shingles with
+      document frequency > DF_CAP are dropped from the universe before
+      the self-join — an ultra-frequent shingle (boilerplate, "terms of
+      service") cannot distinguish near-dups but would materialize a
+      df² pair blow-up. The hot list is tiny by construction (only
+      ubiquitous shingles exceed the cap) → broadcast anti-join; doc
+      sizes are recomputed over the surviving universe so Jaccard
+      stays exact within it, and the oracle applies the identical cap.
+    - Short-doc guard: <3 words → empty shingle set (the raw
+      F.sequence bound would go negative and slice(start=0) throws);
+      such docs drop out of the posting explode, matching the oracle's
+      empty range()."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame, df_cap: int = DF_CAP, threshold: float = 0.5
+) -> DataFrame:
+    """Library form of dedup_ngram_jaccard over any (doc_id, lang, text)
+    frame — see the query docstring for the algorithm and scale notes."""
     w = words("text")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 2),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 3))),
-        )
+    shingles = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, 3))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    par = d.sparkSession.sparkContext.defaultParallelism
+    ws = d.repartition(par).select(  # single-row-group input: 1 scan task otherwise
+        "doc_id", "lang", shingles.alias("gset")
     )
-    par = spark.sparkContext.defaultParallelism
-    ws = (
-        d.repartition(par)  # single-row-group input: 1 scan task otherwise
-        .select("doc_id", "lang", shingles.alias("gset"))
-        .withColumn("sz", F.size("gset"))
+    post0 = ws.select("doc_id", "lang", F.explode("gset").alias("sh"))
+    hot = (
+        post0.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("sh")
     )
-    post = ws.select("doc_id", "lang", "sz", F.explode("gset").alias("sh"))
+    post = post0.join(F.broadcast(hot), "sh", "left_anti").withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
     a, b = post.alias("a"), post.alias("b")
     pairs = (
         a.join(
@@ -352,6 +418,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("c").cast("double") / (F.col("sza") + F.col("szb") - F.col("c"))
     return (
         pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )

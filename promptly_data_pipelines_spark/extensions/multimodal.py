@@ -167,21 +167,21 @@ def sample_frames(media: DataFrame, every_n: int = 16, frame_size: int = 32) -> 
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
-@query("multimodal_resize")  # stub codec: rows-only check
+@query("multimodal_resize", registered=False)  # stub codec: rows-only check
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star: media resize over mapInPandas (stubbed codec,
     real Spark plumbing — schema, Arrow batching, partitioning)."""
     return resize_media(media_table(spark, sf_dir), 8, 8)
 
 
-@query("multimodal_frame_sample")  # stub codec: rows-only check
+@query("multimodal_frame_sample", registered=False)  # stub codec: rows-only check
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star: frame sampling over mapInPandas — 1→N row expansion
     with typed frame rows (stubbed decoder)."""
     return sample_frames(media_table(spark, sf_dir), every_n=4)
 
 
-@query("multimodal_features")  # byte-level UDF pipeline: rows-only check
+@query("multimodal_features", registered=False)  # byte-level UDF pipeline: rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7/north-star: binary media column → Arrow-batched feature
     extraction → typed feature frame. The stub codec keeps it
@@ -210,4 +210,36 @@ def json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("p.k").alias("k"),
         F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query("multimodal_pipeline")  # stub codec: rows-only check
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 composite (driver row for the multimodal family; the three
+    single-stage queries above are local-only): the full media pipeline
+    chained — binary payload → resize (mapInPandas, typed dims) →
+    feature extraction (Arrow-batched decode) joined with frame
+    sampling (1→N row expansion) aggregated back per doc. All three
+    Pandas-UDF stages execute in one plan; the codec is the documented
+    deterministic stub, the Spark plumbing (schemas, Arrow batching,
+    partition preservation, row expansion) is real. At 100 TB each
+    stage is embarrassingly parallel over media partitions; the only
+    shuffle is the per-doc frame-count aggregation."""
+    media = media_table(spark, sf_dir)
+    resized = resize_media(media, 8, 8)
+    feats = extract_features(resized.select("doc_id", "media_type", "payload"))
+    frames = sample_frames(resized.select("doc_id", "media_type", "payload"), every_n=4)
+    frame_stats = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+    return feats.join(frame_stats, "doc_id").select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "first_byte",
+        "last_byte",
+        "byte_sum_mod",
+        "n_frames",
+        "max_frame_idx",
     )

@@ -26,6 +26,7 @@ def hash_bucket(col, n_buckets: int = 256):
 
 @query(
     "sample_hash",
+    registered=False,
     oracle="""
     SELECT event_id, event_type, value
     FROM events
@@ -44,27 +45,36 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dataset_split",
     oracle="""
     WITH assigned AS (
-      SELECT event_id,
+      SELECT event_id, event_type,
              CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INTEGER) AS bucket
       FROM events
     )
-    SELECT CASE WHEN bucket < 205 THEN 'train'
+    SELECT event_id, event_type,
+           CASE WHEN bucket < 205 THEN 'train'
                 WHEN bucket < 230 THEN 'val'
                 ELSE 'test' END AS split,
-           CAST(count(*) AS BIGINT) AS n_rows
+           (bucket < 26) AS in_sample10
     FROM assigned
-    GROUP BY 1
     """,
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible train/val/test assignment (~80/10/10 by hash
-    bucket). A row's split never changes as the dataset grows —
-    the property RNG splits lack — so incremental exports stay
-    consistent across runs."""
+    bucket) plus a ~10% hash-sample flag (the sample_hash predicate,
+    local-only above) — the driver row for the whole hash-sampling
+    family. Row-level output: a row's split and sample membership never
+    change as the dataset grows — the property RNG splits lack — so
+    incremental exports stay consistent across runs. The bucket
+    predicate is a cheap deterministic expression that pushes to the
+    scan; no RNG state, no per-partition skew."""
     ev = table(spark, sf_dir, "events")
     b = hash_bucket("event_id")
     split = F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
-    return ev.groupBy(split.alias("split")).agg(F.count("*").alias("n_rows"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        split.alias("split"),
+        (b < 26).alias("in_sample10"),
+    )
 
 
 @query(

@@ -60,6 +60,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
+    registered=False,
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS INTEGER) AS n_char,
@@ -96,6 +97,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_token_count_regex",
+    registered=False,
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_tokens
@@ -167,6 +169,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_fingerprint",
+    registered=False,
     oracle="""
     SELECT doc_id,
            substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 16) AS fingerprint
@@ -182,7 +185,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
 
 
-@query("doc_winnowing")  # xxhash64-based: rows-only check
+@query("doc_winnowing", registered=False)  # xxhash64-based: rows-only check
 def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: rolling-hash document fingerprinting via winnowing
     (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm):
@@ -217,6 +220,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_lang_id",
+    registered=False,
     oracle="""
     WITH ws AS (
       SELECT doc_id, lang,
@@ -274,4 +278,91 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("lang").alias("lang_pred"),
         F.col("lang").alias("lang_declared"),
         (best.getField("lang") == F.col("lang")).alias("agrees"),
+    )
+
+
+@query(
+    "text_doc_profile",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, text, w,
+             list_distinct(w) AS wd,
+             len(list_filter(w, x -> x IN ('the','a','an','of','and','to','in','is'))) AS n_stop
+      FROM ws
+    ),
+    scored AS (
+      SELECT *,
+             len(list_intersect(wd, ['der','und','von','ist'])) AS s_de,
+             len(list_intersect(wd, ['the','and','of','is']))   AS s_en,
+             len(list_intersect(wd, ['el','y','de','es']))      AS s_es,
+             len(list_intersect(wd, ['le','et','de','est']))    AS s_fr,
+             len(list_intersect(wd, ['de','le','shi','he']))    AS s_zh
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_char,
+           CAST(len(w) AS INTEGER) AS n_words,
+           CAST(n_stop AS INTEGER) AS n_stop,
+           round(CAST(n_stop AS DOUBLE) / len(w), 4) AS stop_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w), 4) AS avg_word_len,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_tokens_regex,
+           substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))), 1, 16) AS fingerprint,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           lang AS lang_declared
+    FROM scored
+    """,
+)
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 composite (driver row for the per-document text-analysis
+    family; the singles above are local-only and document each
+    operator): quality features (length, word count, stopword ratio,
+    mean word length), BPE-ish regex token count, normalized content
+    fingerprint, and marker-word language ID — one documents scan, all
+    array/regex expressions JVM-side, zero shuffles (embarrassingly
+    parallel over document partitions — the exact shape a 100 TB
+    corpus-scoring pass needs)."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    wd = F.array_distinct(ws)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(wd, F.array(*[F.lit(m) for m in marks]))).alias(
+                    "score"
+                ),
+                F.lit(-i).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, marks) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop.cast("double") / n_words, 4).alias("stop_ratio"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words,
+            4,
+        ).alias("avg_word_len"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("int")
+        .alias("n_tokens_regex"),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+        best.getField("lang").alias("lang_pred"),
+        F.col("lang").alias("lang_declared"),
     )

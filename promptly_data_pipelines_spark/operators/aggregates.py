@@ -21,6 +21,7 @@ from ..registry import query
 
 @query(
     "agg_count",
+    registered=False,
     oracle="SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
 )
 def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,6 +181,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_monthly_orders",
+    registered=False,
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
            o_orderstatus,
@@ -203,7 +205,7 @@ def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # no oracle: HLL++ sketch != DuckDB's sketch
+@query("agg_approx_count_distinct", registered=False)  # no oracle: HLL++ sketch != DuckDB's sketch
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (scale path): approx_count_distinct (HyperLogLog++, rsd=1%).
     Single aggregation pass, fixed-size sketch per group — this is the

@@ -70,3 +70,21 @@ class FileSystemOps:
 
     def delete(self, path: str, recursive: bool = False) -> bool:
         return self._fs(path).delete(self._path(path), recursive)
+
+    def rename(self, src: str, dst: str) -> bool:
+        """FileSystem.rename — atomic metadata op on HDFS/local,
+        copy+delete on object stores (see maintenance.py caveats)."""
+        return self._fs(src).rename(self._path(src), self._path(dst))
+
+    def file_size(self, path: str) -> int:
+        return self._fs(path).getFileStatus(self._path(path)).getLen()
+
+    def list_files_recursive(self, path: str) -> list[str]:
+        """All file (non-directory) paths under ``path``, any depth —
+        the compaction sizing walk, scheme-agnostic."""
+        fs = self._fs(path)
+        it = fs.listFiles(self._path(path), True)
+        out = []
+        while it.hasNext():
+            out.append(str(it.next().getPath()))
+        return sorted(out)

@@ -21,6 +21,7 @@ from ..registry import query
 
 @query(
     "join_left_equi",
+    registered=False,
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
     FROM customer c
@@ -48,6 +49,7 @@ def join_left_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_inner_equi",
+    registered=False,
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
     FROM orders o
@@ -68,6 +70,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_anti",
+    registered=False,
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
@@ -84,6 +87,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_semi",
+    registered=False,
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
@@ -95,6 +99,72 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment,
+           n.n_name AS nation_name, r.r_name AS region_name
+    FROM orders o
+    JOIN customer c      ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2 composite (driver row for the equi-join family; singles
+    above are local-only): the CSV⋈Postgres inner merge
+    (CHALLENGE.md:36-39) enriched by left joins onto tiny dims
+    (curated_provider.sql:66-68). The status filter precedes the join
+    (pushdown shrinks the probe side before the shuffle); nation/region
+    broadcast so the fact side never re-shuffles for them."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@query(
+    "join_anti_semi",
+    oracle="""
+    SELECT 'anti' AS op, c.c_custkey, c.c_name
+    FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'semi' AS op, c.c_custkey, c.c_name
+    FROM customer c SEMI JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J4 composite (driver row for the existence-join family): left
+    anti (dbt ``relationships`` test, schema.yaml:34-37 — children
+    with no parent) and left semi (existence filter), tagged and
+    unioned. Every customer appears exactly once across the two tags."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    )
+    return anti.unionByName(semi)
 
 
 @query(

@@ -6,10 +6,9 @@ per-file open/footer costs and lose row-group locality.
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import SparkSession
+
+from .fs import FileSystemOps
 
 
 def compact_parquet_table(
@@ -25,13 +24,23 @@ def compact_parquet_table(
     Sizing: file count = ceil(current_bytes / target). Unpartitioned
     tables repartition round-robin; partitioned tables repartition on
     the partition column so each directory is rewritten by the tasks
-    that own it. The rewrite stages into ``<path>__compact`` and
-    atomically swaps via rename — crash before the swap leaves the
-    original untouched."""
-    data_files = [
-        f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    ]
-    total = sum(os.path.getsize(f) for f in data_files) or 1
+    that own it.
+
+    All file operations route through the Hadoop FileSystem API
+    (FileSystemOps), so sizing and the staging swap work on any
+    supported scheme (file://, s3a://, gs://, hdfs://), not just the
+    local FS. The rewrite stages into ``<path>__compact`` then swaps:
+    crash BEFORE the swap leaves the original untouched; the swap
+    itself is two renames (original → __old, staging → original) — on
+    HDFS these are atomic metadata ops, on object stores rename is
+    copy+delete and the brief window where the table path is absent is
+    why real lakehouses do this through Iceberg/Delta metadata commits
+    instead (see lakehouse.py). A crash between the renames is
+    recoverable: ``<path>__old`` still holds the full pre-compaction
+    table."""
+    fs = FileSystemOps(spark)
+    data_files = [p for p in fs.list_files_recursive(path) if p.endswith(".parquet")]
+    total = sum(fs.file_size(p) for p in data_files) or 1
     n_files = max(1, -(-total // target_file_bytes))
 
     df = spark.read.parquet(path)
@@ -43,9 +52,7 @@ def compact_parquet_table(
     writer.mode("overwrite").parquet(staging)
 
     backup = path.rstrip("/") + "__old"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    import shutil
-
-    shutil.rmtree(backup)
-    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    fs.rename(path, backup)
+    fs.rename(staging, path)
+    fs.delete(backup, recursive=True)
+    return sum(1 for p in fs.list_files_recursive(path) if p.endswith(".parquet"))

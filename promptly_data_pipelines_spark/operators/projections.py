@@ -22,6 +22,7 @@ from ..registry import query
 
 @query(
     "project_alias",
+    registered=False,
     oracle="""
     SELECT c_custkey AS customer_id,
            c_name AS customer_name,
@@ -41,6 +42,7 @@ def project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter_notnull",
+    registered=False,
     oracle="""
     SELECT event_id, event_type, value
     FROM events
@@ -58,6 +60,7 @@ def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_extract",
+    registered=False,
     oracle="""
     SELECT event_id,
            props->>'$.k' AS k_str,
@@ -80,6 +83,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cast_types",
+    registered=False,
     oracle="""
     SELECT event_id,
            CAST(trunc(value) AS INTEGER) AS value_int,
@@ -104,6 +108,7 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "regex_clean",
+    registered=False,
     oracle="""
     SELECT c_custkey,
            regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
@@ -129,6 +134,7 @@ def regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "date_format_key",
+    registered=False,
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS ingestion_date,
            CAST(count(*) AS BIGINT) AS n_events
@@ -149,6 +155,7 @@ def date_format_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nullif_literal",
+    registered=False,
     oracle="""
     SELECT event_id,
            nullif(event_type, 'error') AS event_type_clean,
@@ -170,6 +177,7 @@ def nullif_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "case_when_map",
+    registered=False,
     oracle="""
     SELECT event_id,
            CASE event_type
@@ -204,6 +212,7 @@ def case_when_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "string_funcs",
+    registered=False,
     oracle="""
     SELECT c_custkey,
            upper(c_name) AS name_upper,
@@ -230,6 +239,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "epoch_to_ts",
+    registered=False,
     oracle="""
     SELECT event_id,
            epoch_ms(ts) AS ts_ms,
@@ -248,6 +258,110 @@ def epoch_to_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.timestamp_millis(F.unix_millis("ts")), "yyyy-MM-dd HH:mm:ss").alias(
             "ts_roundtrip"
         ),
+    )
+
+
+@query(
+    "project_strings",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           c_name AS customer_name,
+           c_mktsegment AS segment,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+           regexp_replace('"' || c_mktsegment || '"', '^"|"$', '', 'g') AS segment_unquoted,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           c_name || '/' || c_mktsegment AS name_seg,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           string_split(c_name, '#')[1] AS name_stem
+    FROM customer
+    """,
+)
+def project_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P6+P10 composite (driver row for the string-projection family;
+    singles above are local-only): aliasing (reference
+    raw_care_site_postgres.sql:11-14), quote-strip regexp_replace
+    (curated_provider.sql:21-51), and concat/split/substring/upper/
+    length munging (datagen.py:136-140) in one narrow customer scan —
+    Catalyst prunes the parquet read to the 3 source columns."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        strip_quotes(F.concat(F.lit('"'), F.col("c_mktsegment"), F.lit('"'))).alias(
+            "segment_unquoted"
+        ),
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+        F.split("c_name", "#").getItem(0).alias("name_stem"),
+    )
+
+
+@query(
+    "project_events_clean",
+    oracle="""
+    SELECT event_id,
+           props->>'$.k' AS k_str,
+           CAST(props->>'$.k' AS INTEGER) AS k_int,
+           CAST(trunc(value) AS INTEGER) AS value_int,
+           CAST(user_id AS VARCHAR) AS user_str,
+           CAST(ts AS DATE) AS event_date,
+           strftime(ts, '%Y-%m-%d') AS ingestion_date,
+           nullif(event_type, 'error') AS event_type_clean,
+           CASE event_type
+             WHEN 'signup' THEN 'Registration'
+             WHEN 'purchase' THEN 'Transaction'
+             WHEN 'click' THEN 'Engagement'
+             WHEN 'view' THEN 'Engagement'
+             ELSE 'Other'
+           END AS event_category,
+           epoch_ms(ts) AS ts_ms,
+           strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S') AS ts_roundtrip,
+           (props IS NOT NULL AND event_type <> 'error') AS is_valid
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def project_events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P4+P5+P7+P9+P11+P12 composite (driver row for the
+    scalar-cleaning family; singles above are local-only — each column
+    reuses the exact expression of its single-operator query, see their
+    docstrings for reference citations): IS NOT NULL filter pushed to
+    the scan, JSON path extraction, casts (with the trunc-vs-round
+    dialect note from cast_types), date partition key, 'NULL'-literal
+    nullify, value-map CASE, epoch-millis round-trip. One events scan,
+    all columns codegen'd, zero Python."""
+    mapping = {
+        "signup": "Registration",
+        "purchase": "Transaction",
+        "click": "Engagement",
+        "view": "Engagement",
+    }
+    cat = None
+    for k, v in mapping.items():
+        cat = F.when(F.col("event_type") == k, v) if cat is None else cat.when(
+            F.col("event_type") == k, v
+        )
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.select(
+        "event_id",
+        json_str("props", "$.k").alias("k_str"),
+        json_int("props", "$.k").alias("k_int"),
+        F.col("value").cast("int").alias("value_int"),
+        F.col("user_id").cast("string").alias("user_str"),
+        F.col("ts").cast("date").alias("event_date"),
+        date_key("ts").alias("ingestion_date"),
+        nullify_literal("event_type", "error").alias("event_type_clean"),
+        cat.otherwise("Other").alias("event_category"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.date_format(F.timestamp_millis(F.unix_millis("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_roundtrip"
+        ),
+        (F.col("props").isNotNull() & (F.col("event_type") != "error")).alias("is_valid"),
     )
 
 

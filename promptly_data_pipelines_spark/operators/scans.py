@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,8 +27,18 @@ from ..functions import date_key
 from ..registry import query
 
 
+def _session_tag(spark: SparkSession) -> str:
+    """Per-session unique component for scratch paths: two concurrent
+    sessions (parallel drivers, bench + pytest) on the same scale factor
+    must not clobber each other's staging output mid-read. The Spark
+    application id is unique per session and stable within it (so a
+    query re-run reuses rather than leaks its path)."""
+    return spark.sparkContext.applicationId.replace(":", "_")
+
+
 @query(
     "scan_parquet",
+    registered=False,
     oracle="""
     SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
     FROM lineitem
@@ -55,7 +66,9 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     with skip_header_line_count=1 (setup.py:111-128); typing happens
     downstream via explicit casts. Round-trips nation → CSV → typed
     rows, so the oracle is the source table itself."""
-    out = os.path.join(tempfile.gettempdir(), f"pdp_csv_{os.path.basename(sf_dir)}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"pdp_csv_{os.path.basename(sf_dir)}_{_session_tag(spark)}"
+    )
     n = table(spark, sf_dir, "nation")
     n.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
     raw = (
@@ -86,7 +99,9 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by ingestion_cdc_date). Readback aggregates per
     partition directory; a per-partition filter would prune at the
     directory level (dynamic partition pruning at scale)."""
-    out = os.path.join(tempfile.gettempdir(), f"pdp_sink_{os.path.basename(sf_dir)}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"pdp_sink_{os.path.basename(sf_dir)}_{_session_tag(spark)}"
+    )
     ev = table(spark, sf_dir, "events").withColumn("ingestion_cdc_date", date_key("ts"))
     # repartition by the partition column first: without it every task
     # writes a sliver into every partition dir (tasks × dates tiny

@@ -48,6 +48,7 @@ def union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "except_diff",
+    registered=False,
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT ALL
@@ -64,6 +65,7 @@ def except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "intersect_keys",
+    registered=False,
     oracle="""
     SELECT DISTINCT c_nationkey AS nationkey FROM customer
     INTERSECT
@@ -76,3 +78,31 @@ def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@query(
+    "setop_diff",
+    oracle="""
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+)
+def setop_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+U3 composite (driver row for the set-difference family;
+    singles above are local-only): EXCEPT ALL (multiset drift check —
+    dbt test framework semantics) and INTERSECT (distinct), tagged and
+    unioned into one frame."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    exc = c.exceptAll(s).select(F.lit("except").alias("op"), "nationkey")
+    itc = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
+    return exc.unionByName(itc)

@@ -52,6 +52,7 @@ def sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_exists_subquery",
+    registered=False,
     oracle="""
     SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
     FROM orders o
@@ -86,6 +87,7 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_in_subquery",
+    registered=False,
     oracle="""
     SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
     FROM supplier
@@ -109,6 +111,7 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_scalar_subquery",
+    registered=False,
     oracle="""
     WITH m AS (SELECT round(sum(o_totalprice), 2) / count(*) AS avg_price FROM orders)
     SELECT o_orderkey, o_totalprice
@@ -134,6 +137,7 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_orchestrated",
+    registered=False,
     oracle="""
     WITH raw_events AS (
       SELECT event_id, user_id, nullif(event_type, 'error') AS event_type, value
@@ -199,3 +203,55 @@ def pipeline_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return p.run(spark)["curated_activity"]
+
+
+@query(
+    "sql_subqueries",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+      AND o.o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      )
+      AND o.o_totalprice > (
+        SELECT round(sum(o2.o_totalprice), 2) / count(*) FROM orders o2
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery-surface composite (driver row; the three singles above
+    are local-only): correlated EXISTS (→ left semi join, TPC-H-Q4
+    shape), uncorrelated IN (→ semi join on a broadcast dim subquery),
+    and a scalar subquery (broadcast scalar), all in one WHERE — one
+    plan exercising every Catalyst subquery rewrite."""
+    register_views(spark, sf_dir, ("orders", "lineitem", "customer"))
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               count(*) AS order_count,
+               round(sum(o.o_totalprice), 2) AS sum_price
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP_NTZ '1995-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+          AND o.o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          )
+          AND o.o_totalprice > (
+            SELECT round(sum(o2.o_totalprice), 2) / count(*) FROM orders o2
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )

@@ -21,6 +21,7 @@ from ..registry import query
 
 @query(
     "window_row_number",
+    registered=False,
     oracle="""
     SELECT user_id, event_id, event_type, rn
     FROM (
@@ -43,6 +44,7 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rank",
+    registered=False,
     oracle="""
     SELECT c_nationkey, c_custkey, c_acctbal, bal_rank, bal_dense_rank
     FROM (
@@ -68,6 +70,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_sliding_avg",
+    registered=False,
     oracle="""
     SELECT user_id, event_id,
            round(sum(value) OVER w10, 2) / count(*) OVER w10 AS moving_avg,
@@ -106,6 +109,7 @@ def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_lag",
+    registered=False,
     oracle="""
     SELECT user_id, event_id,
            round(value, 2) AS value,
@@ -128,6 +132,60 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round("value", 2).alias("value"),
+        F.round(prev_val, 2).alias("prev_value"),
+        F.round(F.col("value") - prev_val, 2).alias("delta"),
+        (F.unix_millis("ts") - F.unix_millis(prev_ts)).alias("ms_since_prev"),
+    )
+
+
+@query(
+    "window_suite",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC NULLS LAST, event_id) AS BIGINT) AS val_rank,
+           CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC NULLS LAST, event_id) AS BIGINT) AS val_dense_rank,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 2)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS moving_avg,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+           round(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta,
+           CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+             AS ms_since_prev
+    FROM events
+    """,
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2+W3+W4 composite (driver row for the window family; singles
+    above are local-only and document each operator): row_number,
+    rank/dense_rank, sliding-frame avg + running sum, lag deltas — all
+    partitioned by user_id so one exchange serves every function (the
+    time-ordered and value-ordered specs share the partitioning; Spark
+    reuses the shuffle and only re-sorts). Float discipline per
+    window_sliding_avg: round the frame sum at input decimal width,
+    never the quotient."""
+    ev = table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id")
+    )
+    frame10 = wt.rowsBetween(-9, 0)
+    run = wt.rowsBetween(Window.unboundedPreceding, 0)
+    prev_val = F.lag("value").over(wt)
+    prev_ts = F.lag("ts").over(wt)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wt).cast("bigint").alias("rn"),
+        F.rank().over(wv).cast("bigint").alias("val_rank"),
+        F.dense_rank().over(wv).cast("bigint").alias("val_dense_rank"),
+        (F.round(F.sum("value").over(frame10), 2) / F.count("*").over(frame10)).alias(
+            "moving_avg"
+        ),
+        F.round(F.sum("value").over(run), 2).alias("running_sum"),
         F.round(prev_val, 2).alias("prev_value"),
         F.round(F.col("value") - prev_val, 2).alias("delta"),
         (F.unix_millis("ts") - F.unix_millis(prev_ts)).alias("ms_since_prev"),

@@ -114,7 +114,7 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
     }
 
 
-@query("elt_pipeline_run")  # E2E job with file sinks: rows-only check
+@query("elt_pipeline_run", registered=False)  # E2E job with file sinks: rows-only check
 def elt_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible wrapper: run the whole ELT DAG into a temp
     warehouse and return the curated table (the job's product)."""

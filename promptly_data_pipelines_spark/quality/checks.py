@@ -137,6 +137,7 @@ def dq_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_volume_anomaly",
+    registered=False,
     oracle="""
     WITH daily AS (
       SELECT strftime(ts, '%Y-%m-%d') AS d, CAST(count(*) AS BIGINT) AS n
@@ -193,6 +194,7 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_metrics",
+    registered=False,
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS row_count,
            CAST(count(DISTINCT user_id) AS BIGINT) AS key_cardinality,
@@ -204,3 +206,162 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: Elementary-style volume/freshness metrics over events."""
     return table_metrics(table(spark, sf_dir, "events"), "ts", "user_id")
+
+
+# ---- declarative suite (the reference's YAML authoring surface) -------------
+
+# The reference declares its test suite in dbt YAML
+# (dbt/promptly/models/curated/schema.yaml:10-37: unique, not_null,
+# relationships, accepted_values). This is the same authoring surface
+# bound to Spark: a list of check specs (dict-shaped, YAML-loadable via
+# suite_from_yaml) compiled into ONE lazy DataFrame — each spec becomes
+# a single-row count aggregate, unioned, so the whole suite runs as one
+# job with no driver-side .count() per check.
+DEFAULT_SUITE: list[dict] = [
+    {"check": "unique", "table": "documents", "columns": ["lang", "source"]},
+    {"check": "not_null", "table": "events", "column": "event_type"},
+    {"check": "not_null", "table": "events", "column": "value"},
+    {"check": "not_null", "table": "events", "column": "props"},
+    {"check": "not_null", "table": "events", "column": "user_id"},
+    {
+        "check": "relationships",
+        "table": "orders",
+        "column": "o_custkey",
+        "to": "customer",
+        "to_column": "c_custkey",
+    },
+    {
+        "check": "accepted_values",
+        "table": "events",
+        "column": "event_type",
+        "values": ["click", "view", "purchase", "signup", "error"],
+    },
+    {"check": "volume_min", "table": "events", "min_rows": 100},
+]
+
+
+def suite_from_yaml(text: str) -> list[dict]:
+    """YAML → suite spec (the dbt schema.yaml authoring mode)."""
+    import yaml
+
+    loaded = yaml.safe_load(text)
+    return loaded["checks"] if isinstance(loaded, dict) else loaded
+
+
+def _check_frame(df: DataFrame, spec: dict) -> DataFrame:
+    """Compile one spec into a one-row (check/table/column/n_violations)
+    aggregate. All counts are computed engine-side; nothing collects."""
+    kind = spec["check"]
+    if kind == "unique":
+        cols = spec["columns"]
+        n = (
+            df.groupBy(*cols)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.count("*").cast("bigint").alias("n_violations"))
+        )
+        colname = ",".join(cols)
+    elif kind == "not_null":
+        c = spec["column"]
+        n = df.agg(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias("n_violations")
+        )
+        colname = c
+    elif kind == "relationships":
+        c = spec["column"]
+        n = (
+            df.filter(F.col(c).isNotNull())
+            .join(spec["_parent_df"], df[c] == spec["_parent_df"][spec["to_column"]], "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_violations"))
+        )
+        colname = f"{c}->{spec['to']}.{spec['to_column']}"
+    elif kind == "accepted_values":
+        c = spec["column"]
+        n = df.filter(F.col(c).isNotNull() & ~F.col(c).isin(spec["values"])).agg(
+            F.count("*").cast("bigint").alias("n_violations")
+        )
+        colname = c
+    elif kind == "volume_min":
+        n = df.agg(
+            F.when(F.count("*") >= spec["min_rows"], 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        colname = f"min_rows={spec['min_rows']}"
+    else:
+        raise ValueError(f"unknown check kind: {kind}")
+    return n.select(
+        F.lit(kind).alias("check_name"),
+        F.lit(spec["table"]).alias("table_name"),
+        F.lit(colname).alias("column_name"),
+        "n_violations",
+    )
+
+
+def run_suite_config(
+    spark: SparkSession, sf_dir: str, suite: list[dict] | None = None
+) -> DataFrame:
+    """``dbt test`` from config: compile every spec, union the one-row
+    results, derive passed. The union of tiny aggregates is one Spark
+    job; each aggregate is a full pushdown-pruned scan of only the
+    columns it audits."""
+    suite = DEFAULT_SUITE if suite is None else suite
+    frames = []
+    for spec in suite:
+        spec = dict(spec)
+        df = table(spark, sf_dir, spec["table"])
+        if spec["check"] == "relationships":
+            spec["_parent_df"] = table(spark, sf_dir, spec["to"])
+        frames.append(_check_frame(df, spec))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+@query(
+    "dq_suite",
+    oracle="""
+    SELECT 'unique' AS check_name, 'documents' AS table_name, 'lang,source' AS column_name,
+           CAST((SELECT count(*) FROM (
+             SELECT 1 FROM documents GROUP BY lang, source HAVING count(*) > 1
+           )) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'not_null', 'events', 'event_type',
+           (SELECT CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events)
+    UNION ALL
+    SELECT 'not_null', 'events', 'value',
+           (SELECT CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events)
+    UNION ALL
+    SELECT 'not_null', 'events', 'props',
+           (SELECT CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events)
+    UNION ALL
+    SELECT 'not_null', 'events', 'user_id',
+           (SELECT CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events)
+    UNION ALL
+    SELECT 'relationships', 'orders', 'o_custkey->customer.c_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'accepted_values', 'events', 'event_type',
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click','view','purchase','signup','error'))
+    UNION ALL
+    SELECT 'volume_min', 'events', 'min_rows=100',
+           (SELECT CAST(CASE WHEN count(*) >= 100 THEN 0 ELSE 1 END AS BIGINT) FROM events)
+    """,
+)
+def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q4 composite: the reference's declared dbt suite
+    (schema.yaml:10-37 — unique, not_null, relationships,
+    accepted_values, plus an Elementary-style volume floor) run from
+    declarative config (DEFAULT_SUITE; YAML-loadable via
+    suite_from_yaml). One row per declared check, computed lazily in a
+    single job. The boolean ``passed`` column is dropped for the driver
+    compare (it is derived 1:1 from n_violations; the oracle stays a
+    plain UNION ALL of counts)."""
+    out = run_suite_config(spark, sf_dir)
+    return out.drop("passed")

@@ -6,6 +6,21 @@ an equivalent DuckDB oracle SQL string. The driver runs both at
 sf=0.01 and compares row-count + schema + order-insensitive value
 hash — so registered queries must alias every computed column
 identically on both sides and avoid nondeterminism.
+
+Two tiers:
+
+- **registered** (``registered=True``, the default): exposed to the
+  driver through ``all_queries()``/``all_oracles()``. The driver
+  records a CORRECTNESS row for at most ~50 queries in registration
+  order, so this tier is a curated set of ≤50 composite queries that
+  together cover every SURVEY.md §2 operator family. ``_ORDER`` pins
+  the registration order explicitly (family representatives first) and
+  ``_load_all`` fails loudly if it drifts from the registered set.
+- **local-only** (``registered=False``): fine-grained single-operator
+  variants and demonstrations. Not shown to the driver, but the local
+  pytest oracle-parity suite (tests/test_oracle_parity.py) runs them
+  against DuckDB exactly like registered ones, so their correctness
+  stays continuously verified.
 """
 
 from __future__ import annotations
@@ -19,25 +34,92 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
+_LOCAL_QUERIES: dict[str, QueryFn] = {}
+_LOCAL_ORACLE: dict[str, str] = {}
+
+# Driver-visible registration order: one representative per query
+# family first (dedup, similarity, text, UDF, DQ, sampling, multimodal),
+# then the §2 operator core. Every name here must be registered with
+# registered=True and vice versa — _load_all asserts the bijection.
+_ORDER: tuple[str, ...] = (
+    # flagship + LLM-pipeline families (front-loaded: these are the
+    # rows that round 1's 50-query correctness window cut off)
+    "flagship_curated",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_near_text",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "text_token_counts",
+    "text_doc_profile",
+    "text_tfidf_topk",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "dq_unique",
+    "dq_not_null",
+    "dq_relationships",
+    "dq_suite",
+    "dataset_split",
+    "sample_stratified_cap",
+    "multimodal_pipeline",
+    "json_props_struct",
+    # §2 operator core
+    "agg_group",
+    "agg_having",
+    "agg_count_distinct",
+    "dedup_subset",
+    "dedup_latest",
+    "join_equi",
+    "join_anti_semi",
+    "join_case_agg",
+    "join_star",
+    "project_strings",
+    "project_events_clean",
+    "arith_expr",
+    "scan_csv",
+    "sink_partitioned",
+    "union_sources",
+    "setop_diff",
+    "topk_group",
+    "window_suite",
+    "sql_surface_q3",
+    "sql_subqueries",
+    "reference_curated_provider",
+    "cdc_parse",
+    "merge_upsert",
+    "stream_tumbling_counts",
+    "stream_session",
+    "stream_late_drop",
+    "agg_group_salted",
+)
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, registered: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as queries()[name]; ``oracle`` is the DuckDB SQL
     the driver runs side-by-side (omit only for non-SQL-expressible ops,
-    which the driver then checks rows-only)."""
+    which the driver then checks rows-only). ``registered=False`` keeps
+    the query out of the driver contract but inside the local pytest
+    parity suite."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in _QUERIES:
+        if name in _QUERIES or name in _LOCAL_QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        _QUERIES[name] = fn
+        target_q = _QUERIES if registered else _LOCAL_QUERIES
+        target_o = _ORACLE if registered else _LOCAL_ORACLE
+        target_q[name] = fn
         if oracle is not None:
-            _ORACLE[name] = oracle
+            target_o[name] = oracle
         return fn
 
     return deco
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """Driver-visible queries, in the pinned _ORDER."""
     _load_all()
     return dict(_QUERIES)
 
@@ -47,12 +129,24 @@ def all_oracles() -> dict[str, str]:
     return dict(_ORACLE)
 
 
+def local_only_queries() -> dict[str, QueryFn]:
+    """Pytest-only single-operator variants (not driver-visible)."""
+    _load_all()
+    return dict(_LOCAL_QUERIES)
+
+
+def local_only_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_LOCAL_ORACLE)
+
+
 _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (import = register)."""
-    global _LOADED
+    """Import every module that registers queries (import = register),
+    then pin the driver-visible order to _ORDER."""
+    global _LOADED, _QUERIES, _ORACLE
     if _LOADED:
         return
     from .operators import (  # noqa: F401
@@ -70,8 +164,18 @@ def _load_all() -> None:
     from .pipelines import elt_job, flagship, reference_pipeline  # noqa: F401
     from .extensions import dedup, multimodal, sampling, similarity, text, udfs  # noqa: F401
 
+    missing = [n for n in _ORDER if n not in _QUERIES]
+    extra = [n for n in _QUERIES if n not in _ORDER]
+    if missing or extra:
+        raise RuntimeError(
+            f"registry order drift: missing={missing} extra={extra} — "
+            "update _ORDER when adding/removing registered queries"
+        )
+    _QUERIES = {n: _QUERIES[n] for n in _ORDER}
+    _ORACLE = {n: _ORACLE[n] for n in _ORDER if n in _ORACLE}
     _LOADED = True
 
 
 def run(name: str, spark: SparkSession, sf_dir: str) -> Any:
-    return all_queries()[name](spark, sf_dir)
+    _load_all()
+    return (_QUERIES | _LOCAL_QUERIES)[name](spark, sf_dir)

@@ -8,12 +8,21 @@ from __future__ import annotations
 
 import pytest
 
-from promptly_data_pipelines_spark.registry import all_oracles, all_queries
+from promptly_data_pipelines_spark.registry import (
+    all_oracles,
+    all_queries,
+    local_only_oracles,
+    local_only_queries,
+)
 
 from conftest import SF_DIR, assert_oracle_match
 
-QUERIES = all_queries()
-ORACLES = all_oracles()
+# Registered (driver-visible) and local-only tiers are parity-checked
+# identically — the local tier keeps the fine-grained single-operator
+# variants continuously verified even though the driver only sees the
+# ≤50 composite set.
+QUERIES = {**all_queries(), **local_only_queries()}
+ORACLES = {**all_oracles(), **local_only_oracles()}
 WITH_ORACLE = sorted(ORACLES)
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 

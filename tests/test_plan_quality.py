@@ -9,11 +9,11 @@ from __future__ import annotations
 import io
 import contextlib
 
-from promptly_data_pipelines_spark.registry import all_queries
+from promptly_data_pipelines_spark.registry import all_queries, local_only_queries
 
 from conftest import SF_DIR
 
-QUERIES = all_queries()
+QUERIES = {**all_queries(), **local_only_queries()}
 
 
 def _plan(spark, name: str) -> str:
@@ -109,3 +109,13 @@ def test_every_query_documents_itself():
     # docstring citing the reference behavior or scale rationale
     undocumented = [n for n, fn in QUERIES.items() if not (fn.__doc__ or "").strip()]
     assert not undocumented, f"queries without docstrings: {undocumented}"
+
+
+def test_embedding_cosine_no_corpus_broadcast(spark):
+    """The pair join must shuffle on the block key, never broadcast the
+    corpus: at 100 TB the build side IS the corpus (broadcast OOM —
+    round-1 verdict finding #1). The merge hint pins the sort-merge
+    plan even with tiny local size stats."""
+    p = _plan(spark, "dedup_embedding_cosine")
+    assert "SortMergeJoin" in p, "pair join is not a shuffled sort-merge join"
+    assert "BroadcastExchange" not in p, "corpus side is being broadcast"
