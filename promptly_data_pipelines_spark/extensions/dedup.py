@@ -177,20 +177,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus itself (broadcast OOM). The ``merge`` hint pins that
     plan even locally, where tiny size stats would otherwise tempt the
     planner into a broadcast (tests/test_plan_quality.py asserts no
-    BroadcastExchange). Each label block's pairs are generated inside
-    its own shuffle partition; block sizes bound the pair count, and a
-    skewed block is AQE-splittable because the equi-key carries the
-    shuffle."""
+    BroadcastExchange).
+
+    Parallelism inside a block: the label key alone has few distinct
+    values (blocks are coarse), so the join key is (label, salt) — one
+    side keeps its hash salt, the other replicates across all
+    N_PAIR_SALTS — spreading each block's pair generation over
+    N_PAIR_SALTS tasks instead of one. Each (x, y) pair still arises
+    exactly once (x meets y's replica at x's salt). Replication
+    multiplies one side's shuffle volume by the constant salt count —
+    bounded and AQE-splittable, unlike a corpus broadcast."""
     from .similarity import dot
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     e = e.withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
-    a = e.alias("a")
-    b = e.hint("merge").alias("b")
+    n_salts = 8
+    a = e.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts))).alias("a")
+    b = (
+        e.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+        .hint("merge")
+        .alias("b")
+    )
     pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
@@ -317,19 +331,20 @@ DF_CAP = 256  # max document frequency a shingle may have and still join
                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gset
       FROM w0
     ),
-    post0 AS (SELECT doc_id, lang, unnest(gset) AS sh FROM ws),
-    hot AS (SELECT sh FROM post0 GROUP BY sh HAVING count(*) > {DF_CAP}),
-    post AS (SELECT * FROM post0 WHERE sh NOT IN (SELECT sh FROM hot)),
-    sized AS (
-      SELECT doc_id, lang, sh, count(*) OVER (PARTITION BY doc_id) AS sz FROM post
+    sized AS (SELECT doc_id, lang, gset, len(gset) AS sz FROM ws),
+    post AS (SELECT doc_id, lang, sz, unnest(gset) AS sh FROM sized),
+    live AS (
+      SELECT sh, lang FROM post GROUP BY sh, lang
+      HAVING count(*) BETWEEN 2 AND {DF_CAP}
     )
     SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(count(*) AS DOUBLE) /
              (max(a.sz) + max(b.sz) - count(*)) AS jaccard
-      FROM sized a JOIN sized b
+      FROM post a JOIN post b
         ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
        AND least(a.sz, b.sz) * 2 >= greatest(a.sz, b.sz)
+      JOIN live l ON l.sh = a.sh AND l.lang = a.lang
       GROUP BY a.doc_id, b.doc_id
     ) WHERE jaccard >= 0.5
     """,
@@ -343,22 +358,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       fingerprints (the oracle intersects the raw strings — equal
       unless a 64-bit collision occurs, ~1e-11 over the corpus).
     - Each doc explodes to (shingle, doc) postings; a self-join on the
-      shingle key + groupBy(pair) count(*) yields |A∩B| exactly, and
-      only for pairs sharing ≥1 shingle — pairs with empty
-      intersection are never materialized. The join key (30k distinct
-      shingles) shuffles evenly, unlike a lang-blocked pair join
-      (5 keys → 5 tasks). Measured 1.6× faster than the blocked
-      all-pairs + array_intersect form at sf0.1.
+      (shingle, lang) key + groupBy(pair) count(*) yields |A∩B|
+      exactly, and only for pairs sharing ≥1 live shingle. The join
+      key (30k distinct shingles) shuffles evenly, unlike a
+      lang-blocked pair join (5 keys → 5 tasks).
+    - Skew guard (the 100 TB posting-list risk): document frequency is
+      a window count over the SAME (sh, lang) partitioning the
+      self-join shuffles on, so the cap adds no shuffle of its own and
+      no second shingling pass (whole query: 1.4× the uncapped round-1
+      form at sf0.1 — the earlier broadcast-anti-join + re-size-window
+      formulation measured 2.2×). Postings with df < 2 (can't pair) or
+      df > DF_CAP
+      (ubiquitous boilerplate — useless for distinguishing near-dups,
+      but a df² pair blow-up in the join) drop before the join. Doc
+      sizes stay pre-cap (capped shingles count in |A|,|B| but not the
+      intersection — conservative: J is under- never over-estimated);
+      the oracle applies the identical rule.
     - Size-band pruning in the join condition: J ≥ 0.5 requires
       min(|A|,|B|)/max ≥ 0.5 (integer-arithmetic form, exact).
-    - Skew guard (the 100 TB posting-list risk): shingles with
-      document frequency > DF_CAP are dropped from the universe before
-      the self-join — an ultra-frequent shingle (boilerplate, "terms of
-      service") cannot distinguish near-dups but would materialize a
-      df² pair blow-up. The hot list is tiny by construction (only
-      ubiquitous shingles exceed the cap) → broadcast anti-join; doc
-      sizes are recomputed over the surviving universe so Jaccard
-      stays exact within it, and the oracle applies the identical cap.
     - Short-doc guard: <3 words → empty shingle set (the raw
       F.sequence bound would go negative and slice(start=0) throws);
       such docs drop out of the posting explode, matching the oracle's
@@ -385,17 +402,22 @@ def ngram_jaccard_pairs(
     ws = d.repartition(par).select(  # single-row-group input: 1 scan task otherwise
         "doc_id", "lang", shingles.alias("gset")
     )
-    post0 = ws.select("doc_id", "lang", F.explode("gset").alias("sh"))
-    hot = (
-        post0.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("sh")
+    sized = ws.withColumn("sz", F.size("gset"))
+    post = sized.select("doc_id", "sz", "lang", F.explode("gset").alias("sh"))
+    # df-cap via a window over the posting exchange: count(*) OVER
+    # (PARTITION BY sh, lang) shuffles postings on exactly the key the
+    # self-join below uses, so the join's two inputs are the SAME
+    # filtered subtree and Spark reuses the exchange (ReusedExchange in
+    # the plan) — the cap costs no extra shingling pass and no extra
+    # shuffle. df < 2 (can't pair) and df > cap (boilerplate blow-up)
+    # postings drop before the join.
+    wdf = Window.partitionBy("sh", "lang")
+    live = (
+        post.withColumn("df", F.count("*").over(wdf))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .drop("df")
     )
-    post = post0.join(F.broadcast(hot), "sh", "left_anti").withColumn(
-        "sz", F.count("*").over(Window.partitionBy("doc_id"))
-    )
-    a, b = post.alias("a"), post.alias("b")
+    a, b = live.alias("a"), live.alias("b")
     pairs = (
         a.join(
             b,

@@ -373,3 +373,52 @@ def test_lakehouse_merge_gated(spark):
     lakehouse.merge_into_table(spark, "merge_target", updates, "event_id")
     got = spark.table("merge_target").count()
     assert got == ev.count()
+
+
+def test_streaming_late_drop_counts(spark):
+    """The withWatermark twin of stream_late_drop: two micro-batches
+    (maxFilesPerTrigger=1) — the second carries events 48 h older than
+    the first batch's max event time, far below the 10-minute
+    watermark, so they must be dropped: no window from the late region
+    may appear in the output."""
+    import glob as _glob
+    import shutil
+
+    d = tempfile.mkdtemp()
+    env_dir = os.path.join(d, "env")
+    os.makedirs(env_dir)
+    ev = table(spark, SF_DIR, "events")
+    on_time = ev.filter(F.col("event_id") < 200)
+    late = (
+        ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 220))
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 48 HOURS"))
+    )
+    for i, sl in enumerate((on_time, late)):
+        staging = os.path.join(d, f"stage{i}")
+        synthesize_envelopes(sl).coalesce(1).write.json(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.json"))[0]
+        shutil.copy(part, os.path.join(env_dir, f"{i:04d}.json"))
+        os.utime(os.path.join(env_dir, f"{i:04d}.json"), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(S.RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(env_dir)
+    )
+    q = (
+        S.late_drop_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select min(window_start) mn, count(*) n from late_drop_t").first()
+    assert out.n > 0
+    # every output window comes from the on-time slice: the late slice's
+    # windows (48 h earlier) were dropped at the watermark
+    min_on_time_hour = on_time.select(
+        F.date_trunc("hour", F.min("ts")).alias("h")
+    ).first().h
+    assert out.mn >= min_on_time_hour, (out.mn, min_on_time_hour)
