@@ -172,32 +172,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ``label`` (the cluster/bucket key; at 100 TB this is an
     IVF/LSH cell from similarity.py, never all-pairs). Norms are
     precomputed per vector so each pair costs one dot product.
-    The pair join is a SHUFFLED sort-merge join on the block key —
-    never a broadcast of the corpus: at 100 TB the build side would be
-    the corpus itself (broadcast OOM). The ``merge`` hint pins that
-    plan even locally, where tiny size stats would otherwise tempt the
+    The pair join is SHUFFLED on the block key — never a broadcast of
+    the corpus: at 100 TB the build side would be the corpus itself
+    (broadcast OOM). The ``shuffle_hash`` hint pins a shuffled hash
+    join even locally, where tiny size stats would otherwise tempt the
     planner into a broadcast (tests/test_plan_quality.py asserts no
-    BroadcastExchange).
+    BroadcastExchange); its per-partition build side is one block's
+    replica — bounded by cell size. If cells outgrow executor memory,
+    swap the hint to ``merge`` (sort-merge spills; ~1.3× slower here).
 
     Parallelism inside a block: the label key alone has few distinct
     values (blocks are coarse), so the join key is (label, salt) — one
-    side keeps its hash salt, the other replicates across all
-    N_PAIR_SALTS — spreading each block's pair generation over
-    N_PAIR_SALTS tasks instead of one. Each (x, y) pair still arises
-    exactly once (x meets y's replica at x's salt). Replication
-    multiplies one side's shuffle volume by the constant salt count —
-    bounded and AQE-splittable, unlike a corpus broadcast."""
+    side keeps its hash salt, the other replicates across all 16
+    salts — spreading each block's pair generation over 16 tasks
+    instead of one. Each (x, y) pair still arises exactly once (x
+    meets y's replica at x's salt). Replication multiplies one side's
+    shuffle volume by the constant salt count — bounded and
+    AQE-splittable, unlike a corpus broadcast."""
     from .similarity import dot
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     e = e.withColumn("nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
-    n_salts = 8
+    n_salts = 16
     a = e.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts))).alias("a")
     b = (
         e.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
-        .hint("merge")
+        .hint("shuffle_hash")
         .alias("b")
     )
     pairs = a.join(

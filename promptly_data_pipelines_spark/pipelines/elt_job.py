@@ -117,11 +117,16 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
 @query("elt_pipeline_run", registered=False)  # E2E job with file sinks: rows-only check
 def elt_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible wrapper: run the whole ELT DAG into a temp
-    warehouse and return the curated table (the job's product)."""
+    warehouse and return the curated table (the job's product). The
+    warehouse path carries the session tag so concurrent sessions on
+    the same scale factor don't clobber each other (see scans.py)."""
     import tempfile
 
+    from ..operators.scans import _session_tag
+
     warehouse = os.path.join(
-        tempfile.gettempdir(), f"pdp_warehouse_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"pdp_warehouse_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
     )
     run_elt(spark, sf_dir, warehouse)
     return spark.read.parquet(os.path.join(warehouse, "curated", "activity"))

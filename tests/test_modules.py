@@ -422,3 +422,44 @@ def test_streaming_late_drop_counts(spark):
         F.date_trunc("hour", F.min("ts")).alias("h")
     ).first().h
     assert out.mn >= min_on_time_hour, (out.mn, min_on_time_hour)
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """The HLL++ sketch (rsd=1%) must track the exact distinct counts
+    within a conservative 5% envelope — the guarantee that makes it the
+    100 TB substitute for exact COUNT(DISTINCT)."""
+    from promptly_data_pipelines_spark.registry import run
+
+    exact = {
+        r.event_type: r.n_users
+        for r in run("agg_count_distinct", spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in run("agg_approx_count_distinct", spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(1, 0.05 * exact[k]), (
+            k, exact[k], approx[k])
+
+
+def test_merge_upsert_frames_properties(spark):
+    """Merge contract: unique keys out, updates beat snapshot on ties,
+    inserts appear, untouched snapshot rows survive."""
+    from promptly_data_pipelines_spark.cdc.batch import merge_upsert_frames
+
+    snap = spark.createDataFrame(
+        [(1, 10, "snap"), (2, 10, "snap"), (3, 10, "snap")],
+        "event_id long, ts long, src string",
+    )
+    upd = spark.createDataFrame(
+        [(2, 10, "upd"), (3, 5, "upd"), (4, 10, "upd")],
+        "event_id long, ts long, src string",
+    )
+    got = {r.event_id: r for r in merge_upsert_frames(snap, upd, "event_id").collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    assert got[1].src == "snap"          # untouched
+    assert got[2].src == "upd"           # equal ts → update wins (priority tiebreak)
+    assert got[3].src == "snap"          # older update loses
+    assert got[4].src == "upd"           # insert
