@@ -376,11 +376,16 @@ def test_lakehouse_merge_gated(spark):
 
 
 def test_streaming_late_drop_counts(spark):
-    """The withWatermark twin of stream_late_drop: two micro-batches
-    (maxFilesPerTrigger=1) — the second carries events 48 h older than
-    the first batch's max event time, far below the 10-minute
-    watermark, so they must be dropped: no window from the late region
-    may appear in the output."""
+    """The withWatermark twin of stream_late_drop: three micro-batches
+    (maxFilesPerTrigger=1) — the last carries events 48 h older than
+    every on-time event, far below the 10-minute watermark, so they
+    must be dropped: no window from the late region may appear in the
+    output. Three batches, not two, because under availableNow the
+    engine applies the watermark with one extra batch of lag (batch N
+    filters with event-time stats through batch N-2 — verified
+    empirically); the oracle-checked batch twin models the ideal
+    one-batch advance, which the engine only guarantees as a lower
+    bound ("at least delay late" may survive, more may be dropped)."""
     import glob as _glob
     import shutil
 
@@ -389,11 +394,13 @@ def test_streaming_late_drop_counts(spark):
     os.makedirs(env_dir)
     ev = table(spark, SF_DIR, "events")
     on_time = ev.filter(F.col("event_id") < 200)
-    late = (
+    slices = (
+        ev.filter(F.col("event_id") < 100),
+        ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)),
         ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 220))
-        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 48 HOURS"))
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 48 HOURS")),
     )
-    for i, sl in enumerate((on_time, late)):
+    for i, sl in enumerate(slices):
         staging = os.path.join(d, f"stage{i}")
         synthesize_envelopes(sl).coalesce(1).write.json(staging)
         part = _glob.glob(os.path.join(staging, "part-*.json"))[0]
