@@ -119,3 +119,34 @@ def test_embedding_cosine_no_corpus_broadcast(spark):
     p = _plan(spark, "dedup_embedding_cosine")
     assert ("ShuffledHashJoin" in p or "SortMergeJoin" in p), "pair join is not shuffled"
     assert "BroadcastExchange" not in p, "corpus side is being broadcast"
+
+
+def test_bucketed_join_avoids_exchange(spark, tmp_path):
+    """SCALE.md's recurring-join prescription: bucket both tables on
+    the join key and the shuffle disappears. Both sides bucketed
+    8-ways on user_id → the sort-merge join reads co-located buckets
+    with NO Exchange in the plan; result matches the unbucketed join."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    users = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    for name, df in (("b_ev", ev), ("b_users", users)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    j = spark.table("b_ev").join(spark.table("b_users").hint("merge"), "user_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    p = buf.getvalue()
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, "bucketed join still shuffles"
+    assert j.count() == ev.join(users, "user_id").count()
