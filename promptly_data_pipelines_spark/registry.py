@@ -50,6 +50,7 @@ _ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_near_text",
     "dedup_simhash",
+    "dedup_decontaminate",
     "similarity_topk",
     "similarity_topk_ivf",
     "text_token_counts",

@@ -470,3 +470,23 @@ def test_merge_upsert_frames_properties(spark):
     assert got[2].src == "upd"           # equal ts → update wins (priority tiebreak)
     assert got[3].src == "snap"          # older update loses
     assert got[4].src == "upd"           # insert
+
+
+def test_decontaminate_near(spark):
+    """Near-dup decontamination must remove corpus docs that share an
+    LSH band + high signature agreement with a benchmark doc, and keep
+    unrelated docs."""
+    from promptly_data_pipelines_spark.extensions.dedup import decontaminate_near
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                      # exact copy of benchmark doc
+            (2, base + " lambda"),          # near-dup of benchmark doc
+            (3, "completely different words about unrelated topics here now"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in decontaminate_near(corpus, benchmark).collect())
+    assert 3 in kept and 1 not in kept, kept
