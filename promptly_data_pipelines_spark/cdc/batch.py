@@ -287,7 +287,7 @@ def cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH arr AS (
       SELECT event_id, event_type, value,
              CASE WHEN event_id % 37 = 0 THEN ts - INTERVAL 48 HOUR ELSE ts END AS event_time,
-             CAST(floor(event_id / 100) AS BIGINT) AS batch_id
+             event_id // 100 AS batch_id
       FROM events
     ),
     bm AS (SELECT batch_id, max(event_time) AS bmax FROM arr GROUP BY batch_id),
@@ -332,7 +332,7 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         event_time.alias("event_time"),
-        F.floor(F.col("event_id") / 100).cast("long").alias("batch_id"),
+        F.expr("event_id DIV 100").alias("batch_id"),
     )
     bm = arr.groupBy("batch_id").agg(F.max("event_time").alias("bmax"))
     w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
