@@ -490,3 +490,46 @@ def test_decontaminate_near(spark):
     benchmark = spark.createDataFrame([(100, base)], "doc_id long, text string")
     kept = sorted(r.doc_id for r in decontaminate_near(corpus, benchmark).collect())
     assert 3 in kept and 1 not in kept, kept
+
+
+def test_dq_suite_from_yaml(spark):
+    """The declarative authoring surface end-to-end: the reference's
+    schema.yaml-style suite written as YAML text, loaded with
+    suite_from_yaml, executed by run_suite_config — one row per check,
+    violation counts matching the individually-verified checks."""
+    from promptly_data_pipelines_spark.quality.checks import (
+        run_suite_config,
+        suite_from_yaml,
+    )
+
+    yaml_text = """
+checks:
+  - check: unique
+    table: documents
+    columns: [lang, source]
+  - check: not_null
+    table: events
+    column: user_id
+  - check: relationships
+    table: orders
+    column: o_custkey
+    to: customer
+    to_column: c_custkey
+  - check: accepted_values
+    table: events
+    column: event_type
+    values: [click, view, purchase, signup, error]
+  - check: volume_min
+    table: events
+    min_rows: 100
+"""
+    out = {r.check_name: r for r in run_suite_config(
+        spark, SF_DIR, suite_from_yaml(yaml_text)).collect()}
+    assert set(out) == {"unique", "not_null", "relationships",
+                        "accepted_values", "volume_min"}
+    assert out["unique"].n_violations > 0          # dup (lang, source) by construction
+    assert not out["unique"].passed
+    assert out["relationships"].n_violations == 0  # FK integrity holds in fixtures
+    assert out["relationships"].passed
+    assert out["accepted_values"].passed
+    assert out["volume_min"].passed
