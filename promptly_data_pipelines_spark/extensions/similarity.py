@@ -211,3 +211,82 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("comp_sum"),
     )
+
+
+N_PLANES = 16  # hyperplane-LSH signature width
+
+
+def hyperplane_signatures(e: DataFrame, dim: int, seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH (SimHash for real vectors): sign of the
+    dot product against N_PLANES fixed pseudo-random hyperplanes packs
+    into a 16-bit signature; cos(θ) similarity maps to Hamming
+    proximity (P[bit agree] = 1 - θ/π). The planes are generated
+    driver-side from a fixed seed (deterministic across runs and
+    engines) and enter the plan as literal arrays — JVM-side dot
+    products via zip_with/aggregate, no UDF, no shuffle: one linear
+    pass, embarrassingly parallel at any corpus size."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_PLANES)
+    ]
+    sig = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(F.col("vec"), lit_plane) > 0, F.lit(1)).otherwise(0)
+        term = bit.cast("int") * F.lit(2**i).cast("int")
+        sig = term if sig is None else sig + term
+    return e.select("vec_id", "vec", sig.alias("hsig"))
+
+
+def similar_pairs_hyperplane(e: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """ANN candidate pairs via hyperplane-LSH signatures, pigeonhole
+    block join (dedup_simhash's scheme on embedding vectors): the
+    16-bit signature splits into max_hamming+1 blocks — any pair
+    within the Hamming budget matches exactly on ≥1 block — so
+    candidates come from equi-joins on block keys (linear + shuffle,
+    never all-pairs), verified by exact signature Hamming distance.
+    Complements IVF: no centroid training, recall governed by plane
+    count; the right choice for streaming/incremental corpora where
+    retraining centroids is awkward."""
+    n_blocks = max_hamming + 1
+    bits_per_block = N_PLANES // n_blocks
+    mask = (1 << bits_per_block) - 1
+    blocked = e.select(
+        "vec_id",
+        "hsig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("hsig"), b * bits_per_block)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "hsig", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.col("a.hsig").alias("sig_a"),
+            F.col("b.hsig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -533,3 +533,28 @@ checks:
     assert out["relationships"].passed
     assert out["accepted_values"].passed
     assert out["volume_min"].passed
+
+
+def test_hyperplane_lsh_pairs(spark):
+    """Hyperplane-LSH must surface near-identical vectors as candidate
+    pairs (tiny Hamming distance) and not pair orthogonal ones."""
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        hyperplane_signatures,
+        similar_pairs_hyperplane,
+    )
+
+    dim = 8
+    base = [1.0, 0.5, -0.3, 0.8, -0.1, 0.2, 0.9, -0.6]
+    near = [x * 1.02 + (0.01 if i == 0 else 0) for i, x in enumerate(base)]
+    ortho = [-0.5, 1.0, 0.8, -0.4, 0.9, -0.7, 0.1, 0.6]
+    e = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id long, vec array<double>"
+    )
+    sigs = hyperplane_signatures(e, dim)
+    pairs = {(r.doc_a, r.doc_b) for r in similar_pairs_hyperplane(sigs).collect()}
+    assert (1, 2) in pairs, pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs, pairs
+    # determinism: same signatures on a rerun
+    s1 = sorted((r.vec_id, r.hsig) for r in sigs.collect())
+    s2 = sorted((r.vec_id, r.hsig) for r in hyperplane_signatures(e, dim).collect())
+    assert s1 == s2
