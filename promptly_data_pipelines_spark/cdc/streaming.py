@@ -20,12 +20,18 @@ trigger, production would use ``format("kafka")``:
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import table
+from ..registry import query
 from .batch import merge_upsert_frames
-from .envelope import decode_envelopes
+from .envelope import decode_envelopes, synthesize_envelopes
 
 RAW_STREAM_SCHEMA = T.StructType(
     [
@@ -154,6 +160,70 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
+    )
+
+
+@query(
+    "stream_exec_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_id % 10 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5, executed by the REAL Structured Streaming engine (not the
+    batch twin): synthesized Debezium envelopes are staged as JSON
+    files, read back with ``spark.readStream`` (file source — the
+    harness's Kafka stand-in, schema declared, never inferred), decoded
+    + tombstone-filtered by ``live_rows``, aggregated by
+    ``tumbling_counts`` (watermarked 1-hour windows), and run with
+    ``trigger(availableNow=True)`` into a memory sink. The oracle is
+    the tumbling-counts aggregation over live (non-delete) events —
+    identical semantics to ``stream_tumbling_counts`` minus tombstones,
+    which the streaming path drops (raw_provider_postgres.sql:22).
+
+    Complete output mode: with availableNow every event arrives before
+    the watermark first advances, so nothing is late — complete mode
+    emits every window and the result equals the batch aggregation
+    deterministically regardless of how the file source batches input.
+    At scale this same query runs continuously against
+    ``format("kafka")`` with append mode + the watermark bounding
+    state; the memory sink holds only the aggregated windows
+    (hours × event_types), never raw events.
+    """
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_stream_exec_{os.path.basename(sf_dir)}_"
+        f"{spark.sparkContext.applicationId.replace(':', '_')}",
+    )
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    # A stale checkpoint would mark the staged files already-processed
+    # and availableNow would terminate with zero batches — always start
+    # from a fresh checkpoint for this bounded re-runnable query.
+    shutil.rmtree(base, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    synthesize_envelopes(ev).write.json(src)
+    agg = tumbling_counts(read_envelope_stream(spark, src))
+    sink_name = f"pdp_stream_exec_{os.path.basename(sf_dir)}".replace(".", "_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
 
 

@@ -83,10 +83,17 @@ def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
             lambda i: F.array_join(F.slice(w, i + 1, shingle_len), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    shingled = d.select(
-        "doc_id",
-        F.explode(shingle_arr).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+    # explode_outer, not explode: plain explode makes the optimizer
+    # infer `size(shingle_arr) > 0`, which is substituted with the
+    # whole shingling expression and pushed below the repartition
+    # exchange — re-shingling every doc on the pre-exchange scan task
+    # (measured 9× this stage's cost on the jaccard twin). The cheap
+    # isNotNull drops the one null row emitted per shingle-less doc.
+    shingled = (
+        d.select("doc_id", F.explode_outer(shingle_arr).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .dropDuplicates(["doc_id", "shingle"])
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(N_HASHES)
     ]
@@ -236,7 +243,12 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     is the right guard at 100 TB). The per-bit vote sign is recovered
     per doc: bit set ⟺ 2·popcount(bit) > n_tokens, identical to the
     sign-of-±1-sum formulation (pinned by the sf0.001 pairs test)."""
-    toks = d.select("doc_id", F.explode(words("text")).alias("tok"))
+    # explode_outer + isNotNull: avoids the inferred size>0 filter
+    # that would re-split every text below the repartition exchange
+    # (see ngram_jaccard_pairs).
+    toks = d.select("doc_id", F.explode_outer(words("text")).alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
     hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     packed = hashed.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"),
@@ -354,34 +366,37 @@ DF_CAP = 256  # max document frequency a shingle may have and still join
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: exact 3-gram-shingle Jaccard within (lang) blocks — the
     verifier stage of near-dup dedup, computed via an inverted index
-    (posting-list equi-join), the shuffle-native formulation:
+    grouped by shingle (one scan, one shingling pass, no self-join):
 
     - Shingles are 3-gram sequences hashed to 64-bit xxhash64
       fingerprints (the oracle intersects the raw strings — equal
       unless a 64-bit collision occurs, ~1e-11 over the corpus).
-    - Each doc explodes to (shingle, doc) postings; a self-join on the
-      (shingle, lang) key + groupBy(pair) count(*) yields |A∩B|
-      exactly, and only for pairs sharing ≥1 live shingle. The join
-      key (30k distinct shingles) shuffles evenly, unlike a
-      lang-blocked pair join (5 keys → 5 tasks).
-    - Skew guard (the 100 TB posting-list risk): document frequency is
-      a window count over the SAME (sh, lang) partitioning the
-      self-join shuffles on, so the cap adds no shuffle of its own and
-      no second shingling pass (whole query: 1.4× the uncapped round-1
-      form at sf0.1 — the earlier broadcast-anti-join + re-size-window
-      formulation measured 2.2×). Postings with df < 2 (can't pair) or
-      df > DF_CAP
-      (ubiquitous boilerplate — useless for distinguishing near-dups,
-      but a df² pair blow-up in the join) drop before the join. Doc
-      sizes stay pre-cap (capped shingles count in |A|,|B| but not the
+    - Each doc explodes to (shingle, doc) postings; postings group by
+      (shingle, lang) into sorted (doc_id, sz) lists, and ordered
+      candidate pairs are emitted in-row with higher-order functions —
+      groupBy(pair) count(*) then yields |A∩B| exactly, only for pairs
+      sharing ≥1 live shingle. The grouping key (tens of thousands of
+      distinct shingles) shuffles evenly, unlike a lang-blocked pair
+      join (5 keys → 5 tasks).
+    - Skew guard (the 100 TB posting-list risk): lists sized < 2
+      (can't pair) or > DF_CAP (ubiquitous boilerplate — useless for
+      distinguishing near-dups, but a df² pair blow-up) drop right
+      after the aggregation, before any pair exists. Doc sizes stay
+      pre-cap (capped shingles count in |A|,|B| but not the
       intersection — conservative: J is under- never over-estimated);
       the oracle applies the identical rule.
-    - Size-band pruning in the join condition: J ≥ 0.5 requires
-      min(|A|,|B|)/max ≥ 0.5 (integer-arithmetic form, exact).
+    - Size-band pruning inside the pair generator: J ≥ 0.5 requires
+      min(|A|,|B|)/max ≥ 0.5 (integer-arithmetic form, exact) — pruned
+      pairs never reach the shuffle.
     - Short-doc guard: <3 words → empty shingle set (the raw
       F.sequence bound would go negative and slice(start=0) throws);
       such docs drop out of the posting explode, matching the oracle's
-      empty range()."""
+      empty range().
+    - documents is scanned ONCE (plan-pinned in
+      tests/test_plan_quality.py) — the r2 posting self-join expanded
+      into two full copies of the shingling subtree, and the explode's
+      inferred size>0 filter re-shingled the corpus below the exchange
+      (see ngram_jaccard_pairs for the explode_outer fix)."""
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
@@ -405,38 +420,61 @@ def ngram_jaccard_pairs(
         "doc_id", "lang", shingles.alias("gset")
     )
     sized = ws.withColumn("sz", F.size("gset"))
-    post = sized.select("doc_id", "sz", "lang", F.explode("gset").alias("sh"))
-    # df-cap via a window over the posting exchange: count(*) OVER
-    # (PARTITION BY sh, lang) shuffles postings on exactly the key the
-    # self-join below uses, so the join's two inputs are the SAME
-    # filtered subtree and Spark reuses the exchange (ReusedExchange in
-    # the plan) — the cap costs no extra shingling pass and no extra
-    # shuffle. df < 2 (can't pair) and df > cap (boilerplate blow-up)
-    # postings drop before the join.
-    wdf = Window.partitionBy("sh", "lang")
-    live = (
-        post.withColumn("df", F.count("*").over(wdf))
-        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
-        .drop("df")
+    # explode_outer + isNotNull, NOT plain explode: explode makes the
+    # optimizer infer `size(gset) > 0` — substituted with the whole
+    # shingle expression and pushed below the repartition exchange,
+    # where it re-shingles every document on the single pre-exchange
+    # scan task (measured 9× the cost of this stage at sf0.1).
+    # explode_outer infers no such filter; the cheap isNotNull on the
+    # generated column drops the <3-word docs' single null posting.
+    post = sized.select(
+        "doc_id", "sz", "lang", F.explode_outer("gset").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    # Pair generation is grouped-by-shingle, not a posting self-join:
+    # collect the (doc_id, sz) list per (sh, lang), keep lists sized
+    # 2..df_cap (df < 2 can't pair; df > cap is ubiquitous boilerplate —
+    # useless for distinguishing near-dups but a df² pair blow-up), and
+    # emit ordered pairs in-row with higher-order functions. One corpus
+    # scan, one shingling pass, one posting shuffle — where the r2
+    # self-join form scanned and shingled documents once per join
+    # branch. Per-group state is bounded by df_cap structs except
+    # transiently for shingles about to be dropped; the partial
+    # (map-side) collect buffers hold only a partition's postings, so
+    # the full df of a hot shingle materializes only on its one reduce
+    # task, bounded there by the corpus's worst single-shingle df. The
+    # in-row pair fan-out is ≤ df_cap²/2 ≈ 32k structs per shingle.
+    lists = (
+        post.groupBy("sh", "lang")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= df_cap))
     )
-    a, b = live.alias("a"), live.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.sz"), F.col("b.sz")) * 2
-                >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+    # sort_array orders by doc_id (first struct field), so pairing each
+    # element only with its successors yields exactly the doc_a < doc_b
+    # pairs; the size-band prune (J ≥ t needs min·1/t ≥ max) applies
+    # in-row before the pair ever reaches the shuffle.
+    n = F.size(F.col("docs"))
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("docs"), i + 2, n),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        x["sz"].alias("sza"),
+                        y["doc_id"].alias("doc_b"),
+                        y["sz"].alias("szb"),
+                    ),
+                ),
+                lambda p: F.least(p["sza"], p["szb"]) * 2
+                >= F.greatest(p["sza"], p["szb"]),
             ),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sza"),
-            F.col("b.sz").alias("szb"),
-        )
+    )
+    pairs = (
+        lists.select(F.explode_outer(pair_arrays).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.doc_a", "p.doc_b", "p.sza", "p.szb")
         .agg(F.count("*").alias("c"))
     )
     jac = F.col("c").cast("double") / (F.col("sza") + F.col("szb") - F.col("c"))

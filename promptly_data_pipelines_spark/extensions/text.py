@@ -50,7 +50,10 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one row per distinct token per map partition)."""
     d = table(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(words("text")).alias("token"))
+        d.select(F.explode_outer(words("text")).alias("token"))
+        .filter(F.col("token").isNotNull())  # explode would infer a
+        # size>0 filter that re-evaluates the split per row (see
+        # dedup.ngram_jaccard_pairs)
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "token")
@@ -148,7 +151,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3. The df table is vocabulary-sized — at 100 TB still tiny
     relative to the corpus, always the broadcast side."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(words("text")).alias("token"))
+    toks = d.select("doc_id", F.explode_outer(words("text")).alias("token")).filter(
+        F.col("token").isNotNull()  # see ngram_jaccard_pairs: explode
+        # would infer size>0 and double-evaluate the split
+    )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # driver-side scalar: one tiny action, constant-folded into the plan
@@ -212,7 +218,10 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.select("doc_id", F.explode(windows_min).alias("fingerprint"))
+        d.select("doc_id", F.explode_outer(windows_min).alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())  # explode would infer
+        # size>0, re-running the whole winnowing expression below the
+        # repartition exchange (see dedup.ngram_jaccard_pairs)
         .distinct()
         .orderBy("doc_id", "fingerprint")
     )

@@ -91,6 +91,7 @@ _ORDER: tuple[str, ...] = (
     "cdc_parse",
     "merge_upsert",
     "stream_tumbling_counts",
+    "stream_exec_tumbling",
     "stream_session",
     "stream_late_drop",
     "agg_group_salted",
@@ -160,7 +161,7 @@ def _load_all() -> None:
         sql_surface,
         windows,
     )
-    from .cdc import batch  # noqa: F401
+    from .cdc import batch, streaming  # noqa: F401
     from .quality import checks  # noqa: F401
     from .pipelines import elt_job, flagship, reference_pipeline  # noqa: F401
     from .extensions import dedup, multimodal, sampling, similarity, text, udfs  # noqa: F401

@@ -150,3 +150,31 @@ def test_bucketed_join_avoids_exchange(spark, tmp_path):
     assert "SortMergeJoin" in p
     assert "Exchange" not in p, "bucketed join still shuffles"
     assert j.count() == ev.join(users, "user_id").count()
+
+
+def test_jaccard_single_corpus_scan(spark):
+    """The grouped-by-shingle jaccard must scan+shingle documents
+    exactly ONCE (round-2 verdict finding #1: the posting self-join
+    expanded into two copies of the shingling subtree — 4 corpus scans
+    at 100 TB where 1 suffices). One Scan parquet node = one tree line
+    + one detail entry in the formatted plan."""
+    p = _plan(spark, "dedup_ngram_jaccard")
+    assert p.count("Scan parquet") == 2, f"documents scanned more than once:\n{p[:2000]}"
+
+
+def test_explode_heavy_exprs_not_recomputed_below_exchange(spark):
+    """explode() makes the optimizer infer `size(arr) > 0`, substitute
+    the generator's defining expression into it, and push it below the
+    repartition exchange — re-evaluating the whole shingling/tokenize
+    expression on the pre-exchange scan task (measured 9× the stage
+    cost at sf0.1). The fix is explode_outer + isNotNull; this pins
+    that no xxhash64/split-bearing Filter sits below an Exchange."""
+    for name in ["dedup_ngram_jaccard", "dedup_near_text", "dedup_simhash"]:
+        p = _plan(spark, name)
+        details = p.split("\n\n", 1)[1] if "\n\n" in p else p
+        for block in details.split("\n\n"):
+            if block.startswith("(") and "Filter" in block.split("\n")[0]:
+                if "xxhash64" in block or "split(" in block:
+                    raise AssertionError(
+                        f"{name}: heavy expression re-evaluated in a Filter node:\n{block[:500]}"
+                    )
