@@ -77,6 +77,11 @@ def main() -> None:
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3 if name in PAIR_OPS else 2):
+            # ngram_jaccard persists its shingled frame for the two-
+            # branch df-cap pre-filter; structurally-equal re-runs
+            # would reuse that cache and skip the scan+shingle work.
+            # Clear it so every timed run pays the full operator cost.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import table
 from ..registry import query
@@ -378,10 +379,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       sharing ≥1 live shingle. The grouping key (tens of thousands of
       distinct shingles) shuffles evenly, unlike a lang-blocked pair
       join (5 keys → 5 tasks).
-    - Skew guard (the 100 TB posting-list risk): lists sized < 2
-      (can't pair) or > DF_CAP (ubiquitous boilerplate — useless for
-      distinguishing near-dups, but a df² pair blow-up) drop right
-      after the aggregation, before any pair exists. Doc sizes stay
+    - Skew guard (the 100 TB posting-list risk): document frequency is
+      pre-counted per (shingle, lang) — a partial-agg-safe count — and
+      over-cap shingles (ubiquitous boilerplate — useless for
+      distinguishing near-dups, but a df² pair blow-up) are dropped by
+      a broadcast anti-join BEFORE any posting list is collected, so
+      no reduce task ever materializes more than DF_CAP postings for
+      one shingle. Lists sized < 2 (can't pair) drop right after the
+      aggregation, before any pair exists. Doc sizes stay
       pre-cap (capped shingles count in |A|,|B| but not the
       intersection — conservative: J is under- never over-estimated);
       the oracle applies the identical rule.
@@ -419,7 +424,12 @@ def ngram_jaccard_pairs(
     ws = d.repartition(par).select(  # single-row-group input: 1 scan task otherwise
         "doc_id", "lang", shingles.alias("gset")
     )
-    sized = ws.withColumn("sz", F.size("gset"))
+    # MEMORY_AND_DISK: the frame feeds two branches (the df-count
+    # pre-filter and the posting lists) — without the persist each
+    # branch would re-scan + re-shingle the corpus. Spill-safe at scale
+    # (gset is ~8 bytes/token, comparable to the corpus itself), and
+    # the ContextCleaner unpersists it once the plan is unreferenced.
+    sized = ws.withColumn("sz", F.size("gset")).persist(StorageLevel.MEMORY_AND_DISK)
     # explode_outer + isNotNull, NOT plain explode: explode makes the
     # optimizer infer `size(gset) > 0` — substituted with the whole
     # shingle expression and pushed below the repartition exchange,
@@ -435,23 +445,42 @@ def ngram_jaccard_pairs(
     # 2..df_cap (df < 2 can't pair; df > cap is ubiquitous boilerplate —
     # useless for distinguishing near-dups but a df² pair blow-up), and
     # emit ordered pairs in-row with higher-order functions. One corpus
-    # scan, one shingling pass, one posting shuffle — where the r2
-    # self-join form scanned and shingled documents once per join
-    # branch. Per-group state is bounded by df_cap structs except
-    # transiently for shingles about to be dropped; the partial
-    # (map-side) collect buffers hold only a partition's postings, so
-    # the full df of a hot shingle materializes only on its one reduce
-    # task, bounded there by the corpus's worst single-shingle df. The
-    # in-row pair fan-out is ≤ df_cap²/2 ≈ 32k structs per shingle.
-    lists = (
+    # scan, one shingling pass, one posting shuffle.
+    #
+    # The df cap is enforced BEFORE collect_list (round-3 verdict
+    # finding #1): counting df per (sh, lang) is partial-agg safe —
+    # map-side combine collapses each map partition to distinct
+    # shingles, so the count branch shuffles ~distinct-shingle rows,
+    # not postings — and the over-cap "hot" list (license boilerplate,
+    # ubiquitous trigrams) is the Zipf head: tiny in distinct count,
+    # so it broadcasts. The anti-join drops a hot shingle's postings
+    # map-side, so no reduce task ever materializes a posting list
+    # longer than df_cap. (If a corpus's over-cap head itself outgrew
+    # broadcast — worst case postings/df_cap distinct shingles — drop
+    # the broadcast hint: the anti-join then shuffles on (sh, lang),
+    # exactly the partitioning the groupBy below needs, so the
+    # exchange is shared and total shuffle volume is unchanged.)
+    hot = (
         post.groupBy("sh", "lang")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("sh", "lang")
+    )
+    post_ok = post.join(F.broadcast(hot), ["sh", "lang"], "left_anti")
+    # Per-group collect state is now bounded by df_cap structs; lists
+    # sized < 2 (singleton shingles — the long tail, cheap to carry
+    # one row each) drop right after.
+    lists = (
+        post_ok.groupBy("sh", "lang")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= df_cap))
+        .filter(F.size("docs") >= 2)
     )
     # sort_array orders by doc_id (first struct field), so pairing each
     # element only with its successors yields exactly the doc_a < doc_b
-    # pairs; the size-band prune (J ≥ t needs min·1/t ≥ max) applies
-    # in-row before the pair ever reaches the shuffle.
+    # pairs; the size-band prune (J ≥ t needs min ≥ t·max, applied with
+    # a conservative 1e-6 slack against float rounding — pruned-late
+    # borderline pairs are re-checked by the exact final filter either
+    # way) applies in-row before the pair ever reaches the shuffle.
     n = F.size(F.col("docs"))
     pair_arrays = F.flatten(
         F.transform(
@@ -466,8 +495,8 @@ def ngram_jaccard_pairs(
                         y["sz"].alias("szb"),
                     ),
                 ),
-                lambda p: F.least(p["sza"], p["szb"]) * 2
-                >= F.greatest(p["sza"], p["szb"]),
+                lambda p: F.least(p["sza"], p["szb"]).cast("double")
+                >= F.lit(threshold) * F.greatest(p["sza"], p["szb"]) - F.lit(1e-6),
             ),
         )
     )

@@ -156,10 +156,41 @@ def test_jaccard_single_corpus_scan(spark):
     """The grouped-by-shingle jaccard must scan+shingle documents
     exactly ONCE (round-2 verdict finding #1: the posting self-join
     expanded into two copies of the shingling subtree — 4 corpus scans
-    at 100 TB where 1 suffices). One Scan parquet node = one tree line
-    + one detail entry in the formatted plan."""
+    at 100 TB where 1 suffices). Since round 4 the shingled frame is
+    persisted and feeds two branches (the df-count hot-shingle
+    pre-filter and the posting lists): both must read the SAME
+    InMemoryRelation — every Scan parquet in the tree appears only
+    inside a cached-relation dump, and all dumps share one scan node
+    id (one physical scan at execution)."""
+    import re
+
     p = _plan(spark, "dedup_ngram_jaccard")
-    assert p.count("Scan parquet") == 2, f"documents scanned more than once:\n{p[:2000]}"
+    tree = p.split("\n\n", 1)[0]
+    n_cached = tree.count("InMemoryRelation")
+    assert n_cached == 2, f"expected both branches cached, saw {n_cached}:\n{tree}"
+    # all Scan parquet occurrences live inside the cached-relation
+    # dumps and share one node id = one physical scan at execution
+    # (a materialized cache dumps Final + Initial AQE plans, so the
+    # raw string count varies; the distinct node id does not)
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1, f"documents scanned more than once (scan ids {scan_ids}):\n{tree}"
+
+
+def test_jaccard_hot_shingles_dropped_before_collect(spark):
+    """Round-3 verdict finding #1: the df cap must drop a hot
+    shingle's postings BEFORE collect_list materializes them on one
+    reduce task. Pin the shape: a broadcast LeftAnti join (build side =
+    the over-cap df-count branch) sits BELOW the ObjectHashAggregate
+    that collects the posting lists."""
+    p = _plan(spark, "dedup_ngram_jaccard")
+    tree = p.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin LeftAnti" in tree, "hot-shingle anti-join missing"
+    assert "ObjectHashAggregate" in tree, "collect_list aggregate missing"
+    # parents print before children: the collect aggregate must be an
+    # ancestor of (printed before) the anti-join
+    assert tree.index("ObjectHashAggregate") < tree.index("BroadcastHashJoin LeftAnti"), (
+        "anti-join is not below the collect_list aggregate"
+    )
 
 
 def test_explode_heavy_exprs_not_recomputed_below_exchange(spark):
