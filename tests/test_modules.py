@@ -363,7 +363,13 @@ def test_lakehouse_merge_gated(spark):
     if not fmts:
         with pytest.raises(RuntimeError, match="no lakehouse table format"):
             lakehouse.merge_into_table(spark, "some_table", ev, "event_id")
-        pytest.skip("no Iceberg/Delta jars in this environment — MERGE path gated off")
+        pytest.skip(
+            "no Iceberg/Delta jars — environment-proven infeasible: "
+            "`pip download delta-spark` → 'No matching distribution found' "
+            "(no PyPI route), no delta/iceberg jar in the Spark dist, no "
+            "ivy cache for spark.jars.packages; see operators/lakehouse.py "
+            "module docstring for the full proof"
+        )
     # with jars: create a target table from the snapshot, merge updates
     from pyspark.sql import functions as F
 
