@@ -34,13 +34,14 @@ PAIR_OPS = {
     "dedup_near_text",
     "dedup_embedding_cosine",
     "udf_grouped_map",
+    "udf_grouped_map_coarse",
 }
 HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_near_text",
     "dedup_embedding_cosine",
-    "udf_grouped_map",
+    "udf_grouped_map_coarse",
     "flagship_curated",
     "join_star",
     "agg_group",
@@ -53,6 +54,14 @@ HEADLINE = [
     "text_tfidf_topk",
     "similarity_topk",
     "sink_partitioned",
+]
+# Measured and reported, but NOT in the headline total: the 10k-tiny-
+# groups applyInPandas worst case (deliberately pathological — per-call
+# Python overhead; round-2 verdict item #6 demoted it from the
+# headline) and its zero-Python JVM window twin for contrast.
+SECONDARY = [
+    "udf_grouped_map",
+    "udf_grouped_map_window_twin",
 ]
 
 
@@ -69,7 +78,9 @@ def main() -> None:
     # min of two runs per query: first-touch effects (codegen, shuffle
     # file allocation, page cache) dominate variance at this scale
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    secondary: dict[str, float] = {}
+    for name in HEADLINE + SECONDARY:
+        out = timings if name in HEADLINE else secondary
         if name in PAIR_OPS:
             # one untimed pass first: these expression-heavy plans pay
             # multi-second JIT/codegen first-touch that min-of-N alone
@@ -85,7 +96,7 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        out[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -99,6 +110,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary,
                 "sf": sf_num,
             }
         )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -90,6 +90,69 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _minmax_scale, "user_id bigint, event_id bigint, value_scaled double"
     )
+
+
+def _minmax_scale_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """_minmax_scale keyed by the coarse bucket column."""
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    out = pdf[["bucket", "event_id"]].copy()
+    out["value_scaled"] = 0.0 if hi == lo else (pdf["value"] - lo) / (hi - lo)
+    return out
+
+
+@query(
+    "udf_grouped_map_coarse",
+    oracle="""
+    SELECT bucket, event_id,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS value_scaled
+    FROM (
+      SELECT user_id % 100 AS bucket, event_id, value,
+             min(value) OVER (PARTITION BY user_id % 100) AS mn,
+             max(value) OVER (PARTITION BY user_id % 100) AS mx
+      FROM events
+    )
+    """,
+    registered=False,
+)
+def udf_grouped_map_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2, realistic shape: applyInPandas over ~100 coarse groups
+    (entity buckets), each one sizeable Arrow batch — the workload
+    applyInPandas is actually for (per-segment model scoring). This is
+    the bench headline form; udf_grouped_map keeps the 10k-tiny-groups
+    worst case as a labeled secondary line quantifying the per-call
+    Python overhead (round-2 verdict item #6)."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("bucket"), "event_id", "value"
+    )
+    return ev.groupBy("bucket").applyInPandas(
+        _minmax_scale_bucket, "bucket bigint, event_id bigint, value_scaled double"
+    )
+
+
+@query(
+    "udf_grouped_map_window_twin",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS value_scaled
+    FROM (
+      SELECT user_id, event_id, value,
+             min(value) OVER (PARTITION BY user_id) AS mn,
+             max(value) OVER (PARTITION BY user_id) AS mx
+      FROM events
+    )
+    """,
+    registered=False,
+)
+def udf_grouped_map_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM window-function twin of udf_grouped_map: identical
+    min-max scaling, zero Python — benched alongside the grouped-map
+    forms to quantify what applyInPandas costs when the logic is
+    window-expressible (keep per-group Python for logic that isn't)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    scaled = F.when(mx == mn, F.lit(0.0)).otherwise((F.col("value") - mn) / (mx - mn))
+    return ev.select("user_id", "event_id", scaled.alias("value_scaled"))
 
 
 @query(

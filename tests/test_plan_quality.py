@@ -100,8 +100,8 @@ def test_bench_headline_is_registered():
     sys.path.insert(0, "/root/repo")
     import bench
 
-    missing = [n for n in bench.HEADLINE if n not in QUERIES]
-    assert not missing, f"bench.HEADLINE references unknown queries: {missing}"
+    missing = [n for n in bench.HEADLINE + bench.SECONDARY if n not in QUERIES]
+    assert not missing, f"bench references unknown queries: {missing}"
 
 
 def test_every_query_documents_itself():
