@@ -3,19 +3,29 @@
 Media (image/audio/video) travels as an opaque ``binary`` column plus
 typed metadata; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python invocation processes a whole record
-batch, never a row. The actual codec step is STUBBED — the container
-has no image/audio libraries — behind ``decode_media``, which raises
-``NotImplementedError`` for real codecs and provides a deterministic
-fake ("bytestats") so the Spark-side plumbing (schema, batching,
-partitioning) is real and tested end-to-end.
+batch, never a row.
+
+The codec boundary ``decode_media`` has three tiers:
+
+- REAL stdlib codecs for container formats whose headers are plain
+  structs: ``bmp`` (BITMAPFILEHEADER + BITMAPINFOHEADER → true
+  width/height/bpp) and ``wav`` (RIFF chunk walk → true
+  sample_rate/n_channels) — parsed with ``struct.unpack``, no
+  external library. ``encode_bmp``/``encode_wav`` build valid
+  payloads for synthesis and round-trip tests.
+- a deterministic fake ("bytestats") exercising the Arrow round-trip.
+- compressed codecs (JPEG/MP3/H.264 ...) raise NotImplementedError —
+  entropy-coded bodies genuinely need the absent image/audio
+  libraries; plugging PIL/librosa in changes only this function.
 
 The harness has no binary fixture, so media bytes are synthesized
-deterministically from ``documents.text`` (utf-8 encode) — standing in
-for e.g. a JPEG payload column.
+deterministically from ``documents.text`` (utf-8 encode, or packed
+into valid BMP/WAV containers by ``media_table_mixed``).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,25 +53,86 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("first_byte", T.IntegerType()),
         T.StructField("last_byte", T.IntegerType()),
         T.StructField("byte_sum_mod", T.IntegerType()),
+        # per-codec typed features: null where the type has no notion
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
     ]
 )
 
+_FEATURE_KEYS = ("byte_sum_mod", "width", "height", "sample_rate", "n_channels")
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """A valid uncompressed 24-bpp BMP: BITMAPFILEHEADER (14 B) +
+    BITMAPINFOHEADER (40 B) + 4-byte-aligned pixel rows filled by
+    cycling ``pixels``. Pure stdlib struct — used to synthesize image
+    payloads and to round-trip-test the decoder."""
+    row_size = ((width * 3 + 3) // 4) * 4
+    img_size = row_size * height
+    body = (pixels * (img_size // max(1, len(pixels)) + 1))[:img_size] if pixels else bytes(img_size)
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def encode_wav(sample_rate: int, n_channels: int, pcm: bytes) -> bytes:
+    """A valid 16-bit PCM RIFF/WAVE container around ``pcm`` bytes."""
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    return struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE") + fmt + data
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic or truncated header)")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return {"width": width, "height": abs(height)}  # negative height = top-down rows
+
+
+def _decode_wav(payload: bytes) -> dict:
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    off = 12  # chunk walk: fmt need not be the first chunk
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, off)
+        if cid == b"fmt ":
+            _fmt, n_channels, sample_rate = struct.unpack_from("<HHI", payload, off + 8)
+            return {"sample_rate": sample_rate, "n_channels": n_channels}
+        off += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    raise ValueError("WAV payload has no fmt chunk")
+
 
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """The codec boundary. Real decoders (PIL/librosa/av) are not in
-    this container — attempting them raises; the 'bytestats' fake is
-    deterministic and exercises the full Arrow round-trip."""
-    if media_type == "bytestats":
-        return {
-            "n_bytes": len(payload),
-            "first_byte": payload[0] if payload else -1,
-            "last_byte": payload[-1] if payload else -1,
-            "byte_sum_mod": sum(payload) % 256,
-        }
-    raise NotImplementedError(
-        f"codec for media_type={media_type!r} not available in this environment "
-        "(image/audio libraries not installed); plug a real decoder in here"
+    """The codec boundary. Returns one uniform feature dict (keys =
+    FEATURE_SCHEMA minus ids; None where the codec has no notion).
+    'bmp'/'wav' are REAL stdlib-struct header parsers; 'bytestats' is
+    the deterministic fake; compressed codecs raise — their bodies
+    need the absent image/audio libraries."""
+    feats = dict.fromkeys(_FEATURE_KEYS)
+    feats.update(
+        n_bytes=len(payload),
+        first_byte=payload[0] if payload else -1,
+        last_byte=payload[-1] if payload else -1,
     )
+    if media_type == "bytestats":
+        feats["byte_sum_mod"] = sum(payload) % 256
+    elif media_type == "bmp":
+        feats.update(_decode_bmp(payload))
+    elif media_type == "wav":
+        feats.update(_decode_wav(payload))
+    else:
+        raise NotImplementedError(
+            f"codec for media_type={media_type!r} not available in this environment "
+            "(image/audio libraries not installed); plug a real decoder in here"
+        )
+    return feats
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,6 +154,8 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             feats = [decode_media(p, mt) for p, mt in zip(pdf["payload"], pdf["media_type"])]
             out = pd.DataFrame(feats)
+            for c in out.columns:  # nullable Int32: per-codec fields are None elsewhere
+                out[c] = pd.array(out[c], dtype="Int32")
             out.insert(0, "media_type", pdf["media_type"].values)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
@@ -109,24 +182,50 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor downscale of an uncompressed 24-bpp BMP
+    (rows handled as stored, padding respected), re-encoded as a valid
+    BMP of the target dims. Per-pixel Python over an Arrow batch — a
+    production codec would vectorize; correctness-first here."""
+    src_w, src_h = struct.unpack_from("<ii", payload, 18)
+    src_h = abs(src_h)
+    (off,) = struct.unpack_from("<I", payload, 10)
+    src_row = ((src_w * 3 + 3) // 4) * 4
+    out_row_size = ((width * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(height):
+        sy = min(src_h - 1, y * src_h // height)
+        row = payload[off + sy * src_row : off + sy * src_row + src_w * 3]
+        out_row = bytearray()
+        for x in range(width):
+            sx = min(src_w - 1, x * src_w // width)
+            out_row += row[sx * 3 : sx * 3 + 3]
+        body += out_row.ljust(out_row_size, b"\x00")
+    return encode_bmp(width, height, bytes(body))
+
+
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: mapInPandas with the output schema a real
-    image resize would produce (typed dims + new payload). The codec
-    is stubbed: 'bytestats' payloads are deterministically re-sampled
-    to width*height bytes (stride sampling — the shape of a nearest-
-    neighbor downscale); real image types raise NotImplementedError
-    in decode_media. Partitioning preserved, one Python call per
-    Arrow batch."""
+    """Resize over mapInPandas (typed dims + new payload). 'bmp' gets
+    a REAL nearest-neighbor downscale (valid BMP out, _resize_bmp);
+    'bytestats' payloads are deterministically re-sampled to
+    width*height bytes (stride sampling — the same access shape);
+    other types raise via decode_media (compressed codecs absent) or
+    ValueError (resize undefined for audio). Partitioning preserved,
+    one Python call per Arrow batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
             out_payloads = []
             for p, mt in zip(pdf["payload"], pdf["media_type"]):
-                if mt != "bytestats":
-                    decode_media(p, mt)  # raises: codec not available
-                stride = max(1, len(p) // target) if len(p) else 1
-                out_payloads.append(bytes(p[::stride][:target]))
+                if mt == "bmp":
+                    out_payloads.append(_resize_bmp(p, width, height))
+                elif mt == "bytestats":
+                    stride = max(1, len(p) // target) if len(p) else 1
+                    out_payloads.append(bytes(p[::stride][:target]))
+                else:
+                    decode_media(p, mt)  # raises for absent codecs
+                    raise ValueError(f"resize undefined for media_type={mt!r}")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -165,6 +264,43 @@ def sample_frames(media: DataFrame, every_n: int = 16, frame_size: int = 32) -> 
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def media_table_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-codec media table: each document's bytes packed into a
+    VALID container by doc_id % 3 — a 24-bpp BMP with dims derived
+    from doc_id, a 16-bit PCM WAV with doc_id-derived sample rate and
+    channels, or the raw bytestats payload. Deterministic, so the
+    decoded features are assertable; synthesis itself runs as an
+    Arrow-batched mapInPandas (the encode is Python-side by nature)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b, k = text.encode("utf-8"), int(doc_id) % 3
+                if k == 0:
+                    w, h = 4 + int(doc_id) % 29, 3 + int(doc_id) % 17
+                    rows.append((doc_id, "bmp", encode_bmp(w, h, b)))
+                elif k == 1:
+                    sr = 8000 + (int(doc_id) % 5) * 4000
+                    rows.append((doc_id, "wav", encode_wav(sr, 1 + int(doc_id) % 2, b)))
+                else:
+                    rows.append((doc_id, "bytestats", b))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return d.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+@query("multimodal_features_mixed", registered=False)  # binary features: rows-only check
+def multimodal_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 with REAL codecs in the loop: mixed BMP/WAV/bytestats
+    payloads → decode_media parses true width/height (BMP header) and
+    sample_rate/n_channels (RIFF fmt chunk) with stdlib struct — the
+    non-stub path of the codec boundary, end-to-end through the same
+    Arrow-batched extract_features plumbing."""
+    return extract_features(media_table_mixed(spark, sf_dir))
 
 
 @query("multimodal_resize", registered=False)  # stub codec: rows-only check

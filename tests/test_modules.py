@@ -258,9 +258,63 @@ def test_compact_parquet_table(spark, tmp_path):
 
 def test_multimodal_codec_boundary():
     feats = decode_media(b"abc", "bytestats")
-    assert feats == {"n_bytes": 3, "first_byte": 97, "last_byte": 99, "byte_sum_mod": 38}
+    assert feats == {
+        "n_bytes": 3, "first_byte": 97, "last_byte": 99, "byte_sum_mod": 38,
+        "width": None, "height": None, "sample_rate": None, "n_channels": None,
+    }
     with pytest.raises(NotImplementedError, match="image/jpeg"):
         decode_media(b"\xff\xd8", "image/jpeg")
+
+
+def test_multimodal_real_codecs_roundtrip():
+    """The BMP/WAV codecs are REAL stdlib-struct parsers: encode a
+    valid container, decode it back, get the true header fields."""
+    from promptly_data_pipelines_spark.extensions.multimodal import (
+        _resize_bmp,
+        encode_bmp,
+        encode_wav,
+    )
+
+    bmp = encode_bmp(13, 7, b"pixeldata")
+    feats = decode_media(bmp, "bmp")
+    assert (feats["width"], feats["height"]) == (13, 7)
+    assert feats["n_bytes"] == len(bmp) and bmp[:2] == b"BM"
+
+    wav = encode_wav(16000, 2, b"\x01\x02" * 100)
+    feats = decode_media(wav, "wav")
+    assert (feats["sample_rate"], feats["n_channels"]) == (16000, 2)
+
+    # resize produces a VALID smaller BMP with the target dims
+    small = _resize_bmp(bmp, 4, 3)
+    sfeats = decode_media(small, "bmp")
+    assert (sfeats["width"], sfeats["height"]) == (4, 3)
+
+    with pytest.raises(ValueError, match="BM"):
+        decode_media(b"nonsense", "bmp")
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_media(b"nonsense", "wav")
+
+
+def test_multimodal_mixed_features_end_to_end(spark):
+    """multimodal_features over mixed REAL containers: every BMP row
+    must carry its doc_id-derived true dims, every WAV row its true
+    sample rate/channels, through the Arrow-batched mapInPandas path."""
+    from promptly_data_pipelines_spark.registry import run
+
+    rows = run("multimodal_features_mixed", spark, SF_DIR).collect()
+    assert len(rows) == 500
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.media_type, []).append(r)
+    assert set(by_type) == {"bmp", "wav", "bytestats"}
+    for r in by_type["bmp"]:
+        assert (r.width, r.height) == (4 + r.doc_id % 29, 3 + r.doc_id % 17)
+        assert r.sample_rate is None and r.byte_sum_mod is None
+    for r in by_type["wav"]:
+        assert r.sample_rate == 8000 + (r.doc_id % 5) * 4000
+        assert r.n_channels == 1 + r.doc_id % 2 and r.width is None
+    for r in by_type["bytestats"]:
+        assert r.byte_sum_mod is not None and r.width is None
 
 
 def test_simhash_pairs_pinned_sf0001(spark):
