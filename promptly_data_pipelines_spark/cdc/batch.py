@@ -165,6 +165,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_tumbling_counts",
+    registered=False,  # r5: superseded as driver row by stream_exec_tumbling
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
@@ -194,6 +195,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_session",
+    registered=False,  # r5: superseded as driver row by stream_exec_session
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,

@@ -67,10 +67,12 @@ def op_from_event_id(event_id: Column) -> Column:
     )
 
 
-def synthesize_envelopes(events: DataFrame) -> DataFrame:
+def synthesize_envelopes(events: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """events fixture → Kafka-shaped frame: (raw_message string JSON,
     kafka_timestamp). Deletes carry the row in ``before`` with null
-    ``after``, matching Debezium semantics (provider.json:13-20)."""
+    ``after``, matching Debezium semantics (provider.json:13-20).
+    ``extra_cols`` are passed through untouched (e.g. a staging
+    batch id that a file-sink partitionBy will strip again)."""
     row_image = F.struct(
         F.col("event_id"),
         F.col("user_id"),
@@ -94,6 +96,7 @@ def synthesize_envelopes(events: DataFrame) -> DataFrame:
     return events.select(
         F.to_json(F.struct(payload.alias("payload"))).alias("raw_message"),
         F.col("ts").alias("kafka_timestamp"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -20,11 +20,13 @@ trigger, production would use ``format("kafka")``:
 
 from __future__ import annotations
 
+import glob
+import math
 import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -227,7 +229,255 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Per-(query, sf, app) staging root under tmp, wiped on entry so a
+    stale checkpoint can never mark the staged files already-processed
+    (availableNow would then terminate with zero batches)."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_{tag}_{os.path.basename(sf_dir)}_"
+        f"{spark.sparkContext.applicationId.replace(':', '_')}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+def _run_memory_sink(agg: DataFrame, name: str, ckpt: str, mode: str):
+    """Run a bounded streaming aggregation into a memory sink with
+    availableNow and return the finished StreamingQuery (its
+    recentProgress carries per-batch watermark + late-drop metrics)."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+@query(
+    "stream_exec_session",
+    oracle="""
+    WITH live AS (
+      SELECT user_id, event_id, value,
+             date_trunc('milliseconds', ts) AS ts
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM live
+    ),
+    sessions AS (
+      SELECT *, sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 session windows, executed by the REAL Structured Streaming
+    engine (supersedes the batch twin ``stream_session``, now
+    local-tier): synthesized Debezium envelopes staged as JSON files,
+    ``readStream`` → decode + tombstone filter → ``session_counts``
+    (native ``F.session_window``, 30-minute inactivity gap) →
+    ``trigger(availableNow=True)`` → memory sink.
+
+    Complete output mode (empirically supported for session windows on
+    Spark 4.1): with no file limit, availableNow processes every staged
+    file in ONE micro-batch where the watermark is still epoch-0, so no
+    row is late-filtered and the emitted table is the full session
+    aggregation — deterministic regardless of file order, exactly what
+    the gap-merge oracle computes. Two engine semantics the oracle must
+    (and does) mirror: sessions merge only on strict overlap (an event
+    at exactly prev_ts + gap starts a NEW session → the oracle flags
+    ``>= INTERVAL 30 MINUTE``), and session_end is ``last event + gap``
+    (not ``max(ts)``, which the batch twin reports); event times are
+    millisecond-truncated because the envelope carries ``ts_ms``
+    (Debezium's precision), so the oracle truncates too. At scale the
+    same plan runs unbounded against ``format("kafka")`` in append
+    mode with the 1-hour watermark bounding session state; complete
+    mode is harness-only (the memory sink holds one row per session).
+    """
+    base = _fresh_staging_dir(spark, sf_dir, "stream_sess")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    synthesize_envelopes(table(spark, sf_dir, "events")).write.json(src)
+    agg = session_counts(read_envelope_stream(spark, src))
+    sink = f"pdp_stream_sess_{os.path.basename(sf_dir)}".replace(".", "_")
+    _run_memory_sink(agg, sink, ckpt, "complete")
+    return spark.table(sink).select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+# Arrival-ordered staging for the late-drop exec: 8 micro-batches at
+# every SF (batch size = ceil(n/8), mirrored by the oracle) — enough
+# that batches >= 2 exist to exercise drops, few enough that the
+# micro-batch overhead stays bounded.
+_LATE_DROP_BATCHES = 8
+
+
+def stage_arrival_batches(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Stage envelopes as one JSON file per arrival micro-batch, mtimes
+    ascending so the file source replays them in order.
+
+    Arrival order is (ts, event_id) — the Kafka-offset stand-in. Every
+    37th event in batches >= 2 carries an event time 35 days older than
+    its arrival slot: 35 days clears the 30-day corpus span plus the
+    window size and watermark delay, so those rows are late beyond ANY
+    watermark the stream can hold by then — they are dropped no matter
+    which batch's watermark the late-filter uses (Spark 4.1 filters
+    late events with the PREVIOUS batch's watermark, one batch behind
+    eviction — measured, not assumed) and no matter whether the filter
+    keys on event time or window end. Batches 0-1 get no late rows:
+    under the delayed filter those would be admitted against an
+    epoch-0 watermark and could re-open already-evicted windows, which
+    append mode would re-emit as duplicate sink rows.
+
+    The global row_number sort and the per-file rename are staging-only
+    driver work standing in for a Kafka topic (offsets already ordered,
+    no staging step exists at scale); the streamed aggregation itself
+    is fully distributed.
+    """
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    size = math.ceil(n / _LATE_DROP_BATCHES)
+    ranked = ev.withColumn(
+        "batch_id",
+        ((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / size).cast("int"),
+    )
+    shifted = ranked.withColumn(
+        "ts",
+        F.when(
+            (F.col("event_id") % 37 == 0) & (F.col("batch_id") >= 2),
+            F.col("ts") - F.expr("INTERVAL 35 DAYS"),
+        ).otherwise(F.col("ts")),
+    )
+    staged = os.path.join(base, "staged")
+    env = synthesize_envelopes(shifted, extra_cols=("batch_id",))
+    # repartition by the partition column first so partitionBy writes
+    # exactly ONE part file per batch_id (a batch split across two
+    # files would straddle two maxFilesPerTrigger=1 triggers).
+    env.repartition("batch_id").write.partitionBy("batch_id").json(staged)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    t0 = 1_700_000_000
+    for d in sorted(glob.glob(os.path.join(staged, "batch_id=*"))):
+        bid = int(d.rsplit("=", 1)[1])
+        parts = glob.glob(os.path.join(d, "part-*.json"))
+        assert len(parts) == 1, f"batch {bid}: expected 1 part file, got {parts}"
+        dst = os.path.join(src, f"b{bid:04d}.json")
+        shutil.move(parts[0], dst)
+        # strictly ascending mtimes pin the file source's replay order
+        os.utime(dst, (t0 + bid, t0 + bid))
+    shutil.rmtree(staged, ignore_errors=True)
+    return src
+
+
+@query(
+    "stream_exec_late_drop",
+    oracle="""
+    WITH sz AS (
+      SELECT CAST(ceil(count(*) / 8.0) AS BIGINT) AS size FROM events
+    ),
+    ranked AS (
+      SELECT event_id, event_type, value, ts,
+             (row_number() OVER (ORDER BY ts, event_id) - 1)
+               // (SELECT size FROM sz) AS batch_id
+      FROM events
+    ),
+    live AS (
+      SELECT event_id, event_type, value, batch_id,
+             (event_id % 37 = 0 AND batch_id >= 2) AS is_late,
+             date_trunc('milliseconds',
+               CASE WHEN event_id % 37 = 0 AND batch_id >= 2
+                    THEN ts - INTERVAL 35 DAY ELSE ts END) AS event_time
+      FROM ranked WHERE event_id % 10 <> 0
+    ),
+    fw AS (SELECT max(event_time) - INTERVAL 10 MINUTE AS w FROM live),
+    agg AS (
+      SELECT date_trunc('hour', event_time) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM live WHERE NOT is_late
+      GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events, sum_value
+    FROM agg, fw WHERE ws + INTERVAL 1 HOUR <= fw.w
+    """,
+)
+def stream_exec_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 watermark/late-data, executed by the REAL Structured Streaming
+    engine in APPEND mode (supersedes the deterministic batch twin
+    ``stream_late_drop``): arrival-ordered envelope files replayed one
+    per micro-batch (``maxFilesPerTrigger=1`` under availableNow —
+    measured to split correctly on Spark 4.1), ``late_drop_counts``
+    (10-minute watermark, 1-hour tumbling windows), memory sink.
+
+    What the oracle mirrors, each facet pinned by a measured engine
+    behavior (see tests/test_modules.py::test_stream_exec_late_drop_*):
+
+    - DROPPED rows: every 37th live event in batches >= 2 is 35 days
+      late — beyond any reachable watermark, so it is dropped whether
+      the filter uses the current or the one-batch-delayed watermark
+      (Spark 4.1 uses the delayed one) and whether it keys on event
+      time or window end. The oracle excludes exactly those rows.
+    - KEPT rows: in-order arrivals can never be late (each batch's
+      event times all exceed every earlier batch's maximum, hence any
+      filter watermark), so everything else aggregates.
+    - EMITTED windows: append mode emits a window when the watermark
+      passes its end; availableNow runs a final no-data batch after
+      the last file (measured), so the sink ends up holding every
+      window with ``end <= max(event time) - 10 min`` — the trailing
+      windows still above the final watermark are withheld, and the
+      oracle's ``ws + 1 hour <= fw.w`` filter reproduces that.
+
+    Event times are millisecond-truncated (envelope ``ts_ms``). At
+    scale the identical aggregation runs unbounded on ``format(
+    "kafka")`` — watermark-bounded state, no staging, no sort; the
+    staging sort here only simulates Kafka's per-partition order.
+    """
+    base = _fresh_staging_dir(spark, sf_dir, "stream_late")
+    src = stage_arrival_batches(spark, sf_dir, base)
+    stream = (
+        spark.readStream.schema(RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    agg = late_drop_counts(stream)
+    sink = f"pdp_stream_late_{os.path.basename(sf_dir)}".replace(".", "_")
+    q = _run_memory_sink(agg, sink, os.path.join(base, "ckpt"), "append")
+    # surface the per-batch drop counters for tests/diagnostics without
+    # changing the DataFrame contract
+    stream_exec_late_drop.last_progress = [p for p in q.recentProgress]
+    return spark.table(sink).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def late_drop_counts(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+
     """T6 watermark/late-data streaming form — the twin of the
     oracle-checked batch query cdc.batch.stream_late_drop: tumbling
     hourly counts with ``withWatermark(delay)``, so events arriving

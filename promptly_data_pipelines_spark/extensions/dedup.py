@@ -405,12 +405,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
-def shingle_postings(d: DataFrame) -> DataFrame:
+def shingle_postings(d: DataFrame, cache_handle: list | None = None) -> DataFrame:
     """Exploded (doc_id, sz, lang, sh) shingle postings for a
     (doc_id, lang, text) frame. The shingled pre-explode frame is
     persisted (MEMORY_AND_DISK) because the postings feed two
     branches — the df-count hot-shingle pre-filter and the posting
-    lists — and each would otherwise re-scan + re-shingle the corpus."""
+    lists — and each would otherwise re-scan + re-shingle the corpus.
+
+    Cache lifetime: the persisted frame is released by the
+    ContextCleaner once every plan reference is GC'd, which is fine
+    for run-once queries but accumulates corpus-sized cached blocks
+    when a long-lived process calls this in a loop or keeps the
+    returned frame around. Callers that need deterministic cleanup
+    pass ``cache_handle=[]``: the persisted frame is appended to it,
+    and after materializing the results they call ``.unpersist()`` on
+    each entry."""
     w = words("text")
     shingles = F.when(
         F.size(w) >= 3,
@@ -431,6 +440,8 @@ def shingle_postings(d: DataFrame) -> DataFrame:
     # (gset is ~8 bytes/token, comparable to the corpus itself), and
     # the ContextCleaner unpersists it once the plan is unreferenced.
     sized = ws.withColumn("sz", F.size("gset")).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handle is not None:
+        cache_handle.append(sized)
     # explode_outer + isNotNull, NOT plain explode: explode makes the
     # optimizer infer `size(gset) > 0` — substituted with the whole
     # shingle expression and pushed below the repartition exchange,
@@ -443,7 +454,9 @@ def shingle_postings(d: DataFrame) -> DataFrame:
     ).filter(F.col("sh").isNotNull())
 
 
-def capped_postings(post: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+def capped_postings(
+    post: DataFrame, df_cap: int = DF_CAP, broadcast_hot: bool = True
+) -> DataFrame:
     """The df-cap skew guard: drop every posting of an over-cap "hot"
     shingle BEFORE any posting list is collected. df is pre-counted
     per (sh, lang) — partial-agg safe, map-side combine collapses each
@@ -451,26 +464,35 @@ def capped_postings(post: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     Zipf head: license boilerplate, ubiquitous trigrams) is tiny in
     distinct count, so it broadcasts; the anti-join removes hot
     postings map-side. No reduce task downstream ever sees more than
-    df_cap postings for one shingle. (If a corpus's over-cap head
-    itself outgrew broadcast — worst case postings/df_cap distinct
-    shingles — drop the broadcast hint: the anti-join then shuffles on
+    df_cap postings for one shingle.
+
+    ``broadcast_hot=False`` selects the documented fallback for a
+    corpus whose over-cap head itself outgrows broadcast (worst case
+    postings/df_cap distinct shingles): the anti-join then shuffles on
     (sh, lang), exactly the partitioning the downstream groupBy needs,
-    so the exchange is shared and total shuffle volume is unchanged.)"""
+    so the exchange is shared and total shuffle volume is unchanged."""
     hot = (
         post.groupBy("sh", "lang")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > df_cap)
         .select("sh", "lang")
     )
-    return post.join(F.broadcast(hot), ["sh", "lang"], "left_anti")
+    return post.join(F.broadcast(hot) if broadcast_hot else hot, ["sh", "lang"], "left_anti")
 
 
 def ngram_jaccard_pairs(
-    d: DataFrame, df_cap: int = DF_CAP, threshold: float = 0.5
+    d: DataFrame,
+    df_cap: int = DF_CAP,
+    threshold: float = 0.5,
+    broadcast_hot: bool = True,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Library form of dedup_ngram_jaccard over any (doc_id, lang, text)
-    frame — see the query docstring for the algorithm and scale notes."""
-    post = shingle_postings(d)
+    frame — see the query docstring for the algorithm and scale notes.
+    ``broadcast_hot``/``cache_handle`` pass through to capped_postings /
+    shingle_postings (hot-head broadcast fallback; deterministic
+    unpersist for long-lived callers)."""
+    post = shingle_postings(d, cache_handle=cache_handle)
     # Pair generation is grouped-by-shingle, not a posting self-join:
     # collect the (doc_id, sz) list per (sh, lang), keep lists sized
     # 2..df_cap (df < 2 can't pair; df > cap is ubiquitous boilerplate —
@@ -482,7 +504,7 @@ def ngram_jaccard_pairs(
     # finding #1) by capped_postings: the hot-shingle anti-join drops
     # an over-cap shingle's postings map-side, so no reduce task ever
     # materializes a posting list longer than df_cap.
-    post_ok = capped_postings(post, df_cap)
+    post_ok = capped_postings(post, df_cap, broadcast_hot=broadcast_hot)
     # Per-group collect state is now bounded by df_cap structs; lists
     # sized < 2 (singleton shingles — the long tail, cheap to carry
     # one row each) drop right after.

@@ -28,6 +28,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,6 +104,11 @@ def _decode_wav(payload: bytes) -> dict:
     while off + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, off)
         if cid == b"fmt ":
+            # the fmt unpack needs 8 more bytes past the chunk header —
+            # bounds-check so a truncated chunk raises the documented
+            # ValueError, not struct.error
+            if off + 16 > len(payload) or size < 8:
+                raise ValueError("WAV payload has a truncated fmt chunk")
             _fmt, n_channels, sample_rate = struct.unpack_from("<HHI", payload, off + 8)
             return {"sample_rate": sample_rate, "n_channels": n_channels}
         off += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
@@ -183,25 +189,52 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _resize_bmp(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor downscale of an uncompressed 24-bpp BMP
-    (rows handled as stored, padding respected), re-encoded as a valid
-    BMP of the target dims. Per-pixel Python over an Arrow batch — a
-    production codec would vectorize; correctness-first here."""
-    src_w, src_h = struct.unpack_from("<ii", payload, 18)
-    src_h = abs(src_h)
+    """REAL nearest-neighbor resize of an uncompressed 24-bpp BMP,
+    re-encoded as a valid bottom-up BMP of the target dims.
+
+    Validates first (via _decode_bmp + the 24-bpp/BI_RGB header fields
+    + pixel-array length) so every malformed or unsupported payload —
+    short header, 32-bpp, RLE-compressed, truncated body — raises the
+    documented ValueError, never struct.error or silent garbage.
+    Top-down sources (negative biHeight: rows stored top-to-bottom)
+    are re-ordered during the gather so the output image keeps its
+    orientation instead of flipping.
+
+    The gather itself is a vectorized numpy fancy-index over the whole
+    pixel array (row index × column index tables), not per-pixel
+    Python — the Arrow batch hands us contiguous bytes, numpy maps
+    them zero-copy, and one advanced-indexing op does the resize."""
+    _decode_bmp(payload)  # magic + minimum-length validation
+    src_w, src_h_signed = struct.unpack_from("<ii", payload, 18)
+    (bitcount,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bitcount != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (biBitCount={bitcount}, "
+            f"biCompression={compression}); only uncompressed 24-bpp is supported"
+        )
+    if src_w <= 0 or src_h_signed == 0:
+        raise ValueError(f"invalid BMP dimensions {src_w}x{src_h_signed}")
+    src_h = abs(src_h_signed)
     (off,) = struct.unpack_from("<I", payload, 10)
     src_row = ((src_w * 3 + 3) // 4) * 4
+    if off + src_row * src_h > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    pixels = (
+        np.frombuffer(payload, dtype=np.uint8, count=src_row * src_h, offset=off)
+        .reshape(src_h, src_row)[:, : src_w * 3]
+        .reshape(src_h, src_w, 3)
+    )
+    # output is bottom-up: stored row y is image row (height-1-y). Map it
+    # to the source's STORED row index, honoring source orientation.
+    img_rows = np.minimum(np.arange(height) * src_h // height, src_h - 1)
+    sy = img_rows if src_h_signed > 0 else src_h - 1 - img_rows
+    sx = np.minimum(np.arange(width) * src_w // width, src_w - 1)
+    gathered = pixels[sy][:, sx, :]  # (height, width, 3) in one gather
     out_row_size = ((width * 3 + 3) // 4) * 4
-    body = bytearray()
-    for y in range(height):
-        sy = min(src_h - 1, y * src_h // height)
-        row = payload[off + sy * src_row : off + sy * src_row + src_w * 3]
-        out_row = bytearray()
-        for x in range(width):
-            sx = min(src_w - 1, x * src_w // width)
-            out_row += row[sx * 3 : sx * 3 + 3]
-        body += out_row.ljust(out_row_size, b"\x00")
-    return encode_bmp(width, height, bytes(body))
+    body = np.zeros((height, out_row_size), dtype=np.uint8)
+    body[:, : width * 3] = gathered.reshape(height, width * 3)
+    return encode_bmp(width, height, body.tobytes())
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:

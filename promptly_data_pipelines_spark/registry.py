@@ -90,9 +90,13 @@ _ORDER: tuple[str, ...] = (
     "reference_curated_provider",
     "cdc_parse",
     "merge_upsert",
-    "stream_tumbling_counts",
+    # r5 rotation: the real-engine exec forms replaced their batch twins
+    # (stream_tumbling_counts, stream_session — now local-tier, still
+    # oracle-checked by pytest) so T5/T6's primary rows run through the
+    # actual Structured Streaming engine.
     "stream_exec_tumbling",
-    "stream_session",
+    "stream_exec_session",
+    "stream_exec_late_drop",
     "stream_late_drop",
     "agg_group_salted",
 )

@@ -295,6 +295,86 @@ def test_multimodal_real_codecs_roundtrip():
         decode_media(b"nonsense", "wav")
 
 
+def test_resize_bmp_vectorized_gather_exact():
+    """The numpy fancy-index resize must reproduce the reference
+    per-pixel nearest-neighbor gather byte-for-byte."""
+    import struct
+
+    from promptly_data_pipelines_spark.extensions.multimodal import (
+        _resize_bmp,
+        encode_bmp,
+    )
+
+    src_w, src_h, w, h = 13, 7, 5, 3
+    # distinct pixel bytes so any mis-gather shows
+    pix = bytes(range(256)) * ((src_w * src_h * 3) // 256 + 1)
+    bmp = encode_bmp(src_w, src_h, pix)
+    out = _resize_bmp(bmp, w, h)
+
+    # reference gather, explicit loops
+    (off,) = struct.unpack_from("<I", bmp, 10)
+    src_row = ((src_w * 3 + 3) // 4) * 4
+    out_row_size = ((w * 3 + 3) // 4) * 4
+    expect = bytearray()
+    for y in range(h):
+        sy = min(src_h - 1, y * src_h // h)
+        row = bmp[off + sy * src_row : off + sy * src_row + src_w * 3]
+        orow = bytearray()
+        for x in range(w):
+            sx = min(src_w - 1, x * src_w // w)
+            orow += row[sx * 3 : sx * 3 + 3]
+        expect += orow.ljust(out_row_size, b"\x00")
+    assert out[54:] == bytes(expect)
+
+
+def test_resize_bmp_variants_and_truncation():
+    """ADVICE r4: top-down BMPs keep their orientation; unsupported
+    bpp/compression and truncated payloads raise ValueError (never
+    struct.error or silent garbage); truncated WAV fmt raises too."""
+    import struct
+
+    from promptly_data_pipelines_spark.extensions.multimodal import (
+        _decode_wav,
+        _resize_bmp,
+        encode_bmp,
+        encode_wav,
+    )
+
+    src_w, src_h = 8, 6
+    pix = bytes((i * 7) % 256 for i in range(src_w * src_h * 3))
+    bottom_up = encode_bmp(src_w, src_h, pix)
+    # build the equivalent top-down BMP: negate biHeight, reverse the
+    # stored row order (same image, other storage orientation)
+    row = ((src_w * 3 + 3) // 4) * 4
+    body = bottom_up[54:]
+    rows = [body[i * row : (i + 1) * row] for i in range(src_h)]
+    top_down = (
+        bottom_up[:14]
+        + struct.pack("<Iii", 40, src_w, -src_h)
+        + bottom_up[26:54]
+        + b"".join(reversed(rows))
+    )
+    # same image either way -> identical resized bytes
+    assert _resize_bmp(top_down, 4, 3) == _resize_bmp(bottom_up, 4, 3)
+
+    bad_bpp = bytearray(bottom_up)
+    struct.pack_into("<H", bad_bpp, 28, 32)
+    with pytest.raises(ValueError, match="biBitCount=32"):
+        _resize_bmp(bytes(bad_bpp), 4, 3)
+    bad_comp = bytearray(bottom_up)
+    struct.pack_into("<I", bad_comp, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="biCompression=1"):
+        _resize_bmp(bytes(bad_comp), 4, 3)
+    with pytest.raises(ValueError, match="truncated BMP pixel array"):
+        _resize_bmp(bottom_up[:-10], 4, 3)
+    with pytest.raises(ValueError, match="BM"):
+        _resize_bmp(b"xx", 4, 3)
+
+    wav = encode_wav(8000, 1, b"\x00\x01" * 8)
+    with pytest.raises(ValueError, match="truncated fmt chunk"):
+        _decode_wav(wav[:22])  # cut inside the fmt chunk
+
+
 def test_multimodal_mixed_features_end_to_end(spark):
     """multimodal_features over mixed REAL containers: every BMP row
     must carry its doc_id-derived true dims, every WAV row its true
@@ -361,6 +441,24 @@ def test_ngram_jaccard_df_cap_kills_ubiquitous_shingle(spark):
     # sanity: without the cap the boilerplate shingle floods the pair space
     uncapped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(d, df_cap=10**9).collect()}
     assert got <= uncapped
+
+    # ADVICE r4: the documented shuffle-anti-join fallback (a corpus
+    # whose hot head outgrows broadcast) is caller-selectable and
+    # value-identical; its plan must NOT broadcast the hot side.
+    shuffled = ngram_jaccard_pairs(d, df_cap=cap, broadcast_hot=False)
+    assert {(r.doc_a, r.doc_b) for r in shuffled.collect()} == got
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin LeftAnti" not in plan
+
+    # ADVICE r4: cache_handle gives long-lived callers deterministic
+    # unpersist of the corpus-sized shingled frame.
+    handle = []
+    res = ngram_jaccard_pairs(d, df_cap=cap, cache_handle=handle)
+    assert len(handle) == 1
+    res.collect()
+    assert handle[0].storageLevel.useMemory  # persisted while in use
+    handle[0].unpersist(blocking=True)
+    assert not handle[0].storageLevel.useMemory
 
 
 def test_shingle_ops_survive_short_docs(spark):
@@ -489,6 +587,39 @@ def test_streaming_late_drop_counts(spark):
         F.date_trunc("hour", F.min("ts")).alias("h")
     ).first().h
     assert out.mn >= min_on_time_hour, (out.mn, min_on_time_hour)
+
+
+def test_stream_exec_late_drop_actually_drops(spark):
+    """The oracle proves the OUTPUT of stream_exec_late_drop; this pins
+    the MECHANISM: the engine's own numRowsDroppedByWatermark counters
+    must show the 35-day-late rows were dropped by the watermark filter
+    (not merely absent from the input), and the append-mode sink must
+    withhold the trailing windows still above the final watermark."""
+    from promptly_data_pipelines_spark.cdc.streaming import stream_exec_late_drop
+
+    out = stream_exec_late_drop(spark, SF_DIR)
+    progress = stream_exec_late_drop.last_progress
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p["stateOperators"]
+    )
+    # sf0.001: ~27 %37-events, ~2/3 in batches >= 2, minus tombstones
+    assert dropped > 0, "no rows dropped by watermark — late path not exercised"
+    # a final no-data batch must have run (it flushes the last windows)
+    assert any(p["numInputRows"] == 0 for p in progress)
+    # withheld tail: the last event's window end exceeds the final
+    # watermark, so the sink must hold strictly fewer windows than a
+    # batch aggregation of the kept rows would produce
+    n_sink = out.count()
+    ev = table(spark, SF_DIR, "events")
+    n_all_windows = (
+        ev.filter(F.col("event_id") % 10 != 0)
+        .select(F.window("ts", "1 hour").alias("w"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_sink < n_all_windows
 
 
 def test_approx_count_distinct_accuracy(spark):

@@ -166,13 +166,16 @@ def test_jaccard_single_corpus_scan(spark):
 
     p = _plan(spark, "dedup_ngram_jaccard")
     tree = p.split("\n\n", 1)[0]
+    # ADVICE r4 (version coupling): assert the loosest string facts
+    # that still pin the semantics — at least one cached relation in
+    # the tree (the shared shingled frame; exact occurrence count
+    # varies with how AQE dumps cached plans), and ONE distinct scan
+    # node id (one physical scan at execution). If a Spark minor
+    # changes the "Scan parquet (N)" shape, fix the regex here — the
+    # guarded property is the single scan, not the string format.
     n_cached = tree.count("InMemoryRelation")
-    assert n_cached == 2, f"expected both branches cached, saw {n_cached}:\n{tree}"
-    # all Scan parquet occurrences live inside the cached-relation
-    # dumps and share one node id = one physical scan at execution
-    # (a materialized cache dumps Final + Initial AQE plans, so the
-    # raw string count varies; the distinct node id does not)
-    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert n_cached >= 1, f"shingled frame no longer cached:\n{tree}"
+    scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
     assert len(scan_ids) == 1, f"documents scanned more than once (scan ids {scan_ids}):\n{tree}"
 
 
@@ -184,10 +187,13 @@ def test_jaccard_hot_shingles_dropped_before_collect(spark):
     that collects the posting lists."""
     p = _plan(spark, "dedup_ngram_jaccard")
     tree = p.split("\n\n", 1)[0]
+    # version coupling (ADVICE r4): these are substring checks against
+    # the formatted plan; if a Spark minor renames the nodes, update
+    # the strings — the guarded property is anti-join-below-collect.
     assert "BroadcastHashJoin LeftAnti" in tree, "hot-shingle anti-join missing"
     assert "ObjectHashAggregate" in tree, "collect_list aggregate missing"
-    # parents print before children: the collect aggregate must be an
-    # ancestor of (printed before) the anti-join
+    # parents print before children in the formatted tree: the collect
+    # aggregate must be an ancestor of (printed before) the anti-join
     assert tree.index("ObjectHashAggregate") < tree.index("BroadcastHashJoin LeftAnti"), (
         "anti-join is not below the collect_list aggregate"
     )
