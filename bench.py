@@ -98,6 +98,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
 
+    # Accuracy companion to the similarity timings (round-4 verdict
+    # item #4): IVF recall vs exact top-k at the bench SF, recorded
+    # every round so the accuracy/speed trade is tracked like perf is.
+    # (The pytest pin at sf0.001 is ≥0.8; this measures the real SF.)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in queries["similarity_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in queries["similarity_topk_ivf"](spark, SF_DIR).collect()
+    }
+    secondary["similarity_ivf_recall"] = round(len(exact & approx) / max(1, len(exact)), 4)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_num = float(sf)
