@@ -375,3 +375,62 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.getField("lang").alias("lang_pred"),
         F.col("lang").alias("lang_declared"),
     )
+
+
+# PII scrubbing: pre-training corpora redact contact identifiers before
+# anything else sees the text. Patterns are chosen to parse identically
+# under Java regex (Spark) and RE2 (DuckDB): no backreferences, no
+# lookaround, ASCII word boundaries only.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def scrub_pii(text_col) -> "F.Column":
+    """Chained global regexp_replace over the PII patterns (applied in
+    declaration order — email first so its local part cannot be
+    re-matched as an SSN-shaped digit run). Pure JVM expression: one
+    projection pass, embarrassingly parallel at any corpus size."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+@query(
+    "pii_scrub",
+    registered=False,
+    oracle="""
+    SELECT doc_id, lang,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+              + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT)
+             AS n_redactions
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (north-star op, beyond the
+    reference's scope): emails, IPv4s, SSN-shaped ids replaced with
+    typed tags; n_redactions counts matches in the ORIGINAL text so
+    the redaction volume is auditable per doc. The fixture corpus is
+    synthetic prose (usually zero matches) — the behavior pins live in
+    tests/test_modules.py on adversarial strings; this query proves
+    engine parity of the patterns themselves."""
+    d = table(spark, sf_dir, "documents")
+    n_red = None
+    for pat, _ in _PII_PATTERNS:
+        c = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        n_red = c if n_red is None else n_red + c
+    return d.select(
+        "doc_id",
+        "lang",
+        scrub_pii("text").alias("scrubbed"),
+        n_red.cast("int").alias("n_redactions"),
+    )

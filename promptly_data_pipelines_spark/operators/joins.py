@@ -12,7 +12,7 @@ untouched and lets AQE pick broadcast for every dim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -240,4 +240,91 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    payload_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """J6 bonus (absent from the reference — SURVEY.md:150 marks the
+    family unneeded there, but it is the canonical enrichment join a
+    training-data pipeline runs constantly: attach the latest-known
+    state as of each event's time): for every left row, the single
+    right row with the greatest ``time_col`` that is ``<`` (strict) /
+    ``<=`` the left row's, per ``key``.
+
+    NOT implemented as a range join (per-key explode of candidate
+    windows — quadratic on hot keys). The scalable form is
+    union-then-window: tag both sides, union, and per key in time
+    order carry the last-seen right payload forward with
+    last(ignorenulls) over an unbounded-preceding frame. One shuffle
+    on the key — the same partitioning either side's next aggregation
+    wants — linear state, no pair blow-up, AQE-skew-splittable.
+    Strictness falls out of the sort tiebreak: right rows sort AFTER
+    left rows at equal time (strict — a left row cannot see a
+    same-timestamp right row) or before (non-strict)."""
+    side = F.lit(1) if strict else F.lit(-1)
+    r_tagged = right.select(
+        F.col(key),
+        F.col(time_col),
+        side.alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+    )
+    l_tagged = left.select(
+        "*", F.lit(0).alias("__side"), *[F.lit(None).alias(f"__r_{c}") for c in payload_cols]
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(time_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 0).drop(
+        "__side", *[f"__r_{c}" for c in payload_cols]
+    )
+
+
+@query(
+    "join_asof",
+    registered=False,
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts,
+           p.value AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 bonus: each event enriched with the user's most recent STRICTLY
+    PRIOR purchase (time + value) — the attribute-to-latest-preceding-
+    state join. DuckDB's native ASOF LEFT JOIN is the oracle; the Spark
+    side is the union-then-window form (see asof_join). Strictness
+    matters and is tested: a purchase event must not match itself."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(ev, purchases, key="user_id", time_col="ts",
+                       payload_cols=["ts", "value"], strict=True)
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_purchase_ts"),
+        F.col("asof_value").alias("last_purchase_value"),
     )

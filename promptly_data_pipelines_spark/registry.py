@@ -168,7 +168,15 @@ def _load_all() -> None:
     from .cdc import batch, streaming  # noqa: F401
     from .quality import checks  # noqa: F401
     from .pipelines import elt_job, flagship, reference_pipeline  # noqa: F401
-    from .extensions import dedup, multimodal, sampling, similarity, text, udfs  # noqa: F401
+    from .extensions import (  # noqa: F401
+        dedup,
+        multimodal,
+        packing,
+        sampling,
+        similarity,
+        text,
+        udfs,
+    )
 
     missing = [n for n in _ORDER if n not in _QUERIES]
     extra = [n for n in _QUERIES if n not in _ORDER]

@@ -865,3 +865,75 @@ def test_jaccard_df_cap_bounds_hot_shingle_postings(spark):
     assert capped_group_max is not None and capped_group_max <= cap, (
         f"hot shingle postings reached the collect stage: max group = {capped_group_max}"
     )
+
+
+def test_asof_join_strictness_and_carry(spark):
+    """The union-then-window as-of join: latest strictly-prior right
+    row per key; a right row at the exact left timestamp must NOT
+    match under strict=True and MUST under strict=False."""
+    from promptly_data_pipelines_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 100, 20.0), (3, 100, 30.0), (4, 200, 40.0)],
+        "event_id long, user_id long, v double",
+    ).withColumn("ts", F.timestamp_millis(F.col("event_id") * 1000))
+    # right rows at t=1s (equal to event 1) and t=2.5s for user 100
+    right = spark.createDataFrame(
+        [(100, 1000, 111.0), (100, 2500, 222.0)], "user_id long, ms long, rv double"
+    ).select("user_id", F.timestamp_millis("ms").alias("ts"), "rv")
+
+    strict = {
+        r.event_id: r.asof_rv
+        for r in asof_join(left, right, "user_id", "ts", ["rv"], strict=True).collect()
+    }
+    assert strict == {1: None, 2: 111.0, 3: 222.0, 4: None}
+    loose = {
+        r.event_id: r.asof_rv
+        for r in asof_join(left, right, "user_id", "ts", ["rv"], strict=False).collect()
+    }
+    assert loose == {1: 111.0, 2: 111.0, 3: 222.0, 4: None}
+
+
+def test_pii_scrub_patterns():
+    """Redaction pins on adversarial strings (the corpus fixture is
+    clean prose, so the oracle query alone never exercises a match)."""
+    from promptly_data_pipelines_spark.extensions.text import _PII_PATTERNS, scrub_pii
+    import re
+
+    cases = [
+        ("mail bob.smith+x@example.co.uk now", "mail <EMAIL> now"),
+        ("server 10.0.255.3 down", "server <IP> down"),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked"),
+        ("multi a@b.io and 1.2.3.4 and 999-88-7777", "multi <EMAIL> and <IP> and <SSN>"),
+        ("clean text 12345 stays", "clean text 12345 stays"),
+        ("date-ish 2024-01-0155 stays", "date-ish 2024-01-0155 stays"),
+    ]
+    # pure-Python mirror of the chained replace (same patterns, re ~ Java
+    # semantics for this feature subset) keeps the pin engine-free
+    for text, want in cases:
+        got = text
+        for pat, repl in _PII_PATTERNS:
+            got = re.sub(pat, repl, got)
+        assert got == want, (text, got, want)
+
+
+def test_pack_sequences_two_phase_prefix_crosses_shards(spark):
+    """The sharded two-phase prefix sum must equal the single-window
+    ground truth even when docs cross shard boundaries (shard_docs=3
+    forces several shards) and bins span shards (tiny budget)."""
+    from promptly_data_pipelines_spark.extensions.packing import pack_assignments
+
+    rows = [(i, "en", " ".join(["w"] * (5 + i))) for i in range(10)]
+    rows += [(i, "fr", " ".join(["w"] * (3 + i))) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r.lang, r.doc_id): (r.start_token, r.bin_id, r.bin_offset)
+        for r in pack_assignments(d, budget=16, shard_docs=3).collect()
+    }
+    # ground truth: plain running sum per lang in doc_id order
+    for lang, base in (("en", 5), ("fr", 3)):
+        start = 0
+        for i in range(10):
+            n = base + i
+            assert got[(lang, i)] == (start, start // 16, start % 16), (lang, i)
+            start += n
