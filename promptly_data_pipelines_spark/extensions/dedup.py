@@ -110,7 +110,13 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the band join is the only pairwise step and touches only
     colliding docs."""
     d = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+    # Same materialize-the-index shape as dedup_simhash: the band
+    # self-join reads the signature table twice and exchange reuse
+    # does not deduplicate the shingle+16-hash subtree — persist +
+    # force so the corpus is shingled once per run, then both join
+    # sides read the (doc_id, 16×long) cache.
+    sig = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     sig_arr = sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig"))
     rows_per_band = N_HASHES // N_BANDS
     bands = sig_arr.select(
@@ -234,39 +240,63 @@ _LANE_MASK = 0x0001000100010001  # bits {0,16,32,48}: four 16-bit counter lanes
 def simhash_signatures(d: DataFrame) -> DataFrame:
     """63-bit SimHash per doc from per-token hash bit votes (positive
     bit → +1, else −1; sign of the sum per bit position), computed
-    with SWAR bit-slicing: instead of 64 per-bit ``sum(when(...))``
-    aggregate columns (the round-1 form — the bench's #2 cost), each
-    of 16 aggregates packs FOUR 16-bit counters into one long
-    (``sum((h >> i) & 0x0001000100010001)`` accumulates the popcounts
-    of bit positions i, i+16, i+32, i+48 in parallel lanes). 4× fewer
-    aggregate expressions per token; lanes overflow only beyond 65 535
-    tokens per doc (far above any real document — and a cap upstream
-    is the right guard at 100 TB). The per-bit vote sign is recovered
-    per doc: bit set ⟺ 2·popcount(bit) > n_tokens, identical to the
-    sign-of-±1-sum formulation (pinned by the sf0.001 pairs test)."""
-    # explode_outer + isNotNull: avoids the inferred size>0 filter
-    # that would re-split every text below the repartition exchange
-    # (see ngram_jaccard_pairs).
-    toks = d.select("doc_id", F.explode_outer(words("text")).alias("tok")).filter(
-        F.col("tok").isNotNull()
-    )
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    packed = hashed.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(_LANE_MASK))).alias(f"lane_{i}")
-            for i in range(16)
-        ],
-    )
-    # decode: popcount of bit position (i + 16*k) = lane_i's k-th 16-bit field
-    def _cnt(i: int) -> F.Column:
-        return F.shiftright(F.col(f"lane_{i % 16}"), (i // 16) * 16).bitwiseAND(F.lit(0xFFFF))
+    with SWAR bit-slicing: each of 16 lane accumulators packs FOUR
+    16-bit counters into one long (``acc + ((h >> i) &
+    0x0001000100010001)`` accumulates the popcounts of bit positions
+    i, i+16, i+32, i+48 in parallel lanes). Lanes overflow only beyond
+    65 535 tokens per doc (far above any real document — and a cap
+    upstream is the right guard at 100 TB). The per-bit vote sign is
+    recovered per doc: bit set ⟺ 2·popcount(bit) > n_tokens,
+    identical to the sign-of-±1-sum formulation (pinned bit-for-bit
+    by the sf0.001 pairs test across the r5 rewrite).
 
+    r5 form: a per-ROW higher-order ``F.aggregate`` over the hashed
+    token array with a 17-field struct accumulator — no explode, no
+    token-row shuffle, no groupBy. The r1→r4 history of this operator
+    is shuffle-shedding: r1 exploded tokens into 64 per-bit
+    ``sum(when(...))`` aggregates, r2 cut that to 16 SWAR sums (still
+    explode + hash-agg over ~45× the corpus row count), r5 makes the
+    signature a pure map-side expression — the ONLY shuffle left in
+    dedup_simhash is the band join itself. Local wall-time is flat
+    (the explode form was codegen'd; HOFs are not) but at cluster
+    scale this removes the full token-stream network pass."""
+    hashes = F.transform(words("text"), lambda w: F.xxhash64(w))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        *[F.lit(0).cast("long").alias(f"l{i}") for i in range(16)],
+    )
+
+    def merge(acc: F.Column, h: F.Column) -> F.Column:
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            *[
+                (acc[f"l{i}"] + F.shiftright(h, i).bitwiseAND(F.lit(_LANE_MASK))).alias(
+                    f"l{i}"
+                )
+                for i in range(16)
+            ],
+        )
+
+    # decode: popcount of bit position (i + 16*k) = lane_i's k-th 16-bit field
+    def _cnt(acc: F.Column, i: int) -> F.Column:
+        return F.shiftright(acc[f"l{i % 16}"], (i // 16) * 16).bitwiseAND(F.lit(0xFFFF))
+
+    acc = F.aggregate(hashes, zero, merge)
+    # Zero-token (empty/null) docs must drop out, as the explode
+    # form's filter did — an all-zero signature would band-join every
+    # empty doc against every other. The predicate is deliberately on
+    # the RAW text (trim != ''), equivalent to size(words)==0 under
+    # the space-only split: filtering on acc["n"] instead makes
+    # Catalyst substitute the whole 17-lane aggregate into the Filter
+    # node and evaluate it twice (caught by
+    # test_explode_heavy_exprs_not_recomputed_below_exchange).
+    packed = d.filter(F.trim(F.col("text")) != "").select("doc_id", acc.alias("acc"))
     return packed.select(
         "doc_id",
         sum(
             (
-                F.when(_cnt(i) * 2 > F.col("n_tok"), F.lit(1).cast("bigint")).otherwise(0)
+                F.when(_cnt(F.col("acc"), i) * 2 > F.col("acc")["n"], F.lit(1).cast("bigint"))
+                .otherwise(0)
                 * F.lit(2**i).cast("bigint")
             )
             for i in range(63)  # 63 bits: stay within signed long
@@ -287,7 +317,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_blocks = max_hamming + 1
     d = table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    sig = simhash_signatures(d.repartition(par))
+    # The band join consumes the signature table TWICE (both sides of
+    # the self-join) and exchange reuse does not deduplicate the
+    # subtree — so materialize it once: persist + count, then join
+    # from cache. The signature table is (doc_id, simhash) = 16
+    # bytes/doc — at 100 TB of text it is GBs, and building it as an
+    # explicitly materialized index (here: cache; in production: a
+    # written table) is the standard shape. Cuts the corpus
+    # scan+hash+aggregate from 2× to 1× per run.
+    sig = simhash_signatures(d.repartition(par)).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()  # force: both join sides must read the cache, not recompute
     # block b = bits [b*16, b*16+15] (last block 15 bits of the 63)
     blocked = sig.select(
         "doc_id",

@@ -417,6 +417,20 @@ def test_simhash_pairs_pinned_sf0001(spark):
     assert got == expected
 
 
+def test_simhash_empty_docs_drop_out(spark):
+    """r5 HOF rewrite regression pin: zero-token docs (empty / spaces /
+    null text) must vanish from the signature table — an all-zero
+    signature would band-join every empty doc against every other."""
+    from promptly_data_pipelines_spark.extensions.dedup import simhash_signatures
+
+    d = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   "), (4, None), (5, "more real words")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in simhash_signatures(d).collect()}
+    assert got == {1, 5}
+
+
 def test_ngram_jaccard_df_cap_kills_ubiquitous_shingle(spark):
     """Skew guard: a shingle shared by more docs than DF_CAP must not
     generate pairs (it would be a df² posting blow-up at scale). Corpus:

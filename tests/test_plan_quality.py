@@ -199,6 +199,23 @@ def test_jaccard_hot_shingles_dropped_before_collect(spark):
     )
 
 
+def test_signature_tables_materialized_once(spark):
+    """dedup_simhash / dedup_near_text band self-joins consume their
+    signature table twice, and exchange reuse does NOT deduplicate the
+    subtree (measured: two parquet scans, no ReusedExchange) — so both
+    queries persist the signature index and force it before the join.
+    Pin: the plan reads the cache (InMemoryRelation present) and all
+    parquet scans collapse to one node id, same invariant as jaccard."""
+    import re
+
+    for name in ("dedup_simhash", "dedup_near_text"):
+        p = _plan(spark, name)
+        tree = p.split("\n\n", 1)[0]
+        assert "InMemoryRelation" in tree, f"{name}: signature table no longer cached"
+        scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
+        assert len(scan_ids) <= 1, f"{name}: corpus scanned more than once ({scan_ids})"
+
+
 def test_explode_heavy_exprs_not_recomputed_below_exchange(spark):
     """explode() makes the optimizer infer `size(arr) > 0`, substitute
     the generator's defining expression into it, and push it below the
