@@ -47,7 +47,7 @@ def test_column_pruning_through_join(spark):
 def test_no_python_in_relational_operators(spark):
     # Python appears ONLY in the declared UDF escape hatches — every
     # relational operator stays JVM-side (whole-stage codegen)
-    for name in ("agg_group", "dedup_latest", "window_sliding_avg", "merge_upsert", "join_star"):
+    for name in ("agg_group", "dedup_latest", "window_sliding_avg", "merge_upsert", "join_star", "corpus_prep", "join_asof", "pack_sequences", "pii_scrub"):
         p = _plan(spark, name)
         assert "EvalPython" not in p, f"{name}: unexpected Python in the plan"
 
