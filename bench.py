@@ -62,6 +62,9 @@ HEADLINE = [
 SECONDARY = [
     "udf_grouped_map",
     "udf_grouped_map_window_twin",
+    # r5: the five-stage curation composite — tracked so pipeline-level
+    # regressions surface, without disturbing the fixed headline set
+    "corpus_prep",
 ]
 
 

@@ -79,3 +79,111 @@ def user_activity_tracker(live: DataFrame, state_ttl_ms: int | None = None) -> D
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API) — the successor
+# to applyInPandasWithState above: typed per-key state handles
+# (Value/List/Map), timers, TTL, and initial-state seeding. Both forms are
+# kept: the tracker above shows the legacy API the ecosystem still runs;
+# the dedup below is the shape new code should take.
+# ---------------------------------------------------------------------------
+
+try:  # the API needs pyspark >= 4.0 AND protobuf (its Python<->JVM state
+    # protocol is protobuf-serialized: pyspark/sql/streaming/proto/
+    # StateMessage_pb2 imports google.protobuf at runtime). In-sandbox
+    # infeasibility proof, mirroring operators/lakehouse.py:15:
+    #   $ python -c "import google.protobuf"   -> ModuleNotFoundError
+    #   $ pip download protobuf --no-deps      -> "No matching
+    #     distribution found for protobuf" (offline index)
+    # so the operator is code-complete but executable only where
+    # protobuf exists; the test skips with this reason. The legacy
+    # applyInPandasWithState path above has no such dependency and IS
+    # executed by the suite.
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+DEDUP_OUTPUT_SCHEMA = "content_hash string, doc_id bigint, lang string, n_dupes_dropped bigint"
+
+
+class StreamingExactDedup(StatefulProcessor):
+    """Cross-micro-batch exact dedup of a document stream, keyed by
+    content hash: the FIRST arrival of a hash is emitted (min doc_id
+    within its batch — deterministic), every later arrival in the same
+    or any later micro-batch is counted and dropped. The training-
+    ingest use: Kafka replays and multi-source crawls re-deliver
+    identical documents days apart; windowed aggregation can't express
+    "seen ever" (state must outlive any window), arbitrary state can.
+    State per key is ONE boolean-sized row sharded by hash — at 100 TB
+    the store scales horizontally with the key space and a TTL
+    (ttlDurationMs on the ValueState) bounds it where business rules
+    allow re-admitting ancient content."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self.seen = handle.getValueState("seen", "seen boolean")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd  # executor-side
+
+        (content_hash,) = key
+        n = 0
+        first = None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            cand = pdf.loc[pdf["doc_id"].idxmin()]
+            if first is None or cand["doc_id"] < first["doc_id"]:
+                first = cand
+        if n == 0:
+            return
+        if self.seen.exists():
+            # duplicate delivery of an already-admitted document
+            return
+        self.seen.update((True,))
+        yield pd.DataFrame(
+            [
+                {
+                    "content_hash": content_hash,
+                    "doc_id": int(first["doc_id"]),
+                    "lang": first["lang"],
+                    "n_dupes_dropped": int(n - 1),
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """docs: a streaming frame of (doc_id, lang, text). Returns the
+    first-arrival stream (one row per distinct content hash, ever) via
+    transformWithStateInPandas in append mode, timeMode None (bounded
+    drains — see the module caveat on processing-time timers)."""
+    from pyspark.sql import functions as F
+
+    if not _HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires protobuf, absent in this "
+            "environment (see the import-guard comment for the proof)"
+        )
+    hashed = docs.select(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " ")))).alias("content_hash"),
+        "doc_id",
+        "lang",
+    )
+    return hashed.groupBy("content_hash").transformWithStateInPandas(
+        statefulProcessor=StreamingExactDedup(),
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -232,12 +232,18 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     """Per-(query, sf, app) staging root under tmp, wiped on entry so a
     stale checkpoint can never mark the staged files already-processed
-    (availableNow would then terminate with zero batches)."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"pdp_{tag}_{os.path.basename(sf_dir)}_"
-        f"{spark.sparkContext.applicationId.replace(':', '_')}",
-    )
+    (availableNow would then terminate with zero batches). Staging
+    dirs left by PREVIOUS app-ids (same tag+sf prefix) are reaped too:
+    each harness session otherwise strands its own copies — at scale
+    this whole layer is a Kafka topic and the problem doesn't exist.
+    Assumes one session runs a given (query, sf) at a time, which the
+    harness guarantees (stage + consume happen within one call)."""
+    prefix = f"pdp_{tag}_{os.path.basename(sf_dir)}_"
+    app = spark.sparkContext.applicationId.replace(":", "_")
+    tmp = tempfile.gettempdir()
+    for stale in glob.glob(os.path.join(tmp, prefix + "*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    base = os.path.join(tmp, prefix + app)
     shutil.rmtree(base, ignore_errors=True)
     return base
 

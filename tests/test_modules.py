@@ -951,3 +951,62 @@ def test_pack_sequences_two_phase_prefix_crosses_shards(spark):
             n = base + i
             assert got[(lang, i)] == (start, start // 16, start % 16), (lang, i)
             start += n
+
+
+def test_streaming_exact_dedup_cross_batch_state(spark):
+    """transformWithStateInPandas dedup: batch 2 re-delivers two of
+    batch 1's documents (same content, higher doc_ids) plus one new
+    one — the repeats must be dropped by state that SURVIVED the
+    micro-batch boundary, the new doc admitted, and within-batch
+    duplicates collapsed to min doc_id with a correct drop count.
+
+    Environment gate: the transformWithState Python<->JVM protocol is
+    protobuf-serialized and protobuf is absent in this sandbox
+    (infeasibility proof in cdc/stateful.py's import guard) — skipped
+    here, executable anywhere protobuf exists."""
+    pytest.importorskip("google.protobuf", reason="transformWithState needs protobuf (cdc/stateful.py proof)")
+    import json as _json
+    import shutil
+
+    from promptly_data_pipelines_spark.cdc.stateful import streaming_exact_dedup
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    batches = [
+        [
+            {"doc_id": 1, "lang": "en", "text": "alpha beta gamma"},
+            {"doc_id": 2, "lang": "en", "text": "delta epsilon zeta"},
+            {"doc_id": 3, "lang": "en", "text": "alpha beta gamma"},  # in-batch dup of 1
+        ],
+        [
+            {"doc_id": 10, "lang": "en", "text": "alpha beta gamma"},  # cross-batch dup
+            {"doc_id": 11, "lang": "en", "text": "delta epsilon zeta"},  # cross-batch dup
+            {"doc_id": 12, "lang": "en", "text": "brand new content"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i:02d}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (2000 + i, 2000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("tws_dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.doc_id: r.n_dupes_dropped for r in spark.table("tws_dedup_t").collect()}
+    # admitted: 1 (with in-batch dup 3 dropped), 2, 12; dropped: 10, 11
+    assert out == {1: 1, 2: 0, 12: 0}
+    shutil.rmtree(d, ignore_errors=True)
