@@ -285,6 +285,9 @@ def cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_late_drop",
+    registered=False,  # r5 rotation: superseded as a driver row by the
+    # real-engine stream_exec_late_drop (cdc/streaming.py); stays
+    # oracle-checked here in the local pytest tier
     oracle="""
     WITH arr AS (
       SELECT event_id, event_type, value,

@@ -371,11 +371,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DF_CAP = 256  # max document frequency a shingle may have and still join
 
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH w0 AS (
+# Shared oracle CTE block: 3-gram-shingle Jaccard pairs over `documents`
+# (the DuckDB mirror of ngram_jaccard_pairs). Ends with `jpairs`
+# (doc_a, doc_b, jaccard) so both the pair query and the
+# connected-components clustering query reuse one definition.
+_JACCARD_PAIR_CTES = f"""
+    w0 AS (
       SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
       FROM documents
     ),
@@ -390,17 +391,27 @@ DF_CAP = 256  # max document frequency a shingle may have and still join
     live AS (
       SELECT sh, lang FROM post GROUP BY sh, lang
       HAVING count(*) BETWEEN 2 AND {DF_CAP}
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS DOUBLE) /
+               (max(a.sz) + max(b.sz) - count(*)) AS jaccard
+        FROM post a JOIN post b
+          ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+         AND least(a.sz, b.sz) * 2 >= greatest(a.sz, b.sz)
+        JOIN live l ON l.sh = a.sh AND l.lang = a.lang
+        GROUP BY a.doc_id, b.doc_id
+      ) WHERE jaccard >= 0.5
     )
-    SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(count(*) AS DOUBLE) /
-             (max(a.sz) + max(b.sz) - count(*)) AS jaccard
-      FROM post a JOIN post b
-        ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
-       AND least(a.sz, b.sz) * 2 >= greatest(a.sz, b.sz)
-      JOIN live l ON l.sh = a.sh AND l.lang = a.lang
-      GROUP BY a.doc_id, b.doc_id
-    ) WHERE jaccard >= 0.5
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIR_CTES}
+    SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM jpairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,3 +703,152 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     benchmark = d.filter(F.col("doc_id") % 97 == 0)
     return decontaminate_exact(corpus, benchmark).select("doc_id", "lang", "source")
+
+
+def connected_components(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected edge list via the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    scale-grade way to turn near-dup PAIRS into dedup CLUSTERS:
+    transitive closure would explode quadratically on big cliques,
+    and naive min-label propagation needs O(diameter) rounds; the
+    star rounds converge in O(log n) and every round is plain
+    groupBy + join (partial-agg-safe min, shuffle keyed by node id).
+
+    Per round on the symmetric edge view:
+
+    - large-star: every node ``u`` links each strictly-larger neighbor
+      to ``m = min(N(u) ∪ {u})`` — pulls whole neighborhoods toward
+      the local minimum without ever creating an upward edge.
+    - small-star: every node links its smaller-or-equal neighbors and
+      itself to the minimum of that set — flattens chains into stars.
+
+    The driver loop stops at a fixed point (edge multiset stable,
+    compared by count + order-insensitive hash sum — both computed on
+    the checkpointed frame, no recompute). ``localCheckpoint`` per
+    round truncates lineage, otherwise the plan doubles every
+    iteration. At fixed point each component is a star rooted at its
+    minimum id, so labels read straight off the edges.
+
+    Returns (doc_id, cluster_rep): one row per node that appears in
+    ``edges``, rep = smallest doc_id in its component (the canonical
+    survivor every dedup pipeline keeps). Singletons never enter the
+    edge list and so are absent — callers treat missing as
+    "its own cluster".
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame):
+        # hash summed as decimal(20,0) → decimal(30,0) accumulator:
+        # summing raw 64-bit hashes overflows long under ANSI mode
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def canonical(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.filter(F.col("x") != F.col("m"))
+            .select(
+                F.least("x", "m").alias("u"), F.greatest("x", "m").alias("v")
+            )
+            .distinct()
+        )
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m = min over ALL neighbors ∪ self; emit (v, m)
+        # for each neighbor v > u
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("x"), "m")
+        )
+        e = canonical(large).localCheckpoint(eager=True)
+        # small-star on the larger endpoint: m = min over the strictly-
+        # smaller neighbors (all < u); emit (x, m) for x ∈ Γ⁻(u) ∪ {u}
+        ge = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        mins_s = ge.groupBy("u").agg(F.min("v").alias("m"))
+        small = ge.join(mins_s, "u").select(F.col("v").alias("x"), "m").union(
+            mins_s.select(F.col("u").alias("x"), "m")
+        )
+        e = canonical(small).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+    # fixed point = stars rooted at component minima: u is the rep on
+    # every canonical edge; the rep itself is a member too
+    members = e.select(F.col("u").alias("cluster_rep"), F.col("v").alias("doc_id"))
+    reps = e.select(F.col("u").alias("cluster_rep"), F.col("u").alias("doc_id")).distinct()
+    return members.union(reps).select("doc_id", "cluster_rep")
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u),
+    csize AS (
+      SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_rep
+    )
+    SELECT c.doc_id, c.cluster_rep, s.cluster_size,
+           (c.doc_id = c.cluster_rep) AS is_canonical
+    FROM comp c JOIN csize s USING (cluster_rep)
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 completion — pairs → CLUSTERS: near-dup dedup is only done
+    once pairwise matches are folded into transitive groups and one
+    canonical doc survives per group (A~B, B~C must drop two docs even
+    though A~C was never emitted). Exact n-gram Jaccard pairs
+    (``ngram_jaccard_pairs`` — same plan the driver checks as
+    dedup_ngram_jaccard) feed ``connected_components`` (large-star /
+    small-star, O(log n) rounds); output is one row per clustered doc
+    with its component's canonical representative (min doc_id),
+    cluster size, and the keep/drop verdict. The oracle mirrors the
+    clustering with a recursive min-label closure over the identical
+    pair CTE — safe at oracle SF, while the Spark side uses the
+    closure-free star algorithm that survives 100 TB cliques.
+    Reference scope: the reference dedups via row_number over exact
+    keys only (dbt staging models); transitive near-dup clustering is
+    part of the training-data extension surface (SURVEY.md §2j)."""
+    pairs = ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_canonical"),
+    )

@@ -51,6 +51,7 @@ _ORDER: tuple[str, ...] = (
     "dedup_near_text",
     "dedup_simhash",
     "dedup_decontaminate",
+    "dedup_cluster_cc",
     "similarity_topk",
     "similarity_topk_ivf",
     "text_token_counts",
@@ -91,13 +92,12 @@ _ORDER: tuple[str, ...] = (
     "cdc_parse",
     "merge_upsert",
     # r5 rotation: the real-engine exec forms replaced their batch twins
-    # (stream_tumbling_counts, stream_session — now local-tier, still
-    # oracle-checked by pytest) so T5/T6's primary rows run through the
-    # actual Structured Streaming engine.
+    # (stream_tumbling_counts, stream_session, stream_late_drop — now
+    # local-tier, still oracle-checked by pytest) so T5/T6's primary
+    # rows run through the actual Structured Streaming engine.
     "stream_exec_tumbling",
     "stream_exec_session",
     "stream_exec_late_drop",
-    "stream_late_drop",
     "agg_group_salted",
 )
 

@@ -1010,3 +1010,34 @@ def test_streaming_exact_dedup_cross_batch_state(spark):
     # admitted: 1 (with in-batch dup 3 dropped), 2, 12; dropped: 10, 11
     assert out == {1: 1, 2: 0, 12: 0}
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_connected_components_transitive_and_log_rounds(spark):
+    """connected_components folds pairwise edges into transitive
+    clusters (path + clique + disjoint pair), labels every member with
+    the component min, and converges within the O(log n) round budget
+    on the adversarial shape for min-propagation — a 64-node path,
+    where naive propagation needs 63 rounds."""
+    from promptly_data_pipelines_spark.extensions.dedup import connected_components
+
+    # path 1-2-3-4-5, clique {10,11,12}, pair {20,21}; edge order shuffled
+    edges = [(2, 1), (2, 3), (4, 3), (5, 4), (11, 10), (12, 10), (11, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in connected_components(df).collect()
+    }
+    want = {(n, 1) for n in (1, 2, 3, 4, 5)} | {(n, 10) for n in (10, 11, 12)} | {
+        (20, 20),
+        (21, 20),
+    }
+    assert got == want
+
+    # 64-node path: must converge well inside max_iter (star rounds are
+    # O(log n); a failure here means the algorithm degraded to O(n))
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(path, max_iter=12).collect()
+    assert {r.cluster_rep for r in labels} == {1}
+    assert len(labels) == 63 + 1
