@@ -434,3 +434,121 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_pii("text").alias("scrubbed"),
         n_red.cast("int").alias("n_redactions"),
     )
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words FROM w0),
+    tok AS (SELECT doc_id, unnest(w) AS token FROM w0),
+    wc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_words,
+             CAST(max(c) AS BIGINT) AS top_word_n
+      FROM wc GROUP BY 1
+    ),
+    bg0 AS (
+      SELECT doc_id, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+      FROM w0 WHERE len(w) >= 2
+    ),
+    bt AS (SELECT doc_id, unnest(bg) AS b FROM bg0),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1),
+    m AS (
+      SELECT doc_id, n_words, n_distinct_words, top_word_n, top_bigram_n,
+             CAST(n_distinct_words AS DOUBLE) / n_words AS distinct_ratio,
+             CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+             CAST(top_bigram_n AS DOUBLE) / (n_words - 1) AS top_bigram_frac
+      FROM base JOIN ws USING (doc_id) JOIN bs USING (doc_id)
+    )
+    SELECT *,
+           (distinct_ratio >= 0.33 AND top_word_frac <= 0.15
+            AND top_bigram_frac <= 0.10) AS keep
+    FROM m
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 extension — repetition-based quality filtering, the Gopher /
+    MassiveText rule family (Rae et al. 2021, table A1: "fraction of
+    characters in the most common n-gram", duplicate-line fractions):
+    a document whose text is dominated by one word or one repeated
+    n-gram is boilerplate/spam and is dropped before training. Per
+    document: word count, distinct-word count, the count of the most
+    frequent word and bigram, the derived fractions, and the keep
+    verdict (distinct_ratio >= 0.33, top_word_frac <= 0.15,
+    top_bigram_frac <= 0.10 — thresholds set at the corpus tails so
+    both verdicts occur; line-based Gopher rules are inapplicable
+    here, the fixture corpus is single-line).
+
+    Plan — ONE corpus scan, zero joins: words and bigrams are tagged
+    ('w'/'b') structs concatenated into a single array, so one explode
+    feeds one (doc, kind, token) count and one per-doc rollup where
+    every stat is a conditional aggregate — n_words = sum of word
+    counts, n_distinct = count of word rows, tops = conditional max.
+    Both agg stages are partial-agg-safe (map-side combine), both
+    shuffles are keyed by doc_id (bounded rows per doc → no skew). The
+    naive form — separate base/word/bigram branches joined on doc_id —
+    scans the corpus three times; at 100 TB that is 200 TB of wasted
+    IO. Fractions are emitted UNROUNDED: both engines divide identical
+    integers in IEEE doubles, so equality is exact (rounding a
+    quotient is the parity trap — operators/aggregates.py rules).
+    Docs with <2 words have no bigram and drop out on both sides (the
+    conditional-max null filter here, the inner join in the oracle);
+    the corpus minimum is 10 words, so nothing is lost in practice."""
+    d = table(spark, sf_dir, "documents")
+    par = d.sparkSession.sparkContext.defaultParallelism
+    w = d.repartition(par).select("doc_id", words("text").alias("w"))
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        F.transform(F.col("w"), lambda t: F.struct(F.lit("w").alias("k"), t.alias("t"))),
+        F.transform(bigrams, lambda b: F.struct(F.lit("b").alias("k"), b.alias("t"))),
+    )
+    tok = (
+        w.select("doc_id", F.explode_outer(tagged).alias("kt"))
+        .filter(F.col("kt").isNotNull())
+        .select("doc_id", F.col("kt.k").alias("k"), F.col("kt.t").alias("t"))
+    )
+    is_w = F.col("k") == "w"
+    stats = (
+        tok.groupBy("doc_id", "k", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(is_w, F.col("c"))).cast("int").alias("n_words"),
+            F.count(F.when(is_w, F.lit(1))).alias("n_distinct_words"),
+            F.max(F.when(is_w, F.col("c"))).alias("top_word_n"),
+            F.max(F.when(~is_w, F.col("c"))).alias("top_bigram_n"),
+        )
+        # <2-word docs have no bigram row: the oracle's inner join
+        # drops them, the conditional max leaves a null — same set
+        .filter(F.col("top_bigram_n").isNotNull())
+    )
+    m = stats.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_n",
+        "top_bigram_n",
+        (F.col("n_distinct_words").cast("double") / F.col("n_words")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("top_word_n").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1)).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("distinct_ratio") >= 0.33)
+        & (F.col("top_word_frac") <= 0.15)
+        & (F.col("top_bigram_frac") <= 0.10),
+    )

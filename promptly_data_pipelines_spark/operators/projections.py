@@ -367,6 +367,10 @@ def project_events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "arith_expr",
+    registered=False,  # r5 rotation: P13 stays oracle-checked in the
+    # local pytest tier; its driver slot went to text_repetition (the
+    # projections family keeps project_strings + project_events_clean
+    # as driver rows)
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice * (1 - l_discount), 4) AS net_price,

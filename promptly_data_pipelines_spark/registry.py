@@ -57,6 +57,7 @@ _ORDER: tuple[str, ...] = (
     "text_token_counts",
     "text_doc_profile",
     "text_tfidf_topk",
+    "text_repetition",
     "udf_pandas_scalar",
     "udf_grouped_map",
     "dq_unique",
@@ -79,7 +80,6 @@ _ORDER: tuple[str, ...] = (
     "join_star",
     "project_strings",
     "project_events_clean",
-    "arith_expr",
     "scan_csv",
     "sink_partitioned",
     "union_sources",
