@@ -65,6 +65,11 @@ SECONDARY = [
     # r5: the five-stage curation composite — tracked so pipeline-level
     # regressions surface, without disturbing the fixed headline set
     "corpus_prep",
+    # r5: new ops tracked from their introduction round — transitive
+    # near-dup clustering (iterative star rounds on top of the jaccard
+    # pairs) and the fused single-scan repetition filter
+    "dedup_cluster_cc",
+    "text_repetition",
 ]
 
 

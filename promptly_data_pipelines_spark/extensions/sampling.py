@@ -101,3 +101,68 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("label", "vec_id")
     )
+
+
+@query(
+    "sample_temperature_mix",
+    registered=False,
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    s AS (SELECT lang, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS s FROM c),
+    tot AS (SELECT CAST(sum(s) AS BIGINT) AS tw FROM s),
+    t AS (SELECT CAST(min((n * tw) // s) AS BIGINT) AS cap FROM s, tot),
+    th AS (
+      SELECT lang,
+             ((((s * cap) // tw) * 65536) // n) AS thresh
+      FROM s, tot, t
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN th USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          < thresh
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixture (the mT5 / UniMax
+    multilingual sampling step, tau=2): target share per lang is
+    proportional to sqrt(observed count), which flattens the head
+    (en is 44% of this corpus) without drowning the tail, and each
+    lang is down-sampled to its target via the same md5-bucket
+    predicate the other sampling ops use.
+
+    Parity-by-construction: the only float op is sqrt(n) — correctly
+    rounded per IEEE, identical in both engines — immediately frozen
+    to an integer weight (floor(sqrt(n)*1000)); every downstream step
+    (total weight, feasible corpus size cap = min over langs of
+    n*tot/s, per-lang quota k = s*cap/tot, hash threshold =
+    k*65536/n) is INTEGER division, so no accumulation-order or
+    rounding divergence is possible. A float pipeline here would
+    hinge on the summation order of the weight total — exactly the
+    cross-engine trap operators/aggregates.py documents.
+
+    Scale: the per-lang stats frame is lang-cardinality rows; it
+    broadcasts back onto the corpus and the keep decision is a pure
+    per-row predicate — no window, no sort, no extra shuffle (exact-k
+    per lang would need a per-lang ranking sort; the hash-threshold
+    form trades ±hash-binomial noise on the achieved mixture for a
+    shuffle-free plan, the right trade at 100 TB)."""
+    d = table(spark, sf_dir, "documents")
+    s = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("s", F.floor(F.sqrt("n") * 1000).cast("bigint"))
+    )
+    tot = s.agg(F.sum("s").cast("bigint").alias("tw"))
+    st = s.crossJoin(F.broadcast(tot))
+    cap = st.agg(F.min(F.expr("(n * tw) DIV s")).cast("bigint").alias("cap"))
+    th = st.crossJoin(F.broadcast(cap)).select(
+        "lang", F.expr("(((s * cap) DIV tw) * 65536) DIV n").alias("thresh")
+    )
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    return (
+        d.join(F.broadcast(th), "lang")
+        .filter(h16 < F.col("thresh"))
+        .select("doc_id", "lang", "source")
+    )

@@ -232,3 +232,19 @@ def test_explode_heavy_exprs_not_recomputed_below_exchange(spark):
                     raise AssertionError(
                         f"{name}: heavy expression re-evaluated in a Filter node:\n{block[:500]}"
                     )
+
+
+def test_text_repetition_single_scan_no_joins(spark):
+    """text_repetition fuses the word and bigram branches into one
+    tagged explode: the corpus is scanned ONCE and the per-doc stats
+    come from conditional aggregates, never a join (the naive
+    base/word/bigram three-branch form scans the corpus 3x — 200 TB
+    of wasted IO at scale)."""
+    import re
+
+    p = _plan(spark, "text_repetition")
+    tree = p.split("\n\n", 1)[0]
+    scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
+    assert len(scan_ids) == 1, f"corpus scanned more than once ({scan_ids}):\n{tree}"
+    assert "Join" not in tree, f"unexpected join in the fused plan:\n{tree}"
+    assert "EvalPython" not in p
