@@ -51,7 +51,11 @@ Rotations so far:
   Structured-Streaming-engine forms, oracle-checked) replaced their
   batch twins `stream_tumbling_counts` + `stream_session` — T5/T6's
   primary rows now execute through readStream + availableNow; the
-  twins stay oracle-checked locally.
+  twins stay oracle-checked locally. Later in r5, `stream_late_drop`
+  (the third batch twin) and `arith_expr` (P13; projections keep two
+  other driver rows) rotated out for `dedup_cluster_cc` (transitive
+  near-dup clustering) and `text_repetition` (Gopher repetition
+  filters).
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)
@@ -118,6 +122,36 @@ Exact ANN baseline. What to check: the tiny query set (5 vectors) is
 the BroadcastExchange side against the full corpus scan; cosine is
 JVM-side zip_with/aggregate (no Python in the plan); per-query top-k
 via window rank over the broadcast-joined scores — one corpus pass.""",
+    "text_repetition": """\
+Gopher-style repetition quality filters in ONE fused pass. What to
+check: a single `Scan parquet` node id and ZERO join nodes (pinned:
+test_text_repetition_single_scan_no_joins) — words and bigrams are
+tagged structs concatenated into one array, so one explode feeds one
+(doc, kind, token) count and one per-doc conditional-aggregate
+rollup. Both agg stages show partial/final HashAggregate pairs
+(map-side combine); both exchanges hash on doc_id. The naive
+base/word/bigram three-branch form scans the corpus 3× — what this
+plan exists to avoid.""",
+    "dedup_cluster_cc": """\
+Pairs → transitive clusters. The displayed plan covers the pair
+stage (identical to dedup_ngram_jaccard) plus the final label/size
+rollup; the star rounds in between are a driver loop of
+localCheckpoint-truncated groupBy+join rounds — each round's plan is
+two hash aggregations and one join, all keyed by node id, and the
+loop count is O(log n) (pinned on a 64-node path:
+test_connected_components_transitive_and_log_rounds). What to check
+in the visible plan: no transitive-closure join (the oracle's
+recursive CTE is the small-data mirror, not the Spark plan) and no
+collect of the edge set — fixed-point detection is an agg of
+(count, hash-sum) on the checkpointed frame.""",
+    "sample_temperature_mix": """\
+UniMax/mT5 temperature rebalancing. What to check: the per-lang
+stats subtree is lang-cardinality rows feeding two
+BroadcastExchanges (total weight, feasible cap) and the final join
+back onto the corpus is a BroadcastHashJoin on lang — the corpus
+itself never shuffles, sorts, or windows; the keep decision is a
+per-row md5-bucket predicate against the broadcast integer
+threshold.""",
     "stream_late_drop": """\
 The deterministic batch twin of the watermark semantics (the real
 engine runs in stream_exec_late_drop, whose plan is a streaming

@@ -1041,3 +1041,28 @@ def test_connected_components_transitive_and_log_rounds(spark):
     labels = connected_components(path, max_iter=12).collect()
     assert {r.cluster_rep for r in labels} == {1}
     assert len(labels) == 63 + 1
+
+
+def test_temperature_mix_flattens_head_keeps_tail(spark):
+    """sample_temperature_mix must reduce the dominant language's
+    share toward the tau=2 target while keeping tail languages nearly
+    whole — the UniMax property the operator exists for."""
+    from promptly_data_pipelines_spark.registry import run
+
+    sf = "/root/testdata/sf0.01"
+    from promptly_data_pipelines_spark.catalog import table as _t
+
+    before = {r.lang: r.n for r in _t(spark, sf, "documents").groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    after = {}
+    for r in run("sample_temperature_mix", spark, sf).groupBy("lang").count().collect():
+        after[r.lang] = r["count"]
+    head = max(before, key=before.get)
+    head_share_before = before[head] / sum(before.values())
+    head_share_after = after[head] / sum(after.values())
+    assert head_share_after < head_share_before  # head flattened
+    # tail languages keep >= 85% of their docs (hash noise aside)
+    for lang, n in before.items():
+        if lang != head:
+            assert after[lang] >= 0.85 * n, (lang, after[lang], n)
