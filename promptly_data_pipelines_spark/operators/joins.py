@@ -328,3 +328,88 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_purchase_ts"),
         F.col("asof_value").alias("last_purchase_value"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Point-in-interval (range) join, the scale-safe way: a naive
+    ``ON ts BETWEEN start AND end`` theta join has no equi-key, so
+    Spark falls back to BroadcastNestedLoopJoin — O(points x
+    intervals) comparisons. Instead each interval EXPLODES to the
+    hour buckets it covers (sequence over the hour grid, end
+    exclusive), points map to their hour bucket, and the join is a
+    plain equi-join on the bucket followed by the exact containment
+    refine — work proportional to points + interval-hours, never the
+    cross product. Overlapping intervals are fine (a point matches
+    every interval containing it). ``broadcast_intervals=True`` for
+    dimension-sized interval sets (the common case: maintenance /
+    promo / outage windows); at interval cardinalities past broadcast
+    size, flip it off and the bucket equi-join shuffles both sides on
+    the hour key instead."""
+    slots = intervals.withColumn(
+        "hb",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    if broadcast_intervals:
+        slots = F.broadcast(slots)
+    pts = points.withColumn("hb", F.date_trunc("hour", F.col(ts_col)))
+    return (
+        pts.join(slots, "hb")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("hb")
+    )
+
+
+@query(
+    "join_range",
+    registered=False,
+    oracle="""
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    win AS (
+      SELECT strftime(day, '%Y-%m-%d') AS window_id,
+             day + (EXTRACT(day FROM day)::BIGINT % 12) * INTERVAL 1 HOUR AS w_start,
+             day + (EXTRACT(day FROM day)::BIGINT % 12
+                    + 1 + EXTRACT(day FROM day)::BIGINT % 5) * INTERVAL 1 HOUR AS w_end
+      FROM days
+    )
+    SELECT w.window_id, e.event_id, e.event_type
+    FROM events e JOIN win w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 second member (with join_asof): point-in-interval range join.
+    Deterministic variable-length windows are derived from the corpus
+    itself (per day: start hour = day-of-month % 12, duration 1-5 h =
+    1 + day-of-month % 5), and every event inside a window is
+    attributed to it. The oracle is the direct BETWEEN theta join —
+    correct at oracle SF, quadratic at scale; the Spark side is
+    ``interval_join``'s bucket-explode + equi-join + refine, which
+    keeps the work linear in points + interval-hours. Window bounds
+    are exact integer interval arithmetic on NTZ timestamps, so both
+    engines compute identical bounds and the containment predicate
+    cannot diverge."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    win = days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("window_id"),
+        F.expr("timestampadd(HOUR, dayofmonth(day) % 12, day)").alias("w_start"),
+        F.expr(
+            "timestampadd(HOUR, dayofmonth(day) % 12 + 1 + dayofmonth(day) % 5, day)"
+        ).alias("w_end"),
+    )
+    return interval_join(
+        ev.select("event_id", "event_type", "ts"), win, "ts"
+    ).select("window_id", "event_id", "event_type")

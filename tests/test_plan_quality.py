@@ -248,3 +248,14 @@ def test_text_repetition_single_scan_no_joins(spark):
     assert len(scan_ids) == 1, f"corpus scanned more than once ({scan_ids}):\n{tree}"
     assert "Join" not in tree, f"unexpected join in the fused plan:\n{tree}"
     assert "EvalPython" not in p
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """join_range must execute as a bucket equi-join (hour-grid
+    explode + BroadcastHashJoin + exact refine), never the
+    BroadcastNestedLoopJoin a raw BETWEEN theta join degrades to —
+    at scale the nested loop is O(points x intervals)."""
+    p = _plan(spark, "join_range")
+    assert "BroadcastNestedLoopJoin" not in p, "range join degraded to nested loop"
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
