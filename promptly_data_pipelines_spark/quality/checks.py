@@ -289,6 +289,17 @@ def _check_frame(df: DataFrame, spec: dict) -> DataFrame:
             .alias("n_violations")
         )
         colname = f"min_rows={spec['min_rows']}"
+    elif kind == "expression":
+        # dbt's generic expression test: every row must satisfy a SQL
+        # boolean expression; violations = rows where it is false/null.
+        # Compiles to one conditional-sum aggregate over the pruned
+        # scan, like the other checks — nothing collects.
+        n = df.agg(
+            F.sum(F.when(F.expr(spec["expr"]), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        colname = spec.get("name", spec["expr"])
     else:
         raise ValueError(f"unknown check kind: {kind}")
     return n.select(
@@ -365,3 +376,92 @@ def dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain UNION ALL of counts)."""
     out = run_suite_config(spark, sf_dir)
     return out.drop("passed")
+
+
+# Corpus admission gate: the declarative DQ framework pointed at the
+# training corpus — dbt-style generic "expression" tests encoding the
+# pre-training admission rules (length bounds, language whitelist,
+# non-empty normalized text, source naming). The same suite runner the
+# warehouse checks use; only the specs differ.
+CORPUS_GATE_SUITE: list[dict] = [
+    {"check": "volume_min", "table": "documents", "min_rows": 100},
+    {"check": "not_null", "table": "documents", "column": "text"},
+    {
+        "check": "accepted_values",
+        "table": "documents",
+        "column": "lang",
+        "values": ["en", "de", "fr", "es", "zh"],
+    },
+    {
+        "check": "expression",
+        "table": "documents",
+        "name": "chars_in_bounds",
+        "expr": "n_chars BETWEEN 10 AND 100000",
+    },
+    {
+        "check": "expression",
+        "table": "documents",
+        "name": "n_chars_consistent",
+        "expr": "length(text) = n_chars",
+    },
+    {
+        "check": "expression",
+        "table": "documents",
+        "name": "text_not_blank",
+        "expr": "length(trim(text)) > 0",
+    },
+    {
+        "check": "expression",
+        "table": "documents",
+        "name": "source_wellformed",
+        "expr": "source LIKE 'src%'",
+    },
+]
+
+
+@query(
+    "dq_corpus_gate",
+    registered=False,
+    oracle="""
+    SELECT 'volume_min' AS check_name, 'documents' AS table_name,
+           'min_rows=100' AS column_name,
+           (SELECT CAST(CASE WHEN count(*) >= 100 THEN 0 ELSE 1 END AS BIGINT)
+            FROM documents) AS n_violations
+    UNION ALL
+    SELECT 'not_null', 'documents', 'text',
+           (SELECT CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents)
+    UNION ALL
+    SELECT 'accepted_values', 'documents', 'lang',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh'))
+    UNION ALL
+    SELECT 'expression', 'documents', 'chars_in_bounds',
+           (SELECT CAST(sum(CASE WHEN n_chars BETWEEN 10 AND 100000 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM documents)
+    UNION ALL
+    SELECT 'expression', 'documents', 'n_chars_consistent',
+           (SELECT CAST(sum(CASE WHEN length(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT)
+            FROM documents)
+    UNION ALL
+    SELECT 'expression', 'documents', 'text_not_blank',
+           (SELECT CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 0 ELSE 1 END) AS BIGINT)
+            FROM documents)
+    UNION ALL
+    SELECT 'expression', 'documents', 'source_wellformed',
+           (SELECT CAST(sum(CASE WHEN source LIKE 'src%' THEN 0 ELSE 1 END) AS BIGINT)
+            FROM documents)
+    """,
+)
+def dq_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 extension: the declarative suite runner pointed at the
+    training corpus — admission rules (volume, null text, language
+    whitelist, length-bound + consistency + blank-text + source-format
+    expression tests) as config, compiled by the SAME _check_frame
+    machinery as the warehouse checks. The new dbt-style generic
+    ``expression`` test type turns any SQL boolean into a one-row
+    conditional-sum aggregate: the corpus is scanned once per spec
+    with only the audited columns read (pushdown-pruned), nothing
+    collects. The `passed` column is dropped for the oracle (it is
+    derived: n_violations = 0) — parity is over the counted facts."""
+    return run_suite_config(spark, sf_dir, CORPUS_GATE_SUITE).drop("passed")

@@ -1066,3 +1066,46 @@ def test_temperature_mix_flattens_head_keeps_tail(spark):
     for lang, n in before.items():
         if lang != head:
             assert after[lang] >= 0.85 * n, (lang, after[lang], n)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized pin: on seeded random graphs the star-algorithm
+    labels must equal a pure-Python union-find ground truth — guards
+    the algebra (large-star/small-star emission sets) against subtle
+    refactors that the fixed shapes above wouldn't catch."""
+    import random
+
+    from promptly_data_pipelines_spark.extensions.dedup import connected_components
+
+    for seed, n_nodes, n_edges in ((7, 40, 30), (11, 60, 80), (13, 25, 5)):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {}
+        for x in touched:
+            root = find(x)
+            # rep must be the MIN node id in the component
+            want.setdefault(root, set()).add(x)
+        expect = {
+            (x, min(members))
+            for members in want.values()
+            for x in members
+        }
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {(r.doc_id, r.cluster_rep) for r in connected_components(df).collect()}
+        assert got == expect, f"seed={seed}: {got ^ expect}"
