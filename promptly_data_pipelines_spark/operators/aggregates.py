@@ -215,3 +215,34 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+@query(
+    "agg_rollup",
+    registered=False,
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family BONUS (grouping sets are explicitly absent from the
+    reference — implemented as labeled extra scope, like U3): corpus
+    composition report with subtotals — per (lang, source), per lang,
+    and grand total in ONE pass. Spark's rollup produces all three
+    grouping sets from a single shuffle with partial aggregation
+    (each map task emits partials for every set — no re-scan per
+    level, which is how a report layer would otherwise compute
+    subtotals). grouping_id disambiguates a NULL group value from a
+    rolled-up level on both engines (same MSB-first bit order).
+    Integer count/sum only — no float discipline needed."""
+    d = table(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ).select("lang", "source", "gid", "n_docs", "total_chars")
