@@ -552,3 +552,55 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("top_word_frac") <= 0.15)
         & (F.col("top_bigram_frac") <= 0.10),
     )
+
+
+@query(
+    "text_length_histogram",
+    registered=False,
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             LEAST(CAST(floor(n_chars / 50) AS BIGINT), 10) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents
+      GROUP BY 1, 2
+    )
+    SELECT lang, bucket, bucket * 50 AS bucket_lo, n_docs,
+           CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT)
+             AS cum_docs,
+           CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT)
+             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS cdf
+    FROM b
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 extension: per-language document-length histogram + CDF —
+    the length-profile report a curation pipeline uses to pick
+    truncation/packing thresholds (the percentile companion to
+    ``pack_sequences``). Fixed-width buckets (50 chars, capped at the
+    10th so the top bucket absorbs the tail) keep the aggregation
+    all-integer: ONE hash aggregate over the corpus reduces to ≤
+    n_langs × 11 rows, and the window pass for the CDF runs on that
+    tiny aggregate, not the corpus. At 100 TB this is the right
+    shape: histogram-then-window, never a corpus-wide sort or exact
+    percentile. cdf is an unrounded bigint/bigint quotient (identical
+    operands → identical double on both engines)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    b = d.groupBy(
+        "lang",
+        F.least(F.floor(F.col("n_chars") / F.lit(50)), F.lit(10).cast("bigint")).alias(
+            "bucket"
+        ),
+    ).agg(F.count("*").alias("n_docs"))
+    w_cum = Window.partitionBy("lang").orderBy("bucket")
+    w_all = Window.partitionBy("lang")
+    return b.select(
+        "lang",
+        "bucket",
+        (F.col("bucket") * 50).alias("bucket_lo"),
+        "n_docs",
+        F.sum("n_docs").over(w_cum).alias("cum_docs"),
+        (F.sum("n_docs").over(w_cum) / F.sum("n_docs").over(w_all)).alias("cdf"),
+    )

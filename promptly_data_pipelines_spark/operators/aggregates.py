@@ -246,3 +246,111 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     ).select("lang", "source", "gid", "n_docs", "total_chars")
+
+
+@query(
+    "agg_cube",
+    registered=False,
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) / count(*) AS avg_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family BONUS, completing the grouping-sets trio with
+    ``agg_rollup``: CUBE emits all four grouping sets — (lang, source),
+    (lang), (source), () — from one shuffle, which is the
+    cross-dimension corpus report (per-lang totals AND per-source
+    totals in the same pass; rollup can only give the hierarchy).
+    avg_chars is an unrounded quotient of a bigint sum and count —
+    dividing identical exact integers is bit-identical across
+    engines (the float-parity rule for averages)."""
+    d = table(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("bigint") / F.count("*")).alias("avg_chars"),
+    ).select("lang", "source", "gid", "n_docs", "avg_chars")
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "agg_pivot",
+    registered=False,
+    oracle="""
+    SELECT source,
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+           CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+           CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+    FROM documents
+    GROUP BY source
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family BONUS (pivots are explicitly absent from the
+    reference): source × language composition matrix — the corpus
+    mixture report in wide form. The pivot values are passed
+    EXPLICITLY: without them Spark runs an extra distinct-collect job
+    over the corpus just to discover column names, which at 100 TB is
+    a full scan spent on schema. With explicit values the pivot
+    compiles to one hash aggregate with per-value conditional
+    partials — exactly the conditional-aggregation SQL in the oracle,
+    and the same single shuffle as a plain groupBy. Missing (source,
+    lang) combinations surface as null from pivot-count; coalesced to
+    0 to match SUM(CASE...)."""
+    d = table(spark, sf_dir, "documents")
+    p = d.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).agg(F.count(F.lit(1)))
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(lang), F.lit(0)).cast("bigint").alias(lang) for lang in _PIVOT_LANGS],
+    )
+
+
+@query(
+    "agg_decimal",
+    registered=False,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family BONUS (decimal arithmetic is explicitly absent from
+    the reference): the Q1 money math in DECIMAL instead of DOUBLE.
+    This is the form a finance-grade pipeline runs at 100 TB: decimal
+    accumulation is EXACT, so the sum is independent of partition
+    count and accumulation order and needs none of ``agg_group``'s
+    round-at-input-width discipline — the cross-engine contract is
+    exact equality of exact values. The doubles in the parquet are
+    all true 2dp quantities (verified: max |x*100 - round(x*100)| <
+    1e-9 across the columns), so the cast to DECIMAL(12,2) rounds to
+    the same value on both engines — no value sits on a
+    representability tie. Final CAST AS DOUBLE only normalizes the
+    output type (Spark sum → decimal(22,4), DuckDB → decimal(38,4));
+    the decimal value it converts is identical on both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("n"),
+    )

@@ -395,3 +395,40 @@ def arith_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("charged"),
         (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
     )
+
+
+@query(
+    "project_interval",
+    registered=False,
+    oracle="""
+    SELECT event_id,
+           strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS due_ts,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+             AS days_since,
+           CAST(extract(hour FROM ts) AS BIGINT) AS event_hour
+    FROM events
+    """,
+)
+def project_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P-family BONUS (interval arithmetic is explicitly absent from
+    the reference): timestamp +/- INTERVAL, ISO-week truncation, and
+    day-difference math — the SLA/retention expressions a scheduler
+    layer computes. All Catalyst interval expressions inside
+    whole-stage codegen (no Python, no shuffle — this is a pure map).
+    Both engines truncate 'week' to Monday and count day diffs as
+    calendar-date difference, so the oracle is expressible without
+    adjustment; timestamps are compared as formatted strings (the
+    established ntz discipline, see dedup_latest)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 90 MINUTES"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("due_ts"),
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week_start"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        F.hour("ts").cast("bigint").alias("event_hour"),
+    )
