@@ -166,3 +166,55 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h16 < F.col("thresh"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "corpus_shuffle_shard",
+    registered=False,
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 16
+               AS shard,
+             substr(md5(CAST(doc_id AS VARCHAR)), 3, 8) AS ord_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+                AS BIGINT) AS pos
+    FROM a
+    """,
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step a
+    training-data pipeline runs last, before the shard writer: docs
+    must reach training order-decorrelated from ingest order (no
+    source/time runs inside a shard), reproducibly (same corpus →
+    byte-identical shards), with shard = output file. Shard id comes
+    from one md5 byte, within-shard order from the NEXT md5 hex span —
+    independent bits of the same digest, so shard and order don't
+    correlate, and no RNG is involved (``df.sample``/rand would differ
+    per run and per engine; the hash IS the shuffle, same argument as
+    ``sample_hash``). doc_id breaks the (vanishingly rare) ord_key
+    collisions so pos is total and deterministic.
+
+    Scale shape: the window is partitionBy(shard) — Spark
+    hash-partitions on shard and sorts within partition, exactly the
+    ``repartition(n, shard).sortWithinPartitions(ord_key)`` a shard
+    writer runs, so at 100 TB this is one shuffle sized by shard
+    count, never a global sort. 16 shards here; real exports pick
+    n_shards ≈ corpus_bytes / target_file_size."""
+    d = table(spark, sf_dir, "documents")
+    md = F.md5(F.col("doc_id").cast("string"))
+    a = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.conv(F.substring(md, 1, 2), 16, 10).cast("int") % 16).cast("bigint").alias("shard"),
+        F.substring(md, 3, 8).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return a.select(
+        "doc_id", "lang", "n_chars", "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -6,7 +6,7 @@ explode/aggregate lambdas) — whole text processing stays JVM-side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -585,8 +585,6 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: histogram-then-window, never a corpus-wide sort or exact
     percentile. cdf is an unrounded bigint/bigint quotient (identical
     operands → identical double on both engines)."""
-    from pyspark.sql import Window
-
     d = table(spark, sf_dir, "documents")
     b = d.groupBy(
         "lang",
@@ -603,4 +601,121 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.sum("n_docs").over(w_cum).alias("cum_docs"),
         (F.sum("n_docs").over(w_cum) / F.sum("n_docs").over(w_all)).alias("cdf"),
+    )
+
+
+@query(
+    "text_quality_prune",
+    registered=False,
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
+               AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang, stop_ratio,
+           percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio) AS q_rank,
+           (percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio) >= 0.2)
+             AS keep
+    FROM q
+    """,
+)
+def text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 extension: quantile-based quality pruning — drop the worst
+    20% of docs PER LANGUAGE by stopword ratio (the DCLM/Gopher-style
+    relative cut: an absolute threshold tuned on English silently
+    guts low-resource languages, so the cut point must be a
+    per-group percentile, not a constant). percent_rank is
+    (rank-1)/(n-1): both factors are integers from the same ordering,
+    so the quotient is bit-identical across engines, and ties (equal
+    rounded ratios) share a rank — no order-dependence. One window
+    over one scan; the quality feature reuses the
+    ``text_quality_score`` expression (already parity-proven).
+
+    Scale shape: partitionBy(lang) windows shuffle once on lang; a
+    skewed lang (English is always >50% of a web corpus) makes this
+    the classic hot-partition window — at 100 TB swap exact
+    percent_rank for a two-pass approx-quantile cut (compute the p20
+    threshold per lang on an aggregate, broadcast it back), which the
+    histogram+CDF in ``text_length_histogram`` demonstrates. Exact
+    rank is the oracle-checkable form."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    stop_ratio = F.round(
+        F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("double") / F.size(ws), 4
+    )
+    w = Window.partitionBy("lang").orderBy("stop_ratio")
+    q = d.select("doc_id", "lang", stop_ratio.alias("stop_ratio"))
+    return q.select(
+        "doc_id",
+        "lang",
+        "stop_ratio",
+        F.percent_rank().over(w).alias("q_rank"),
+        (F.percent_rank().over(w) >= 0.2).alias("keep"),
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    registered=False,
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM toks WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id,
+             CAST(sum(n) OVER (ORDER BY n DESC, token) AS BIGINT) AS cum_n,
+             CAST(sum(n) OVER () AS BIGINT) AS total_n
+      FROM counts
+    )
+    SELECT token, n, token_id, cum_n, cum_n / total_n AS coverage
+    FROM ranked WHERE token_id <= 512
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 extension: vocabulary construction — the frequency table a
+    tokenizer build starts from: top-512 tokens get contiguous ids in
+    frequency order plus CUMULATIVE corpus coverage (what fraction of
+    all token occurrences the first k vocab entries explain — the
+    curve that picks the vocab size). (n DESC, token) is a total
+    order, so ids and the running sum are deterministic and the
+    default RANGE window frame equals ROWS.
+
+    Scale shape: the corpus-sized work is the one word-count shuffle
+    (map-side combine, same as ``text_token_counts``); the ranking
+    window then runs on the DISTINCT-TOKEN table, orders of magnitude
+    smaller — a global window there is a single modest partition even
+    at 100 TB vocab sizes (~10^7 rows). The grand total is a second
+    FRAME of the same window spec (unbounded-following), which
+    Catalyst folds into the ONE Window operator — a naive
+    ``counts.agg(sum)`` branch joined back would recompute the whole
+    word-count shuffle a second time (no exchange reuse across the
+    differing aggregates; measured 2 scans + 2 shuffles), and a
+    partition-less window on the big side would be worse still. Plan
+    pin: single parquet scan, single Window, no join."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode_outer(words("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w).cast("bigint").alias("token_id"),
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n").over(w_all).cast("bigint").alias("total_n"),
+    )
+    return ranked.filter(F.col("token_id") <= 512).select(
+        "token", "n", "token_id", "cum_n",
+        (F.col("cum_n") / F.col("total_n")).alias("coverage"),
     )

@@ -259,3 +259,26 @@ def test_range_join_is_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p, "range join degraded to nested loop"
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_shard_shuffle_partitions_by_shard_no_global_sort(spark):
+    # corpus_shuffle_shard must hash-partition on shard and sort within
+    # partitions — a global sort (rangepartitioning) would serialize the
+    # corpus through one ordering at 100 TB
+    p = _plan(spark, "corpus_shuffle_shard")
+    assert "hashpartitioning(shard" in p, "window lost its shard partitioning"
+    assert "rangepartitioning" not in p, "global sort crept into the shard shuffle"
+
+
+def test_vocab_window_single_scan_no_join(spark):
+    # text_vocab_coverage: the grand total is a second frame of the
+    # same window spec, folded into ONE Window operator — a separate
+    # counts.agg(sum) branch would rescan + reshuffle the corpus (no
+    # exchange reuse across differing aggregates) and join it back.
+    # explain("formatted") names each node twice (tree + details).
+    p = _plan(spark, "text_vocab_coverage")
+    # "Scan parquet" prints twice per node (tree line + details header)
+    assert p.count("Scan parquet") == 2, "total branch rescans the corpus"
+    # details header "(N) Window" — one per Window operator
+    assert p.count(") Window") == 1, "windows not folded into one operator"
+    assert "Join" not in p, "grand total joined back instead of window-framed"
