@@ -358,3 +358,69 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "cdc_scd2_history",
+    registered=False,
+    oracle=f"""
+    WITH ch AS (
+      SELECT {_OP_SQL} AS op, event_id, user_id, event_type, value,
+             epoch_ms(ts) AS ts_ms
+      FROM events
+    ), seq AS (
+      SELECT op, event_id, user_id, event_type, value, ts_ms,
+             lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+               AS next_ts_ms
+      FROM ch
+    )
+    SELECT user_id, event_id, event_type, value,
+           CAST(ts_ms AS BIGINT) AS valid_from_ms,
+           CAST(next_ts_ms AS BIGINT) AS valid_to_ms,
+           (next_ts_ms IS NULL) AS is_current
+    FROM seq WHERE op <> 'd'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family completion: type-2 slowly-changing history from the
+    CDC change stream — dbt's ``snapshot`` feature
+    (strategy='timestamp'), which is the reference stack's standard
+    way to keep row history that its models don't materialize
+    (raw_provider_postgres.sql keeps only the latest image via the
+    declared merge). Every non-delete change becomes a versioned row:
+    valid_from = its change time, valid_to = the NEXT change of the
+    same key (delete included — a tombstone closes the last version
+    without opening one), is_current = still open. The key/ordering
+    columns coalesce after/before images, because Debezium deletes
+    carry only ``before`` (provider.json:13-20) yet must close their
+    predecessor.
+
+    Plan: decode (pure map) → ONE window shuffle keyed by user_id —
+    identical shape and cost to latest-wins compaction; there is no
+    self-join formulation worth considering (the classic
+    LEFT JOIN next-change approach shuffles twice and breaks on
+    equal-ts ties that the window tiebreaker handles). At 100 TB an
+    incremental snapshot run unions yesterday's open rows with
+    today's changes before the same window — the operator is
+    unchanged, only its input narrows."""
+    ev = table(spark, sf_dir, "events")
+    decoded = decode_envelopes(synthesize_envelopes(ev))
+    ch = decoded.select(
+        "op",
+        "ts_ms",
+        F.coalesce(F.col("after.user_id"), F.col("before.user_id")).alias("user_id"),
+        F.coalesce(F.col("after.event_id"), F.col("before.event_id")).alias("event_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ch.withColumn("next_ts_ms", F.lead("ts_ms").over(w))
+    return seq.filter(F.col("op") != "d").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts_ms").alias("valid_from_ms"),
+        F.col("next_ts_ms").alias("valid_to_ms"),
+        F.col("next_ts_ms").isNull().alias("is_current"),
+    )

@@ -503,3 +503,59 @@ def late_drop_counts(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_exec_dedup",
+    registered=False,
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           strftime(date_trunc('milliseconds', ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM events WHERE event_id % 10 <> 0
+    """,
+)
+def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3's streaming member, executed by the REAL engine: exactly-once
+    dedup of an at-least-once CDC feed. Kafka + Debezium redeliver on
+    rebalance/restart, so the same change can arrive twice; here the
+    staged topic contains every envelope once plus a deterministic
+    "redelivered" second batch (every 7th event), and
+    ``dropDuplicatesWithinWatermark("event_id")`` must emit each live
+    event exactly once — the oracle is simply the distinct live set.
+
+    Why withinWatermark and not plain dropDuplicates: unbounded
+    streaming dedup state grows forever; the watermarked form evicts
+    keys once the watermark passes them, bounding state to the
+    redelivery SLA (Kafka retention). In this bounded availableNow run
+    the 45-day delay exceeds the fixture's 30-day span, so no key can
+    be evicted mid-run and the result is deterministic regardless of
+    how the file source batches input — same determinism argument as
+    ``stream_exec_tumbling``. First-arrival-wins is value-indifferent
+    because redelivered envelopes are byte-identical.
+
+    At 100 TB: state is hash-partitioned by the dedup key across the
+    cluster's state stores (RocksDB), shuffle keyed the same — the
+    exact layout the exact-dedup batch op uses, held incrementally."""
+    base = _fresh_staging_dir(spark, sf_dir, "stream_dedup")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events")
+    synthesize_envelopes(ev).write.json(src)
+    # the redelivery: a second file batch with duplicate envelopes
+    synthesize_envelopes(ev.filter(F.col("event_id") % 7 == 0)).write.mode(
+        "append"
+    ).json(src)
+    rows = live_rows(read_envelope_stream(spark, src))
+    deduped = (
+        rows.withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+    name = f"pdp_stream_dedup_{os.path.basename(sf_dir)}".replace(".", "_")
+    _run_memory_sink(deduped, name, ckpt, "append")
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
