@@ -70,6 +70,11 @@ SECONDARY = [
     # pairs) and the fused single-scan repetition filter
     "dedup_cluster_cc",
     "text_repetition",
+    # r5 (late additions): the export-writer shuffle (full-corpus window
+    # keyed by shard — the most shuffle-heavy of the new curation ops)
+    # and the vocab build (word-count shuffle + single folded window)
+    "corpus_shuffle_shard",
+    "text_vocab_coverage",
 ]
 
 

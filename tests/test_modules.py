@@ -1109,3 +1109,71 @@ def test_connected_components_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {(r.doc_id, r.cluster_rep) for r in connected_components(df).collect()}
         assert got == expect, f"seed={seed}: {got ^ expect}"
+
+
+# ---------------------------------------------------------------------------
+# r5 late additions: invariants the oracle compare can't express
+
+
+def test_scd2_intervals_chain_without_overlap(spark):
+    """SCD2 correctness beyond value parity: per key, version intervals
+    must chain exactly (valid_to == next valid_from), at most one open
+    (current) row may exist, and a key whose last change is a delete
+    must have NO current row."""
+    from promptly_data_pipelines_spark.cdc.batch import cdc_scd2_history
+
+    rows = cdc_scd2_history(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: r.valid_from_ms)
+        currents = [r for r in versions if r.is_current]
+        assert len(currents) <= 1, f"user {user}: multiple current rows"
+        for prev, nxt in zip(versions, versions[1:]):
+            # closed by SOME later change; a tombstone in between makes
+            # the chain skip (prev closed at the delete's ts, which is
+            # <= the next surviving version's start)
+            assert prev.valid_to_ms is not None
+            assert prev.valid_to_ms <= nxt.valid_from_ms
+        if versions[-1].valid_to_ms is not None:
+            # last surviving version closed => the closer was a delete
+            assert not currents
+
+
+def test_shard_shuffle_deterministic_and_total(spark):
+    """The export shuffle must be reproducible run-to-run (the whole
+    point of hash-based order) and pos must be a contiguous 1..n
+    numbering within every shard."""
+    from promptly_data_pipelines_spark.extensions.sampling import corpus_shuffle_shard
+
+    a = {(r.doc_id): (r.shard, r.pos) for r in corpus_shuffle_shard(spark, SF_DIR).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in corpus_shuffle_shard(spark, SF_DIR).collect()}
+    assert a == b, "shard/pos assignment not deterministic across runs"
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert len(by_shard) > 1
+    for shard, positions in by_shard.items():
+        positions.sort()
+        assert positions == list(range(1, len(positions) + 1)), (
+            f"shard {shard}: pos not contiguous"
+        )
+
+
+def test_vocab_coverage_monotone(spark):
+    """Coverage must be nondecreasing in token_id, bounded by 1, and
+    consistent with cum_n (the ratio of adjacent rows equals n)."""
+    from promptly_data_pipelines_spark.extensions.text import text_vocab_coverage
+
+    rows = sorted(
+        text_vocab_coverage(spark, SF_DIR).collect(), key=lambda r: r.token_id
+    )
+    assert rows and rows[0].token_id == 1 and rows[0].cum_n == rows[0].n
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.token_id == prev.token_id + 1
+        assert nxt.cum_n == prev.cum_n + nxt.n
+        assert nxt.coverage >= prev.coverage
+        assert prev.n >= nxt.n, "ids not in frequency order"
+    assert rows[-1].coverage <= 1.0
