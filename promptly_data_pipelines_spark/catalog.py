@@ -34,16 +34,17 @@ DECLARED_SCHEMAS: dict[str, str] = {
     "customer": "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
     "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
     "part": "p_partkey bigint, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
-    # o_orderdate/l_shipdate arrive as TIMESTAMP(MILLIS/MICROS,
-    # isAdjustedToUTC=false) parquet → Spark 4 reads timestamp_ntz
-    # (naive, matching DuckDB exactly). events.ts is TIMESTAMP(NANOS) →
-    # read as nanos-long and converted to (UTC-instant) timestamp in
-    # table(); equivalent under the UTC session timezone.
+    # ts/o_orderdate/l_shipdate arrive as TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) parquet. tune_session disables
+    # inferTimestampNTZ, so all of them read as session-tz TimestampType
+    # — under the UTC session timezone that is value-identical to
+    # DuckDB's naive TIMESTAMP, and the whole timestamp function surface
+    # (unix_millis, watermarks, interval arith) applies uniformly.
     "orders": "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double, "
-    "o_orderdate timestamp_ntz, o_orderpriority string",
+    "o_orderdate timestamp, o_orderpriority string",
     "lineitem": "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
     "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
-    "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz",
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp",
     "events": "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
     "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
     "embeddings": "vec_id bigint, embedding array<float>, label int",

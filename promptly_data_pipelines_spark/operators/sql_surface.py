@@ -74,8 +74,8 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o.o_orderpriority, count(*) AS order_count
         FROM orders o
-        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP_NTZ '1995-04-01 00:00:00'
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
           AND EXISTS (
             SELECT 1 FROM lineitem l
             WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
@@ -240,8 +240,8 @@ def sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS order_count,
                round(sum(o.o_totalprice), 2) AS sum_price
         FROM orders o
-        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
-          AND o.o_orderdate <  TIMESTAMP_NTZ '1995-04-01 00:00:00'
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
           AND EXISTS (
             SELECT 1 FROM lineitem l
             WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate

@@ -103,5 +103,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # rejects by default; read nanos as long and let the catalog convert
     # to microsecond timestamps (matching DuckDB's ns→µs truncation).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The fixtures carry TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # parquet; by default Spark 4 infers TIMESTAMP_NTZ for these, which
+    # half the timestamp surface (unix_millis, watermarks on some
+    # builds, interval arith coercions) rejects. Read them as session-tz
+    # TimestampType instead — identical semantics under the UTC session
+    # timezone set above, and exactly what DuckDB's naive TIMESTAMP
+    # compares equal to. Scan-level conf, so pushdown is unaffected.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     _ship_package(spark)
     return spark
