@@ -167,7 +167,13 @@ def _load_all() -> None:
     )
     from .cdc import batch, streaming  # noqa: F401
     from .quality import checks  # noqa: F401
-    from .pipelines import corpus_prep, elt_job, flagship, reference_pipeline  # noqa: F401
+    from .pipelines import (  # noqa: F401
+        corpus_prep,
+        elt_job,
+        flagship,
+        incremental,
+        reference_pipeline,
+    )
     from .extensions import (  # noqa: F401
         dedup,
         multimodal,
