@@ -159,6 +159,7 @@ def _load_all() -> None:
         aggregates,
         compaction,
         joins,
+        layout,
         projections,
         scans,
         setops,
