@@ -148,6 +148,84 @@ def arrival_batches(events: DataFrame, ts_col: str = "ts") -> list[DataFrame]:
 
 
 @query(
+    "stream_exec_incremental",
+    registered=False,  # registered window full; pytest oracle-parity covers it
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_exec_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming→incremental integration, run by the REAL
+    Structured Streaming engine: events staged as one JSON file per
+    arrival batch, ``readStream`` (declared schema, maxFilesPerTrigger
+    =1), and ``foreachBatch`` handing each micro-batch to
+    ``incremental_run`` with the engine's batch id as the exactly-once
+    key. A foreachBatch retry re-delivers the same batch id, and the
+    state file makes the re-delivery a no-op — the same idempotence
+    contract Spark's own sinks build on the commit log. Final rollup
+    must equal the full recompute. At scale the file source becomes
+    ``format("kafka")`` and everything downstream is unchanged."""
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_stream_incr_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    warehouse = os.path.join(base, "warehouse")
+    # staging + checkpoint are wiped so re-invocation re-streams from
+    # scratch; the WAREHOUSE persists (session-tagged) — re-delivered
+    # micro-batch ids hit the batch-id state and no-op, which is the
+    # recovery semantics tests/test_incremental.py pins.
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for stage in range(8):
+        shutil.rmtree(os.path.join(base, f"stage{stage}"), ignore_errors=True)
+    os.makedirs(src)
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    for i, batch in enumerate(arrival_batches(ev)):
+        staged = batch.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "value",
+        )
+        staged.coalesce(1).write.mode("overwrite").json(os.path.join(base, f"stage{i}"))
+        import glob as _glob
+
+        (part,) = _glob.glob(os.path.join(base, f"stage{i}", "part-*.json"))
+        dst = os.path.join(src, f"b{i:04d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts string, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_run(batch_df.sparkSession, batch_df, f"mb{batch_id}", warehouse)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(warehouse, "rollup", "daily"))
+    return out.select("day", "event_type", "n_events", "sum_value")
+
+
+@query(
     "incremental_rollup",
     registered=False,  # registered window full; pytest oracle-parity covers it
     oracle="""

@@ -93,6 +93,20 @@ def test_hwm_extract_pushes_down(spark):
     assert extract_new(ev, "ts", hwm).count() == ev.filter(F.col("ts") > F.lit(hwm)).count()
 
 
+def test_stream_redelivery_is_noop(spark):
+    """Re-running the whole streaming job over the SAME warehouse with
+    a fresh checkpoint re-delivers every micro-batch id — the batch-id
+    state must turn all of them into no-ops (the foreachBatch
+    exactly-once contract)."""
+    from promptly_data_pipelines_spark.pipelines.incremental import stream_exec_incremental
+
+    first = {tuple(r) for r in stream_exec_incremental(spark, SF_DIR).collect()}
+    # same session tag → same warehouse; the fresh run streams the same
+    # files under new checkpoints but identical micro-batch ids
+    second = {tuple(r) for r in stream_exec_incremental(spark, SF_DIR).collect()}
+    assert first == second
+
+
 def test_state_survives_and_orders_hwm(spark):
     wh = _fresh_warehouse("state")
     b0, b1, _ = arrival_batches(_events(spark))
