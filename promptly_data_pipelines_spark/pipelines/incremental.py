@@ -99,6 +99,12 @@ def incremental_run(
     # affected-day set: tiny (≤ distinct days in one batch) — the one
     # driver-side collect, bounded by calendar size not data size.
     affected = [r["day"] for r in staged.select("day").distinct().collect()]
+    if not affected:
+        # empty delivery (a heartbeat batch): record the id so the
+        # re-delivery contract holds, touch nothing else.
+        state = {"hwm": state["hwm"], "batches": [*state["batches"], batch_id]}
+        write_state(state_path, state)
+        return {"skipped": False, "affected_days": [], "hwm": state["hwm"]}
 
     # rebuild exactly the affected day partitions from the full raw
     # layer (all batches), day-pruned at the scan.

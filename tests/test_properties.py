@@ -1,0 +1,209 @@
+"""Property-based tests (hypothesis) for the invariants that example
+tests can't sweep: randomized corpora against exact Python mirrors.
+
+The reference ships no property tests (SURVEY.md §5); these go beyond
+it. Each property uses a small deterministic profile (derandomize, few
+examples) because every example runs real Spark jobs — the value is in
+the adversarial shapes hypothesis finds (ties, empty docs, duplicate
+tokens, all-rows-in-one-batch arrivals), not in example volume.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from promptly_data_pipelines_spark.cdc.batch import merge_upsert_frames
+from promptly_data_pipelines_spark.extensions.dedup import (
+    DF_CAP,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from promptly_data_pipelines_spark.extensions.text import words
+from promptly_data_pipelines_spark.pipelines.incremental import incremental_run
+
+SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+VOCAB = ["a", "b", "c", "ab", "ba"]  # tiny: forces shared shingles
+
+doc_text = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join)
+corpus = st.lists(
+    st.tuples(doc_text, st.sampled_from(["en", "de"])), min_size=2, max_size=14
+)
+
+
+def _shingles(text: str) -> set[str]:
+    ws = [w for w in text.split(" ") if w != ""]
+    return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+
+def _brute_jaccard(docs: list[tuple[int, str, str]], df_cap: int) -> dict:
+    """Exact mirror of ngram_jaccard_pairs: per-(shingle,lang) document
+    frequency, live shingles have df in [2, cap], intersection counts
+    live shingles only, sizes stay pre-cap."""
+    gsets = {doc_id: _shingles(text) for doc_id, text, _lang in docs}
+    langs = {doc_id: lang for doc_id, _text, lang in docs}
+    df: dict = {}
+    for doc_id, g in gsets.items():
+        for sh in g:
+            df[(sh, langs[doc_id])] = df.get((sh, langs[doc_id]), 0) + 1
+    out = {}
+    ids = sorted(gsets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if langs[a] != langs[b]:
+                continue
+            live = {
+                sh
+                for sh in gsets[a] & gsets[b]
+                if 2 <= df[(sh, langs[a])] <= df_cap
+            }
+            c = len(live)
+            if c == 0:
+                continue
+            j = c / (len(gsets[a]) + len(gsets[b]) - c)
+            if j >= 0.5:
+                out[(a, b)] = j
+    return out
+
+
+@SETTINGS
+@given(corpus=corpus)
+def test_jaccard_matches_bruteforce(spark, corpus):
+    docs = [(i, text, lang) for i, (text, lang) in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    handle: list = []
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, cache_handle=handle).collect()
+    }
+    for cached in handle:  # deterministic unpersist: 6 examples/run
+        cached.unpersist()
+    want = _brute_jaccard(docs, DF_CAP)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+@SETTINGS
+@given(corpus=st.lists(doc_text, min_size=1, max_size=10))
+def test_simhash_swar_matches_plain_vote(spark, corpus):
+    """The SWAR bit-sliced signature must equal the plain per-bit
+    majority vote computed from the SAME (Spark xxhash64) word hashes."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    hashes = {
+        r["doc_id"]: r["hs"]
+        for r in df.select(
+            "doc_id", F.transform(words("text"), lambda w: F.xxhash64(w)).alias("hs")
+        ).collect()
+    }
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    for doc_id, hs in hashes.items():
+        if not hs:  # empty docs drop out of the signature table
+            assert doc_id not in got
+            continue
+        sig = 0
+        for i in range(63):
+            pop = sum((h >> i) & 1 for h in hs)
+            if 2 * pop > len(hs):
+                sig |= 1 << i
+        assert got[doc_id] == sig, f"doc {doc_id}: {got[doc_id]} != {sig}"
+
+
+merge_case = st.dictionaries(
+    st.integers(min_value=0, max_value=5),  # key space with collisions
+    st.tuples(
+        st.lists(st.integers(min_value=0, max_value=9), unique=True, max_size=3),
+        st.lists(st.integers(min_value=0, max_value=9), unique=True, max_size=3),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(case=merge_case)
+def test_merge_upsert_matches_replay(spark, case):
+    """merge_upsert must equal the naive replay: per key, the highest
+    ts wins; on an exact ts tie the UPDATE side wins."""
+    snap_rows, upd_rows = [], []
+    for key, (snap_ts, upd_ts) in case.items():
+        snap_rows += [(key, t, f"s{key}:{t}") for t in snap_ts]
+        upd_rows += [(key, t, f"u{key}:{t}") for t in upd_ts]
+    if not snap_rows or not upd_rows:
+        return
+    schema = "k long, ts long, payload string"
+    merged = merge_upsert_frames(
+        spark.createDataFrame(snap_rows, schema),
+        spark.createDataFrame(upd_rows, schema),
+        "k",
+        order_cols=("ts",),
+    )
+    got = {r["k"]: (r["ts"], r["payload"]) for r in merged.collect()}
+    want = {}
+    for side, rows in ((0, snap_rows), (1, upd_rows)):
+        for k, t, p in rows:
+            if k not in want or (t, side) > (want[k][0], want[k][1]):
+                want[k] = (t, side, p)
+    assert got == {k: (t, p) for k, (t, side, p) in want.items()}
+
+
+arrivals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=27),  # day offset
+        st.sampled_from(["click", "view"]),
+        st.integers(min_value=0, max_value=100),  # integer-valued double
+        st.integers(min_value=0, max_value=2),  # arrival batch — arbitrary lateness
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=arrivals)
+def test_incremental_converges_under_any_arrival_order(spark, rows):
+    """The incremental rollup must equal the full recompute no matter
+    how rows are scattered across arrival batches — including empty
+    batches and maximal lateness (old days arriving last)."""
+    wh = os.path.join(tempfile.gettempdir(), f"pdp_incr_prop_{uuid.uuid4().hex[:8]}")
+    try:
+        data = [
+            (i, f"2024-01-{d + 1:02d} 12:00:00", et, float(v), b)
+            for i, (d, et, v, b) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "event_id long, ts_s string, event_type string, value double, b int"
+        ).withColumn("ts", F.to_timestamp("ts_s"))
+        for bid in range(3):
+            batch = df.filter(F.col("b") == bid).select("event_id", "ts", "event_type", "value")
+            incremental_run(spark, batch, f"b{bid}", wh)
+        got = {
+            # partition inference may type day as DATE; str() of either
+            # form is the yyyy-MM-dd key
+            (str(r["day"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(os.path.join(wh, "rollup", "daily")).collect()
+        }
+        want: dict = {}
+        for _i, (d, et, v, _b) in enumerate(rows):
+            key = (f"2024-01-{d + 1:02d}", et)
+            n, s = want.get(key, (0, 0.0))
+            want[key] = (n + 1, s + float(v))
+        assert got == {k: (n, round(s, 2)) for k, (n, s) in want.items()}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
