@@ -75,6 +75,13 @@ SECONDARY = [
     # and the vocab build (word-count shuffle + single folded window)
     "corpus_shuffle_shard",
     "text_vocab_coverage",
+    # r5 (maintenance/ops tier): incremental materialization (3 arrival
+    # batches through the HWM runner), small-file compaction (fragment +
+    # rewrite), and the PERMISSIVE quarantine split — all IO-heavy by
+    # design, tracked so writer-path regressions surface
+    "incremental_rollup",
+    "compact_small_files",
+    "scan_json_quarantine",
 ]
 
 

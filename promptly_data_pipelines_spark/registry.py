@@ -157,6 +157,7 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        badrecords,
         compaction,
         joins,
         layout,
