@@ -159,6 +159,7 @@ def _load_all() -> None:
         aggregates,
         badrecords,
         compaction,
+        evolution,
         joins,
         layout,
         projections,
