@@ -282,3 +282,62 @@ def test_vocab_window_single_scan_no_join(spark):
     # details header "(N) Window" — one per Window operator
     assert p.count(") Window") == 1, "windows not folded into one operator"
     assert "Join" not in p, "grand total joined back instead of window-framed"
+
+
+def test_incremental_rebuild_prunes_raw_partitions(spark):
+    """The affected-day rollup rebuild must reach the raw layer as a
+    PARTITION filter (day is a directory column), not a post-scan
+    filter — at 100 TB this is the difference between re-reading two
+    days and re-reading the whole raw history."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.pipelines.incremental import (
+        arrival_batches,
+        incremental_run,
+    )
+
+    wh = os.path.join(tempfile.gettempdir(), "pdp_incr_planpin")
+    shutil.rmtree(wh, ignore_errors=True)
+    ev = table(spark, SF_DIR, "events").select("event_id", "ts", "event_type", "value")
+    b0, b1, _ = arrival_batches(ev)
+    info = incremental_run(spark, b0, "b0", wh)
+    raw = spark.read.parquet(os.path.join(wh, "raw", "events"))
+    rebuilt = raw.filter(F.col("day").isin(info["affected_days"])).groupBy("day").count()
+    plan = rebuilt._jdf.queryExecution().executedPlan().toString()
+    # the isin must land as "PartitionFilters: [day#N IN (…)]" on the
+    # scan — an empty PartitionFilters with a post-scan Filter means
+    # the rebuild reads all of history
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and pf[1].lstrip().startswith("day"), plan
+
+
+def test_compaction_plan_broadcasts_file_counts(spark):
+    """compact_partitioned's per-partition file-count join must stay a
+    broadcast: the plan frame is calendar-sized, and a shuffle join
+    there would reshuffle the full table an extra time."""
+    import os
+    import shutil
+    import tempfile
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.functions import date_key
+
+    base = os.path.join(tempfile.gettempdir(), "pdp_compact_planpin")
+    shutil.rmtree(base, ignore_errors=True)
+    frag = os.path.join(base, "frag")
+    ev = table(spark, SF_DIR, "events").withColumn("day", date_key("ts"))
+    ev.repartition(4).write.partitionBy("day").parquet(frag)
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(frag)
+    sizes = src.groupBy("day").agg(F.count("*").alias("n_rows"))
+    plan_df = sizes.withColumn("n_files", F.ceil(F.col("n_rows") / F.lit(1000)).cast("int"))
+    salted = src.join(F.broadcast(plan_df), "day")
+    p = salted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p

@@ -163,6 +163,47 @@ def test_merge_upsert_matches_replay(spark, case):
     assert got == {k: (t, p) for k, (t, side, p) in want.items()}
 
 
+compact_case = st.tuples(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=999)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=10),  # target rows per file
+)
+
+
+@SETTINGS
+@given(case=compact_case)
+def test_compaction_preserves_multiset_and_bounds_files(spark, case):
+    """For ANY input distribution and target size: compaction preserves
+    the exact row multiset and no output file exceeds the target."""
+    import pyarrow.parquet as pq
+
+    from promptly_data_pipelines_spark.operators.compaction import compact_partitioned
+
+    rows, target = case
+    base = os.path.join(tempfile.gettempdir(), f"pdp_comp_prop_{uuid.uuid4().hex[:8]}")
+    try:
+        src, out = os.path.join(base, "src"), os.path.join(base, "out")
+        df = spark.createDataFrame(
+            [(f"p{p}", i, v) for i, (p, v) in enumerate(rows)],
+            "part string, row_id long, v long",
+        )
+        df.repartition(4).write.partitionBy("part").parquet(src)
+        compact_partitioned(spark, src, out, "part", target_rows_per_file=target)
+        got = sorted(
+            (r["part"], r["row_id"], r["v"])
+            for r in spark.read.parquet(out).collect()
+        )
+        want = sorted((f"p{p}", i, v) for i, (p, v) in enumerate(rows))
+        assert got == want
+        for f in spark.read.parquet(out).inputFiles():
+            assert pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows <= target
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 arrivals = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=27),  # day offset
