@@ -559,3 +559,79 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
     )
+
+
+@query(
+    "stream_exec_interval_join",
+    registered=False,  # registered window full; pytest oracle-parity covers it
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    clicks AS (SELECT * FROM live WHERE event_id % 2 = 0),
+    views  AS (SELECT * FROM live WHERE event_id % 2 = 1)
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           CAST(c.user_id AS BIGINT) AS user_id,
+           CAST(epoch_ms(c.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+    """,
+)
+def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 completion: STREAM-STREAM interval join under the real
+    engine — the attribution shape (view→click within 10 minutes,
+    same user) that stream-static joins can't express because BOTH
+    sides keep arriving. One staged CDC topic is branched into two
+    watermarked streams (a self-join — the engine buffers each side
+    in keyed state), joined on user_id plus an event-time range.
+
+    Why this is scale-safe: the equi-key (user_id) hash-partitions
+    both state stores, and the time-range condition plus the two
+    watermarks bound HOW LONG a buffered row can wait for a match —
+    state per key is the 10-minute window, evicted as the watermark
+    passes (without the range condition the join would hold every row
+    forever). In this bounded availableNow replay the 40-day delay
+    exceeds the fixture's 30-day span, so no buffered row is evicted
+    early and the result equals the batch interval join exactly —
+    the same determinism argument as stream_exec_tumbling/dedup.
+    """
+    base = _fresh_staging_dir(spark, sf_dir, "stream_ij")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events")
+    synthesize_envelopes(ev).write.json(src)
+    rows = live_rows(read_envelope_stream(spark, src))
+    clicks = (
+        rows.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "40 days")
+    )
+    views = (
+        rows.filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "40 days")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "user_id = view_user AND "
+            "view_ts BETWEEN click_ts - INTERVAL 10 MINUTES AND click_ts"
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
+    )
+    name = f"pdp_stream_ij_{os.path.basename(sf_dir)}".replace(".", "_")
+    _run_memory_sink(joined, name, ckpt, "append")
+    return spark.table(name)
