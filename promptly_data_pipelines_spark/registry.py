@@ -170,7 +170,7 @@ def _load_all() -> None:
         windows,
     )
     from .cdc import batch, streaming  # noqa: F401
-    from .quality import checks  # noqa: F401
+    from .quality import checks, profile  # noqa: F401
     from .pipelines import (  # noqa: F401
         corpus_prep,
         elt_job,

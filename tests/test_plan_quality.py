@@ -341,3 +341,14 @@ def test_compaction_plan_broadcasts_file_counts(spark):
     salted = src.join(F.broadcast(plan_df), "day")
     p = salted._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
+
+
+def test_profile_single_scan_expand(spark):
+    """dq_profile computes every per-column metric — including two
+    exact count(DISTINCT) — in ONE pass: Spark's Expand-based rewrite,
+    a single parquet scan (the ANALYZE TABLE plan shape). A second
+    scan would mean the profiler degenerated to per-column jobs."""
+    p = _plan(spark, "dq_profile")
+    assert "Expand" in p, "multi-distinct no longer one Expand pass"
+    # "Scan parquet" prints twice per node (tree line + details header)
+    assert p.count("Scan parquet") == 2, "profiler re-scans the table"
