@@ -104,3 +104,91 @@ def dpp_fact_dim_join(
     Catalyst's job, and the plan pin asserts it happened."""
     fact = spark.read.parquet(fact_dir)
     return fact.join(F.broadcast(dim), on)
+
+
+def _spread_bits16(c):
+    """Interleave-ready bit spread: 16-bit int → 32-bit with a zero
+    between every bit (the classic magic-mask sequence — four shifts,
+    pure JVM integer arithmetic, fully codegen'd)."""
+    c = c.bitwiseAND(F.lit(0xFFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def zorder_key(a, b, a_min, a_max, b_min, b_max):
+    """Z-order (Morton) key over two numeric columns: each value is
+    min/max-scaled to 16 bits and the bits interleave, so sorting by
+    the key clusters rows that are close in BOTH dimensions — a sort
+    on (a, b) narrows only a's row-group stats, the Z-curve narrows
+    both to ~sqrt of the value space per row group. Bounds come from
+    cheap table stats (two scalars per column — at 100 TB, from the
+    catalog). Pure Column arithmetic end to end: no UDF, whole-stage
+    codegen applies."""
+
+    def scale(c, lo, hi):
+        rng = max(1.0, float(hi) - float(lo))
+        return ((c.cast("double") - F.lit(float(lo))) / F.lit(rng) * F.lit(65535.0)).cast(
+            "int"
+        )
+
+    return _spread_bits16(scale(a, a_min, a_max)).bitwiseOR(
+        F.shiftleft(_spread_bits16(scale(b, b_min, b_max)), 1)
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    dst_dir: str,
+    partition_col: str,
+    zcols: tuple[str, str],
+    files_per_partition: int = 1,
+) -> None:
+    """Clustered write on the Z-curve of two columns (the
+    OPTIMIZE ... ZORDER BY role). Same shuffle shape as
+    clustered_write — partition-col repartition + in-task sort — only
+    the sort key changes to the interleaved code."""
+    a, b = zcols
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(a), F.max(a), F.min(b), F.max(b)
+    ).first()
+    zkey = zorder_key(F.col(a), F.col(b), lo_a, hi_a, lo_b, hi_b)
+    (
+        df.withColumn("__z", zkey)
+        .repartition(files_per_partition * 8, F.col(partition_col))
+        .sortWithinPartitions(partition_col, "__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dst_dir)
+    )
+
+
+@query(
+    "layout_zorder_scan",
+    registered=False,  # registered window full; pytest oracle-parity covers it
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(value, 2) AS value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 120 AND event_id BETWEEN 1000 AND 3000
+    """,
+)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events Z-ordered by (user_id, event_id) within day
+    partitions, then run the two-dimensional range scan the layout
+    serves. Values must equal the straight source scan; the two-sided
+    row-group narrowing is pinned by tests/test_layout.py."""
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_zorder_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    ev = table(spark, sf_dir, "events").withColumn("day", date_key("ts"))
+    zorder_write(ev, dst, "day", ("user_id", "event_id"))
+    back = spark.read.parquet(dst).filter(
+        F.col("user_id").between(100, 120) & F.col("event_id").between(1000, 3000)
+    )
+    return back.select("user_id", "event_id", F.round("value", 2).alias("value"))

@@ -94,3 +94,53 @@ def test_dpp_prunes_fact_partitions(spark):
     # and the result is the plain filtered count
     want = ev.filter(F.col("day") <= F.lit("2024-01-03")).count()
     assert joined.count() == want
+
+
+def test_zorder_key_is_monotone_per_dimension(spark):
+    """Morton-key sanity: with one dimension fixed, the key orders by
+    the other — so single-column filters keep working on a Z-ordered
+    layout (it strictly generalizes single-key clustering)."""
+    from promptly_data_pipelines_spark.operators.layout import zorder_key
+
+    rows = [(a, b) for a in range(0, 100, 7) for b in (3, 50)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), 0, 99, 0, 99).alias("z")
+    ).collect()
+    by_b: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        by_b.setdefault(r["b"], []).append((r["a"], r["z"]))
+    for _b, pairs in by_b.items():
+        pairs.sort()
+        zs = [z for _a, z in pairs]
+        assert zs == sorted(zs), "z-key not monotone with the other dim fixed"
+
+
+def test_zorder_chunks_narrow_both_dimensions(spark):
+    """The point of the Z-curve: CONTIGUOUS runs of the sorted order
+    (row groups, once written) span a small slice of BOTH dimensions.
+    A plain (a, b) sort narrows only a. Simulated row groups (chunks
+    of the z-sorted order) keep the test independent of parquet
+    row-group sizing."""
+    from promptly_data_pipelines_spark.operators.layout import zorder_key
+
+    ev = table(spark, SF_DIR, "events").select("user_id", "event_id")
+    lo_u, hi_u, lo_e, hi_e = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("event_id"), F.max("event_id")
+    ).first()
+    z = zorder_key(F.col("user_id"), F.col("event_id"), lo_u, hi_u, lo_e, hi_e)
+    rows = ev.select("user_id", "event_id", z.alias("z")).orderBy("z").collect()
+    chunk = 100
+    spans_u, spans_e = [], []
+    for i in range(0, len(rows) - chunk + 1, chunk):
+        c = rows[i : i + chunk]
+        us = [r["user_id"] for r in c]
+        es = [r["event_id"] for r in c]
+        spans_u.append((max(us) - min(us)) / max(1, hi_u - lo_u))
+        spans_e.append((max(es) - min(es)) / max(1, hi_e - lo_e))
+    mean_u = sum(spans_u) / len(spans_u)
+    mean_e = sum(spans_e) / len(spans_e)
+    # both dimensions narrow: each 100-row run covers well under half
+    # the value space (a single-key sort leaves the second ~1.0)
+    assert mean_u < 0.5, f"user_id chunks too wide: {mean_u:.3f}"
+    assert mean_e < 0.5, f"event_id chunks too wide: {mean_e:.3f}"
