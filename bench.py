@@ -82,6 +82,9 @@ SECONDARY = [
     "incremental_rollup",
     "compact_small_files",
     "scan_json_quarantine",
+    # r5: the one-pass Expand-based column profiler (cheap; tracked so
+    # a regression to per-column jobs shows up as a step change)
+    "dq_profile",
 ]
 
 

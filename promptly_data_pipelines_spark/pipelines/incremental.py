@@ -243,7 +243,7 @@ def stream_exec_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive three incremental runs (time-ordered arrivals with ~2%%
+    """Drive three incremental runs (time-ordered arrivals with ~2%
     late rows) and return the final rollup table. The oracle is the
     full recompute — the incremental path must converge to it exactly,
     late data included."""
