@@ -566,7 +566,10 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered=False,  # registered window full; pytest oracle-parity covers it
     oracle="""
     WITH live AS (
-      SELECT event_id, user_id, ts
+      -- envelope ts is millisecond epoch (live_rows rebuilds ts from
+      -- ts_ms), so the oracle must truncate to milliseconds too or a
+      -- same-millisecond pair straddling the raw-µs order flakes
+      SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
       FROM events WHERE event_id % 10 <> 0
     ),
     clicks AS (SELECT * FROM live WHERE event_id % 2 = 0),

@@ -192,8 +192,9 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 variant: calendar rollup on a timestamp_ntz column
-    (o_orderdate) — the freshness/volume-over-time report shape
+    """A2 variant: calendar rollup on the o_orderdate timestamp
+    (session-tz under UTC since the r5 data migration; see
+    catalog.DECLARED_SCHEMAS) — the freshness/volume-over-time report shape
     (Elementary volume metrics, reference app.py:52-58)."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy(

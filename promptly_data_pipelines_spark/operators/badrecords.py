@@ -35,12 +35,20 @@ EVENT_SCHEMA = "event_id bigint, ts string, event_type string, value double"
 
 
 def split_corrupt(
-    spark: SparkSession, src: str, schema: str, corrupt_col: str = "_corrupt"
+    spark: SparkSession,
+    src: str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+    cache_handle: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One PERMISSIVE parse → (good, quarantine). ``good`` drops the
     corrupt column; ``quarantine`` keeps only the raw line. The parsed
-    frame is persisted MEMORY_AND_DISK: both splits read the one
-    parse, and the caller materializes both before the frame is GC'd."""
+    frame is persisted MEMORY_AND_DISK so both splits read the one
+    parse. Cache lifetime follows the library convention
+    (see dedup.shingle_postings): the ContextCleaner releases it once
+    all plan references are GC'd — run-once queries need nothing;
+    long-lived callers pass ``cache_handle=[]`` and ``.unpersist()``
+    the appended frame after materializing both splits."""
     parsed = (
         spark.read.schema(f"{schema}, {corrupt_col} string")
         .option("mode", "PERMISSIVE")
@@ -48,6 +56,8 @@ def split_corrupt(
         .json(src)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_handle is not None:
+        cache_handle.append(parsed)
     good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantine = parsed.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_record")

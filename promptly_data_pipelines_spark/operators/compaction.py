@@ -50,24 +50,39 @@ def compact_partitioned(
     plan frame (partition, n_rows, n_files) for observability."""
     src = spark.read.parquet(src_dir)
     sizes = src.groupBy(partition_col).agg(F.count("*").alias("n_rows"))
-    plan = sizes.withColumn(
-        "n_files", F.ceil(F.col("n_rows") / F.lit(target_rows_per_file)).cast("int")
+    # ONE scan computes the calendar-sized plan; it is collected once
+    # and re-broadcast as a LOCAL frame — leaving it lazy would re-run
+    # the scan+aggregate inside the rewrite job and again when the
+    # caller reads the returned plan (three scans for one number).
+    plan_rows = [
+        (r[partition_col], int(r["n_rows"]), -(-int(r["n_rows"]) // target_rows_per_file))
+        for r in sizes.collect()
+    ]
+    total_files = sum(n for _p, _r, n in plan_rows) or 1
+    pc_type = src.schema[partition_col].dataType.simpleString()
+    plan = spark.createDataFrame(
+        plan_rows, f"`{partition_col}` {pc_type}, n_rows bigint, n_files int"
     )
-    # broadcast the per-partition file counts (bounded by calendar
-    # cardinality) and salt every row into one of its partition's
-    # output buckets. The shuffle on (partition, bucket) with an
-    # explicit task count spreads a hot partition across many writer
-    # tasks; hash collisions can still co-locate two buckets in one
-    # task, so maxRecordsPerFile is the hard file-size bound — the
-    # writer rolls a new file at the target regardless of task layout.
-    total_files = int(plan.agg(F.sum("n_files")).first()[0] or 1)
+    # broadcast the per-partition file counts and salt every row into
+    # one of its partition's output buckets. The shuffle on
+    # (partition, bucket) with an explicit task count spreads a hot
+    # partition across many writer tasks; hash collisions can still
+    # co-locate two buckets in one task, so maxRecordsPerFile is the
+    # hard file-size bound — the writer rolls a new file at the target
+    # regardless of task layout. The join is NULL-SAFE: a null
+    # partition (day=__HIVE_DEFAULT_PARTITION__) must be rewritten
+    # like any other, never silently dropped by EqualTo-on-null.
+    plan_keyed = plan.withColumnRenamed(partition_col, "__pc")
     salted = (
-        src.join(F.broadcast(plan), partition_col)
+        src.join(
+            F.broadcast(plan_keyed),
+            F.col(partition_col).eqNullSafe(F.col("__pc")),
+        )
         .withColumn(
             "__bucket",
             (F.pmod(F.xxhash64(*[F.col(c) for c in src.columns]), F.col("n_files"))).cast("int"),
         )
-        .drop("n_rows", "n_files")
+        .drop("__pc", "n_rows", "n_files")
     )
     (
         salted.repartition(total_files, F.col(partition_col), F.col("__bucket"))
@@ -79,7 +94,9 @@ def compact_partitioned(
         .parquet(dst_dir)
     )
     # partition values come back from directory inference (possibly as
-    # DATE); report them as strings so the plan frame is stable.
+    # DATE); report them as strings so the plan frame is stable. The
+    # frame is local (createDataFrame of the collected plan) — reading
+    # it never re-touches the source.
     return plan.select(
         F.col(partition_col).cast("string").alias(partition_col), "n_rows", "n_files"
     )

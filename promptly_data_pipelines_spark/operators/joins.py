@@ -398,7 +398,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct at oracle SF, quadratic at scale; the Spark side is
     ``interval_join``'s bucket-explode + equi-join + refine, which
     keeps the work linear in points + interval-hours. Window bounds
-    are exact integer interval arithmetic on NTZ timestamps, so both
+    are exact integer interval arithmetic on UTC-session timestamps
+    (naive-equivalent under the UTC session timezone), so both
     engines compute identical bounds and the containment predicate
     cannot diverge."""
     ev = table(spark, sf_dir, "events")

@@ -43,7 +43,6 @@ def clustered_write(
     dst_dir: str,
     partition_col: str,
     cluster_cols: list[str],
-    files_per_partition: int = 1,
 ) -> None:
     """Write ``df`` date-partitioned with rows range-clustered by
     ``cluster_cols`` inside each partition.
@@ -52,9 +51,14 @@ def clustered_write(
     rows (avoiding the writers×partitions small-file blowup), then an
     in-task sort orders them by the cluster key — a local sort, no
     extra shuffle — so every row group's min/max on the cluster
-    columns is a narrow slice of the value space."""
+    columns is a narrow slice of the value space. Hashing on the
+    partition column alone means ONE writer task (and file) per
+    partition: right for clustering (the sort must see the whole
+    partition), and a partition too big for one file is
+    compact_partitioned's job afterwards — its salted rewrite keeps
+    contiguous z/cluster runs within each output bucket."""
     (
-        df.repartition(files_per_partition * 8, F.col(partition_col))
+        df.repartition(F.col(partition_col))
         .sortWithinPartitions(partition_col, *cluster_cols)
         .write.mode("overwrite")
         .partitionBy(partition_col)
@@ -134,8 +138,14 @@ def zorder_key(a, b, a_min, a_max, b_min, b_max):
             "int"
         )
 
-    return _spread_bits16(scale(a, a_min, a_max)).bitwiseOR(
-        F.shiftleft(_spread_bits16(scale(b, b_min, b_max)), 1)
+    # the b-spread occupies bits 1..31 after the shift: keep the key in
+    # a BIGINT so bit 31 never becomes an int32 sign bit (a negative
+    # key for the top half of b's range would sort the region FIRST
+    # and break the curve at the midpoint seam)
+    return (
+        _spread_bits16(scale(a, a_min, a_max))
+        .cast("bigint")
+        .bitwiseOR(F.shiftleft(_spread_bits16(scale(b, b_min, b_max)).cast("bigint"), 1))
     )
 
 
@@ -144,12 +154,12 @@ def zorder_write(
     dst_dir: str,
     partition_col: str,
     zcols: tuple[str, str],
-    files_per_partition: int = 1,
 ) -> None:
     """Clustered write on the Z-curve of two columns (the
     OPTIMIZE ... ZORDER BY role). Same shuffle shape as
-    clustered_write — partition-col repartition + in-task sort — only
-    the sort key changes to the interleaved code."""
+    clustered_write — one writer task per partition, in-task sort —
+    only the sort key changes to the interleaved code; oversized
+    partitions are compact_partitioned's job afterwards."""
     a, b = zcols
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)
@@ -157,7 +167,7 @@ def zorder_write(
     zkey = zorder_key(F.col(a), F.col(b), lo_a, hi_a, lo_b, hi_b)
     (
         df.withColumn("__z", zkey)
-        .repartition(files_per_partition * 8, F.col(partition_col))
+        .repartition(F.col(partition_col))
         .sortWithinPartitions(partition_col, "__z")
         .drop("__z")
         .write.mode("overwrite")

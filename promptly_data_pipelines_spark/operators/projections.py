@@ -418,8 +418,8 @@ def project_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (no Python, no shuffle — this is a pure map).
     Both engines truncate 'week' to Monday and count day diffs as
     calendar-date difference, so the oracle is expressible without
-    adjustment; timestamps are compared as formatted strings (the
-    established ntz discipline, see dedup_latest)."""
+    adjustment; timestamps are compared as formatted strings under the UTC
+    session timezone (the established discipline, see dedup_latest)."""
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id",

@@ -90,7 +90,13 @@ def incremental_run(
     if batch_id in state["batches"]:
         return {"skipped": True, "affected_days": [], "hwm": state["hwm"]}
 
-    staged = batch.withColumn("day", date_key(ts_col))
+    # NULL event times can't be silently stranded: date_key(NULL) would
+    # write day=__HIVE_DEFAULT_PARTITION__ rows that an isin(affected)
+    # rebuild never matches. Route them to an explicit sentinel day so
+    # they are staged, marked affected, and rolled up like any other.
+    staged = batch.withColumn(
+        "day", F.coalesce(date_key(ts_col), F.lit("__unknown__"))
+    )
     # raw append, staged per batch id: partitioned by day inside the
     # batch dir so the rollup's re-read below prunes directories.
     batch_dir = os.path.join(raw_dir, f"batch_id={batch_id}")
@@ -125,8 +131,12 @@ def incremental_run(
         .parquet(rollup_dir)
     )
 
+    # F.max skips NULLs; an all-NULL-ts batch yields None → keep the
+    # previous mark rather than comparing str to None
     new_hwm = batch.agg(F.max(ts_col).cast("string")).first()[0]
-    if state["hwm"] is not None:
+    if new_hwm is None:
+        new_hwm = state["hwm"]
+    elif state["hwm"] is not None:
         new_hwm = max(state["hwm"], new_hwm)
     state = {"hwm": new_hwm, "batches": [*state["batches"], batch_id]}
     write_state(state_path, state)

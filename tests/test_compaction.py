@@ -63,6 +63,24 @@ def test_compaction_shrinks_files_and_preserves_values(spark):
     assert a[1] == pytest.approx(b[1], rel=1e-9)
 
 
+def test_null_partition_rows_survive_compaction(spark):
+    """Rows whose partition value is NULL (__HIVE_DEFAULT_PARTITION__)
+    must be rewritten like any other — the plan join is null-safe, so
+    compaction can never silently drop them."""
+    base = os.path.join(tempfile.gettempdir(), "pdp_compact_null")
+    shutil.rmtree(base, ignore_errors=True)
+    frag, out = os.path.join(base, "frag"), os.path.join(base, "out")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "row_id long, part string"
+    )
+    df.repartition(2).write.partitionBy("part").parquet(frag)
+    plan = compact_partitioned(spark, frag, out, "part", target_rows_per_file=10)
+    assert {(r["part"], r["n_rows"]) for r in plan.collect()} == {("a", 2), (None, 2)}
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.filter(F.col("part").isNull()).count() == 2
+
+
 def test_hot_partition_splits_and_respects_file_size(spark):
     """A partition bigger than target must split into >1 file, and NO
     output file may exceed the target row count (the writer's

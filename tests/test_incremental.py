@@ -107,6 +107,30 @@ def test_stream_redelivery_is_noop(spark):
     assert first == second
 
 
+def test_null_ts_rows_roll_up_under_sentinel_day(spark):
+    """NULL event times must not strand: they stage under the
+    __unknown__ sentinel day, mark it affected, and roll up; an
+    all-NULL batch must not corrupt the high-water mark."""
+    from pyspark.sql import functions as F
+
+    wh = _fresh_warehouse("nullts")
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click", 1.0), (2, None, "view", 2.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).select("event_id", "ts", "event_type", "value")
+    info = incremental_run(spark, rows, "b0", wh)
+    assert "__unknown__" in info["affected_days"]
+    got = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in _rollup(spark, wh).collect()
+    }
+    assert got == {("2024-01-01", "click"): 1, ("__unknown__", "view"): 1}
+    # all-NULL follow-up batch: hwm survives unchanged
+    nulls = rows.filter(F.col("event_id") == 2)
+    info2 = incremental_run(spark, nulls, "b1", wh)
+    assert info2["hwm"] == info["hwm"]
+
+
 def test_state_survives_and_orders_hwm(spark):
     wh = _fresh_warehouse("state")
     b0, b1, _ = arrival_batches(_events(spark))

@@ -102,18 +102,24 @@ def test_zorder_key_is_monotone_per_dimension(spark):
     layout (it strictly generalizes single-key clustering)."""
     from promptly_data_pipelines_spark.operators.layout import zorder_key
 
-    rows = [(a, b) for a in range(0, 100, 7) for b in (3, 50)]
+    # b sweeps THROUGH the scaled midpoint (49/99 ≈ the bit-31 seam):
+    # an int32 key goes negative for the top half and this fails
+    rows = [(a, b) for a in range(0, 100, 7) for b in range(0, 100, 11)]
     df = spark.createDataFrame(rows, "a long, b long")
     got = df.select(
         "a", "b", zorder_key(F.col("a"), F.col("b"), 0, 99, 0, 99).alias("z")
     ).collect()
     by_b: dict[int, list[tuple[int, int]]] = {}
+    by_a: dict[int, list[tuple[int, int]]] = {}
     for r in got:
         by_b.setdefault(r["b"], []).append((r["a"], r["z"]))
-    for _b, pairs in by_b.items():
-        pairs.sort()
-        zs = [z for _a, z in pairs]
-        assert zs == sorted(zs), "z-key not monotone with the other dim fixed"
+        by_a.setdefault(r["a"], []).append((r["b"], r["z"]))
+        assert r["z"] >= 0, f"z-key overflowed to negative: {r}"
+    for fixed in (by_b, by_a):
+        for _k, pairs in fixed.items():
+            pairs.sort()
+            zs = [z for _v, z in pairs]
+            assert zs == sorted(zs), "z-key not monotone with the other dim fixed"
 
 
 def test_zorder_chunks_narrow_both_dimensions(spark):
