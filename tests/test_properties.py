@@ -248,3 +248,78 @@ def test_incremental_converges_under_any_arrival_order(spark, rows):
         assert got == {k: (n, round(s, 2)) for k, (n, s) in want.items()}
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+pii_token = st.sampled_from(
+    [
+        "hello",
+        "a.b@x.io",
+        "10.0.0.1",
+        "123-45-6789",
+        "not-an-ip-1.2.3",
+        "x@y",  # not an email (no TLD)
+        "1.2.3.4.5",  # ambiguous dotted run
+        "me+tag@mail.example.com",
+        "999-99-9999",
+        "12-34-5678",  # not an SSN shape
+    ]
+)
+
+
+@SETTINGS
+@given(texts=st.lists(st.lists(pii_token, max_size=8).map(" ".join), min_size=1, max_size=12))
+def test_pii_scrub_is_idempotent_and_total(spark, texts):
+    """scrub(scrub(x)) == scrub(x), and the scrubbed text matches NONE
+    of the PII patterns (replacement tokens carry no digits, so no
+    rewrite can manufacture a new match)."""
+    from promptly_data_pipelines_spark.extensions.text import _PII_PATTERNS, scrub_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    once = df.select("i", scrub_pii("text").alias("s1"))
+    twice = once.select("i", "s1", scrub_pii(F.col("s1")).alias("s2"))
+    leftovers = [
+        F.regexp_extract("s1", pat, 0).alias(f"m{j}")
+        for j, (pat, _r) in enumerate(_PII_PATTERNS)
+    ]
+    rows = twice.select("s1", "s2", *leftovers).collect()
+    for r in rows:
+        assert r["s1"] == r["s2"], f"not idempotent: {r['s1']!r} -> {r['s2']!r}"
+        for j in range(len(_PII_PATTERNS)):
+            assert r[f"m{j}"] == "", f"pattern {j} still matches scrubbed {r['s1']!r}"
+
+
+pack_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),
+        st.lists(st.sampled_from(["tok", "xx", "longer-token"]), max_size=6).map(" ".join),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@SETTINGS
+@given(docs=pack_corpus)
+def test_pack_assignments_match_sequential_mirror(spark, docs):
+    """Concat-and-chunk packing must equal the sequential mirror for
+    ANY corpus and a small budget that forces bin boundaries: exclusive
+    prefix starts per lang in doc_id order, bin = start DIV budget."""
+    from promptly_data_pipelines_spark.extensions.packing import pack_assignments
+
+    budget = 7
+    df = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_token"], r["bin_id"], r["bin_offset"])
+        for r in pack_assignments(df, budget=budget, shard_docs=3).collect()
+    }
+    running: dict = {}
+    for i, (lang, text) in enumerate(docs):
+        n = len([w for w in text.split(" ") if w])
+        start = running.get(lang, 0)
+        running[lang] = start + n
+        assert got[i] == (n, start, start // budget, start % budget), (
+            f"doc {i} ({lang}): {got[i]} != {(n, start, start // budget, start % budget)}"
+        )
