@@ -43,7 +43,7 @@ def _track_user(
         n, s, last = state.get
         state.remove()
         yield pd.DataFrame(
-            [{"user_id": user_id, "n_events": n, "sum_value": s, "last_ts": last, "is_final": True}]
+            [{"user_id": user_id, "n_events": n, "sum_value": round(s, 2), "last_ts": last, "is_final": True}]
         )
         return
     n, s, last = state.get if state.exists else (0, 0.0, None)
@@ -52,7 +52,12 @@ def _track_user(
         s += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
         last = batch_max if last is None or batch_max > last else last
-    state.update((n, round(s, 2), last))
+    # state keeps FULL precision — rounding belongs to the emitted
+    # snapshot only. Storing round(s, 2) and adding to it compounds
+    # the rounding error across micro-batches, making sum_value depend
+    # on batch boundaries (three 0.004 deliveries would emit 0.0, one
+    # delivery of the same rows 0.01).
+    state.update((n, s, last))
     if state_ttl_ms is not None:
         state.setTimeoutDuration(state_ttl_ms)
     yield pd.DataFrame(
@@ -117,8 +122,12 @@ DEDUP_OUTPUT_SCHEMA = "content_hash string, doc_id bigint, lang string, n_dupes_
 class StreamingExactDedup(StatefulProcessor):
     """Cross-micro-batch exact dedup of a document stream, keyed by
     content hash: the FIRST arrival of a hash is emitted (min doc_id
-    within its batch — deterministic), every later arrival in the same
-    or any later micro-batch is counted and dropped. The training-
+    within its batch — deterministic) with ``n_dupes_dropped`` counting
+    the SAME-batch duplicates that arrived with it; arrivals in any
+    LATER micro-batch are dropped silently (append mode cannot revise
+    an already-emitted row, so cross-batch redeliveries are not
+    reflected in the counter — track them via the state-store metrics
+    if the accounting matters). The training-
     ingest use: Kafka replays and multi-source crawls re-deliver
     identical documents days apart; windowed aggregation can't express
     "seen ever" (state must outlive any window), arbitrary state can.

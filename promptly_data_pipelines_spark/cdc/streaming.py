@@ -132,31 +132,81 @@ def route_by_op(decoded: DataFrame) -> dict[str, DataFrame]:
     return {"upserts": upserts, "deletes": deletes}
 
 
+def _committed_snapshot(spark: SparkSession, target_path: str) -> str | None:
+    """Resolve the committed snapshot dir: the _LATEST pointer if
+    readable, else the highest-batch complete (``_SUCCESS``-marked)
+    ``snap-N`` dir, else None. The fallback makes pointer corruption
+    recoverable instead of fatal."""
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    ptr = f"{target_path}/_LATEST"
+    if fs.exists(ptr):
+        name = fs.get_text(ptr).strip()
+        if name and fs.exists(f"{target_path}/{name}/_SUCCESS"):
+            return f"{target_path}/{name}"
+    if not fs.exists(target_path):
+        return None
+    snaps = [
+        p
+        for p in fs.list_paths(target_path)
+        if p.rsplit("/", 1)[-1].startswith("snap-")
+        and fs.exists(f"{p}/_SUCCESS")
+    ]
+    if not snaps:
+        return None
+    return max(snaps, key=lambda p: int(p.rsplit("-", 1)[-1]))
+
+
+def read_upsert_target(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read the committed state of an ``upsert_sink`` target."""
+    snap = _committed_snapshot(spark, target_path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {target_path}")
+    return spark.read.parquet(snap)
+
+
 def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str = "event_id"):
     """T3/S6 streaming form: foreachBatch MERGE. Each micro-batch is
-    compacted latest-wins against the current target snapshot and the
-    result atomically replaces it. On Iceberg/Delta this body becomes a
-    single ``MERGE INTO`` (reference declares exactly that intent:
-    raw_provider_postgres.sql:9-10); plain-parquet rewrite keeps the
-    harness storage-free. Partitioned targets would rewrite only
-    touched partitions (dynamic partition overwrite)."""
+    compacted latest-wins against the current committed snapshot and
+    written as a NEW immutable ``snap-<batch_id>`` dir; only after the
+    write completes does the ``_LATEST`` pointer move. A crash at any
+    point leaves the previous snapshot committed — the
+    write-new-then-flip-pointer protocol is the poor-man's metastore
+    commit (an in-place ``mode("overwrite")`` of the target deletes
+    the old files FIRST, so a mid-write crash plus foreachBatch retry
+    would silently reset the target to one micro-batch). Re-delivered
+    batch ids rewrite their own snap dir and re-flip the pointer —
+    idempotent. On Iceberg/Delta this whole body becomes a single
+    ``MERGE INTO`` (reference declares exactly that intent:
+    raw_provider_postgres.sql:9-10) and the catalog does the commit.
+    Read the target through ``read_upsert_target``."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Only a MISSING target means first batch. Anything else —
-        # corrupt snapshot, schema mismatch in the union, transient IO —
-        # must propagate: swallowing it here would overwrite the
-        # accumulated snapshot with just this micro-batch (silent loss).
         from ..operators.fs import FileSystemOps
 
-        if FileSystemOps(spark).exists(target_path):
-            snapshot = spark.read.parquet(target_path)
-            merged = merge_upsert_frames(snapshot, batch_df, key)
+        fs = FileSystemOps(spark)
+        prev = _committed_snapshot(spark, target_path)
+        if prev is not None:
+            merged = merge_upsert_frames(spark.read.parquet(prev), batch_df, key)
         else:
             merged = batch_df
-        # localCheckpoint materializes before overwrite (can't lazily
-        # read and overwrite the same path in one job)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        snap_name = f"snap-{batch_id}"
+        merged.write.mode("overwrite").parquet(f"{target_path}/{snap_name}")
+        # commit: temp pointer + rename (never in-place truncation of
+        # _LATEST — a reader or crash mid-write would see an empty
+        # pointer; the _SUCCESS-based fallback would still recover)
+        tmp = f"{target_path}/_LATEST.tmp-{batch_id}"
+        fs.put_text(tmp, snap_name)
+        fs.delete(f"{target_path}/_LATEST")
+        fs.rename(tmp, f"{target_path}/_LATEST")
+        # best-effort GC of superseded snapshots (the committed one and
+        # its predecessor stay until the next commit)
+        for p in fs.list_paths(target_path):
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith("snap-") and name != snap_name and p != prev:
+                fs.delete(p, recursive=True)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -198,29 +248,18 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     state; the memory sink holds only the aggregated windows
     (hours × event_types), never raw events.
     """
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"pdp_stream_exec_{os.path.basename(sf_dir)}_"
-        f"{spark.sparkContext.applicationId.replace(':', '_')}",
-    )
+    # _fresh_staging_dir wipes this run's dir (a stale checkpoint
+    # would mark the staged files processed — availableNow would then
+    # drain zero batches) AND reaps prior app-ids' leftovers, which
+    # the old hand-rolled path here leaked one corpus-sized JSON copy
+    # per session.
+    base = _fresh_staging_dir(spark, sf_dir, "stream_exec")
     src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
-    # A stale checkpoint would mark the staged files already-processed
-    # and availableNow would terminate with zero batches — always start
-    # from a fresh checkpoint for this bounded re-runnable query.
-    shutil.rmtree(base, ignore_errors=True)
     ev = table(spark, sf_dir, "events")
     synthesize_envelopes(ev).write.json(src)
     agg = tumbling_counts(read_envelope_stream(spark, src))
     sink_name = f"pdp_stream_exec_{os.path.basename(sf_dir)}".replace(".", "_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_memory_sink(agg, sink_name, ckpt, "complete")
     return spark.table(sink_name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",

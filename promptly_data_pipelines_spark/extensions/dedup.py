@@ -90,15 +90,55 @@ def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
     # exchange — re-shingling every doc on the pre-exchange scan task
     # (measured 9× this stage's cost on the jaccard twin). The cheap
     # isNotNull drops the one null row emitted per shingle-less doc.
-    shingled = (
-        d.select("doc_id", F.explode_outer(shingle_arr).alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .dropDuplicates(["doc_id", "shingle"])
+    # no dropDuplicates: min() is duplicate-insensitive, so dedup'ing
+    # (doc_id, shingle) first would add a full extra shuffle of the
+    # exploded posting stream (~45× corpus rows) for a bit-identical
+    # result — the groupBy's map-side partial min already collapses
+    # each map partition to one row per doc before the only exchange.
+    shingled = d.select("doc_id", F.explode_outer(shingle_arr).alias("shingle")).filter(
+        F.col("shingle").isNotNull()
     )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(N_HASHES)
     ]
     return shingled.groupBy("doc_id").agg(*mins)
+
+
+def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """(id, sig-array) → exploded (id, sig, band, bucket) LSH band
+    keys: bucket = xxhash64 of each band's ``N_HASHES // N_BANDS``
+    consecutive minhashes. ONE definition of the banding layout —
+    dedup_near_text and decontaminate_near must bucket identically or
+    their candidate sets silently diverge."""
+    rows_per_band = N_HASHES // N_BANDS
+    return df.select(
+        id_col,
+        sig_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(sig_col).getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
+def est_jaccard(sig_a, sig_b):
+    """Estimated Jaccard = fraction of agreeing minhash positions —
+    the one formula both LSH consumers share."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(N_HASHES))
 
 
 @query("dedup_near_text")  # xxhash64-based: not oracle-expressible → rows-only
@@ -118,24 +158,7 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()
     sig_arr = sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig"))
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sig_arr.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    bands = lsh_band_keys(sig_arr, "doc_id", "sig")
     left = bands.alias("a")
     right = bands.alias("b")
     cand = (
@@ -153,11 +176,7 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(float(N_HASHES)),
-        4,
-    )
+    est = F.round(est_jaccard("sig_a", "sig_b"), 4)
     return (
         cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
@@ -260,7 +279,14 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     dedup_simhash is the band join itself. Local wall-time is flat
     (the explode form was codegen'd; HOFs are not) but at cluster
     scale this removes the full token-stream network pass."""
-    hashes = F.transform(words("text"), lambda w: F.xxhash64(w))
+    # enforce the lane-width precondition instead of documenting it:
+    # votes beyond 65535 tokens would carry into the adjacent 16-bit
+    # lane and corrupt two bit positions. Truncation (not rejection)
+    # keeps pathological concatenation dumps flowing — a 65k-token
+    # prefix is statistically the same signature.
+    hashes = F.transform(
+        F.slice(words("text"), 1, 65535), lambda w: F.xxhash64(w)
+    )
     zero = F.struct(
         F.lit(0).cast("long").alias("n"),
         *[F.lit(0).cast("long").alias(f"l{i}") for i in range(16)],
@@ -630,40 +656,9 @@ def decontaminate_near(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:
         F.col("doc_id").alias("b_doc_id"),
         F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("b_sig"),
     )
-    rows_per_band = N_HASHES // N_BANDS
-
-    def bands(df, id_col, sig_col, band_col, bucket_col):
-        return df.select(
-            id_col,
-            sig_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                *[
-                                    F.col(sig_col).getItem(b * rows_per_band + r)
-                                    for r in range(rows_per_band)
-                                ]
-                            ).alias("bucket"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(
-            id_col,
-            sig_col,
-            F.col("bk.band").alias(band_col),
-            F.col("bk.bucket").alias(bucket_col),
-        )
-
-    bc = bands(sig_c, "doc_id", "sig", "band", "bucket")
-    bb = bands(sig_b, "b_doc_id", "b_sig", "band", "bucket")
-    est = F.size(
-        F.filter(F.zip_with("sig", "b_sig", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(float(N_HASHES))
+    bc = lsh_band_keys(sig_c, "doc_id", "sig")
+    bb = lsh_band_keys(sig_b, "b_doc_id", "b_sig")
+    est = est_jaccard("sig", "b_sig")
     contaminated = (
         bc.join(F.broadcast(bb), ["band", "bucket"])
         .filter(est >= 0.5)

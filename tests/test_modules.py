@@ -207,8 +207,12 @@ def test_streaming_upsert_sink(spark):
     rows = S.live_rows(S.read_envelope_stream(spark, env_dir))
     q = S.upsert_sink(rows, tgt, ckpt).start()
     q.awaitTermination(120)
-    back = spark.read.parquet(tgt)
+    back = S.read_upsert_target(spark, tgt)
     assert back.count() == back.select("event_id").distinct().count()
+    # commit protocol: _LATEST points at a complete snap dir
+    ptr = open(os.path.join(tgt, "_LATEST")).read().strip()
+    assert ptr.startswith("snap-")
+    assert os.path.exists(os.path.join(tgt, ptr, "_SUCCESS"))
 
 
 def test_fs_ops(spark, tmp_path):
