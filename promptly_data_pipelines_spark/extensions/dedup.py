@@ -155,6 +155,9 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does not deduplicate the shingle+16-hash subtree — persist +
     # force so the corpus is shingled once per run, then both join
     # sides read the (doc_id, 16×long) cache.
+    # Cache lifetime follows the library convention (see
+    # shingle_postings): ContextCleaner releases it once the returned
+    # plan's references are GC'd — fine for the run-once query shape.
     sig = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()
     sig_arr = sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig"))
@@ -351,6 +354,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicitly materialized index (here: cache; in production: a
     # written table) is the standard shape. Cuts the corpus
     # scan+hash+aggregate from 2× to 1× per run.
+    # cache lifetime: ContextCleaner-released, like dedup_near_text
     sig = simhash_signatures(d.repartition(par)).persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()  # force: both join sides must read the cache, not recompute
     # block b = bits [b*16, b*16+15] (last block 15 bits of the 63)
