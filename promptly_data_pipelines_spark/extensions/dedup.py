@@ -21,14 +21,14 @@ from pyspark.storagelevel import StorageLevel
 
 from ..catalog import table
 from ..registry import query
-from .text import words
+from .text import norm_text, words
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
 def _normalized(d: DataFrame) -> DataFrame:
-    return d.withColumn("norm_text", F.lower(F.trim(F.regexp_replace("text", " +", " "))))
+    return d.withColumn("norm_text", norm_text())
 
 
 @query(

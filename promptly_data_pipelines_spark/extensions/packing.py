@@ -71,8 +71,19 @@ def pack_assignments(
         F.coalesce(F.sum("shard_total").over(shard_w), F.lit(0)).alias("shard_offset"),
     )
     start = F.col("shard_offset") + F.col("local_start")
+    # NULL-SAFE on lang: the windows above group a NULL lang into its
+    # own partition (matching SQL PARTITION BY), so the offset join
+    # must not drop those rows via NULL != NULL equality — that would
+    # silently lose every unidentified-language document from the
+    # packed corpus while the oracle keeps them.
+    offsets_keyed = offsets.withColumnRenamed("lang", "__lang")
     return (
-        local.join(F.broadcast(offsets), ["lang", "shard"])
+        local.join(
+            F.broadcast(offsets_keyed),
+            F.col("lang").eqNullSafe(F.col("__lang")) & (local["shard"] == offsets_keyed["shard"]),
+        )
+        .drop("__lang")
+        .drop(offsets_keyed["shard"])
         .select(
             "lang",
             "doc_id",

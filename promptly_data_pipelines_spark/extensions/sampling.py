@@ -19,9 +19,15 @@ from ..registry import query
 
 def hash_bucket(col, n_buckets: int = 256):
     """Deterministic [0, n_buckets) bucket from the md5 of a key's
-    string form (first 2 hex chars → 0..255)."""
+    string form. Derived from the first 8 hex chars (32 bits), so the
+    contract holds for ANY n_buckets: a 2-char derivation had only 256
+    source values — n_buckets > 256 left buckets permanently empty and
+    non-divisors skewed the load ~50%. Modulo bias at 32 bits is
+    ≤ n_buckets/2^32, irrelevant for sharding."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10).cast("int") % n_buckets
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint") % n_buckets
+    ).cast("int")
 
 
 @query(
@@ -30,7 +36,7 @@ def hash_bucket(col, n_buckets: int = 256):
     oracle="""
     SELECT event_id, event_type, value
     FROM events
-    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INTEGER) < 26
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 < 26
     """,
 )
 def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,7 +52,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH assigned AS (
       SELECT event_id, event_type,
-             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INTEGER) AS bucket
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
       FROM events
     )
     SELECT event_id, event_type,

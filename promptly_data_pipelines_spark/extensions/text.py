@@ -31,6 +31,36 @@ def words(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda w: w != "")
 
 
+def norm_text(text: "Column | str" = "text") -> "F.Column":
+    """THE dedup/fingerprint normalization (collapse runs of spaces,
+    trim, lowercase) — one definition shared by dedup._normalized,
+    doc_fingerprint, doc_winnowing and text_doc_profile, so the
+    fingerprint can never silently desynchronize from the dedup key
+    it claims to equal."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(c, " +", " ")))
+
+
+def lang_best(ws: "F.Column") -> "F.Column":
+    """Marker-vote language argmax over a distinct-word array: the
+    (score, -ord, lang) struct-array max, tiebreaking toward the
+    alphabetically-first language. One definition shared by
+    text_lang_id and text_doc_profile."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in marks]))).alias(
+                    "score"
+                ),
+                F.lit(-i).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, marks) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    return F.array_max(scored)
+
+
 @query(
     "text_token_counts",
     oracle="""
@@ -163,8 +193,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")).alias("score"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -187,8 +215,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 bits. The exact-dedup key (see dedup.dedup_exact) and the
     cheapest change-detection signal for incremental pipelines."""
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
-    return d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint"))
+    return d.select("doc_id", F.substring(F.md5(norm_text()), 1, 16).alias("fingerprint"))
 
 
 @query("doc_winnowing", registered=False)  # xxhash64-based: rows-only check
@@ -205,7 +232,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = 8, 4
     d = table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism).withColumn(
-        "norm", F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+        "norm", norm_text()
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("norm") - k + 1, F.lit(1))),
@@ -268,20 +295,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetical order). Returns doc_id, predicted lang, declared
     lang, and agreement flag."""
     d = table(spark, sf_dir, "documents")
-    ws = F.array_distinct(words("text"))
-    scored = F.array(
-        *[
-            F.struct(
-                F.size(F.array_intersect(ws, F.array(*[F.lit(m) for m in marks]))).alias("score"),
-                # negate lexicographic order so array_max's struct
-                # comparison tiebreaks toward the alphabetically-first lang
-                F.lit(-i).alias("ord"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, (lang, marks) in enumerate(sorted(LANG_MARKERS.items()))
-        ]
-    )
-    best = F.array_max(scored)
+    best = lang_best(F.array_distinct(words("text")))
     return d.select(
         "doc_id",
         best.getField("lang").alias("lang_pred"),
@@ -343,21 +357,8 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = words("text")
     n_words = F.size(ws)
     n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-    wd = F.array_distinct(ws)
-    scored = F.array(
-        *[
-            F.struct(
-                F.size(F.array_intersect(wd, F.array(*[F.lit(m) for m in marks]))).alias(
-                    "score"
-                ),
-                F.lit(-i).alias("ord"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, (lang, marks) in enumerate(sorted(LANG_MARKERS.items()))
-        ]
-    )
-    best = F.array_max(scored)
-    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    best = lang_best(F.array_distinct(ws))
+    norm = norm_text()
     return d.select(
         "doc_id",
         F.length("text").alias("n_char"),
@@ -409,8 +410,13 @@ def scrub_pii(text_col) -> "F.Column":
              '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
              '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-              + len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
-              + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT)
+              + len(regexp_extract_all(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+              + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                  '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT)
              AS n_redactions
     FROM documents
     """,
@@ -418,16 +424,25 @@ def scrub_pii(text_col) -> "F.Column":
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (north-star op, beyond the
     reference's scope): emails, IPv4s, SSN-shaped ids replaced with
-    typed tags; n_redactions counts matches in the ORIGINAL text so
-    the redaction volume is auditable per doc. The fixture corpus is
+    typed tags; n_redactions counts the substitutions
+    actually performed (each pattern counted on the text AFTER the
+    preceding patterns applied — overlapping matches not double-
+    counted), so the redaction volume is auditable per doc. The fixture corpus is
     synthetic prose (usually zero matches) — the behavior pins live in
     tests/test_modules.py on adversarial strings; this query proves
     engine parity of the patterns themselves."""
     d = table(spark, sf_dir, "documents")
-    n_red = None
-    for pat, _ in _PII_PATTERNS:
-        c = F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
-        n_red = c if n_red is None else n_red + c
+    # Count each pattern on the PROGRESSIVELY scrubbed text, not the
+    # original: patterns overlap ('123-45-6789@mail.com' is one email
+    # replacement, but the SSN pattern also matches inside it), so
+    # per-pattern counts over the original over-count the replacements
+    # actually performed. Counting pattern k after patterns 1..k-1
+    # applied makes n_redactions exactly the number of substitutions.
+    stage = F.col("text")
+    n_red = F.lit(0)
+    for pat, repl in _PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0)))
+        stage = F.regexp_replace(stage, pat, repl)
     return d.select(
         "doc_id",
         "lang",

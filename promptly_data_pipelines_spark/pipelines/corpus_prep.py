@@ -59,10 +59,16 @@ def curate_corpus(d: DataFrame) -> DataFrame:
         .select("doc_id", "lang", "n_words", "text")
     )
     packed = pack_assignments(survivors.select("lang", "doc_id", "text"))
-    return survivors.select("doc_id", "n_words").join(packed, "doc_id").select(
+    # n_words == n_tokens provably: the PII replacement tags contain no
+    # spaces and the patterns cannot match across a space, so the
+    # scrub never changes the word count. Re-deriving n_words from the
+    # packed frame avoids the self-join on the survivors subtree that
+    # would evaluate the whole scan→filter→scrub→dedup plan twice and
+    # add a doc_id shuffle just to copy an identical value.
+    return packed.select(
         "lang",
         "doc_id",
-        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_tokens").cast("int").alias("n_words"),
         "n_tokens",
         "start_token",
         "bin_id",

@@ -935,6 +935,31 @@ def test_pii_scrub_patterns():
         assert got == want, (text, got, want)
 
 
+def test_pii_redaction_count_no_overlap_doublecount(spark):
+    """n_redactions = substitutions performed: an SSN-shaped run
+    inside an email local part is ONE email replacement, not
+    email + SSN (progressive counting, not per-pattern-on-original)."""
+    from promptly_data_pipelines_spark.extensions.text import _PII_PATTERNS, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "contact 123-45-6789@mail.com today"), (2, "bob@1.2.3.4.co ok")],
+        "doc_id long, text string",
+    )
+    stage = F.col("text")
+    n_red = F.lit(0)
+    for pat, repl in _PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0)))
+        stage = F.regexp_replace(stage, pat, repl)
+    rows = {
+        r["doc_id"]: (r["s"], r["n"])
+        for r in df.select(
+            "doc_id", scrub_pii("text").alias("s"), n_red.alias("n")
+        ).collect()
+    }
+    assert rows[1] == ("contact <EMAIL> today", 1)
+    assert rows[2] == ("<EMAIL> ok", 1)
+
+
 def test_pack_sequences_two_phase_prefix_crosses_shards(spark):
     """The sharded two-phase prefix sum must equal the single-window
     ground truth even when docs cross shard boundaries (shard_docs=3

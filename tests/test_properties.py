@@ -290,7 +290,8 @@ def test_pii_scrub_is_idempotent_and_total(spark, texts):
 
 pack_corpus = st.lists(
     st.tuples(
-        st.sampled_from(["en", "de"]),
+        # None: unidentified language — must pack, never silently drop
+        st.sampled_from(["en", "de", None]),
         st.lists(st.sampled_from(["tok", "xx", "longer-token"]), max_size=6).map(" ".join),
     ),
     min_size=1,
