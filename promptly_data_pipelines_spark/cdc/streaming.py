@@ -258,7 +258,7 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     synthesize_envelopes(ev).write.json(src)
     agg = tumbling_counts(read_envelope_stream(spark, src))
-    sink_name = f"pdp_stream_exec_{os.path.basename(sf_dir)}".replace(".", "_")
+    sink_name = f"pdp_stream_exec_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(agg, sink_name, ckpt, "complete")
     return spark.table(sink_name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -277,7 +277,7 @@ def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     this whole layer is a Kafka topic and the problem doesn't exist.
     Assumes one session runs a given (query, sf) at a time, which the
     harness guarantees (stage + consume happen within one call)."""
-    prefix = f"pdp_{tag}_{os.path.basename(sf_dir)}_"
+    prefix = f"pdp_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_"
     app = spark.sparkContext.applicationId.replace(":", "_")
     tmp = tempfile.gettempdir()
     for stale in glob.glob(os.path.join(tmp, prefix + "*")):
@@ -361,7 +361,7 @@ def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
     synthesize_envelopes(table(spark, sf_dir, "events")).write.json(src)
     agg = session_counts(read_envelope_stream(spark, src))
-    sink = f"pdp_stream_sess_{os.path.basename(sf_dir)}".replace(".", "_")
+    sink = f"pdp_stream_sess_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(agg, sink, ckpt, "complete")
     return spark.table(sink).select(
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
@@ -508,7 +508,7 @@ def stream_exec_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     agg = late_drop_counts(stream)
-    sink = f"pdp_stream_late_{os.path.basename(sf_dir)}".replace(".", "_")
+    sink = f"pdp_stream_late_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     q = _run_memory_sink(agg, sink, os.path.join(base, "ckpt"), "append")
     # surface the per-batch drop counters for tests/diagnostics without
     # changing the DataFrame contract
@@ -589,7 +589,7 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "value", "ts")
     )
-    name = f"pdp_stream_dedup_{os.path.basename(sf_dir)}".replace(".", "_")
+    name = f"pdp_stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(deduped, name, ckpt, "append")
     return spark.table(name).select(
         "event_id",
@@ -674,6 +674,6 @@ def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
     )
-    name = f"pdp_stream_ij_{os.path.basename(sf_dir)}".replace(".", "_")
+    name = f"pdp_stream_ij_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(joined, name, ckpt, "append")
     return spark.table(name)

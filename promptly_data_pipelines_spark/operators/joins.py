@@ -269,15 +269,20 @@ def asof_join(
     left rows at equal time (strict — a left row cannot see a
     same-timestamp right row) or before (non-strict)."""
     side = F.lit(1) if strict else F.lit(-1)
+    # the payload travels as ONE struct: carrying columns independently
+    # with last(ignorenulls) would stitch a legitimately-NULL field of
+    # the matched row together with a stale non-NULL value from an
+    # OLDER right row — a composite that never existed. The struct is
+    # non-null for every right row even when its fields are null, so
+    # last(ignorenulls) picks whole rows, exactly like the ASOF join
+    # it implements.
     r_tagged = right.select(
         F.col(key),
         F.col(time_col),
         side.alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__r_payload"),
     )
-    l_tagged = left.select(
-        "*", F.lit(0).alias("__side"), *[F.lit(None).alias(f"__r_{c}") for c in payload_cols]
-    )
+    l_tagged = left.select("*", F.lit(0).alias("__side"))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
@@ -286,13 +291,15 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload_cols
-        ],
+        F.last("__r_payload", ignorenulls=True).over(w).alias("__asof"),
     )
-    return carried.filter(F.col("__side") == 0).drop(
-        "__side", *[f"__r_{c}" for c in payload_cols]
+    return (
+        carried.filter(F.col("__side") == 0)
+        .select(
+            "*",
+            *[F.col("__asof").getField(c).alias(f"asof_{c}") for c in payload_cols],
+        )
+        .drop("__side", "__r_payload", "__asof")
     )
 
 

@@ -67,7 +67,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream via explicit casts. Round-trips nation → CSV → typed
     rows, so the oracle is the source table itself."""
     out = os.path.join(
-        tempfile.gettempdir(), f"pdp_csv_{os.path.basename(sf_dir)}_{_session_tag(spark)}"
+        tempfile.gettempdir(), f"pdp_csv_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}"
     )
     n = table(spark, sf_dir, "nation")
     n.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
@@ -100,7 +100,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition directory; a per-partition filter would prune at the
     directory level (dynamic partition pruning at scale)."""
     out = os.path.join(
-        tempfile.gettempdir(), f"pdp_sink_{os.path.basename(sf_dir)}_{_session_tag(spark)}"
+        tempfile.gettempdir(), f"pdp_sink_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}"
     )
     ev = table(spark, sf_dir, "events").withColumn("ingestion_cdc_date", date_key("ts"))
     # repartition by the partition column first: without it every task

@@ -91,9 +91,9 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
     suite = run_suite(
         {
             "curated_pk_unique": unique_check(curated, ["user_id"]),
-            "curated_not_null": curated.filter(F.col("event_id").isNull()).select(
-                F.col("event_id").alias("violation")
-            ).groupBy("violation").count(),
+            # one row per violating ROW (the groupBy-on-the-null-key form
+            # collapsed any number of violations to n_violations=1)
+            "curated_not_null": not_null_check(curated, ["event_id"]),
             "curated_fk_user": relationships_check(
                 curated.filter(F.col("nation_name") != "unknown"),
                 "user_id",

@@ -102,9 +102,16 @@ def incremental_run(
     batch_dir = os.path.join(raw_dir, f"batch_id={batch_id}")
     staged.repartition("day").write.mode("overwrite").partitionBy("day").parquet(batch_dir)
 
-    # affected-day set: tiny (≤ distinct days in one batch) — the one
-    # driver-side collect, bounded by calendar size not data size.
-    affected = [r["day"] for r in staged.select("day").distinct().collect()]
+    # affected-day set + per-day max ts in ONE aggregate over the
+    # JUST-WRITTEN batch parquet (schema supplied, so an empty batch
+    # reads as an empty frame instead of failing inference). Reading
+    # the written files means the incoming batch plan — which in
+    # foreachBatch re-reads the source on every action — is evaluated
+    # exactly once (the write above); the stats scan touches only the
+    # tiny batch output. Driver-side rows bounded by calendar size.
+    written = spark.read.schema(staged.schema).parquet(batch_dir)
+    stats = written.groupBy("day").agg(F.max(ts_col).cast("string").alias("mx")).collect()
+    affected = [r["day"] for r in stats]
     if not affected:
         # empty delivery (a heartbeat batch): record the id so the
         # re-delivery contract holds, touch nothing else.
@@ -131,9 +138,10 @@ def incremental_run(
         .parquet(rollup_dir)
     )
 
-    # F.max skips NULLs; an all-NULL-ts batch yields None → keep the
-    # previous mark rather than comparing str to None
-    new_hwm = batch.agg(F.max(ts_col).cast("string")).first()[0]
+    # hwm from the same stats pass. max skips NULL ts (the sentinel
+    # day's mx is None); an all-NULL batch keeps the previous mark.
+    maxes = [r["mx"] for r in stats if r["mx"] is not None]
+    new_hwm = max(maxes) if maxes else None
     if new_hwm is None:
         new_hwm = state["hwm"]
     elif state["hwm"] is not None:

@@ -26,9 +26,28 @@ def unique_check(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def not_null_check(df: DataFrame, cols: list[str]) -> DataFrame:
-    """dbt ``not_null`` (schema.yaml:11-17): one row per column with its
-    null count; violations = rows with n_nulls > 0 retained for report
-    parity (all columns reported, pass/fail derivable)."""
+    """dbt ``not_null`` (schema.yaml:11-17): VIOLATIONS — one row per
+    NULL cell, tagged with its column. Honors the suite contract
+    (empty = pass) and the row count is the true violation magnitude;
+    the old always-N-rows report shape (which made run_suite fail a
+    perfectly clean table) lives on as ``null_count_report``."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column_name"), F.col(c).isNull().alias("is_null"))
+            for c in cols
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.is_null"))
+        .select("p.column_name")
+    )
+
+
+def null_count_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column null-count REPORT (all audited columns, zero or not)
+    — the dq_not_null driver row's shape. Not a violations frame: feed
+    not_null_check to run_suite instead."""
     aggs = [
         F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(c) for c in cols
     ]
@@ -112,7 +131,7 @@ def dq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: null counts per audited column of events (schema.yaml not_null)."""
-    return not_null_check(
+    return null_count_report(
         table(spark, sf_dir, "events"), ["event_type", "value", "props", "user_id"]
     )
 
@@ -263,8 +282,13 @@ def _check_frame(df: DataFrame, spec: dict) -> DataFrame:
         colname = ",".join(cols)
     elif kind == "not_null":
         c = spec["column"]
+        # coalesce: sum over ZERO rows is NULL, and a NULL n_violations
+        # makes passed NULL→falsy (an empty table must fail volume_min,
+        # never a vacuously-true not_null)
         n = df.agg(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias("n_violations")
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations")
         )
         colname = c
     elif kind == "relationships":
@@ -295,7 +319,7 @@ def _check_frame(df: DataFrame, spec: dict) -> DataFrame:
         # Compiles to one conditional-sum aggregate over the pruned
         # scan, like the other checks — nothing collects.
         n = df.agg(
-            F.sum(F.when(F.expr(spec["expr"]), 0).otherwise(1))
+            F.coalesce(F.sum(F.when(F.expr(spec["expr"]), 0).otherwise(1)), F.lit(0))
             .cast("bigint")
             .alias("n_violations")
         )

@@ -141,7 +141,10 @@ def test_quality_suite(spark):
     results = {r.check_name: (r.n_violations, r.passed) for r in suite.collect()}
     assert results["orders_pk_unique"] == (0, True)
     assert results["orders_fk_customer"] == (0, True)
-    nn = not_null_check(t["events"], ["event_id", "value"]).collect()
+    assert not_null_check(t["events"], ["event_id"]).count() == 0  # clean = empty
+    from promptly_data_pipelines_spark.quality.checks import null_count_report
+
+    nn = null_count_report(t["events"], ["event_id", "value"]).collect()
     assert {r.column_name: r.n_nulls for r in nn} == {"event_id": 0, "value": 0}
 
 
@@ -1206,3 +1209,54 @@ def test_vocab_coverage_monotone(spark):
         assert nxt.coverage >= prev.coverage
         assert prev.n >= nxt.n, "ids not in frequency order"
     assert rows[-1].coverage <= 1.0
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    """The matched right row's NULL field must come through as NULL —
+    never replaced by a stale value from an older right row (the
+    per-column last(ignorenulls) bug class)."""
+    from promptly_data_pipelines_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "a"), (1, 20, None, "b")], "k long, t long, v double, tag string"
+    )
+    left = spark.createDataFrame([(1, 30), (1, 15)], "k long, t long")
+    got = {
+        r["t"]: (r["asof_v"], r["asof_tag"])
+        for r in asof_join(left, right, "k", "t", ["v", "tag"]).collect()
+    }
+    assert got[30] == (None, "b")  # matched t=20 row: v stays NULL
+    assert got[15] == (5.0, "a")
+
+
+def test_compact_parquet_table_partitioned_splits_hot(spark, tmp_path):
+    """Partitioned branch delegates to the salted compactor: a
+    partition above the byte target splits into multiple files (the
+    old repartition(n, partition_col) gave ONE file per partition no
+    matter what)."""
+    from promptly_data_pipelines_spark.operators.maintenance import compact_parquet_table
+
+    target = str(tmp_path / "part")
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.repartition(8).write.partitionBy("day").parquet(target)
+    before = spark.read.parquet(target).count()
+    # tiny byte target → every partition must split
+    n_files = compact_parquet_table(spark, target, partition_col="day", target_file_bytes=4096)
+    days = spark.read.parquet(target).select("day").distinct().count()
+    assert n_files > days, f"hot partitions did not split: {n_files} files / {days} days"
+    assert spark.read.parquet(target).count() == before
+
+
+def test_compact_swap_refuses_stale_backup(spark, tmp_path):
+    from promptly_data_pipelines_spark.operators.maintenance import compact_parquet_table
+
+    target = str(tmp_path / "t")
+    ev = table(spark, SF_DIR, "events")
+    ev.repartition(4).write.parquet(target)
+    os.makedirs(target + "__old")  # crashed-run leftover
+    with pytest.raises(IOError, match="stale backup"):
+        compact_parquet_table(spark, target)
+    # table untouched
+    assert spark.read.parquet(target).count() == ev.count()
