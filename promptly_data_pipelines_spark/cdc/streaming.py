@@ -202,10 +202,15 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
         fs.delete(f"{target_path}/_LATEST")
         fs.rename(tmp, f"{target_path}/_LATEST")
         # best-effort GC of superseded snapshots (the committed one and
-        # its predecessor stay until the next commit)
+        # its predecessor stay until the next commit). Compare by snap
+        # NAME, not full path: list_paths returns scheme-qualified URIs
+        # (file:/...) while prev may be unqualified — a raw `p != prev`
+        # never matches and would delete the predecessor a concurrent
+        # reader just resolved.
+        prev_name = prev.rsplit("/", 1)[-1] if prev is not None else None
         for p in fs.list_paths(target_path):
             name = p.rsplit("/", 1)[-1]
-            if name.startswith("snap-") and name != snap_name and p != prev:
+            if name.startswith("snap-") and name not in (snap_name, prev_name):
                 fs.delete(p, recursive=True)
 
     return (

@@ -241,7 +241,8 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize over mapInPandas (typed dims + new payload). 'bmp' gets
     a REAL nearest-neighbor downscale (valid BMP out, _resize_bmp);
     'bytestats' payloads are deterministically re-sampled to
-    width*height bytes (stride sampling — the same access shape);
+    EXACTLY width*height bytes (nearest-neighbor index resample
+    across the whole payload — the BMP formula in one dimension);
     other types raise via decode_media (compressed codecs absent) or
     ValueError (resize undefined for audio). Partitioning preserved,
     one Python call per Arrow batch."""
@@ -254,8 +255,18 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 if mt == "bmp":
                     out_payloads.append(_resize_bmp(p, width, height))
                 elif mt == "bytestats":
-                    stride = max(1, len(p) // target) if len(p) else 1
-                    out_payloads.append(bytes(p[::stride][:target]))
+                    # TRUE nearest-neighbor resample across the whole
+                    # payload to exactly width*height bytes (same index
+                    # formula as the BMP path) — the old stride-prefix
+                    # form returned a plain prefix for payloads between
+                    # 1× and 2× the target and a SHORT payload (schema
+                    # said 8×8, bytes said less) below it.
+                    if len(p):
+                        out_payloads.append(
+                            bytes(p[i * len(p) // target] for i in range(target))
+                        )
+                    else:
+                        out_payloads.append(b"\x00" * target)
                 else:
                     decode_media(p, mt)  # raises for absent codecs
                     raise ValueError(f"resize undefined for media_type={mt!r}")
@@ -395,7 +406,11 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is embarrassingly parallel over media partitions; the only
     shuffle is the per-doc frame-count aggregation."""
     media = media_table(spark, sf_dir)
-    resized = resize_media(media, 8, 8)
+    # the resize stage feeds TWO consumers (features + frame sampling):
+    # persist it, or each branch of the join re-executes the whole
+    # media scan + resize mapInPandas — at 100 TB the duplicated
+    # decode/resize pass would be the dominant wasted cost.
+    resized = resize_media(media, 8, 8).persist()
     feats = extract_features(resized.select("doc_id", "media_type", "payload"))
     frames = sample_frames(resized.select("doc_id", "media_type", "payload"), every_n=4)
     frame_stats = frames.groupBy("doc_id").agg(

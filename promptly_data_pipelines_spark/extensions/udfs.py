@@ -53,14 +53,24 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", clip_scale()("value").alias("value_scaled"))
 
 
-def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group min-max scaling — the grouped-map shape. min/max are
-    exact selections and the division operates on identical doubles, so
-    the window-function oracle matches bit-for-bit."""
-    lo, hi = pdf["value"].min(), pdf["value"].max()
-    out = pdf[["user_id", "event_id"]].copy()
-    out["value_scaled"] = 0.0 if hi == lo else (pdf["value"] - lo) / (hi - lo)
-    return out
+def _minmax_for(key: str):
+    """Factory for the per-group min-max scaler keyed by ``key`` — ONE
+    formula body for the fine (user_id) and coarse (bucket) shapes, so
+    a change to the math (NaN handling, the hi==lo branch) cannot
+    silently apply to one and not the other. min/max are exact
+    selections and the division operates on identical doubles, so the
+    window-function oracle matches bit-for-bit."""
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        out = pdf[[key, "event_id"]].copy()
+        out["value_scaled"] = 0.0 if hi == lo else (pdf["value"] - lo) / (hi - lo)
+        return out
+
+    return scale
+
+
+_minmax_scale = _minmax_for("user_id")
 
 
 @query(
@@ -92,12 +102,7 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minmax_scale_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """_minmax_scale keyed by the coarse bucket column."""
-    lo, hi = pdf["value"].min(), pdf["value"].max()
-    out = pdf[["bucket", "event_id"]].copy()
-    out["value_scaled"] = 0.0 if hi == lo else (pdf["value"] - lo) / (hi - lo)
-    return out
+_minmax_scale_bucket = _minmax_for("bucket")
 
 
 @query(

@@ -52,19 +52,15 @@ class FileSystemOps:
             out.close()
 
     def get_text(self, path: str) -> str:
-        """download_file analog (s3.py:36-45)."""
+        """download_file analog (s3.py:36-45). Reads the RAW bytes in
+        one JVM call (InputStream.readAllBytes, Java 9+) — the old
+        readLine loop silently dropped trailing newlines, normalized
+        CRLF, and cost one py4j round trip per line, so the
+        put_text/get_text round trip wasn't byte-identical."""
         fs = self._fs(path)
         stream = fs.open(self._path(path))
         try:
-            reader = self._jvm.java.io.BufferedReader(
-                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
-            )
-            lines = []
-            line = reader.readLine()
-            while line is not None:
-                lines.append(line)
-                line = reader.readLine()
-            return "\n".join(lines)
+            return bytes(stream.readAllBytes()).decode("utf-8")
         finally:
             stream.close()
 
