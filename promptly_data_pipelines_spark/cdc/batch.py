@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import ts_str
 from ..registry import query
 from .envelope import decode_envelopes, synthesize_envelopes
 
@@ -159,7 +160,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        ts_str("ts").alias("ts_str"),
     )
 
 
@@ -245,8 +246,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        ts_str(F.min("ts")).alias("session_start"),
+        ts_str(F.max("ts")).alias("session_end"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
 

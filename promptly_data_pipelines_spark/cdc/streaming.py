@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import table
+from ..functions import ts_str
 from ..registry import query
 from .batch import merge_upsert_frames
 from .envelope import decode_envelopes, synthesize_envelopes
@@ -369,8 +370,8 @@ def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"pdp_stream_sess_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(agg, sink, ckpt, "complete")
     return spark.table(sink).select(
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        ts_str("session_start").alias("session_start"),
+        ts_str("session_end").alias("session_end"),
         "user_id",
         "n_events",
         "sum_value",
@@ -601,7 +602,7 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        ts_str("ts").alias("ts_str"),
     )
 
 

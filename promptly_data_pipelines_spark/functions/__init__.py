@@ -60,6 +60,18 @@ def nullify_literal(col: Column | str, literal: str = "NULL") -> Column:
     return F.when(c == F.lit(literal), F.lit(None)).otherwise(c)
 
 
+def map_values(col: Column | str, mapping: dict, default=None) -> Column:
+    """Value-map normalization as one CASE chain (P11 — the reference's
+    specialty/category recodes, curated_provider.sql:21-47). ONE
+    builder for every call site: reference_pipeline, case_when_map and
+    the flagship projection previously hand-rolled identical loops."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = None
+    for k, v in mapping.items():
+        out = F.when(c == k, v) if out is None else out.when(c == k, v)
+    return out.otherwise(default) if default is not None else out
+
+
 def varchar_n(col: Column | str, n: int) -> Column:
     """Trino ``CAST(x AS varchar(n))`` silently truncates
     (curated_provider.sql:28-37 casts specialty to varchar(10) — a

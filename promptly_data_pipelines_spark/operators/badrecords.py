@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import table
+from ..functions import ts_str
 from ..registry import query
 from .scans import _session_tag
 
@@ -94,7 +95,7 @@ def scan_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, sink = os.path.join(base, "src"), os.path.join(base, "quarantine")
     ev = table(spark, sf_dir, "events").select(
         "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        ts_str("ts").alias("ts"),
         "event_type",
         "value",
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import ts_str
 from ..registry import query
 
 
@@ -331,8 +332,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_purchase_ts"),
+        ts_str("ts").alias("ts_str"),
+        ts_str("asof_ts").alias("last_purchase_ts"),
         F.col("asof_value").alias("last_purchase_value"),
     )
 

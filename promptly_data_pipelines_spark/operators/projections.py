@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import date_key, json_int, json_str, nullify_literal, strip_quotes
+from ..functions import map_values, date_key, json_int, json_str, nullify_literal, strip_quotes
 from ..registry import query
 
 
@@ -201,13 +201,11 @@ def case_when_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click": "Engagement",
         "view": "Engagement",
     }
-    col = None
-    for k, v in mapping.items():
-        col = F.when(F.col("event_type") == k, v) if col is None else col.when(
-            F.col("event_type") == k, v
-        )
     ev = table(spark, sf_dir, "events")
-    return ev.select("event_id", col.otherwise("Other").alias("event_category"))
+    return ev.select(
+        "event_id",
+        map_values("event_type", mapping, default="Other").alias("event_category"),
+    )
 
 
 @query(
@@ -231,7 +229,10 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        # F.concat, not concat_ws: the oracle's || propagates NULL while
+        # concat_ws silently SKIPS null args — parity held only because
+        # the fixture is currently fully non-null
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("name_seg"),
         F.length("c_name").alias("name_len"),
         F.split("c_name", "#").getItem(0).alias("name_stem"),
     )
@@ -295,7 +296,10 @@ def project_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.upper("c_name").alias("name_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        # F.concat, not concat_ws: the oracle's || propagates NULL while
+        # concat_ws silently SKIPS null args — parity held only because
+        # the fixture is currently fully non-null
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("name_seg"),
         F.length("c_name").alias("name_len"),
         F.split("c_name", "#").getItem(0).alias("name_stem"),
     )
@@ -341,11 +345,7 @@ def project_events_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click": "Engagement",
         "view": "Engagement",
     }
-    cat = None
-    for k, v in mapping.items():
-        cat = F.when(F.col("event_type") == k, v) if cat is None else cat.when(
-            F.col("event_type") == k, v
-        )
+    cat = map_values("event_type", mapping)
     ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return ev.select(
         "event_id",

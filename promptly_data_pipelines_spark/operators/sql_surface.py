@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import register_views
+from ..functions import nullify_literal
 from ..registry import query
 
 
@@ -174,9 +175,7 @@ def pipeline_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "event_id",
                 "user_id",
-                F.when(F.col("event_type") == "error", None)
-                .otherwise(F.col("event_type"))
-                .alias("event_type"),
+                nullify_literal("event_type", "error").alias("event_type"),
                 "value",
             )
         )

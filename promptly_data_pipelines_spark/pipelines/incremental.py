@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import date_key
+from ..functions import ts_str, date_key
 from ..operators.scans import _session_tag
 from ..registry import query
 
@@ -216,7 +216,7 @@ def stream_exec_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, batch in enumerate(arrival_batches(ev)):
         staged = batch.select(
             "event_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            ts_str("ts").alias("ts"),
             "event_type",
             "value",
         )

@@ -114,7 +114,11 @@ class Pipeline:
                 upstream = {d: results[d] for d in m.deps}
                 return name, m.fn(spark, upstream)
 
-            with ThreadPoolExecutor(max_workers=max(1, len(group))) as ex:
+            # cap the pool: a 100-model level would spawn 100 threads all
+            # submitting Spark jobs at once — past ~8 concurrent jobs the
+            # local scheduler is saturated and extra threads only cost
+            # driver memory
+            with ThreadPoolExecutor(max_workers=max(1, min(8, len(group)))) as ex:
                 for name, df in ex.map(run_one, group):
                     df.createOrReplaceTempView(name)
                     results[name] = df

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import nullify_literal, varchar_n
+from ..functions import map_values, nullify_literal, varchar_n
 from ..registry import query
 
 # sample.csv reproduction (FIXTURES.md §B3): ProviderName, ProviderID,
@@ -140,11 +140,7 @@ def reference_curated_provider(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # steps 1-3: schema-on-read strings → nullify 'NULL' → typed casts →
     # specialty normalization (P9/P5/P11)
-    spec = None
-    for k, v in SPECIALTY_MAP.items():
-        spec = F.when(F.col("specialty") == k, v) if spec is None else spec.when(
-            F.col("specialty") == k, v
-        )
+    spec = map_values("specialty", SPECIALTY_MAP)
     csv_clean = csv_raw.select(
         nullify_literal("provider_name").alias("provider_name"),
         F.col("provider_id").cast("int").alias("provider_id"),

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import ts_str
 from ..registry import query
 
 
@@ -81,8 +82,8 @@ def table_metrics(df: DataFrame, ts_col: Column | str, key_col: str) -> DataFram
     return df.agg(
         F.count("*").alias("row_count"),
         F.countDistinct(key_col).alias("key_cardinality"),
-        F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("min_ts"),
-        F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
+        ts_str(F.min(ts)).alias("min_ts"),
+        ts_str(F.max(ts)).alias("max_ts"),
     )
 
 

@@ -29,12 +29,24 @@ def write_report(
     check/table, never per data row."""
     os.makedirs(out_dir, exist_ok=True)
     checks = [r.asDict() for r in suite_results.collect()]
-    tables = {name: df.collect()[0].asDict() for name, df in metrics.items()}
+    tables = {}
+    for name, df in metrics.items():
+        head = df.head(1)  # first row only — never collect a whole frame
+        if not head:
+            raise ValueError(
+                f"metrics frame for table {name!r} is empty — table_metrics "
+                "always yields one row; an empty frame means the wrong "
+                "aggregate was passed"
+            )
+        tables[name] = head[0].asDict()
     generated_at = datetime.now(timezone.utc).isoformat()
     payload = {
         "run_id": run_id or generated_at,
         "generated_at": generated_at,
-        "passed": all(c["passed"] for c in checks),
+        # all() over ZERO checks is vacuously True — an empty suite must
+        # read as failed, or a config bug that compiles no checks would
+        # promote unvalidated data with a green report
+        "passed": bool(checks) and all(c["passed"] for c in checks),
         "checks": checks,
         "tables": tables,
     }
