@@ -16,6 +16,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _as_col(col: Column | str) -> Column:
+    """Accept a name or a Column — the coercion every helper repeats."""
+    return F.col(col) if isinstance(col, str) else col
+
+
 def json_str(col: Column | str, path: str) -> Column:
     """JSON path → unquoted string scalar.
 
@@ -26,7 +31,7 @@ def json_str(col: Column | str, path: str) -> Column:
     unquotes scalars, so this helper is the whole shim: one call site
     to keep that knowledge in.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = _as_col(col)
     return F.get_json_object(c, path)
 
 
@@ -40,7 +45,7 @@ def json_int(col: Column | str, path: str) -> Column:
 def strip_quotes(col: Column | str) -> Column:
     """The reference's quote-stripping regex, verbatim semantics:
     ``regexp_replace(x, '^"|"$', '')`` (curated_provider.sql:21-27)."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _as_col(col)
     return F.regexp_replace(c, '^"|"$', "")
 
 
@@ -48,7 +53,7 @@ def date_key(ts: Column | str, fmt: str = "yyyy-MM-dd") -> Column:
     """Derive the ingestion-date partition key. Trino uses MySQL-style
     ``date_format(ts, '%Y-%m-%d')`` (raw_provider_postgres.sql:19);
     Spark's dialect is ``yyyy-MM-dd`` — same output, different codes."""
-    c = F.col(ts) if isinstance(ts, str) else ts
+    c = _as_col(ts)
     return F.date_format(c, fmt)
 
 
@@ -56,7 +61,7 @@ def nullify_literal(col: Column | str, literal: str = "NULL") -> Column:
     """Bad-data case: the client CSV contains the *string* ``'NULL'``
     (reference promptly/adapters/data/minio/sample.csv lines 6,9;
     required handling per CHALLENGE.md:75). ``nullif`` semantics."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _as_col(col)
     return F.when(c == F.lit(literal), F.lit(None)).otherwise(c)
 
 
@@ -65,7 +70,7 @@ def map_values(col: Column | str, mapping: dict, default=None) -> Column:
     specialty/category recodes, curated_provider.sql:21-47). ONE
     builder for every call site: reference_pipeline, case_when_map and
     the flagship projection previously hand-rolled identical loops."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _as_col(col)
     out = None
     for k, v in mapping.items():
         out = F.when(c == k, v) if out is None else out.when(c == k, v)
@@ -78,19 +83,19 @@ def varchar_n(col: Column | str, n: int) -> Column:
     latent data bug the reference ships). Spark never truncates on
     cast; use this only where byte-for-byte parity with the reference
     is demanded, and say so at the call site."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _as_col(col)
     return F.substring(c, 1, n)
 
 
 def epoch_millis_to_ts(col: Column | str) -> Column:
     """Debezium ``payload.ts_ms`` (epoch millis, provider.json:22) →
     timestamp."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _as_col(col)
     return F.timestamp_millis(c.cast("bigint"))
 
 
 def ts_str(col: Column | str) -> Column:
     """Deterministic microsecond-precision timestamp rendering used by
     oracle-checked queries (DuckDB side: strftime '%Y-%m-%d %H:%M:%S.%f')."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _as_col(col)
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")

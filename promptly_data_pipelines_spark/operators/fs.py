@@ -25,27 +25,34 @@ class FileSystemOps:
         full = f"{self._base}/{p}" if self._base and "://" not in p else p
         return self._jvm.org.apache.hadoop.fs.Path(full)
 
-    def _fs(self, p: str):
-        return self._path(p).getFileSystem(self._conf)
+    def _fs_path(self, p: str):
+        """One Path construction per logical op: (FileSystem, Path).
+        Building the Path twice (once discarded inside a _fs helper)
+        doubled the py4j round trips of every method — noticeable in
+        the compaction sizing walk over fragmented tables."""
+        jp = self._path(p)
+        return jp.getFileSystem(self._conf), jp
 
     def mkdirs(self, path: str) -> bool:
         """create_bucket analog (s3.py:56-63): ensure the container exists."""
-        return self._fs(path).mkdirs(self._path(path))
+        fs, jp = self._fs_path(path)
+        return fs.mkdirs(jp)
 
     def exists(self, path: str) -> bool:
-        return self._fs(path).exists(self._path(path))
+        fs, jp = self._fs_path(path)
+        return fs.exists(jp)
 
     def list_paths(self, path: str) -> list[str]:
         """list_objects analog (s3.py:47-54)."""
-        fs = self._fs(path)
-        it = fs.listStatus(self._path(path))
+        fs, jp = self._fs_path(path)
+        it = fs.listStatus(jp)
         return sorted(str(s.getPath()) for s in it)
 
     def put_text(self, path: str, content: str) -> None:
         """upload_file analog (s3.py:25-34) for small control files
         (configs, manifests — the reference uploads a sample CSV)."""
-        fs = self._fs(path)
-        out = fs.create(self._path(path), True)
+        fs, jp = self._fs_path(path)
+        out = fs.create(jp, True)
         try:
             out.write(bytearray(content.encode("utf-8")))
         finally:
@@ -57,29 +64,32 @@ class FileSystemOps:
         readLine loop silently dropped trailing newlines, normalized
         CRLF, and cost one py4j round trip per line, so the
         put_text/get_text round trip wasn't byte-identical."""
-        fs = self._fs(path)
-        stream = fs.open(self._path(path))
+        fs, jp = self._fs_path(path)
+        stream = fs.open(jp)
         try:
             return bytes(stream.readAllBytes()).decode("utf-8")
         finally:
             stream.close()
 
     def delete(self, path: str, recursive: bool = False) -> bool:
-        return self._fs(path).delete(self._path(path), recursive)
+        fs, jp = self._fs_path(path)
+        return fs.delete(jp, recursive)
 
     def rename(self, src: str, dst: str) -> bool:
         """FileSystem.rename — atomic metadata op on HDFS/local,
         copy+delete on object stores (see maintenance.py caveats)."""
-        return self._fs(src).rename(self._path(src), self._path(dst))
+        fs, jsrc = self._fs_path(src)
+        return fs.rename(jsrc, self._path(dst))
 
     def file_size(self, path: str) -> int:
-        return self._fs(path).getFileStatus(self._path(path)).getLen()
+        fs, jp = self._fs_path(path)
+        return fs.getFileStatus(jp).getLen()
 
     def list_files_recursive(self, path: str) -> list[str]:
         """All file (non-directory) paths under ``path``, any depth —
         the compaction sizing walk, scheme-agnostic."""
-        fs = self._fs(path)
-        it = fs.listFiles(self._path(path), True)
+        fs, jp = self._fs_path(path)
+        it = fs.listFiles(jp, True)
         out = []
         while it.hasNext():
             out.append(str(it.next().getPath()))
