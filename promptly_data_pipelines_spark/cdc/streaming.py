@@ -183,18 +183,7 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
     raw_provider_postgres.sql:9-10) and the catalog does the commit.
     Read the target through ``read_upsert_target``."""
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        from ..operators.fs import FileSystemOps
-
-        fs = FileSystemOps(spark)
-        prev = _committed_snapshot(spark, target_path)
-        if prev is not None:
-            merged = merge_upsert_frames(spark.read.parquet(prev), batch_df, key)
-        else:
-            merged = batch_df
-        snap_name = f"snap-{batch_id}"
-        merged.write.mode("overwrite").parquet(f"{target_path}/{snap_name}")
+    def commit_pointer(fs, snap_name: str, batch_id: int) -> None:
         # commit: temp pointer + rename (never in-place truncation of
         # _LATEST — a reader or crash mid-write would see an empty
         # pointer; the _SUCCESS-based fallback would still recover)
@@ -202,17 +191,49 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
         fs.put_text(tmp, snap_name)
         fs.delete(f"{target_path}/_LATEST")
         fs.rename(tmp, f"{target_path}/_LATEST")
+
+    def gc_superseded(fs, snap_name: str, prev_name: str | None) -> None:
         # best-effort GC of superseded snapshots (the committed one and
         # its predecessor stay until the next commit). Compare by snap
         # NAME, not full path: list_paths returns scheme-qualified URIs
         # (file:/...) while prev may be unqualified — a raw `p != prev`
         # never matches and would delete the predecessor a concurrent
-        # reader just resolved.
-        prev_name = prev.rsplit("/", 1)[-1] if prev is not None else None
+        # reader just resolved. Stale _LATEST.tmp-* files (a crash
+        # between put_text and rename) are GC'd here too — the rename
+        # consumed the current batch's tmp, so any survivor is garbage.
         for p in fs.list_paths(target_path):
             name = p.rsplit("/", 1)[-1]
             if name.startswith("snap-") and name not in (snap_name, prev_name):
                 fs.delete(p, recursive=True)
+            elif name.startswith("_LATEST.tmp-"):
+                fs.delete(p)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ..operators.fs import FileSystemOps
+
+        fs = FileSystemOps(spark)
+        prev = _committed_snapshot(spark, target_path)
+        snap_name = f"snap-{batch_id}"
+        prev_name = prev.rsplit("/", 1)[-1] if prev is not None else None
+        if prev_name == snap_name:
+            # Re-delivery after a crash between the pointer flip and the
+            # checkpoint commit: this batch's snapshot IS the committed
+            # state. Merging again would lazily read the very dir the
+            # overwrite targets ("Cannot overwrite a path that is also
+            # being read from") and wedge the stream on every restart.
+            # Re-flip the pointer (covers the fallback-resolved case
+            # where _LATEST itself was lost mid-rename) and move on.
+            commit_pointer(fs, snap_name, batch_id)
+            gc_superseded(fs, snap_name, None)
+            return
+        if prev is not None:
+            merged = merge_upsert_frames(spark.read.parquet(prev), batch_df, key)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(f"{target_path}/{snap_name}")
+        commit_pointer(fs, snap_name, batch_id)
+        gc_superseded(fs, snap_name, prev_name)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

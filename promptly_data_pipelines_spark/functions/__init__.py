@@ -70,6 +70,10 @@ def map_values(col: Column | str, mapping: dict, default=None) -> Column:
     specialty/category recodes, curated_provider.sql:21-47). ONE
     builder for every call site: reference_pipeline, case_when_map and
     the flagship projection previously hand-rolled identical loops."""
+    if not mapping:
+        # an empty CASE chain has no Column to return — None would
+        # surface later as an opaque AttributeError at the call site
+        raise ValueError("map_values requires a non-empty mapping")
     c = _as_col(col)
     out = None
     for k, v in mapping.items():

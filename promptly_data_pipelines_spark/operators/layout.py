@@ -164,6 +164,13 @@ def zorder_write(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(a), F.max(a), F.min(b), F.max(b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # empty input (or all-NULL z-columns): there is nothing to
+        # cluster — write as-is instead of crashing scale() on
+        # float(None). A maintenance job pointed at an empty partition
+        # should be a no-op, not a stack trace.
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(dst_dir)
+        return
     zkey = zorder_key(F.col(a), F.col(b), lo_a, hi_a, lo_b, hi_b)
     (
         df.withColumn("__z", zkey)

@@ -121,7 +121,12 @@ def incremental_run(
 
     # rebuild exactly the affected day partitions from the full raw
     # layer (all batches), day-pruned at the scan.
-    raw = spark.read.parquet(raw_dir)
+    # pin `day` to string after the read: partition-type inference
+    # flips it to DATE when every staged value is date-like, but the
+    # '__unknown__' sentinel (staged for NULL event days) makes it
+    # STRING — without the cast the rollup schema would be unstable
+    # across deliveries (compaction.py/layout.py pin the same way).
+    raw = spark.read.parquet(raw_dir).withColumn("day", F.col("day").cast("string"))
     rebuilt = (
         raw.filter(F.col("day").isin(affected))
         .groupBy("day", "event_type")

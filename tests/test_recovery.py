@@ -92,3 +92,78 @@ def test_stream_restart_resumes_from_checkpoint(spark):
     assert got.keys() == want.keys()
     for k in want:
         assert got[k][0] == want[k][0], f"{k}: count diverged after restart"
+
+
+def test_upsert_sink_survives_batch_redelivery(spark):
+    """ADVICE r5: a crash BETWEEN the _LATEST pointer flip and the
+    streaming checkpoint commit re-delivers batch N with the committed
+    snapshot already being snap-N. The old merge path then lazily read
+    snap-N while mode('overwrite')-writing snap-N — 'Cannot overwrite a
+    path that is also being read from' on every restart, wedging the
+    stream forever. The sink must short-circuit the re-delivery, keep
+    the target intact, and GC stale _LATEST.tmp-* files."""
+    from promptly_data_pipelines_spark.cdc import streaming as S
+    from promptly_data_pipelines_spark.cdc.envelope import synthesize_envelopes
+
+    base = os.path.join(tempfile.gettempdir(), "pdp_redeliver_test")
+    shutil.rmtree(base, ignore_errors=True)
+    env_dir, ckpt, tgt = (os.path.join(base, x) for x in ("env", "ck", "tgt"))
+
+    ev = table(spark, SF_DIR, "events")
+    synthesize_envelopes(ev).write.json(env_dir)
+    rows = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    S.upsert_sink(rows, tgt, ckpt).start().awaitTermination(120)
+    want = S.read_upsert_target(spark, tgt).count()
+
+    # the crash: the pointer flipped (target committed) but the engine
+    # never recorded the batch — drop the checkpoint commit marker so
+    # the restart re-delivers batch 0 against prev == snap-0
+    commits = glob.glob(os.path.join(ckpt, "commits", "[0-9]*"))
+    assert commits, "expected at least one committed batch"
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):  # local-FS checksum shadow of the marker
+        os.remove(crc)
+    # plus a stale tmp pointer from the interrupted commit protocol
+    with open(os.path.join(tgt, "_LATEST.tmp-99"), "w") as fh:
+        fh.write("snap-99")
+
+    rows2 = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    q = S.upsert_sink(rows2, tgt, ckpt).start()
+    q.awaitTermination(120)  # old code: wedged here with overwrite error
+
+    back = S.read_upsert_target(spark, tgt)
+    assert back.count() == want
+    ptr = open(os.path.join(tgt, "_LATEST")).read().strip()
+    assert os.path.exists(os.path.join(tgt, ptr, "_SUCCESS"))
+    assert not glob.glob(os.path.join(tgt, "_LATEST.tmp-*")), (
+        "stale tmp pointers must be GC'd"
+    )
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """ADVICE r5: zorder_write on an empty frame used to crash scale()
+    with float(None); a maintenance job on an empty partition must
+    no-op cleanly."""
+    from promptly_data_pipelines_spark.operators.layout import zorder_write
+
+    empty = (
+        table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "value", F.lit("d0").alias("day"))
+        .limit(0)
+    )
+    dst = str(tmp_path / "z_empty")
+    zorder_write(empty, dst, "day", ("user_id", "value"))
+    assert spark.read.schema(empty.schema).parquet(dst).count() == 0
+
+
+def test_map_values_empty_mapping_raises():
+    """ADVICE r5: an empty mapping has no CASE chain to build — fail
+    loudly instead of returning None."""
+    import pytest as _pytest
+
+    from promptly_data_pipelines_spark import functions as PF
+
+    with _pytest.raises(ValueError, match="non-empty mapping"):
+        PF.map_values("x", {})
