@@ -131,8 +131,9 @@ def jdbc_scan(
     postgresql.properties:1-4). Partitioned read: without
     partitionColumn bounds the entire table arrives through a single
     connection/task. Filters and projections push down to the database
-    as WHERE/SELECT clauses. Not driver-checked (no JDBC endpoint in
-    the harness)."""
+    as WHERE/SELECT clauses. Integration-tested against embedded Derby
+    (tests/test_jdbc.py): round-trip parity, the 4-slice partitioned
+    read, and plan-asserted WHERE pushdown."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     if partition_column is not None:
         reader = (

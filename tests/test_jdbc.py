@@ -1,0 +1,125 @@
+"""S3/S7 live-JDBC integration: embedded Derby round-trip.
+
+The reference reads Postgres through Trino's postgresql connector
+(dbt/promptly/models/raw/raw_care_site_postgres.sql:11-15) and bulk
+loads it with a psycopg2 INSERT loop
+(promptly/adapters/data/postgres/datagen.py:60-81, care_site/provider
+tables). No Postgres exists in this harness, but Spark ships Derby
+10.16 on its classpath — `jdbc:derby:memory:` gives the same JDBC
+code path (DriverManager → dialect → partitioned reads) with zero
+external services, so write_jdbc/jdbc_scan get executable evidence
+instead of "pattern function, untested".
+
+Scale notes these tests pin down:
+- the partitioned read (partitionColumn/lowerBound/upperBound) must
+  fan the table out across numPartitions tasks — at 100 TB a single
+  JDBC connection is the difference between a parallel ingest and a
+  one-task drip;
+- predicate pushdown must reach the database (PushedFilters in the
+  scan node), not filter rows after transfer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from conftest import SF_DIR
+
+from promptly_data_pipelines_spark.catalog import table
+from promptly_data_pipelines_spark.operators.scans import jdbc_scan, write_jdbc
+
+URL = "jdbc:derby:memory:pdp_jdbc_test;create=true"
+DRIVER = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def derby_home(spark):
+    # Derby writes derby.log into the engine's system home on boot;
+    # point it at /tmp BEFORE the first connection so the repo stays
+    # clean. A no-op if another module booted the engine already.
+    spark._jvm.System.setProperty("derby.system.home", "/tmp")
+    yield
+
+
+def _care_site_frame(spark):
+    """The reference's provider-table shape (datagen.py:70-81):
+    integer PK + varchar attributes, derived from the deterministic
+    customer table so parity is exact."""
+    c = table(spark, SF_DIR, "customer")
+    return c.select(
+        F.col("c_custkey").cast("int").alias("provider_id"),
+        F.col("c_name").alias("provider_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("npi"),
+        F.col("c_mktsegment").alias("specialty"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+
+
+def test_write_jdbc_then_scan_round_trip(spark):
+    src = _care_site_frame(spark)
+    write_jdbc(src, URL, "provider", mode="overwrite", **DRIVER)
+    back = jdbc_scan(spark, URL, "provider", **DRIVER)
+
+    assert back.count() == src.count()
+    a = sorted(src.collect(), key=lambda r: r.provider_id)
+    b = sorted(back.collect(), key=lambda r: r.provider_id)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_jdbc_partitioned_parallel_read(spark):
+    src = _care_site_frame(spark)
+    write_jdbc(src, URL, "provider_p", mode="overwrite", **DRIVER)
+    lo, hi = src.agg(F.min("provider_id"), F.max("provider_id")).first()
+
+    back = jdbc_scan(
+        spark,
+        URL,
+        "provider_p",
+        partition_column="provider_id",
+        lower_bound=lo,
+        upper_bound=hi + 1,
+        num_partitions=4,
+        **DRIVER,
+    )
+    # the read really is split into numPartitions JDBC slices, each a
+    # separate connection/task (the 100 TB parallel-ingest contract)
+    assert back.rdd.getNumPartitions() == 4
+    # no slice lost or duplicated rows across the stride boundaries
+    n = src.count()
+    assert back.count() == n
+    assert back.select("provider_id").distinct().count() == n
+    got = {r.provider_id: r.specialty for r in back.collect()}
+    want = {r.provider_id: r.specialty for r in src.collect()}
+    assert got == want
+
+
+def test_jdbc_filter_pushdown_reaches_database(spark):
+    src = _care_site_frame(spark)
+    write_jdbc(src, URL, "provider_f", mode="overwrite", **DRIVER)
+    back = jdbc_scan(spark, URL, "provider_f", **DRIVER).filter(
+        F.col("provider_id") <= 100
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "provider_id" in plan.split("PushedFilters")[1][:200], (
+        "filter must be pushed into the JDBC source, not applied post-transfer"
+    )
+    assert back.count() == src.filter(F.col("provider_id") <= 100).count()
+
+
+def test_write_jdbc_append_mode(spark):
+    rows = spark.createDataFrame(
+        [Row(provider_id=i, provider_name=f"p{i}") for i in range(10)]
+    )
+    write_jdbc(rows, URL, "provider_a", mode="overwrite", **DRIVER)
+    write_jdbc(
+        rows.withColumn("provider_id", F.col("provider_id") + 10),
+        URL,
+        "provider_a",
+        mode="append",
+        **DRIVER,
+    )
+    back = jdbc_scan(spark, URL, "provider_a", **DRIVER)
+    assert back.count() == 20
+    assert back.select("provider_id").distinct().count() == 20
