@@ -26,6 +26,43 @@ from .text import norm_text, words
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
+# Oracle-expressible 64-bit-ish hash family (r6): both Spark and DuckDB
+# parse the SAME md5 hex substring big-endian, so every hash-derived
+# value in minhash/simhash is bit-identical across engines and the two
+# queries graduate from rows-only to full value-hash oracle checks.
+#   Spark : conv(substring(md5(x), start, 16), 16, -10)::long & mask
+#   DuckDB: CAST(('0x' || substr(md5(x), start, 16))::UBIGINT % (mask+1) AS BIGINT)
+# (conv(..,-10) parses two's-complement signed; the mask keeps only low
+# bits, where signed and unsigned agree — verified value-for-value in
+# tests/test_properties.py.) Masks stay ANSI-overflow-safe: minhash
+# double hashing h_i = h1 + i*h2 needs h1 < 2^62 and i*h2 < 16*2^58 =
+# 2^62, so h_i < 2^63 with no wraparound under Spark 4's default ANSI
+# mode.
+_MASK63 = (1 << 63) - 1
+_MASK62 = (1 << 62) - 1
+_MASK58 = (1 << 58) - 1
+
+
+def _md5_word(col, start: int, mask: int):
+    """Low bits of an 8-byte big-endian window of md5(col) — the
+    cross-engine hash primitive documented above."""
+    return (
+        F.conv(F.substring(F.md5(col), start, 16), 16, -10)
+        .cast("long")
+        .bitwiseAND(F.lit(mask))
+    )
+
+
+def md5h63(col):
+    """63-bit uniform hash of a string column (simhash bit votes)."""
+    return _md5_word(col, 17, _MASK63)
+
+
+# DuckDB twins of the hash primitives, for oracle SQL f-strings
+_SQL_H63 = "CAST(('0x' || substr(md5({x}), 17, 16))::UBIGINT % 9223372036854775808 AS BIGINT)"
+_SQL_H1 = "CAST(('0x' || substr(md5({x}), 17, 16))::UBIGINT % 4611686018427387904 AS BIGINT)"
+_SQL_H2 = "CAST(('0x' || substr(md5({x}), 1, 16))::UBIGINT % 288230376151711744 AS BIGINT)"
+
 
 def _normalized(d: DataFrame) -> DataFrame:
     return d.withColumn("norm_text", norm_text())
@@ -60,10 +97,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
-    """Word-shingle MinHash: explode w-shingles, hash each with
-    N_HASHES seeded xxhash64 functions, take the per-doc min of each.
-    Everything is built-in exprs; the only shuffle is the per-doc
-    re-aggregation.
+    """Word-shingle MinHash: explode w-shingles, derive N_HASHES hash
+    values per shingle by double hashing (h_i = h1 + i·h2, the
+    Kirsch–Mitzenmacher construction — ONE md5 per shingle instead of
+    N seeded hashes, and oracle-expressible: DuckDB computes the
+    identical h1/h2 from the same md5 hex), take the per-doc min of
+    each. Everything is built-in exprs; the only shuffle is the
+    per-doc re-aggregation.
 
     The input is repartitioned first: fixture tables are single-row-
     group parquet (unsplittable → 1 scan task), and shingling+16
@@ -98,18 +138,32 @@ def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
     shingled = d.select("doc_id", F.explode_outer(shingle_arr).alias("shingle")).filter(
         F.col("shingle").isNotNull()
     )
+    # h1/h2 computed once per posting row (codegen CSE shares the md5
+    # digest between them); the 16 aggregate inputs are then two-term
+    # arithmetic. Masks make every h_i nonnegative and < 2^63 — no
+    # ANSI overflow (see the hash-family note at the top).
+    hashed = shingled.select(
+        "doc_id",
+        _md5_word(F.col("shingle"), 17, _MASK62).alias("h1"),
+        _md5_word(F.col("shingle"), 1, _MASK58).alias("h2"),
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(N_HASHES)
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
+        for i in range(N_HASHES)
     ]
-    return shingled.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
     """(id, sig-array) → exploded (id, sig, band, bucket) LSH band
-    keys: bucket = xxhash64 of each band's ``N_HASHES // N_BANDS``
-    consecutive minhashes. ONE definition of the banding layout —
-    dedup_near_text and decontaminate_near must bucket identically or
-    their candidate sets silently diverge."""
+    keys: bucket = the band's ``N_HASHES // N_BANDS`` consecutive
+    minhashes joined into one string key (values, not a re-hash —
+    oracle-expressible, and bucket equality is exactly band equality
+    with zero collision slack; the ~70-byte key is noise next to the
+    16-long sig array each band row already carries). ONE definition
+    of the banding layout — dedup_near_text and decontaminate_near
+    must bucket identically or their candidate sets silently
+    diverge."""
     rows_per_band = N_HASHES // N_BANDS
     return df.select(
         id_col,
@@ -119,11 +173,14 @@ def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.concat_ws(
+                            "_",
                             *[
-                                F.col(sig_col).getItem(b * rows_per_band + r)
+                                F.col(sig_col)
+                                .getItem(b * rows_per_band + r)
+                                .cast("string")
                                 for r in range(rows_per_band)
-                            ]
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -141,7 +198,60 @@ def est_jaccard(sig_a, sig_b):
     ) / F.lit(float(N_HASHES))
 
 
-@query("dedup_near_text")  # xxhash64-based: not oracle-expressible → rows-only
+# DuckDB mirror of minhash_signatures → lsh_band_keys → band self-join
+# → est_jaccard, value-identical because both engines derive h1/h2 from
+# the same md5 hex window (hash-family note at the top of this module).
+_NEAR_TEXT_ORACLE = f"""
+    WITH w0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS shingles
+      FROM w0
+    ),
+    post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hp AS (
+      SELECT doc_id, {_SQL_H1.format(x='s')} AS h1, {_SQL_H2.format(x='s')} AS h2
+      FROM post
+    ),
+    sig AS (
+      SELECT doc_id,
+             [{', '.join(f'min(h1 + {i}*h2)' for i in range(N_HASHES))}] AS sig
+      FROM hp GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+          "SELECT doc_id, sig, " + str(b) + " AS band, "
+          + " || '_' || ".join(
+              f"CAST(sig[{b * (N_HASHES // N_BANDS) + r + 1}] AS VARCHAR)"
+              for r in range(N_HASHES // N_BANDS)
+          )
+          + " AS bucket FROM sig"
+          for b in range(N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter(range(1, {N_HASHES + 1}), i -> sig_a[i] = sig_b[i]))
+                 / {float(N_HASHES)}, 4) AS est_jaccard
+    FROM cand
+    WHERE len(list_filter(range(1, {N_HASHES + 1}), i -> sig_a[i] = sig_b[i]))
+          / {float(N_HASHES)} >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_near_text", oracle=_NEAR_TEXT_ORACLE)
 def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: MinHash+LSH near-dup candidates. Signatures → band keys
     (hash of 4 consecutive minhashes) → self-join within (band, key)
@@ -288,7 +398,7 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     # keeps pathological concatenation dumps flowing — a 65k-token
     # prefix is statistically the same signature.
     hashes = F.transform(
-        F.slice(words("text"), 1, 65535), lambda w: F.xxhash64(w)
+        F.slice(words("text"), 1, 65535), lambda w: md5h63(w)
     )
     zero = F.struct(
         F.lit(0).cast("long").alias("n"),
@@ -333,7 +443,46 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # xxhash64-based: rows-only
+# DuckDB mirror of simhash_signatures → pigeonhole block join →
+# Hamming verify. The LEFT JOIN keeps docs whose token list is empty
+# after the split (e.g. tab-only text): Spark's trim-filter keeps them
+# with an all-zero signature, so the oracle must too.
+_SIMHASH_ORACLE = f"""
+    WITH d0 AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '')[1:65535] AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM d0),
+    th AS (SELECT doc_id, {_SQL_H63.format(x='t')} AS h FROM tok),
+    agg AS (
+      SELECT doc_id, count(*) AS n,
+             {', '.join(f'sum((h >> {i}) & 1) AS c{i}' for i in range(63))}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT d.doc_id,
+             ({' + '.join(f'CASE WHEN 2*a.c{i} > a.n THEN CAST({1 << i} AS BIGINT) ELSE 0 END' for i in range(63))}) AS simhash
+      FROM d0 d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ),
+    blk AS (
+      SELECT doc_id, simhash, u.b AS blk, (simhash >> (u.b * 16)) & 65535 AS key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM blk a JOIN blk b
+        ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: SimHash near-dup pairs within Hamming distance ≤ 3, via the
     block-and-verify scheme: split the 63-bit signature into 4 blocks

@@ -407,19 +407,24 @@ def test_multimodal_mixed_features_end_to_end(spark):
 def test_simhash_pairs_pinned_sf0001(spark):
     """The SWAR bit-sliced vote aggregation (16 packed lanes) must
     produce exactly the signatures of the per-bit ±1-sum form it
-    replaced — pinned as the full sf0.001 pair set captured from the
-    round-1 implementation."""
+    replaced — pinned as the full sf0.001 pair set. Re-captured r6
+    when the token hash moved from xxhash64 to the md5-derived 63-bit
+    hash (cross-checked against the DuckDB oracle at capture time)."""
     from promptly_data_pipelines_spark.registry import run
 
     rows = run("dedup_simhash", spark, "/root/testdata/sf0.001").collect()
     got = sorted((r.doc_a, r.doc_b, r.hamming) for r in rows)
     expected = [
-        (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1),
-        (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1), (76, 296, 3),
-        (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2), (113, 394, 3),
-        (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3), (211, 404, 2),
-        (229, 263, 1), (245, 401, 2), (260, 391, 0), (261, 296, 3), (270, 329, 1),
-        (306, 387, 2), (349, 411, 0), (387, 457, 2), (474, 498, 3),
+        (0, 50, 2), (0, 82, 3), (5, 450, 1), (6, 136, 3), (8, 12, 1),
+        (8, 120, 2), (8, 360, 0), (12, 120, 3), (12, 360, 1), (16, 369, 1),
+        (22, 291, 3), (26, 176, 1), (33, 436, 3), (56, 157, 2), (60, 99, 3),
+        (60, 113, 3), (60, 245, 3), (77, 459, 1), (99, 174, 1), (100, 113, 3),
+        (100, 129, 3), (100, 248, 3), (107, 349, 3), (110, 467, 0),
+        (113, 129, 2), (113, 299, 3), (119, 425, 1), (120, 360, 2),
+        (125, 249, 3), (144, 161, 1), (174, 245, 3), (176, 247, 3),
+        (206, 399, 2), (211, 404, 1), (229, 263, 2), (245, 401, 1),
+        (251, 411, 3), (260, 391, 2), (270, 329, 3), (328, 428, 1),
+        (349, 411, 1), (474, 498, 2),
     ]
     assert got == expected
 

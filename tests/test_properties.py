@@ -102,15 +102,20 @@ def test_jaccard_matches_bruteforce(spark, corpus):
 @given(corpus=st.lists(doc_text, min_size=1, max_size=10))
 def test_simhash_swar_matches_plain_vote(spark, corpus):
     """The SWAR bit-sliced signature must equal the plain per-bit
-    majority vote computed from the SAME (Spark xxhash64) word hashes."""
+    majority vote computed from the SAME word hashes — which since r6
+    is the md5-derived 63-bit hash, recomputed here in pure Python
+    (hashlib) so the check is engine-independent."""
+    import hashlib
+
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
+    def h63(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[16:32], 16) & ((1 << 63) - 1)
+
     hashes = {
-        r["doc_id"]: r["hs"]
-        for r in df.select(
-            "doc_id", F.transform(words("text"), lambda w: F.xxhash64(w)).alias("hs")
-        ).collect()
+        r["doc_id"]: [h63(w) for w in r["ws"]]
+        for r in df.select("doc_id", words("text").alias("ws")).collect()
     }
     got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
     for doc_id, hs in hashes.items():
@@ -324,3 +329,46 @@ def test_pack_assignments_match_sequential_mirror(spark, docs):
         assert got[i] == (n, start, start // budget, start % budget), (
             f"doc {i} ({lang}): {got[i]} != {(n, start, start // budget, start % budget)}"
         )
+
+
+@SETTINGS
+@given(s=st.text(min_size=0, max_size=40))
+def test_md5_hash_family_cross_engine(spark, s):
+    """The r6 hash primitives (_md5_word masks) must be value-identical
+    across Spark, DuckDB, and pure Python on arbitrary strings — this
+    equality is what lets minhash/simhash driver rows be oracle-checked
+    at all."""
+    import hashlib
+
+    import duckdb
+
+    from promptly_data_pipelines_spark.extensions.dedup import (
+        _MASK58,
+        _MASK62,
+        _MASK63,
+        _md5_word,
+    )
+
+    hx = hashlib.md5(s.encode()).hexdigest()
+    py = (
+        int(hx[16:32], 16) & _MASK63,
+        int(hx[16:32], 16) & _MASK62,
+        int(hx[0:16], 16) & _MASK58,
+    )
+    row = (
+        spark.range(1)
+        .select(
+            _md5_word(F.lit(s), 17, _MASK63),
+            _md5_word(F.lit(s), 17, _MASK62),
+            _md5_word(F.lit(s), 1, _MASK58),
+        )
+        .first()
+    )
+    duck = duckdb.execute(
+        """select
+        CAST(('0x'||substr(md5(?),17,16))::UBIGINT % 9223372036854775808 AS BIGINT),
+        CAST(('0x'||substr(md5(?),17,16))::UBIGINT % 4611686018427387904 AS BIGINT),
+        CAST(('0x'||substr(md5(?),1,16))::UBIGINT % 288230376151711744 AS BIGINT)""",
+        [s, s, s],
+    ).fetchone()
+    assert tuple(row) == py == tuple(duck)
