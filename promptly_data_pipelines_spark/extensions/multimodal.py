@@ -393,7 +393,43 @@ def json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_pipeline")  # stub codec: rows-only check
+# r6: the driver row IS oracle-checkable — every media_table row is the
+# deterministic 'bytestats' codec, so the three mapInPandas stages
+# reduce to pure byte arithmetic DuckDB can mirror: the 8×8 resample is
+# out[i] = payload[i·n/64] (nearest-neighbor index formula from
+# resize_media), features are first/last/sum%256 over those 64 bytes,
+# and frame sampling of a 64-byte payload at frame_size=32/every_n=4
+# always yields exactly frame 0. Bytes come out of the blob via its hex
+# string (2 hex chars per byte) — DuckDB has no blob substring.
+_PIPELINE_ORACLE = """
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    rs AS (
+      SELECT doc_id, i,
+             CASE WHEN n = 0 THEN 0
+                  ELSE ('0x' || substr(hx, CAST(2 * (i * n // 64) AS INT) + 1, 2))::INT
+             END AS v
+      FROM m, (SELECT unnest(range(0, 64)) AS i) u
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(max(CASE WHEN i = 0 THEN v END) AS INT) AS first_byte,
+             CAST(max(CASE WHEN i = 63 THEN v END) AS INT) AS last_byte,
+             CAST(sum(v) % 256 AS INT) AS byte_sum_mod
+      FROM rs GROUP BY doc_id
+    )
+    SELECT doc_id, 'bytestats' AS media_type, CAST(64 AS INT) AS n_bytes,
+           first_byte, last_byte, byte_sum_mod,
+           CAST(1 AS BIGINT) AS n_frames, CAST(0 AS INT) AS max_frame_idx
+    FROM feat
+"""
+
+
+@query("multimodal_pipeline", oracle=_PIPELINE_ORACLE)
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 composite (driver row for the multimodal family; the three
     single-stage queries above are local-only): the full media pipeline
