@@ -854,7 +854,11 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list via the
     alternating large-star / small-star algorithm (Kiveris et al.,
@@ -879,6 +883,11 @@ def connected_components(
     round truncates lineage, otherwise the plan doubles every
     iteration. At fixed point each component is a star rooted at its
     minimum id, so labels read straight off the edges.
+
+    Pass ``stats={}`` to receive ``stats["rounds"]`` — the number of
+    large+small-star rounds executed before the fixed point — so tests
+    can pin the O(log n) convergence claim with a counter instead of
+    wall time.
 
     Returns (doc_id, cluster_rep): one row per node that appears in
     ``edges``, rep = smallest doc_id in its component (the canonical
@@ -915,7 +924,9 @@ def connected_components(
         )
 
     sig = signature(e)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: m = min over ALL neighbors ∪ self; emit (v, m)
         # for each neighbor v > u
@@ -944,6 +955,8 @@ def connected_components(
         sig = new_sig
     else:
         raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixed point = stars rooted at component minima: u is the rep on
     # every canonical edge; the rep itself is a member too
     members = e.select(F.col("u").alias("cluster_rep"), F.col("v").alias("doc_id"))

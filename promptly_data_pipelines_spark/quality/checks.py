@@ -89,10 +89,23 @@ def table_metrics(df: DataFrame, ts_col: Column | str, key_col: str) -> DataFram
 
 def run_suite(checks: dict[str, DataFrame]) -> DataFrame:
     """``dbt test`` analog: evaluate named violation frames, one result
-    row per check (name, n_violations, passed)."""
-    spark = next(iter(checks.values())).sparkSession
-    rows = [(name, df.count()) for name, df in checks.items()]
-    out = spark.createDataFrame(rows, "check_name string, n_violations bigint")
+    row per check (name, n_violations, passed).
+
+    Compiled, not collected (r6): each violation frame becomes a
+    one-row count aggregate and the rows union into ONE lazy plan —
+    the same shape run_suite_config emits — so the whole suite is a
+    single Spark job at action time. The previous form ran one eager
+    ``df.count()`` job per check, a driver-side loop a user could put
+    on a hot path (N jobs for N checks)."""
+    frames = [
+        df.agg(F.count("*").cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+        for name, df in checks.items()
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
     return out.withColumn("passed", F.col("n_violations") == 0)
 
 

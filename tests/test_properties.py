@@ -372,3 +372,87 @@ def test_md5_hash_family_cross_engine(spark, s):
         [s, s, s],
     ).fetchone()
     assert tuple(row) == py == tuple(duck)
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min-id representative."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_converges_logarithmically_on_path_graph(spark):
+    """VERDICT r5 #5: the large/small-star loop claims O(log n)
+    rounds. A 4096-node path is the adversarial depth case — naive
+    min-label propagation needs ~4096 rounds (O(diameter)); the star
+    alternation must finish in ~log2(4096)=12 (13 measured; pinned
+    with slack at 16, far under max_iter=50). Counted via the loop's
+    stats out-param, not wall time."""
+    from promptly_data_pipelines_spark.extensions.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(4095)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    rows = connected_components(df, stats=stats).collect()
+    assert stats["rounds"] <= 16, f"path-4096 took {stats['rounds']} rounds"
+    assert len(rows) == 4096
+    assert {r.cluster_rep for r in rows} == {0}
+
+
+def test_cc_two_clique_bridge(spark):
+    """Two 20-cliques joined by a single bridge edge: the bridge must
+    merge them into ONE component rooted at the global min, within a
+    constant round count (3 measured, pinned at 6)."""
+    from promptly_data_pipelines_spark.extensions.dedup import connected_components
+
+    edges = (
+        [(i, j) for i in range(20) for j in range(i + 1, 20)]
+        + [(100 + i, 100 + j) for i in range(20) for j in range(i + 1, 20)]
+        + [(19, 100)]
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats: dict = {}
+    rows = connected_components(df, stats=stats).collect()
+    assert stats["rounds"] <= 6
+    got = {r.doc_id: r.cluster_rep for r in rows}
+    assert set(got.values()) == {0} and len(got) == 40
+
+
+random_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(edges=random_edges)
+def test_cc_matches_union_find(spark, edges):
+    """connected_components must agree with a reference union-find on
+    arbitrary random graphs (self-loops and duplicate/reversed edges
+    included — the operator must canonicalize them away)."""
+    from promptly_data_pipelines_spark.extensions.dedup import connected_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:  # all self-loops: no edge survives, result is empty
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        assert connected_components(df).count() == 0
+        return
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_rep for r in connected_components(df).collect()}
+    assert got == _union_find_components(real)
