@@ -88,7 +88,27 @@ SECONDARY = [
 ]
 
 
+def _testdata_fingerprint() -> dict:
+    """Identity of the data actually benchmarked: the driver regenerates
+    /root/testdata between rounds, sometimes with different parquet
+    physics (r5: timestamp NTZ flip) — size+mtime per file lets a judge
+    see from the JSON alone whether two rounds read the same bytes."""
+    out = {}
+    try:
+        for fn in sorted(os.listdir(SF_DIR)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(SF_DIR, fn))
+                out[fn] = [st.st_size, int(st.st_mtime)]
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
+    # machine-state capture (r5 verdict #6): cross-round totals proved
+    # noise-dominated by host drift; record enough in the JSON itself
+    # to attribute a swing to environment vs code without prose.
+    load_start = os.getloadavg()
     spark = get_session("pdp-bench", cpus=CPUS, shuffle_partitions=CPUS)
     # local-only included: the headline list predates the registry's
     # registered/local split and stays fixed for round-over-round
@@ -102,6 +122,7 @@ def main() -> None:
     # file allocation, page cache) dominate variance at this scale
     timings: dict[str, float] = {}
     secondary: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE + SECONDARY:
         out = timings if name in HEADLINE else secondary
         if name in PAIR_OPS:
@@ -109,7 +130,7 @@ def main() -> None:
             # multi-second JIT/codegen first-touch that min-of-N alone
             # doesn't fully amortize (steady-state measurement, JMH-style)
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3 if name in PAIR_OPS else 2):
             # ngram_jaccard persists its shingled frame for the two-
             # branch df-cap pre-filter; structurally-equal re-runs
@@ -118,8 +139,11 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+        # min/max across the repeats: a wide band flags machine noise
+        # on that line, a tight band means the min is trustworthy
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # Accuracy companion to the similarity timings (round-4 verdict
     # item #4): IVF recall vs exact top-k at the bench SF, recorded
@@ -149,6 +173,13 @@ def main() -> None:
                 "queries": timings,
                 "secondary": secondary,
                 "sf": sf_num,
+                "env": {
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                    "cpus": CPUS,
+                    "spread": spread,
+                    "testdata": _testdata_fingerprint(),
+                },
             }
         )
     )
