@@ -1,0 +1,355 @@
+"""Corpus-curation operators a training-data pipeline runs between
+cleaning and export (reference scope: the curated/ dbt layer,
+`dbt/promptly/models/curated/curated_provider.sql:1-20`, generalized to
+the LLM-corpus tier the build brief mandates): RAG chunking, weighted
+sampling, leakage-safe splits, semantic dedup, BPE pair statistics,
+curriculum staging.
+
+Every op here is hash-deterministic (the md5 family documented in
+extensions/dedup.py) and oracle-checked against DuckDB in the local
+parity tier. Scale notes per op; none of them global-sorts or
+all-pairs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .dedup import _md5_word, _MASK63
+from .sampling import hash_bucket
+from .similarity import dot
+from .text import STOPWORDS, words
+
+# ---------------------------------------------------------------- chunking
+
+CHUNK_TOKENS = 32  # window width (tokens)
+CHUNK_STRIDE = 24  # window stride -> 8-token overlap between chunks
+
+
+@query(
+    "text_chunk_windows",
+    registered=False,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, unnest(range(0, len(w), {CHUNK_STRIDE})) AS start
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, len(w) - start) AS BIGINT) AS n_tokens,
+           array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: overlapping {CHUNK_TOKENS}-token windows at
+    stride {CHUNK_STRIDE} (8-token overlap keeps retrieval context
+    across chunk boundaries). Whole-row expression tree — tokenize,
+    ``sequence`` of window starts, ``posexplode``-free slice per start
+    — so the op is embarrassingly parallel: no shuffle, no UDF, and
+    the chunk explosion happens AFTER the scan's column pruning (only
+    ``text`` is read). At 100 TB chunking is the map side of the
+    embed/export stage; output partitioning follows the input's.
+
+    Window starts are 0, stride, 2*stride, ... strictly below the token
+    count, so every token lands in ≥1 chunk and the tail chunk is
+    allowed to run short (``n_tokens`` < width) rather than re-reading
+    the tail twice — the convention retrieval stacks expect."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    t = d.select("doc_id", ws.alias("w")).filter(F.size("w") > 0)
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+    s = t.select("doc_id", "w", F.explode(starts).alias("start"))
+    return s.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("w") - F.col("start"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+@query(
+    "sample_weighted_priority",
+    registered=False,
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 16))::UBIGINT
+                  % 9223372036854775808 AS BIGINT)
+               // greatest(n_chars, 1) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, sample_key FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY sample_key, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 5
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 5 docs per language,
+    weight = n_chars (longer docs proportionally likelier): each row
+    gets priority key ``hash // weight`` and the k smallest keys per
+    group win — the integer-exact cousin of A-ES reservoir sampling
+    (A-ES keys are ``-ln(u)/w``; ``h/w`` with uniform h is monotone in
+    the weight with the same hash-determinism, and staying in integer
+    division is what keeps the key bit-identical across engines — the
+    float ln/pow forms are not reproducible cross-engine, the trap
+    operators/aggregates.py documents).
+
+    Scale: one shuffle (the per-lang window), and the rank-limit
+    rewrites to WindowGroupLimit so each partition keeps only its
+    local top-k before the shuffle — never a global sort. Rerun-stable:
+    a doc's key never changes as the corpus grows, so incremental
+    exports agree with full reruns on the shared prefix."""
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _md5_word(F.col("doc_id").cast("string"), 17, _MASK63).alias("h"),
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("wt"),
+        # h DIV wt, not h / wt: float division would round the 63-bit
+        # hash through a 53-bit mantissa before truncation
+    ).selectExpr("doc_id", "lang", "n_chars", "h DIV wt AS sample_key")
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "n_chars", "sample_key")
+    )
+
+
+# ------------------------------------------------- leakage-safe splitting
+
+
+@query(
+    "dataset_split_grouped",
+    registered=False,
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash bucket is computed on
+    the GROUP key (``source``) rather than the row id, so every document
+    from one source lands in the same split — near-duplicate documents
+    cluster within sources, and row-level splits (``dataset_split``)
+    leak them across the train/test boundary, inflating eval. Same
+    ~80/10/10 bucket thresholds and md5 arithmetic as the row-level
+    split; still a pure scan-pushed predicate, no shuffle, no RNG."""
+    d = table(spark, sf_dir, "documents")
+    b = hash_bucket("source")
+    split = F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    return d.select("doc_id", "source", split.alias("split"))
+
+
+# ------------------------------------------------------- semantic dedup
+
+N_SEM_PLANES = 8  # 256 angular cells
+
+
+def _sem_planes() -> list[list[float]]:
+    """±1 (Rademacher) hyperplanes, seeded — deterministic across runs
+    and embeddable verbatim in both the Spark plan and the oracle SQL
+    (±1.0 floats print exactly; Gaussian planes would round-trip
+    through decimal text)."""
+    rng = random.Random(11)
+    return [
+        [rng.choice((1.0, -1.0)) for _ in range(64)] for _ in range(N_SEM_PLANES)
+    ]
+
+
+_PLANES = _sem_planes()
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN round(list_dot_product(vec, {p}), 6) > 0 THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES)
+)
+
+
+@query(
+    "dedup_semantic_keep_best",
+    registered=False,
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    sig AS (SELECT doc_id, {_SQL_BUCKET} AS bucket FROM e),
+    j AS (
+      SELECT d.doc_id, d.n_chars, s.bucket
+      FROM documents d JOIN sig s USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, n_chars, bucket,
+             first_value(doc_id) OVER w AS kept_doc_id,
+             row_number() OVER w AS rn
+      FROM j
+      WINDOW w AS (PARTITION BY bucket ORDER BY n_chars DESC, doc_id)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, doc_id, kept_doc_id, n_chars
+    FROM r WHERE rn > 1
+    """,
+)
+def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embed-space cells via
+    {N_SEM_PLANES} fixed Rademacher hyperplanes (sign of the dot
+    product, rounded to 6dp before thresholding so borderline cells
+    can't flip between engines), keep the highest-quality document per
+    cell (longest text, doc_id tiebreak) and emit the removed rows with
+    their keeper. The real SemDeDup uses k-means cells + an intra-cell
+    cosine threshold — the learned-cell variant here is
+    ``similarity.learned_centroids`` (IVF), and the verify step is
+    ``dedup_embedding_cosine``; this op contributes the keep-best-
+    per-cell reduction with a fully oracle-checkable cell function.
+
+    Scale: signatures are a map-side expression over each vector
+    (planes enter the plan as literals, k·dim doubles); the only
+    shuffle is the per-cell window, keyed by bucket — never pairwise.
+    Cell count (2^planes) is the skew knob: more planes → smaller
+    cells → more balanced windows."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    sig = None
+    for j, plane in enumerate(_PLANES):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = (F.round(dot(F.col("vec"), lit_plane), 6) > 0).cast("int")
+        term = bit * F.lit(1 << j)
+        sig = term if sig is None else sig + term
+    buckets = e.select(F.col("vec_id").alias("doc_id"), sig.alias("bucket"))
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = d.join(buckets, "doc_id")
+    w = Window.partitionBy("bucket").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        j.select(
+            "doc_id",
+            "n_chars",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.first("doc_id").over(w).alias("kept_doc_id"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") > 1)
+        .select("bucket", "doc_id", "kept_doc_id", "n_chars")
+    )
+
+
+# ------------------------------------------------------ BPE pair counts
+
+
+@query(
+    "text_bpe_pair_counts",
+    registered=False,
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2
+    ),
+    p AS (SELECT w[i] AS tok_a, w[i + 1] AS tok_b FROM idx)
+    SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1, 2
+    ORDER BY n_pairs DESC, tok_a, tok_b
+    LIMIT 30
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of one BPE/WordPiece merge round: corpus-wide
+    adjacent-token-pair frequencies, top 30 (the argmax pair is what a
+    tokenizer trainer would merge next; reference scope = the token
+    analytics the brief's text tier mandates). Pair construction is an
+    in-row array lambda (indexively zipping ``w`` with its own shift) —
+    tokens never explode before pairing, so the shuffle moves (pair,
+    count) partials, combiner-reduced map-side. At 100 TB this is the
+    canonical word-count shape: one shuffle keyed by pair, then a
+    global top-k that TakeOrderedAndProject keeps on the driver at k
+    rows per partition."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    t = d.select(ws.alias("w")).filter(F.size("w") >= 2)
+    pairs = F.transform(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        lambda x, i: F.struct(
+            x.alias("tok_a"), F.element_at(F.col("w"), i + 2).alias("tok_b")
+        ),
+    )
+    return (
+        t.select(F.explode(pairs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "tok_a", "tok_b")
+        .limit(30)
+    )
+
+
+# ------------------------------------------------------ curriculum stages
+
+
+@query(
+    "curriculum_stages",
+    registered=False,
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
+               AS fluency
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+    )
+    SELECT doc_id, lang, fluency,
+           CAST(ntile(4) OVER (
+             PARTITION BY lang ORDER BY fluency DESC, doc_id) AS INTEGER) AS stage
+    FROM scored
+    """,
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: quartile stages per language on a fluency
+    proxy (stopword ratio, 4dp — the cheap stand-in for a model-based
+    difficulty score), stage 1 = most fluent, trained first. ``ntile``
+    is partitioned BY LANG, not global — the window distributes across
+    the cluster and doubles as the semantically-right grouping
+    (difficulty is only comparable within a language). A global-sort
+    ntile would serialize 100 TB through one partition; if a single
+    global curriculum is ever needed, the scalable form is approx
+    quantile cutpoints broadcast as a map-side bucket expression."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    scored = d.filter(n_words > 0).select(
+        "doc_id",
+        "lang",
+        F.round(n_stop.cast("double") / n_words, 4).alias("fluency"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("fluency").desc(), "doc_id")
+    return scored.withColumn("stage", F.ntile(4).over(w).cast("int"))

@@ -154,17 +154,21 @@ def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
+ROWS_PER_BAND = N_HASHES // N_BANDS
+BAND_KEY_COLS = ["band"] + [f"r{r}" for r in range(ROWS_PER_BAND)]
+
+
 def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
-    """(id, sig-array) → exploded (id, sig, band, bucket) LSH band
-    keys: bucket = the band's ``N_HASHES // N_BANDS`` consecutive
-    minhashes joined into one string key (values, not a re-hash —
-    oracle-expressible, and bucket equality is exactly band equality
-    with zero collision slack; the ~70-byte key is noise next to the
-    16-long sig array each band row already carries). ONE definition
-    of the banding layout — dedup_near_text and decontaminate_near
-    must bucket identically or their candidate sets silently
-    diverge."""
-    rows_per_band = N_HASHES // N_BANDS
+    """(id, sig-array) → exploded (id, sig, band, r0..r3) LSH band
+    keys: the join key is the band's ``ROWS_PER_BAND`` consecutive
+    minhash VALUES as fixed-width long columns (values, not a re-hash
+    — oracle-expressible, and key equality is exactly band equality
+    with zero collision slack; longs keep the shuffle fixed-width and
+    the join comparison branchless, where the earlier stringified key
+    paid per-row long→string formatting plus byte-wise compares). ONE
+    definition of the banding layout — dedup_near_text and
+    decontaminate_near must bucket identically or their candidate
+    sets silently diverge; both join on ``BAND_KEY_COLS``."""
     return df.select(
         id_col,
         sig_col,
@@ -173,21 +177,23 @@ def lsh_band_keys(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(sig_col)
-                                .getItem(b * rows_per_band + r)
-                                .cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
+                        *[
+                            F.col(sig_col)
+                            .getItem(b * ROWS_PER_BAND + r)
+                            .alias(f"r{r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    ).select(
+        id_col,
+        sig_col,
+        F.col("bk.band").alias("band"),
+        *[F.col(f"bk.r{r}").alias(f"r{r}") for r in range(ROWS_PER_BAND)],
+    )
 
 
 def est_jaccard(sig_a, sig_b):
@@ -227,11 +233,11 @@ _NEAR_TEXT_ORACLE = f"""
     bands AS (
       {' UNION ALL '.join(
           "SELECT doc_id, sig, " + str(b) + " AS band, "
-          + " || '_' || ".join(
-              f"CAST(sig[{b * (N_HASHES // N_BANDS) + r + 1}] AS VARCHAR)"
+          + ", ".join(
+              f"sig[{b * (N_HASHES // N_BANDS) + r + 1}] AS r{r}"
               for r in range(N_HASHES // N_BANDS)
           )
-          + " AS bucket FROM sig"
+          + " FROM sig"
           for b in range(N_BANDS)
       )}
     ),
@@ -239,7 +245,9 @@ _NEAR_TEXT_ORACLE = f"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ON a.band = b.band
+       AND {' AND '.join(f'a.r{r} = b.r{r}' for r in range(N_HASHES // N_BANDS))}
+       AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
            round(len(list_filter(range(1, {N_HASHES + 1}), i -> sig_a[i] = sig_b[i]))
@@ -277,9 +285,14 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         left.join(
             right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            [
+                F.col("a.band") == F.col("b.band"),
+                *[
+                    F.col(f"a.r{r}") == F.col(f"b.r{r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -813,7 +826,7 @@ def decontaminate_near(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:
     bb = lsh_band_keys(sig_b, "b_doc_id", "b_sig")
     est = est_jaccard("sig", "b_sig")
     contaminated = (
-        bc.join(F.broadcast(bb), ["band", "bucket"])
+        bc.join(F.broadcast(bb), BAND_KEY_COLS)
         .filter(est >= 0.5)
         .select("doc_id")
         .distinct()

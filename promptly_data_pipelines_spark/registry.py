@@ -158,6 +158,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         badrecords,
+        bloomjoin,
         compaction,
         evolution,
         joins,
@@ -179,6 +180,7 @@ def _load_all() -> None:
         reference_pipeline,
     )
     from .extensions import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         packing,

@@ -1,0 +1,160 @@
+"""Module/property coverage for the r6 curation tier (the oracle
+parity of each registered query is covered by test_oracle_parity; here
+live the invariants the oracle can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from promptly_data_pipelines_spark.catalog import table
+from promptly_data_pipelines_spark.extensions.curation import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    text_chunk_windows,
+)
+from promptly_data_pipelines_spark.operators.bloomjoin import (
+    M_BITS,
+    build_bloom,
+    might_contain,
+)
+from promptly_data_pipelines_spark.registry import run
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key inserted into the bloom must pass might_contain —
+    the property that makes the prefilter correctness-transparent."""
+    cust = table(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bloom = build_bloom(cust, "c_custkey")
+    misses = cust.filter(~might_contain(F.col("c_custkey"), bloom)).count()
+    assert misses == 0
+
+
+def test_bloom_prunes_fact_side(spark):
+    """The prefilter must actually reject most non-matching fact rows
+    (fp rate ~1e-4 at this fill factor — allow 1% slack)."""
+    cust = table(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, SF_DIR, "orders")
+    bloom = build_bloom(cust, "c_custkey")
+    kept = orders.filter(might_contain(F.col("o_custkey"), bloom)).count()
+    true_matches = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "leftsemi"
+    ).count()
+    total = orders.count()
+    assert kept >= true_matches  # superset of the true matches
+    assert kept <= true_matches + max(1, int(0.01 * total))  # and tight
+
+
+def test_bloom_bitset_is_bounded_metadata(spark):
+    """The driver-side collect is bounded by m_bits/64 words regardless
+    of how many keys were inserted."""
+    cust = table(spark, SF_DIR, "customer")  # whole dim, no segment filter
+    bloom = build_bloom(cust, "c_custkey")
+    assert len(bloom) == M_BITS // 64
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Chunking invariants: per doc, chunk 0 starts at token 0, chunk
+    starts advance by the stride, and token coverage is gapless —
+    sum of per-chunk fresh tokens (stride for inner chunks, the
+    remainder for the tail) equals the doc's token count."""
+    chunks = text_chunk_windows(spark, SF_DIR)
+    docs = (
+        table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_idx").alias("max_idx"),
+        F.min("chunk_idx").alias("min_idx"),
+        F.sum("n_tokens").alias("tok_in_chunks"),
+        F.max(CHUNK_STRIDE * F.col("chunk_idx") + F.col("n_tokens")).alias("covered"),
+    )
+    j = docs.join(per_doc, "doc_id")
+    assert j.count() == docs.count()  # every non-empty doc got chunks
+    bad = j.filter(
+        (F.col("min_idx") != 0)
+        | (F.col("max_idx") != F.col("n_chunks") - 1)
+        | (F.col("covered") != F.col("n_tok"))  # last chunk ends at n_tok
+    ).count()
+    assert bad == 0
+    # overlap accounting: chunked-token total can't exceed the doc's
+    # tokens plus one full overlap per chunk boundary (short tail
+    # chunks contribute less, so this is an upper bound, not identity)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    assert (
+        j.filter(
+            F.col("tok_in_chunks")
+            > F.col("n_tok") + F.lit(overlap) * (F.col("n_chunks") - 1)
+        ).count()
+        == 0
+    ), "chunked token total exceeds coverage+overlap bound"
+
+
+def test_grouped_split_has_no_source_leakage(spark):
+    """The leakage-safe property itself: every source maps to exactly
+    one split."""
+    df = run("dataset_split_grouped", spark, SF_DIR)
+    multi = (
+        df.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_weighted_priority_favors_heavy_docs(spark):
+    """Sampling-weight sanity: the mean n_chars of selected docs should
+    exceed the corpus mean (weight = n_chars), and each lang yields
+    exactly min(5, lang size) rows."""
+    sel = run("sample_weighted_priority", spark, SF_DIR)
+    docs = table(spark, SF_DIR, "documents")
+    mean_sel = sel.agg(F.avg("n_chars")).first()[0]
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    assert mean_sel > mean_all
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in sel.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {k: min(5, v) for k, v in sizes.items()}
+
+
+def test_semantic_keep_best_keeps_one_per_bucket(spark):
+    """Keeper invariants: keepers are never removed, and within a
+    bucket the keeper's n_chars >= every removed doc's."""
+    removed = run("dedup_semantic_keep_best", spark, SF_DIR)
+    removed_ids = {r["doc_id"] for r in removed.select("doc_id").collect()}
+    keeper_ids = {r["kept_doc_id"] for r in removed.select("kept_doc_id").collect()}
+    assert not (removed_ids & keeper_ids)
+    docs = {r["doc_id"]: r["n_chars"] for r in table(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()}
+    for r in removed.collect():
+        assert docs[r["kept_doc_id"]] >= r["n_chars"]
+
+
+def test_curriculum_stages_balanced(spark):
+    """ntile(4) per lang: stage sizes within a lang differ by <= 1 and
+    stage 1 is at least as fluent as stage 4 on average."""
+    df = run("curriculum_stages", spark, SF_DIR)
+    sizes = df.groupBy("lang", "stage").agg(F.count("*").alias("n"))
+    spreads = (
+        sizes.groupBy("lang")
+        .agg((F.max("n") - F.min("n")).alias("spread"))
+        .filter(F.col("spread") > 1)
+        .count()
+    )
+    assert spreads == 0
+    means = {
+        (r["lang"], r["stage"]): r["m"]
+        for r in df.groupBy("lang", "stage").agg(F.avg("fluency").alias("m")).collect()
+    }
+    for lang in {k[0] for k in means}:
+        if (lang, 1) in means and (lang, 4) in means:
+            assert means[(lang, 1)] >= means[(lang, 4)]
