@@ -85,6 +85,15 @@ SECONDARY = [
     # r5: the one-pass Expand-based column profiler (cheap; tracked so
     # a regression to per-column jobs shows up as a step change)
     "dq_profile",
+    # r6 curation tier, tracked from introduction: the bloom-prefiltered
+    # dim-fact join (two jobs: bitset agg + join), the SemDeDup-style
+    # keep-best cell dedup (one window shuffle), RAG chunking (pure
+    # map-side explode), and the 5-gram split-contamination metric
+    # (the heaviest: gram-keyed shuffle, minhash-posting shape)
+    "join_bloom_prefilter",
+    "dedup_semantic_keep_best",
+    "text_chunk_windows",
+    "split_contamination",
 ]
 
 

@@ -353,3 +353,133 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy(F.col("fluency").desc(), "doc_id")
     return scored.withColumn("stage", F.ntile(4).over(w).cast("int"))
+
+
+# --------------------------------------------------- token-budget selection
+
+SOURCE_TOKEN_BUDGET = 2000
+
+
+@query(
+    "corpus_token_budget",
+    registered=False,
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+               AS n_tokens,
+             round(CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
+               AS fluency
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY fluency DESC, doc_id) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (the data-mixing step: each source
+    gets a token quota and contributes its best documents up to it):
+    greedy by fluency within each source, running token sum, keep while
+    the cumulative count stays inside the budget. One shuffle — the
+    per-source window — and the running sum is the frame-default
+    cumulative aggregate, so partitions stream; no global sort, no
+    second pass. At 100 TB the quota table (per-source budgets from the
+    mixture design) would broadcast in place of the constant."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    scored = d.filter(n_words > 0).select(
+        "doc_id",
+        "source",
+        n_words.cast("bigint").alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_words, 4).alias("fluency"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("fluency").desc(), "doc_id")
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= SOURCE_TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+# ------------------------------------------- split-contamination metric
+
+
+@query(
+    "split_contamination",
+    registered=False,
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, lang, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM a WHERE bucket < 205 OR bucket >= 230
+    ),
+    sh AS (
+      SELECT DISTINCT lang, split,
+             unnest(list_transform(range(1, len(w) - 3),
+                                   i -> array_to_string(w[i : i + 4], ' '))) AS g
+      FROM s WHERE len(w) >= 5
+    ),
+    c AS (
+      SELECT lang, g FROM sh GROUP BY lang, g HAVING count(DISTINCT split) = 2
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_shared_5grams
+    FROM c GROUP BY lang
+    """,
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity metric: 5-gram contamination across the
+    train/test boundary of the ROW-LEVEL split (``dataset_split``'s
+    buckets) — the number of distinct word 5-grams per language that
+    occur in both a train and a test document. This is the measurement
+    that motivates ``dataset_split_grouped``: row-level splits leak
+    near-duplicate text across the boundary, and this query makes the
+    leak a number a DQ gate can threshold.
+
+    Scale shape: shingles are built in-row and deduped per (lang,
+    split, gram) before the gram-keyed shuffle — the same posting-list
+    shape as MinHash candidate generation (extensions/dedup.py), linear
+    in corpus size, never pairwise. The two aggregations (gram
+    bothness, per-lang count) are map-side combined."""
+    d = table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    ws = words("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 4),
+        lambda i: F.array_join(F.slice(F.col("w"), i, 5), " "),
+    )
+    s = (
+        d.filter((b < 205) | (b >= 230))
+        .select(
+            "lang",
+            F.when(b < 205, "train").otherwise("test").alias("split"),
+            ws.alias("w"),
+        )
+        .filter(F.size("w") >= 5)
+        .select("lang", "split", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    return (
+        s.groupBy("lang", "g")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_shared_5grams"))
+    )

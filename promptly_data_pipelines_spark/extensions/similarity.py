@@ -313,3 +313,110 @@ def similar_pairs_hyperplane(e: DataFrame, max_hamming: int = 2) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+@query(
+    "similarity_hard_negatives",
+    registered=False,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, vec AS qvec
+          FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             round(list_dot_product(q.qvec, e.vec) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.vec, e.vec))),
+                   6) AS cos_sim
+      FROM q CROSS JOIN e
+      WHERE e.label <> q.q_label
+    )
+    SELECT query_id, vec_id, label, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the 3 most-similar corpus vectors whose LABEL
+    DIFFERS — maximally confusable non-matches, the negatives that
+    actually move an embedding model (random negatives are trivially
+    separable). Same broadcast-queries + per-partition-top-k plan as
+    ``similarity_topk`` with the label-mismatch predicate applied
+    before ranking; at 100 TB the pruned variant swaps the corpus scan
+    for IVF probing exactly like similarity_topk_ivf does."""
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "label", "cos_sim", "rk")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    registered=False,
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    s AS (
+      SELECT vec_id, vec,
+             list_max(list_transform(vec, x -> abs(x))) AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(vec, x -> CAST(floor(x * 127.0 / scale) AS BIGINT)) AS qv
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id, round(scale, 6) AS q_scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the memory
+    lever that makes 100 TB ANN serving fit: per-vector absmax scale,
+    q_i = floor(x_i·127/scale) ∈ [-127,127], 4× smaller than float32
+    and 8× smaller than the float64 compute form, with dequant error
+    bounded by scale/127 per component (bound pinned in
+    tests/test_curation.py). Pure in-row array lambdas, no shuffle.
+    The checkable output is the quantized table's per-vector summary
+    (scale, sum, L1) — both engines compute identical values because
+    floor and IEEE multiply/divide are exact-matched, avoiding the
+    round()-at-boundary trap the oracle-parity docs describe; the
+    full int8 array column is what a real pipeline would persist."""
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    s = e.select(
+        "vec_id",
+        "vec",
+        F.array_max(F.transform(F.col("vec"), lambda x: F.abs(x))).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    qv = F.transform(
+        F.col("vec"), lambda x: F.floor(x * F.lit(127.0) / F.col("scale")).cast("bigint")
+    )
+    q = s.select("vec_id", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("q_scale"),
+        F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, v: a + v).alias("q_sum"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda a, v: a + F.abs(v)
+        ).alias("q_l1"),
+    )

@@ -158,3 +158,121 @@ def test_curriculum_stages_balanced(spark):
     for lang in {k[0] for k in means}:
         if (lang, 1) in means and (lang, 4) in means:
             assert means[(lang, 1)] >= means[(lang, 4)]
+
+
+def test_quantize_int8_error_bound(spark):
+    """Dequantization error <= scale/127 per component (the docstring's
+    bound), checked against the raw vectors."""
+    from promptly_data_pipelines_spark.extensions.similarity import _doubled
+
+    e = _doubled(table(spark, SF_DIR, "embeddings"))
+    s = e.select(
+        "vec_id",
+        "vec",
+        F.array_max(F.transform(F.col("vec"), lambda x: F.abs(x))).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    qv = F.transform(
+        F.col("vec"),
+        lambda x: F.floor(x * F.lit(127.0) / F.col("scale")).cast("bigint"),
+    )
+    err = F.zip_with(
+        F.col("vec"),
+        qv,
+        lambda x, q: F.abs(x - q.cast("double") * F.col("scale") / F.lit(127.0)),
+    )
+    worst = (
+        s.select((F.array_max(err) / (F.col("scale") / F.lit(127.0))).alias("rel"))
+        .agg(F.max("rel"))
+        .first()[0]
+    )
+    assert worst <= 1.0 + 1e-9
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    neg = run("similarity_hard_negatives", spark, SF_DIR)
+    e = table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    bad = neg.join(e, "query_id").filter(F.col("label") == F.col("q_label")).count()
+    assert bad == 0
+
+
+def test_token_budget_respected_and_greedy(spark):
+    """No selected source exceeds the budget, and within a source the
+    selection is a prefix of the fluency-ordered ranking (greedy)."""
+    from promptly_data_pipelines_spark.extensions.curation import SOURCE_TOKEN_BUDGET
+
+    sel = run("corpus_token_budget", spark, SF_DIR)
+    over = (
+        sel.groupBy("source")
+        .agg(F.max("cum_tokens").alias("m"))
+        .filter(F.col("m") > SOURCE_TOKEN_BUDGET)
+        .count()
+    )
+    assert over == 0
+    # prefix property: cum_tokens within a source are strictly increasing
+    # and each equals the previous plus the row's n_tokens
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy("cum_tokens")
+    gaps = (
+        sel.withColumn("prev", F.lag("cum_tokens", 1, 0).over(w))
+        .filter(F.col("cum_tokens") != F.col("prev") + F.col("n_tokens"))
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_split_contamination_grouped_vs_row_level(spark):
+    """The mechanism the grouped split exists for, pinned on a corpus
+    where near-duplicates DO cluster within a source (the testdata
+    corpus scatters its duplicates randomly, so no ordering between
+    the two splits holds there): duplicate docs sharing one source
+    land on one side of the grouped boundary (zero contamination)
+    while the row-level split scatters them across it (positive
+    contamination)."""
+    import hashlib
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 256
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    # doc_ids whose ROW-level buckets land on both sides of the boundary
+    train_ids = [i for i in range(300) if bucket(str(i)) < 205]
+    test_ids = [i for i in range(300) if bucket(str(i)) >= 230]
+    rows = [(train_ids[0], dup_text, "en", "dupfarm"),
+            (test_ids[0], dup_text, "en", "dupfarm")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    from promptly_data_pipelines_spark.extensions.sampling import hash_bucket
+
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 4),
+        lambda i: F.array_join(F.slice(F.col("w"), i, 5), " "),
+    )
+
+    def contamination(split_key: str) -> int:
+        b = hash_bucket(split_key)
+        s = (
+            d.filter((b < 205) | (b >= 230))
+            .select(
+                "lang",
+                F.when(b < 205, "train").otherwise("test").alias("split"),
+                ws.alias("w"),
+            )
+            .filter(F.size("w") >= 5)
+            .select("lang", "split", F.explode(grams).alias("g"))
+            .distinct()
+        )
+        out = (
+            s.groupBy("lang", "g")
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter(F.col("ns") == 2)
+            .count()
+        )
+        return out
+
+    assert contamination("doc_id") > 0  # row-level split leaks the dup
+    # grouped split: one source -> one side -> nothing to leak
+    assert contamination("source") == 0

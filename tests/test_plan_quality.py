@@ -389,3 +389,25 @@ def test_run_suite_is_compiled_not_collected(spark):
         "fk_customer": (0, True),
         "not_null": (0, True),
     }
+
+
+def test_bloom_prefilter_on_fact_scan(spark):
+    """The bloom membership test must be a Filter over the FACT key
+    (pre-join, so non-candidates never reach the shuffle), with the
+    bitset inlined as a plan literal (element_at over the word array),
+    and the final join must still be there (the filter only prunes)."""
+    p = _plan(spark, "join_bloom_prefilter")
+    cond_lines = [l for l in p.splitlines() if "Condition :" in l and "o_custkey" in l]
+    assert any("element_at" in l for l in cond_lines), (
+        "bloom membership predicate lost from the orders-side Filter"
+    )
+    assert "Join" in p  # exactness comes from the join, not the bloom
+
+
+def test_curation_map_side_ops_have_no_shuffle(spark):
+    """Chunking and quantization are declared embarrassingly parallel —
+    no Exchange may appear in their plans."""
+    for name in ("text_chunk_windows", "embedding_quantize_int8"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, f"{name}: unexpected shuffle"
+        assert "EvalPython" not in p, f"{name}: unexpected Python"
