@@ -456,3 +456,62 @@ def test_cc_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_rep for r in connected_components(df).collect()}
     assert got == _union_find_components(real)
+
+
+# ---------------------------------------------------------------- bloom
+
+bloom_keys = st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=30)
+
+
+def _py_bloom_positions(key: int, m_bits: int) -> list[int]:
+    """Pure-Python mirror of bloomjoin._positions (md5 hex windows)."""
+    import hashlib
+
+    hexd = hashlib.md5(str(key).encode()).hexdigest()
+    return [int(hexd[8 * i : 8 * i + 8], 16) % m_bits for i in range(3)]
+
+
+@SETTINGS
+@given(keys=bloom_keys, probes=bloom_keys)
+def test_bloom_matches_python_mirror(spark, keys, probes):
+    """Spark's bitset build and membership predicate agree with a
+    pure-Python bloom over the same md5 hash family — in particular
+    ZERO false negatives on any inserted keyset, including negative
+    keys, duplicates, and colliding positions."""
+    from promptly_data_pipelines_spark.operators.bloomjoin import (
+        M_BITS,
+        build_bloom,
+        might_contain,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = build_bloom(dim, "k")
+
+    # python mirror bitset (signed-64 semantics per word)
+    words_py = [0] * (M_BITS // 64)
+    for k in keys:
+        for pos in _py_bloom_positions(k, M_BITS):
+            w, b = divmod(pos, 64)
+            bit = 1 << b if b < 63 else -(1 << 63)
+            # bit_or over signed longs == bitwise or of the patterns
+            words_py[w] |= bit & ((1 << 64) - 1)
+    # normalize to signed
+    words_py = [w - (1 << 64) if w >= (1 << 63) else w for w in words_py]
+    assert bloom == words_py
+
+    probe_df = spark.createDataFrame([(p,) for p in set(keys) | set(probes)], "k long")
+    got = {
+        r["k"]: r["hit"]
+        for r in probe_df.select(
+            "k", might_contain(F.col("k"), bloom).alias("hit")
+        ).collect()
+    }
+    for p in got:
+        expect = all(
+            (words_py[pos // 64] >> (pos % 64)) & 1
+            or (pos % 64 == 63 and words_py[pos // 64] < 0)
+            for pos in _py_bloom_positions(p, M_BITS)
+        )
+        assert got[p] == expect, f"key {p}: spark={got[p]} python={expect}"
+        if p in set(keys):
+            assert got[p], f"false negative on inserted key {p}"
