@@ -224,8 +224,21 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
             # being read from") and wedge the stream on every restart.
             # Re-flip the pointer (covers the fallback-resolved case
             # where _LATEST itself was lost mid-rename) and move on.
+            # GC must keep the PRIOR snapshot exactly like the normal
+            # path does (a concurrent reader may have resolved it just
+            # before the crash-interrupted flip) — recompute it as the
+            # newest other snap dir rather than passing None, so a
+            # re-commit of the same state never shrinks retention.
             commit_pointer(fs, snap_name, batch_id)
-            gc_superseded(fs, snap_name, None)
+            others = [
+                n
+                for n in (p.rsplit("/", 1)[-1] for p in fs.list_paths(target_path))
+                if n.startswith("snap-") and n != snap_name
+            ]
+            prior = (
+                max(others, key=lambda n: int(n.split("-", 1)[1])) if others else None
+            )
+            gc_superseded(fs, snap_name, prior)
             return
         if prev is not None:
             merged = merge_upsert_frames(spark.read.parquet(prev), batch_df, key)

@@ -21,9 +21,27 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import query
 from .dedup import _md5_word, _MASK63
-from .sampling import hash_bucket
+from .sampling import TRAIN_BUCKET, VAL_BUCKET, hash_bucket
 from .similarity import dot
 from .text import STOPWORDS, words
+
+# ONE definition of the fluency proxy (stopword ratio, 4dp) shared by
+# curriculum_stages and corpus_token_budget in BOTH engines — the two
+# orderings must never diverge from each other or from their oracles.
+_TOKS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+_STOP_IN_SQL = "('" + "','".join(STOPWORDS) + "')"
+_FLUENCY_SQL = (
+    f"round(CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_IN_SQL}))"
+    f" AS DOUBLE) / len({_TOKS_SQL}), 4)"
+)
+
+
+def _fluency_cols() -> tuple:
+    """(n_words, fluency) Column pair — the Spark twin of _FLUENCY_SQL."""
+    ws = words("text")
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return n_words, F.round(n_stop.cast("double") / n_words, 4)
 
 # ---------------------------------------------------------------- chunking
 
@@ -142,7 +160,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dataset_split_grouped",
     registered=False,
-    oracle="""
+    oracle=f"""
     WITH assigned AS (
       SELECT doc_id, source,
              CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -150,8 +168,8 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source,
-           CASE WHEN bucket < 205 THEN 'train'
-                WHEN bucket < 230 THEN 'val'
+           CASE WHEN bucket < {TRAIN_BUCKET} THEN 'train'
+                WHEN bucket < {VAL_BUCKET} THEN 'val'
                 ELSE 'test' END AS split
     FROM assigned
     """,
@@ -166,7 +184,9 @@ def dataset_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     split; still a pure scan-pushed predicate, no shuffle, no RNG."""
     d = table(spark, sf_dir, "documents")
     b = hash_bucket("source")
-    split = F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    split = (
+        F.when(b < TRAIN_BUCKET, "train").when(b < VAL_BUCKET, "val").otherwise("test")
+    )
     return d.select("doc_id", "source", split.alias("split"))
 
 
@@ -316,15 +336,11 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "curriculum_stages",
     registered=False,
-    oracle="""
+    oracle=f"""
     WITH scored AS (
-      SELECT doc_id, lang,
-             round(CAST(len(list_filter(string_split(text, ' '),
-                    w -> w IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
-               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
-               AS fluency
+      SELECT doc_id, lang, {_FLUENCY_SQL} AS fluency
       FROM documents
-      WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+      WHERE len({_TOKS_SQL}) > 0
     )
     SELECT doc_id, lang, fluency,
            CAST(ntile(4) OVER (
@@ -343,14 +359,8 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     global curriculum is ever needed, the scalable form is approx
     quantile cutpoints broadcast as a map-side bucket expression."""
     d = table(spark, sf_dir, "documents")
-    ws = words("text")
-    n_words = F.size(ws)
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
-    scored = d.filter(n_words > 0).select(
-        "doc_id",
-        "lang",
-        F.round(n_stop.cast("double") / n_words, 4).alias("fluency"),
-    )
+    n_words, fluency = _fluency_cols()
+    scored = d.filter(n_words > 0).select("doc_id", "lang", fluency.alias("fluency"))
     w = Window.partitionBy("lang").orderBy(F.col("fluency").desc(), "doc_id")
     return scored.withColumn("stage", F.ntile(4).over(w).cast("int"))
 
@@ -366,14 +376,10 @@ SOURCE_TOKEN_BUDGET = 2000
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
-             CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
-               AS n_tokens,
-             round(CAST(len(list_filter(string_split(text, ' '),
-                    w -> w IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
-               / len(list_filter(string_split(text, ' '), w -> w <> '')), 4)
-               AS fluency
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             {_FLUENCY_SQL} AS fluency
       FROM documents
-      WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+      WHERE len({_TOKS_SQL}) > 0
     ),
     c AS (
       SELECT doc_id, source, n_tokens,
@@ -395,14 +401,12 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass. At 100 TB the quota table (per-source budgets from the
     mixture design) would broadcast in place of the constant."""
     d = table(spark, sf_dir, "documents")
-    ws = words("text")
-    n_words = F.size(ws)
-    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    n_words, fluency = _fluency_cols()
     scored = d.filter(n_words > 0).select(
         "doc_id",
         "source",
         n_words.cast("bigint").alias("n_tokens"),
-        F.round(n_stop.cast("double") / n_words, 4).alias("fluency"),
+        fluency.alias("fluency"),
     )
     w = Window.partitionBy("source").orderBy(F.col("fluency").desc(), "doc_id")
     return (
@@ -418,7 +422,7 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "split_contamination",
     registered=False,
-    oracle="""
+    oracle=f"""
     WITH a AS (
       SELECT doc_id, lang, text,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -427,9 +431,9 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT lang,
-             CASE WHEN bucket < 205 THEN 'train' ELSE 'test' END AS split,
-             list_filter(string_split(text, ' '), w -> w <> '') AS w
-      FROM a WHERE bucket < 205 OR bucket >= 230
+             CASE WHEN bucket < {TRAIN_BUCKET} THEN 'train' ELSE 'test' END AS split,
+             {_TOKS_SQL} AS w
+      FROM a WHERE bucket < {TRAIN_BUCKET} OR bucket >= {VAL_BUCKET}
     ),
     sh AS (
       SELECT DISTINCT lang, split,
@@ -466,10 +470,10 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(F.col("w"), i, 5), " "),
     )
     s = (
-        d.filter((b < 205) | (b >= 230))
+        d.filter((b < TRAIN_BUCKET) | (b >= VAL_BUCKET))
         .select(
             "lang",
-            F.when(b < 205, "train").otherwise("test").alias("split"),
+            F.when(b < TRAIN_BUCKET, "train").otherwise("test").alias("split"),
             ws.alias("w"),
         )
         .filter(F.size("w") >= 5)

@@ -17,6 +17,16 @@ from ..catalog import table
 from ..registry import query
 
 
+# The canonical split boundaries (of 256 hash buckets): < TRAIN_BUCKET
+# is train (~80%), < VAL_BUCKET is val (~10%), the rest test. ONE
+# definition — dataset_split, dataset_split_grouped and the
+# split_contamination metric (extensions/curation.py) must agree on
+# the boundary or the contamination gate silently measures a split
+# nobody ships.
+TRAIN_BUCKET = 205
+VAL_BUCKET = 230
+
+
 def hash_bucket(col, n_buckets: int = 256):
     """Deterministic [0, n_buckets) bucket from the md5 of a key's
     string form. Derived from the first 8 hex chars (32 bits), so the
@@ -49,15 +59,15 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dataset_split",
-    oracle="""
+    oracle=f"""
     WITH assigned AS (
       SELECT event_id, event_type,
              CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
       FROM events
     )
     SELECT event_id, event_type,
-           CASE WHEN bucket < 205 THEN 'train'
-                WHEN bucket < 230 THEN 'val'
+           CASE WHEN bucket < {TRAIN_BUCKET} THEN 'train'
+                WHEN bucket < {VAL_BUCKET} THEN 'val'
                 ELSE 'test' END AS split,
            (bucket < 26) AS in_sample10
     FROM assigned
@@ -74,7 +84,9 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; no RNG state, no per-partition skew."""
     ev = table(spark, sf_dir, "events")
     b = hash_bucket("event_id")
-    split = F.when(b < 205, "train").when(b < 230, "val").otherwise("test")
+    split = (
+        F.when(b < TRAIN_BUCKET, "train").when(b < VAL_BUCKET, "val").otherwise("test")
+    )
     return ev.select(
         "event_id",
         "event_type",

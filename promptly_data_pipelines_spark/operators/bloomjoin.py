@@ -11,7 +11,8 @@ SCAN, before the shuffle. Spark's own AQE injects these ("runtime
 bloom filter") only under size heuristics it controls; this operator
 is the explicit form a pipeline author can pin, with a deterministic
 md5 hash family so the filter itself is testable (the false-negative
-property is pinned in tests/test_modules.py).
+property is pinned in tests/test_curation.py and, against a
+pure-Python bitset mirror, tests/test_properties.py).
 
 The final join stays exact, so the composed operator's result equals
 the plain join — which is exactly what the DuckDB oracle checks. False
@@ -54,12 +55,18 @@ def build_bloom(dim: DataFrame, key_col: str, m_bits: int = M_BITS) -> list[int]
     partial (bit_or combines), and what reaches the driver is ≤
     m_bits/64 longs — bounded METADATA (2 KiB per 16 Ki bits) no matter
     how many keys went in, which is why the collect here is safe where
-    collecting the keyset itself would not be."""
+    collecting the keyset itself would not be. NULL keys are dropped
+    before hashing (md5(NULL) is NULL — they'd otherwise surface as a
+    NULL-keyed aggregate row and crash the bitset assembly); that
+    matches join semantics, where a NULL key never matches, and
+    ``might_contain`` agrees from the probe side (NULL positions make
+    the predicate NULL, which filters fact rows out)."""
     mask = F.element_at(
         F.array(*[F.lit(p) for p in _POW2]), (F.col("pos") % 64).cast("int") + 1
     )
     rows = (
-        dim.select(F.explode(F.array(*_positions(F.col(key_col), m_bits))).alias("pos"))
+        dim.filter(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*_positions(F.col(key_col), m_bits))).alias("pos"))
         .select(F.floor(F.col("pos") / 64).cast("int").alias("widx"), mask.alias("m"))
         .groupBy("widx")
         .agg(F.bit_or("m").alias("w"))

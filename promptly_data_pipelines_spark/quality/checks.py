@@ -97,6 +97,8 @@ def run_suite(checks: dict[str, DataFrame]) -> DataFrame:
     single Spark job at action time. The previous form ran one eager
     ``df.count()`` job per check, a driver-side loop a user could put
     on a hot path (N jobs for N checks)."""
+    if not checks:
+        raise ValueError("run_suite: empty check suite (nothing to evaluate)")
     frames = [
         df.agg(F.count("*").cast("bigint").alias("n_violations")).select(
             F.lit(name).alias("check_name"), "n_violations"
@@ -356,6 +358,8 @@ def run_suite_config(
     job; each aggregate is a full pushdown-pruned scan of only the
     columns it audits."""
     suite = DEFAULT_SUITE if suite is None else suite
+    if not suite:
+        raise ValueError("run_suite_config: empty check suite (nothing to evaluate)")
     frames = []
     for spec in suite:
         spec = dict(spec)

@@ -276,3 +276,17 @@ def test_split_contamination_grouped_vs_row_level(spark):
     assert contamination("doc_id") > 0  # row-level split leaks the dup
     # grouped split: one source -> one side -> nothing to leak
     assert contamination("source") == 0
+
+
+def test_bloom_ignores_null_keys(spark):
+    """Review r6: NULL dim keys must be dropped pre-hash (join
+    semantics: NULL never matches), not crash the bitset assembly;
+    NULL probe keys must be filtered out by might_contain."""
+    dim = spark.createDataFrame([(1,), (None,), (7,)], "k long")
+    bloom = build_bloom(dim, "k")
+    assert len(bloom) == M_BITS // 64
+    probe = spark.createDataFrame([(1,), (None,), (7,), (99,)], "k long")
+    kept = probe.filter(might_contain(F.col("k"), bloom)).collect()
+    got = {r["k"] for r in kept}
+    assert {1, 7} <= got
+    assert None not in got

@@ -1265,3 +1265,16 @@ def test_compact_swap_refuses_stale_backup(spark, tmp_path):
         compact_parquet_table(spark, target)
     # table untouched
     assert spark.read.parquet(target).count() == ev.count()
+
+
+def test_run_suite_empty_raises(spark):
+    """Review r6: an empty suite is a config error, not an opaque
+    IndexError."""
+    import pytest as _pytest
+
+    from promptly_data_pipelines_spark.quality.checks import run_suite_config
+
+    with _pytest.raises(ValueError, match="empty check suite"):
+        run_suite({})
+    with _pytest.raises(ValueError, match="empty check suite"):
+        run_suite_config(spark, SF_DIR, suite=[])

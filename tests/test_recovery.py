@@ -167,3 +167,57 @@ def test_map_values_empty_mapping_raises():
 
     with _pytest.raises(ValueError, match="non-empty mapping"):
         PF.map_values("x", {})
+
+
+def test_redelivery_keeps_prior_snapshot(spark):
+    """Review r6: the redelivery short-circuit must GC with the SAME
+    retention as the normal path — the prior snapshot stays (a
+    concurrent reader may have resolved it just before the
+    crash-interrupted pointer flip), only older snaps and stale tmp
+    pointers go."""
+    from promptly_data_pipelines_spark.cdc import streaming as S
+    from promptly_data_pipelines_spark.cdc.envelope import synthesize_envelopes
+
+    base = os.path.join(tempfile.gettempdir(), "pdp_redeliver_retention")
+    shutil.rmtree(base, ignore_errors=True)
+    env_dir, ckpt, tgt = (os.path.join(base, x) for x in ("env", "ck", "tgt"))
+
+    ev = table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    # batch 0
+    synthesize_envelopes(first).write.json(env_dir)
+    rows = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    S.upsert_sink(rows, tgt, ckpt).start().awaitTermination(120)
+    # batch 1 (new files, same checkpoint)
+    synthesize_envelopes(second).write.mode("append").json(env_dir)
+    rows = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    S.upsert_sink(rows, tgt, ckpt).start().awaitTermination(120)
+
+    snaps = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(tgt, "snap-*"))
+    )
+    assert len(snaps) == 2, f"expected committed + prior snapshots, got {snaps}"
+    newest = max(snaps, key=lambda n: int(n.split("-", 1)[1]))
+    prior = min(snaps, key=lambda n: int(n.split("-", 1)[1]))
+
+    # crash between pointer flip and checkpoint commit of the newest batch
+    commits = glob.glob(os.path.join(ckpt, "commits", "[0-9]*"))
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    rows = S.live_rows(S.read_envelope_stream(spark, env_dir))
+    S.upsert_sink(rows, tgt, ckpt).start().awaitTermination(120)
+
+    after = {os.path.basename(p) for p in glob.glob(os.path.join(tgt, "snap-*"))}
+    assert newest in after
+    assert prior in after, (
+        "redelivery GC deleted the prior snapshot the normal path retains"
+    )
+    # tombstoned ids (every 10th, per synthesize_envelopes) never land
+    live = ev.filter(F.col("event_id") % 10 != 0).select("event_id").distinct().count()
+    assert S.read_upsert_target(spark, tgt).count() == live
