@@ -1026,3 +1026,100 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_rep")).alias("is_canonical"),
     )
+
+
+def containment_pairs(
+    d: DataFrame,
+    df_cap: int = DF_CAP,
+    threshold: float = 0.6,
+    broadcast_hot: bool = True,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: c / min(|A|,|B|) — the
+    doc-inside-doc detector Jaccard structurally misses (a 100-shingle
+    doc fully quoted inside a 10,000-shingle doc has containment 1.0
+    but Jaccard 0.01, so no size-band survives: unlike
+    ngram_jaccard_pairs there is deliberately NO size prune here).
+    Same single-scan inverted-index machinery as the Jaccard verifier
+    (shingle_postings → df-cap → grouped-by-shingle in-row pair
+    emission); only the final formula and the absent band prune
+    differ. At 100 TB the df cap is what bounds the pair fan-out —
+    the quoted-boilerplate shingles a containment check hunts are
+    exactly the high-df head, so tune df_cap UP for this op when
+    recall on ubiquitous boilerplate matters more than cost."""
+    post = shingle_postings(d, cache_handle=cache_handle)
+    post_ok = capped_postings(post, df_cap, broadcast_hot=broadcast_hot)
+    lists = (
+        post_ok.groupBy("sh", "lang")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    n = F.size(F.col("docs"))
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, n),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["sz"].alias("sza"),
+                    y["doc_id"].alias("doc_b"),
+                    y["sz"].alias("szb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        lists.select(F.explode_outer(pair_arrays).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.doc_a", "p.doc_b", "p.sza", "p.szb")
+        .agg(F.count("*").alias("c"))
+    )
+    cont = F.col("c").cast("double") / F.least(F.col("sza"), F.col("szb"))
+    return (
+        pairs.select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 4).alias("containment"))
+    )
+
+
+@query(
+    "dedup_containment",
+    registered=False,
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gset
+      FROM w0
+    ),
+    sized AS (SELECT doc_id, lang, gset, len(gset) AS sz FROM ws),
+    post AS (SELECT doc_id, lang, sz, unnest(gset) AS sh FROM sized),
+    live AS (
+      SELECT sh, lang FROM post GROUP BY sh, lang
+      HAVING count(*) BETWEEN 2 AND {DF_CAP}
+    ),
+    cpairs AS (
+      SELECT doc_a, doc_b, containment FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS DOUBLE) / least(max(a.sz), max(b.sz)) AS containment
+        FROM post a JOIN post b
+          ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+        JOIN live l ON l.sh = a.sh AND l.lang = a.lang
+        GROUP BY a.doc_id, b.doc_id
+      ) WHERE containment >= 0.6
+    )
+    SELECT doc_a, doc_b, round(containment, 4) AS containment FROM cpairs
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 companion: asymmetric containment pairs over ``documents`` —
+    see ``containment_pairs``. Candidates whose smaller side is ≥60%
+    inside the larger are quote/boilerplate-wrapping relationships the
+    symmetric Jaccard threshold can't see at size ratios beyond 2:1
+    (the Jaccard band prune's own cutoff)."""
+    return containment_pairs(table(spark, sf_dir, "documents"))

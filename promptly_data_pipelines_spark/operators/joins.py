@@ -422,3 +422,63 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(
         ev.select("event_id", "event_type", "ts"), win, "ts"
     ).select("window_id", "event_id", "event_type")
+
+
+@query(
+    "join_full_outer",
+    registered=False,
+    oracle="""
+    WITH h1 AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_before
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    h2 AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_after
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT coalesce(h1.o_custkey, h2.o_custkey) AS custkey,
+           coalesce(n_before, 0) AS n_before,
+           coalesce(n_after, 0) AS n_after,
+           CASE WHEN h1.o_custkey IS NULL THEN 'new'
+                WHEN h2.o_custkey IS NULL THEN 'churned'
+                ELSE 'active' END AS status
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation (the snapshot-diff / churn view): per
+    customer, order counts before and after a cutover date, coalesced
+    keys, null-filled sides, and a new/churned/active verdict. The
+    full outer join is the one join flavor the §2 core didn't already
+    exercise; both sides aggregate BEFORE joining (shuffle on
+    o_custkey is shared by agg and join under AQE exchange reuse), so
+    the joined cardinality is per-key, never per-order. At 100 TB
+    this is two map-side-combined aggs + one key-partitioned join —
+    no broadcast (both sides are corpus-sized), no sort."""
+    cutoff = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    orders = table(spark, sf_dir, "orders")
+    # distinct key aliases per side: both halves derive from the same
+    # scan, and Spark's ambiguous-self-join check (rightly) rejects
+    # h1["o_custkey"] == h2["o_custkey"] on a shared lineage
+    h1 = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(F.col("o_custkey").alias("k1"))
+        .agg(F.count("*").cast("bigint").alias("n_before"))
+    )
+    h2 = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(F.count("*").cast("bigint").alias("n_after"))
+    )
+    j = h1.join(h2, F.col("k1") == F.col("k2"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("k1"), F.col("k2")).alias("custkey"),
+        F.coalesce(F.col("n_before"), F.lit(0)).alias("n_before"),
+        F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+        F.when(F.col("k1").isNull(), "new")
+        .when(F.col("k2").isNull(), "churned")
+        .otherwise("active")
+        .alias("status"),
+    )

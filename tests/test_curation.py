@@ -290,3 +290,43 @@ def test_bloom_ignores_null_keys(spark):
     got = {r["k"] for r in kept}
     assert {1, 7} <= got
     assert None not in got
+
+
+def test_containment_superset_of_jaccard_pairs(spark):
+    """J >= 0.5 implies c >= (|A|+|B|)/3 >= 2·min/3, i.e. containment
+    >= 2/3 > 0.6 — so every Jaccard near-dup pair must also be a
+    containment pair (the reverse is false: that asymmetric remainder
+    is the operator's reason to exist)."""
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in run("dedup_ngram_jaccard", spark, SF_DIR).collect()
+    }
+    cont = {
+        (r["doc_a"], r["doc_b"])
+        for r in run("dedup_containment", spark, SF_DIR).collect()
+    }
+    assert jac <= cont
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """The asymmetric case on a constructed corpus: a short doc fully
+    quoted inside a much larger one — Jaccard (size-banded, symmetric)
+    misses it, containment flags it at 1.0."""
+    from promptly_data_pipelines_spark.extensions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    big = filler + " " + small + " " + filler.replace("w", "v")
+    d = spark.createDataFrame(
+        [(1, "en", small), (2, "en", big)], "doc_id long, lang string, text string"
+    )
+    jac = ngram_jaccard_pairs(d).collect()
+    cont = containment_pairs(d).collect()
+    assert jac == []  # size band (2:1) excludes the pair outright
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["doc_a"], row["doc_b"]) == (1, 2)
+    assert row["containment"] == 1.0
