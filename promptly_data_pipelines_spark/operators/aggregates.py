@@ -356,3 +356,40 @@ def agg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_unpivot",
+    registered=False,
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'total_price' AS metric, total_price AS val FROM a
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long metrics reshaping via the native ``unpivot`` (melt):
+    per-priority aggregates become (priority, metric, val) rows — the
+    shape metric stores and BI tools ingest. The unpivot is an Expand
+    over the already-aggregated frame (5 rows here, group-cardinality
+    in general), so the corpus-sized work is the one map-side-combined
+    aggregation; reshaping costs nothing at scale. The engine-neutral
+    mirror is the UNION ALL of one SELECT per metric, which is exactly
+    the plan shape Expand encodes internally."""
+    orders = table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
