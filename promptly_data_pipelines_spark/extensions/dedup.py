@@ -26,42 +26,19 @@ from .text import norm_text, words
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
-# Oracle-expressible 64-bit-ish hash family (r6): both Spark and DuckDB
-# parse the SAME md5 hex substring big-endian, so every hash-derived
-# value in minhash/simhash is bit-identical across engines and the two
-# queries graduate from rows-only to full value-hash oracle checks.
-#   Spark : conv(substring(md5(x), start, 16), 16, -10)::long & mask
-#   DuckDB: CAST(('0x' || substr(md5(x), start, 16))::UBIGINT % (mask+1) AS BIGINT)
-# (conv(..,-10) parses two's-complement signed; the mask keeps only low
-# bits, where signed and unsigned agree — verified value-for-value in
-# tests/test_properties.py.) Masks stay ANSI-overflow-safe: minhash
-# double hashing h_i = h1 + i*h2 needs h1 < 2^62 and i*h2 < 16*2^58 =
-# 2^62, so h_i < 2^63 with no wraparound under Spark 4's default ANSI
-# mode.
-_MASK63 = (1 << 63) - 1
-_MASK62 = (1 << 62) - 1
-_MASK58 = (1 << 58) - 1
-
-
-def _md5_word(col, start: int, mask: int):
-    """Low bits of an 8-byte big-endian window of md5(col) — the
-    cross-engine hash primitive documented above."""
-    return (
-        F.conv(F.substring(F.md5(col), start, 16), 16, -10)
-        .cast("long")
-        .bitwiseAND(F.lit(mask))
-    )
-
-
-def md5h63(col):
-    """63-bit uniform hash of a string column (simhash bit votes)."""
-    return _md5_word(col, 17, _MASK63)
-
-
-# DuckDB twins of the hash primitives, for oracle SQL f-strings
-_SQL_H63 = "CAST(('0x' || substr(md5({x}), 17, 16))::UBIGINT % 9223372036854775808 AS BIGINT)"
-_SQL_H1 = "CAST(('0x' || substr(md5({x}), 17, 16))::UBIGINT % 4611686018427387904 AS BIGINT)"
-_SQL_H2 = "CAST(('0x' || substr(md5({x}), 1, 16))::UBIGINT % 288230376151711744 AS BIGINT)"
+# The md5-derived cross-engine hash family lives in .hashing (shared
+# with text.doc_winnowing — text.py can't import from here, dedup
+# imports text); re-exported so existing callers keep their names.
+from .hashing import (  # noqa: F401
+    _MASK58,
+    _MASK62,
+    _MASK63,
+    _SQL_H1,
+    _SQL_H2,
+    _SQL_H63,
+    _md5_word,
+    md5h63,
+)
 
 
 def _normalized(d: DataFrame) -> DataFrame:

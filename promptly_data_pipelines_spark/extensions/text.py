@@ -218,17 +218,45 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.substring(F.md5(norm_text()), 1, 16).alias("fingerprint"))
 
 
-@query("doc_winnowing", registered=False)  # xxhash64-based: rows-only check
+_WINNOW_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(norm) - 8 + 1, 1) + 1),
+                            i -> CAST(('0x' || substr(md5(substr(norm, i, 8)), 17, 16))::UBIGINT
+                                      % 9223372036854775808 AS BIGINT)) AS grams
+      FROM d
+    ),
+    wm AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1),
+                                          i -> list_min(grams[i + 1 : i + 4]))) AS fps
+      FROM g
+    )
+    SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM wm
+    ORDER BY doc_id, fingerprint
+"""
+
+
+@query("doc_winnowing", registered=False, oracle=_WINNOW_ORACLE)
 def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: rolling-hash document fingerprinting via winnowing
     (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm):
-    hash every k-char-gram (k=8, the rolling-hash role played by
-    xxhash64 over substrings), slide a window of w=4 consecutive
-    gram hashes, keep each window's minimum — guaranteeing any match
-    of length ≥ w+k-1 shares a fingerprint. Output: distinct selected
-    fingerprints per doc, the index for plagiarism/near-dup lookup.
-    Pure expression tree (transform/slice/array ops), no shuffle
-    until the final explode-distinct."""
+    hash every k-char-gram (k=8; md5h63 since r6 — the cross-engine
+    family of extensions/hashing.py, which upgraded this query from
+    rows-only to a full value-hash oracle; swap back to xxhash64 at
+    production scale per the hashing module note), slide a window of
+    w=4 consecutive gram hashes, keep each window's minimum —
+    guaranteeing any match of length ≥ w+k-1 shares a fingerprint.
+    Output: distinct selected fingerprints per doc, the index for
+    plagiarism/near-dup lookup. Pure expression tree
+    (transform/slice/array ops), no shuffle until the final
+    explode-distinct."""
+    from .hashing import md5h63
+
     k, w = 8, 4
     d = table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism).withColumn(
@@ -236,7 +264,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("norm") - k + 1, F.lit(1))),
-        lambda i: F.xxhash64(F.col("norm").substr(i, F.lit(k))),
+        lambda i: md5h63(F.col("norm").substr(i, F.lit(k))),
     )
     windows_min = F.array_distinct(
         F.transform(
