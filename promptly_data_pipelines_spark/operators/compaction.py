@@ -44,11 +44,16 @@ def compact_partitioned(
     dst_dir: str,
     partition_col: str,
     target_rows_per_file: int,
+    schema=None,
 ) -> DataFrame:
     """Rewrite a partitioned parquet dataset so each partition holds
     ``ceil(rows/target)`` near-equal files. Returns the compaction
-    plan frame (partition, n_rows, n_files) for observability."""
-    src = spark.read.parquet(src_dir)
+    plan frame (partition, n_rows, n_files) for observability.
+    ``schema`` (optional, the writer's) lets a file-less source dir —
+    an upstream that matched nothing — compact to an equally empty
+    target instead of failing schema inference."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    src = reader.parquet(src_dir)
     sizes = src.groupBy(partition_col).agg(F.count("*").alias("n_rows"))
     # ONE scan computes the calendar-sized plan; it is collected once
     # and re-broadcast as a LOCAL frame — leaving it lazy would re-run
@@ -127,10 +132,13 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deliberately fragmented: round-robin writers, every task hits
     # every partition dir
     ev.repartition(32).write.mode("overwrite").partitionBy("day").parquet(frag_dir)
-    compact_partitioned(spark, frag_dir, compact_dir, "day", target_rows_per_file=50_000)
-    back = spark.read.parquet(compact_dir)
+    compact_partitioned(
+        spark, frag_dir, compact_dir, "day", target_rows_per_file=50_000, schema=ev.schema
+    )
+    back = spark.read.schema(ev.schema).parquet(compact_dir)
     # directory inference may type `day` as DATE; the oracle compares
-    # strings, so pin the type at the boundary.
+    # strings, so pin the type at the boundary (the explicit schema
+    # above already does — the cast stays as the documented contract).
     return back.groupBy(F.col("day").cast("string").alias("day")).agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("value"), 2).alias("sum_value"),

@@ -91,7 +91,9 @@ def layout_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = table(spark, sf_dir, "events").withColumn("day", date_key("ts"))
     clustered_write(ev, dst, "day", ["user_id"])
-    back = spark.read.parquet(dst).filter(F.col("user_id") % 1000 == 7)
+    # writer-schema readback: survives an empty source (file-less
+    # partition dir) and pins `day` against directory-type inference
+    back = spark.read.schema(ev.schema).parquet(dst).filter(F.col("user_id") % 1000 == 7)
     return back.groupBy("user_id", F.col("day").cast("string").alias("day")).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -205,7 +207,7 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = table(spark, sf_dir, "events").withColumn("day", date_key("ts"))
     zorder_write(ev, dst, "day", ("user_id", "event_id"))
-    back = spark.read.parquet(dst).filter(
+    back = spark.read.schema(ev.schema).parquet(dst).filter(
         F.col("user_id").between(100, 120) & F.col("event_id").between(1000, 3000)
     )
     return back.select("user_id", "event_id", F.round("value", 2).alias("value"))

@@ -109,7 +109,11 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition("ingestion_cdc_date").write.mode("overwrite").partitionBy(
         "ingestion_cdc_date"
     ).parquet(out)
-    back = spark.read.parquet(out)
+    # readback with the writer's schema: an empty source writes a
+    # file-less partition dir, and schemaless read would fail
+    # inference (also pins the partition column's type against
+    # directory-name inference)
+    back = spark.read.schema(ev.schema).parquet(out)
     return back.groupBy("ingestion_cdc_date").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),

@@ -49,10 +49,13 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
             F.col("after.value").alias("value"),
         )
         out = os.path.join(warehouse, "raw", "events")
-        live.withColumn("ingestion_cdc_date", date_key("ts")).repartition(
+        staged = live.withColumn("ingestion_cdc_date", date_key("ts"))
+        staged.repartition("ingestion_cdc_date").write.mode("overwrite").partitionBy(
             "ingestion_cdc_date"
-        ).write.mode("overwrite").partitionBy("ingestion_cdc_date").parquet(out)
-        return s.read.parquet(out)
+        ).parquet(out)
+        # writer-schema readbacks (all three models): an empty upstream
+        # writes a file-less dir, and schemaless read fails inference
+        return s.read.schema(staged.schema).parquet(out)
 
     @p.model("raw_user_nation")
     def raw_user_nation(s: SparkSession, up: dict[str, DataFrame]) -> DataFrame:
@@ -63,7 +66,7 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
         )
         out = os.path.join(warehouse, "raw", "user_nation")
         dim.write.mode("overwrite").parquet(out)
-        return s.read.parquet(out)
+        return s.read.schema(dim.schema).parquet(out)
 
     @p.model("curated_activity", deps=["raw_events", "raw_user_nation"])
     def curated_activity(s: SparkSession, up: dict[str, DataFrame]) -> DataFrame:
@@ -82,7 +85,7 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
         )
         out = os.path.join(warehouse, "curated", "activity")
         curated.write.mode("overwrite").parquet(out)
-        return s.read.parquet(out)
+        return s.read.schema(curated.schema).parquet(out)
 
     results = p.run(spark, parallel=parallel)
 
@@ -129,4 +132,12 @@ def elt_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pdp_warehouse_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
     )
     run_elt(spark, sf_dir, warehouse)
-    return spark.read.parquet(os.path.join(warehouse, "curated", "activity"))
+    # declared curated schema: survives a run over empty sources (the
+    # model wrote a file-less dir)
+    curated_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, nation_name string, "
+        "event_type string, value double"
+    )
+    return spark.read.schema(curated_schema).parquet(
+        os.path.join(warehouse, "curated", "activity")
+    )

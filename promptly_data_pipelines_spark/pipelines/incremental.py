@@ -156,6 +156,23 @@ def incremental_run(
     return {"skipped": False, "affected_days": sorted(affected), "hwm": new_hwm}
 
 
+ROLLUP_SCHEMA = "day string, event_type string, n_events bigint, sum_value double"
+
+
+def _read_rollup(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Read the daily rollup with its declared schema; if NO batch
+    carried data the rollup dir was never written — return the empty
+    frame with the same shape (a fresh warehouse is a valid state,
+    not an error)."""
+    rollup_dir = os.path.join(warehouse, "rollup", "daily")
+    out = (
+        spark.read.schema(ROLLUP_SCHEMA).parquet(rollup_dir)
+        if os.path.isdir(rollup_dir)
+        else spark.createDataFrame([], ROLLUP_SCHEMA)
+    )
+    return out.select("day", "event_type", "n_events", "sum_value")
+
+
 def arrival_batches(events: DataFrame, ts_col: str = "ts") -> list[DataFrame]:
     """Split events into three arrival batches for the simulation:
     time-ordered thirds of the ts range, except every 50th event of
@@ -166,6 +183,11 @@ def arrival_batches(events: DataFrame, ts_col: str = "ts") -> list[DataFrame]:
     lo, hi = events.agg(
         F.min(ts_col).cast("double"), F.max(ts_col).cast("double")
     ).first()
+    if lo is None or hi is None:
+        # empty (or all-NULL-ts) source: three empty arrivals — the
+        # simulation degenerates to heartbeat batches, which
+        # incremental_run already treats as no-ops
+        return [events, events.limit(0), events.limit(0)]
     t1 = F.lit(lo + (hi - lo) / 3.0)
     t2 = F.lit(lo + 2.0 * (hi - lo) / 3.0)
     ts_d = F.col(ts_col).cast("double")
@@ -250,8 +272,7 @@ def stream_exec_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(os.path.join(warehouse, "rollup", "daily"))
-    return out.select("day", "event_type", "n_events", "sum_value")
+    return _read_rollup(spark, warehouse)
 
 
 @query(
@@ -280,5 +301,4 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     for i, batch in enumerate(arrival_batches(ev)):
         incremental_run(spark, batch, f"b{i}", warehouse)
-    out = spark.read.parquet(os.path.join(warehouse, "rollup", "daily"))
-    return out.select("day", "event_type", "n_events", "sum_value")
+    return _read_rollup(spark, warehouse)
