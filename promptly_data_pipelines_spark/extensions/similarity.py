@@ -102,6 +102,13 @@ def learned_centroids(e: DataFrame, iters: int = 3) -> DataFrame:
     cents = e.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
     )
+    if not cents.head(1):
+        # an index build over an empty (or seed-less) corpus is a
+        # config/ordering error in the pipeline, not a searchable
+        # index — fail with the reason, not a downstream stack trace
+        raise ValueError(
+            "learned_centroids: empty corpus (no centroid seeds, vec_id % 64 == 0)"
+        )
     assign_w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id"))
     for _ in range(iters):
         assigned = (

@@ -441,10 +441,11 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(h1.o_custkey, h2.o_custkey) AS custkey,
            coalesce(n_before, 0) AS n_before,
            coalesce(n_after, 0) AS n_after,
-           CASE WHEN h1.o_custkey IS NULL THEN 'new'
-                WHEN h2.o_custkey IS NULL THEN 'churned'
+           CASE WHEN n_before IS NULL THEN 'new'
+                WHEN n_after IS NULL THEN 'churned'
                 ELSE 'active' END AS status
-    FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    FROM h1 FULL OUTER JOIN h2
+      ON h1.o_custkey IS NOT DISTINCT FROM h2.o_custkey
     """,
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,13 +473,19 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("k2"))
         .agg(F.count("*").cast("bigint").alias("n_after"))
     )
-    j = h1.join(h2, F.col("k1") == F.col("k2"), "full_outer")
+    # NULL-safe join + side-presence status: a NULL key group (orders
+    # with no customer) must reconcile across sides like any other key
+    # — plain == never matches NULLs (two unpaired rows), and deciding
+    # new/churned by KEY nullness would mislabel that group. The
+    # count columns are non-null whenever their side matched, so they
+    # are the presence markers.
+    j = h1.join(h2, F.col("k1").eqNullSafe(F.col("k2")), "full_outer")
     return j.select(
         F.coalesce(F.col("k1"), F.col("k2")).alias("custkey"),
         F.coalesce(F.col("n_before"), F.lit(0)).alias("n_before"),
         F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
-        F.when(F.col("k1").isNull(), "new")
-        .when(F.col("k2").isNull(), "churned")
+        F.when(F.col("n_before").isNull(), "new")
+        .when(F.col("n_after").isNull(), "churned")
         .otherwise("active")
         .alias("status"),
     )

@@ -453,12 +453,14 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     have dozens) the classic form re-tokenizes the JSON string per
     path, while variant_get walks the parsed tree; at 100 TB of event
     logs that's the difference between O(paths) parses and one.
-    ``try_variant_get`` (not the throwing form) keeps malformed rows
-    NULL instead of failing the batch, matching ->> oracle semantics.
-    The binary never leaves the JVM and the output columns are plain
-    longs/booleans, so the oracle stays engine-neutral."""
+    ``try_parse_json`` + ``try_variant_get`` (not the throwing forms)
+    keep malformed rows NULL instead of failing the batch, matching
+    ->> oracle semantics — the throwing ``parse_json`` would abort the
+    job on the first bad document under ANSI mode. The binary never
+    leaves the JVM and the output columns are plain longs/booleans, so
+    the oracle stays engine-neutral."""
     ev = table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    v = F.try_parse_json(F.col("props"))
     return ev.filter(F.col("event_id") < 2000).select(
         "event_id",
         F.try_variant_get(v, "$.k", "bigint").alias("k_variant"),

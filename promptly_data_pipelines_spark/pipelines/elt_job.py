@@ -114,6 +114,11 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
         "counts": {name: df.count() for name, df in results.items()},
         "report": paths,
         "passed": all(r.passed for r in suite.collect()),
+        # the product itself (a lazy read over the warehouse with the
+        # model's own schema) — callers must not re-derive the curated
+        # schema by hand; a hand-copied DDL silently reads stale
+        # columns as all-NULL when the model drifts
+        "curated": curated,
     }
 
 
@@ -131,13 +136,4 @@ def elt_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"pdp_warehouse_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
     )
-    run_elt(spark, sf_dir, warehouse)
-    # declared curated schema: survives a run over empty sources (the
-    # model wrote a file-less dir)
-    curated_schema = (
-        "user_id bigint, event_id bigint, ts timestamp, nation_name string, "
-        "event_type string, value double"
-    )
-    return spark.read.schema(curated_schema).parquet(
-        os.path.join(warehouse, "curated", "activity")
-    )
+    return run_elt(spark, sf_dir, warehouse)["curated"]

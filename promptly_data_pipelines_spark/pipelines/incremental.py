@@ -184,9 +184,12 @@ def arrival_batches(events: DataFrame, ts_col: str = "ts") -> list[DataFrame]:
         F.min(ts_col).cast("double"), F.max(ts_col).cast("double")
     ).first()
     if lo is None or hi is None:
-        # empty (or all-NULL-ts) source: three empty arrivals — the
-        # simulation degenerates to heartbeat batches, which
-        # incremental_run already treats as no-ops
+        # no usable time axis: an EMPTY source degenerates to three
+        # heartbeat batches (no-ops in incremental_run); an all-NULL-ts
+        # source delivers every row in batch 0 — they stage under the
+        # '__unknown__' sentinel day like any other NULL-ts row, and
+        # dropping them here would lose data — followed by two empty
+        # arrivals
         return [events, events.limit(0), events.limit(0)]
     t1 = F.lit(lo + (hi - lo) / 3.0)
     t2 = F.lit(lo + 2.0 * (hi - lo) / 3.0)

@@ -330,3 +330,32 @@ def test_containment_catches_doc_inside_doc(spark):
     row = cont[0]
     assert (row["doc_a"], row["doc_b"]) == (1, 2)
     assert row["containment"] == 1.0
+
+
+def test_full_outer_reconciles_null_keys(spark, tmp_path):
+    """Review r6: a NULL join key group must reconcile ACROSS sides
+    (eqNullSafe) and take its status from side presence, not key
+    nullness — orders with no customer on both sides of the cutover
+    are one 'active' row, not a 'new' + 'churned' pair."""
+    import datetime as dt
+
+    from promptly_data_pipelines_spark.catalog import DECLARED_SCHEMAS
+    from promptly_data_pipelines_spark.operators.joins import join_full_outer
+
+    before = dt.datetime(1994, 6, 1)
+    after = dt.datetime(1996, 6, 1)
+    rows = [
+        (1, 10, "O", 1.0, before, "1-URGENT"),
+        (2, 10, "O", 1.0, after, "1-URGENT"),
+        (3, None, "O", 1.0, before, "1-URGENT"),
+        (4, None, "O", 1.0, after, "1-URGENT"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, DECLARED_SCHEMAS["orders"]).write.parquet(
+        f"{d}/orders.parquet"
+    )
+    out = {r["custkey"]: r for r in join_full_outer(spark, d).collect()}
+    assert out[10]["status"] == "active"
+    assert out[None]["status"] == "active"  # ONE reconciled NULL-key row
+    assert out[None]["n_before"] == 1 and out[None]["n_after"] == 1
+    assert len(out) == 2

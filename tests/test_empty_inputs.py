@@ -46,7 +46,12 @@ def empty_sf_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     if name in EXPECTED_DATA_DEPENDENT:
-        pytest.skip(EXPECTED_DATA_DEPENDENT[name])
+        # the contract for exempted queries: a CLEAR, intentional error
+        # (ValueError with the documented reason), never a Py4J stack
+        # bomb — executed and asserted, not skipped
+        with pytest.raises(ValueError, match="empty corpus"):
+            QUERIES[name](spark, empty_sf_dir).collect()
+        return
     df = QUERIES[name](spark, empty_sf_dir)
     rows = df.collect()
     assert df.columns, f"{name}: empty schema"
