@@ -122,7 +122,40 @@ def run_elt(spark: SparkSession, sf_dir: str, warehouse: str, parallel: bool = T
     }
 
 
-@query("elt_pipeline_run", registered=False)  # E2E job with file sinks: rows-only check
+@query(
+    "elt_pipeline_run",
+    registered=False,
+    # Full value oracle for the END-TO-END job (r6 — was rows-only):
+    # the curated product is SQL-expressible even though the pipeline
+    # runs through envelope encode/decode and parquet sinks — live
+    # (non-tombstone) events ms-truncated by the envelope's ts_ms,
+    # latest-wins per user (ts desc, event_id desc), left-joined to
+    # the customer→nation dim with 'unknown' fill. If any stage of
+    # the DAG (CDC decode, writes, readbacks, latest_wins, the join)
+    # corrupts a value, the hash check fails.
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, event_type, value,
+             date_trunc('milliseconds', ts) AS ts
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM live
+      ) WHERE rn = 1
+    ),
+    dim AS (
+      SELECT c.c_custkey AS user_id, n.n_name AS nation_name
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT l.user_id, l.event_id, l.ts,
+           coalesce(d.nation_name, 'unknown') AS nation_name,
+           l.event_type, l.value
+    FROM latest l LEFT JOIN dim d USING (user_id)
+    """,
+)
 def elt_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible wrapper: run the whole ELT DAG into a temp
     warehouse and return the curated table (the job's product). The
