@@ -1100,3 +1100,162 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard threshold can't see at size ratios beyond 2:1
     (the Jaccard band prune's own cutoff)."""
     return containment_pairs(table(spark, sf_dir, "documents"))
+
+
+def incremental_near_dedup(corpus: DataFrame, arrivals: DataFrame) -> DataFrame:
+    """Incremental near-dup admission — the ONLINE form of
+    dedup_near_text: an arriving batch is checked against the EXISTING
+    corpus signature index (never against the raw corpus text) and
+    against itself, without ever re-running dedup over the corpus.
+    Verdict per arriving doc: ``dup_corpus`` (est-Jaccard ≥ 0.5 with
+    any indexed corpus doc — ``dup_of`` = the smallest such doc_id),
+    else ``dup_batch`` (matches a smaller-id doc within the batch —
+    the deterministic keep-first rule; note it compares against ALL
+    smaller ids, not just kept ones — the standard streaming
+    approximation, documented over the transitive-closure form that
+    would need iteration), else ``kept``.
+
+    Scale shape: at 100 TB the corpus side is a MAINTAINED signature
+    table (doc_id, 16 longs — built once, appended per admitted
+    batch), so per batch the cost is hashing the arrivals plus two
+    band equi-joins whose corpus side is index-sized, never
+    corpus-text-sized. Here the index is built in-query from the
+    corpus frame so the whole operator stays oracle-checkable."""
+    sig_c = minhash_signatures(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_c.count()
+    sig_a = minhash_signatures(arrivals).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_a.count()
+    arr_c = sig_c.select(
+        F.col("doc_id").alias("c_doc_id"),
+        F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("c_sig"),
+    )
+    arr_a = sig_a.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig")
+    )
+    bc = lsh_band_keys(arr_c, "c_doc_id", "c_sig")
+    ba = lsh_band_keys(arr_a, "doc_id", "sig")
+    est_c = est_jaccard("sig", "c_sig")
+    cor = (
+        ba.join(bc, BAND_KEY_COLS)
+        .filter(est_c >= 0.5)
+        .groupBy("doc_id")
+        .agg(F.min("c_doc_id").alias("dup_of_corpus"))
+    )
+    b1 = ba.select(
+        F.col("doc_id").alias("p_doc_id"),
+        F.col("sig").alias("p_sig"),
+        *[F.col(c) for c in BAND_KEY_COLS],
+    )
+    est_b = est_jaccard("sig", "p_sig")
+    bat = (
+        ba.join(b1, BAND_KEY_COLS)
+        .filter((F.col("p_doc_id") < F.col("doc_id")) & (est_b >= 0.5))
+        .groupBy("doc_id")
+        .agg(F.min("p_doc_id").alias("dup_of_batch"))
+    )
+    verdict = (
+        F.when(F.col("dup_of_corpus").isNotNull(), "dup_corpus")
+        .when(F.col("dup_of_batch").isNotNull(), "dup_batch")
+        .otherwise("kept")
+    )
+    return (
+        arrivals.select("doc_id")
+        .join(cor, "doc_id", "left")
+        .join(bat, "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce("dup_of_corpus", "dup_of_batch").alias("dup_of"),
+        )
+    )
+
+
+_INCR_SIG_SQL = ", ".join(f"min(h1 + {i}*h2)" for i in range(N_HASHES))
+_INCR_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, in_corpus, sig, " + str(b) + " AS band, "
+    + ", ".join(
+        f"sig[{b * (N_HASHES // N_BANDS) + r + 1}] AS r{r}"
+        for r in range(N_HASHES // N_BANDS)
+    )
+    + " FROM sig"
+    for b in range(N_BANDS)
+)
+_INCR_KEY_EQ = " AND ".join(f"a.r{r} = c.r{r}" for r in range(N_HASHES // N_BANDS))
+_INCR_EST = (
+    f"len(list_filter(range(1, {N_HASHES + 1}), i -> a.sig[i] = c.sig[i]))"
+    f" / {float(N_HASHES)}"
+)
+
+
+@query(
+    "dedup_incremental",
+    registered=False,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 < 205 AS in_corpus
+      FROM documents
+    ),
+    w0 AS (
+      SELECT doc_id, in_corpus,
+             list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id, in_corpus,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS shingles
+      FROM w0
+    ),
+    post AS (SELECT doc_id, in_corpus, unnest(shingles) AS s FROM sh),
+    hp AS (
+      SELECT doc_id, in_corpus,
+             {_SQL_H1.format(x='s')} AS h1, {_SQL_H2.format(x='s')} AS h2
+      FROM post
+    ),
+    sig AS (
+      SELECT doc_id, in_corpus, [{_INCR_SIG_SQL}] AS sig
+      FROM hp GROUP BY doc_id, in_corpus
+    ),
+    bands AS ({_INCR_BANDS_SQL}),
+    cor AS (
+      SELECT a.doc_id, CAST(min(c.doc_id) AS BIGINT) AS dup_of_corpus
+      FROM bands a JOIN bands c
+        ON NOT a.in_corpus AND c.in_corpus
+       AND a.band = c.band AND {_INCR_KEY_EQ}
+      WHERE {_INCR_EST} >= 0.5
+      GROUP BY a.doc_id
+    ),
+    bat AS (
+      SELECT a.doc_id, CAST(min(c.doc_id) AS BIGINT) AS dup_of_batch
+      FROM bands a JOIN bands c
+        ON NOT a.in_corpus AND NOT c.in_corpus AND c.doc_id < a.doc_id
+       AND a.band = c.band AND {_INCR_KEY_EQ}
+      WHERE {_INCR_EST} >= 0.5
+      GROUP BY a.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN cor.dup_of_corpus IS NOT NULL THEN 'dup_corpus'
+                WHEN bat.dup_of_batch IS NOT NULL THEN 'dup_batch'
+                ELSE 'kept' END AS verdict,
+           coalesce(cor.dup_of_corpus, bat.dup_of_batch) AS dup_of
+    FROM base b
+    LEFT JOIN cor ON b.doc_id = cor.doc_id
+    LEFT JOIN bat ON b.doc_id = bat.doc_id
+    WHERE NOT b.in_corpus
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 online form: admit an arriving batch (docs hashing to the
+    ~20% bucket tail — reusing the split-family hash so the partition
+    is deterministic) against the signature index of the existing
+    ~80% corpus. See ``incremental_near_dedup`` for semantics and the
+    maintained-index scale story."""
+    from .sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return incremental_near_dedup(d.filter(b < 205), d.filter(b >= 205))

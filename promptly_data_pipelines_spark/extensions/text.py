@@ -762,3 +762,91 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "n", "token_id", "cum_n",
         (F.col("cum_n") / F.col("total_n")).alias("coverage"),
     )
+
+
+@query(
+    "text_tokenize_vocab",
+    registered=False,
+    oracle="""
+    WITH counts AS (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+        FROM documents
+      ) GROUP BY token
+    ),
+    vocab AS (
+      SELECT token, CAST(rk AS BIGINT) AS id FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts
+      ) WHERE rk <= 512
+    ),
+    toks AS (
+      SELECT doc_id, t.tok, t.pos
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok,
+               generate_subscripts(list_filter(string_split(text, ' '), w -> w <> ''), 1) AS pos
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+      ) t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.id IS NULL) AS BIGINT) AS n_unk,
+           CAST(sum(coalesce(v.id, 0)) AS BIGINT) AS ids_sum,
+           array_to_string(list(coalesce(v.id, 0) ORDER BY t.pos)[1:5], '-') AS ids_head
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.token
+    GROUP BY doc_id
+    """,
+)
+def text_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 completion — APPLY the trained vocabulary: encode every
+    document to token ids (the text→ids step between curation and
+    sequence packing). The vocab is the same frequency table
+    ``text_vocab_coverage`` builds (top-512 by count desc, token; ids
+    1..512 in that order; OOV → 0), collected once — ≤512 entries,
+    bounded metadata exactly like the Bloom bitset — and re-entering
+    the plan as a LITERAL map, so encoding is a pure in-row
+    ``transform`` over the token array: no explode, no join, no
+    shuffle; the only corpus-sized jobs are the one word-count shuffle
+    that builds the vocab and the map-side encode itself. At 100 TB
+    with a 100k-entry real vocab the literal map becomes a broadcast
+    join on exploded tokens (same values, explode+join plan — the
+    oracle here IS that form, proving the two shapes agree).
+
+    Output is the checkable per-doc summary (count, OOV count, id
+    checksum, first-5 ids) rather than the raw ids array — the array
+    is what a real pipeline writes, the summary is what a cross-engine
+    hash can verify."""
+    d = table(spark, sf_dir, "documents")
+    ws = words("text")
+    counts = (
+        d.select(F.explode(ws).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(512)
+        .collect()
+    )
+    pairs = []
+    for i, r in enumerate(counts):
+        pairs.extend([F.lit(r["token"]), F.lit(i + 1)])
+    if pairs:
+        vocab_map = F.create_map(*pairs)
+        encode = lambda w: F.coalesce(vocab_map.getItem(w), F.lit(0)).cast("bigint")  # noqa: E731
+    else:
+        # empty corpus -> empty vocab: everything is OOV (create_map()
+        # with no entries types as map<void,void> and can't be probed)
+        encode = lambda w: F.lit(0).cast("bigint")  # noqa: E731
+    ids = F.transform(ws, encode)
+    t = d.filter(F.size(ws) > 0).select("doc_id", ids.alias("ids"))
+    return t.select(
+        "doc_id",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.size(F.filter(F.col("ids"), lambda i: i == 0)).cast("bigint").alias("n_unk"),
+        F.aggregate(F.col("ids"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "ids_sum"
+        ),
+        F.array_join(
+            F.transform(F.slice(F.col("ids"), 1, 5), lambda i: i.cast("string")), "-"
+        ).alias("ids_head"),
+    )

@@ -359,3 +359,52 @@ def test_full_outer_reconciles_null_keys(spark, tmp_path):
     assert out[None]["status"] == "active"  # ONE reconciled NULL-key row
     assert out[None]["n_before"] == 1 and out[None]["n_after"] == 1
     assert len(out) == 2
+
+
+def test_incremental_near_dedup_verdicts(spark):
+    """Constructed scenario for the online dedup: a batch doc nearly
+    identical to a corpus doc -> dup_corpus; two nearly identical
+    batch docs (no corpus match) -> first kept, second dup_batch;
+    an unrelated doc -> kept. Plus structural invariants on the
+    registered query output."""
+    from promptly_data_pipelines_spark.extensions.dedup import incremental_near_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, "en", base), (2, "en", "totally different words entirely here now")],
+        "doc_id long, lang string, text string",
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (10, "en", base + " lambda"),          # near-copy of corpus doc 1
+            (11, "en", "pack my box with five dozen liquor jugs today"),
+            # strict near-copy of 11 (one appended word): shingle overlap
+            # 8/9, high enough that >=1 of the 4 LSH bands matches under
+            # the deterministic md5 hash family
+            (12, "en", "pack my box with five dozen liquor jugs today always"),
+            (13, "en", "completely unrelated content about spark plans"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_near_dedup(corpus, arrivals).collect()}
+    assert out[10]["verdict"] == "dup_corpus" and out[10]["dup_of"] == 1
+    assert out[11]["verdict"] == "kept" and out[11]["dup_of"] is None
+    assert out[12]["verdict"] == "dup_batch" and out[12]["dup_of"] == 11
+    assert out[13]["verdict"] == "kept"
+
+    reg = run("dedup_incremental", spark, SF_DIR).collect()
+    docs = table(spark, SF_DIR, "documents")
+    from promptly_data_pipelines_spark.extensions.sampling import hash_bucket
+
+    n_arrivals = docs.filter(hash_bucket("doc_id") >= 205).count()
+    assert len(reg) == n_arrivals  # every arrival gets exactly one verdict
+    corpus_ids = {
+        r["doc_id"] for r in docs.filter(hash_bucket("doc_id") < 205).select("doc_id").collect()
+    }
+    for r in reg:
+        if r["verdict"] == "kept":
+            assert r["dup_of"] is None
+        elif r["verdict"] == "dup_corpus":
+            assert r["dup_of"] in corpus_ids
+        else:
+            assert r["verdict"] == "dup_batch" and r["dup_of"] < r["doc_id"]
