@@ -23,6 +23,10 @@ from ..catalog import table
 from ..registry import query
 from .text import norm_text, words
 
+# the split-family boundary (ONE definition, sampling.py) — the
+# incremental-dedup corpus/arrival partition must track it
+from .sampling import TRAIN_BUCKET
+
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
@@ -181,6 +185,44 @@ def est_jaccard(sig_a, sig_b):
     ) / F.lit(float(N_HASHES))
 
 
+# Shared oracle-SQL fragment builders for the minhash/banding mirrors —
+# ONE generator each for the signature mins, the band explode, the band
+# key equality, and the est-jaccard expression, used by BOTH
+# _NEAR_TEXT_ORACLE and dedup_incremental's oracle. The banding layout
+# is exactly what lsh_band_keys warns must stay identical across
+# consumers; one SQL generator per fragment keeps the mirrors provably
+# in sync the same way BAND_KEY_COLS does for the Spark side.
+
+
+def _sql_sig_mins() -> str:
+    return ", ".join(f"min(h1 + {i}*h2)" for i in range(N_HASHES))
+
+
+def _sql_bands(extra_cols: str = "") -> str:
+    """UNION ALL band explode over a `sig` CTE; ``extra_cols`` (e.g.
+    "in_corpus, ") are carried through unchanged."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {extra_cols}sig, {b} AS band, "
+        + ", ".join(
+            f"sig[{b * ROWS_PER_BAND + r + 1}] AS r{r}"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " FROM sig"
+        for b in range(N_BANDS)
+    )
+
+
+def _sql_band_eq(a: str, b: str) -> str:
+    return " AND ".join(f"{a}.r{r} = {b}.r{r}" for r in range(ROWS_PER_BAND))
+
+
+def _sql_est(sig_a: str, sig_b: str) -> str:
+    return (
+        f"len(list_filter(range(1, {N_HASHES + 1}), i -> {sig_a}[i] = {sig_b}[i]))"
+        f" / {float(N_HASHES)}"
+    )
+
+
 # DuckDB mirror of minhash_signatures → lsh_band_keys → band self-join
 # → est_jaccard, value-identical because both engines derive h1/h2 from
 # the same md5 hex window (hash-family note at the top of this module).
@@ -204,34 +246,22 @@ _NEAR_TEXT_ORACLE = f"""
     ),
     sig AS (
       SELECT doc_id,
-             [{', '.join(f'min(h1 + {i}*h2)' for i in range(N_HASHES))}] AS sig
+             [{_sql_sig_mins()}] AS sig
       FROM hp GROUP BY doc_id
     ),
-    bands AS (
-      {' UNION ALL '.join(
-          "SELECT doc_id, sig, " + str(b) + " AS band, "
-          + ", ".join(
-              f"sig[{b * (N_HASHES // N_BANDS) + r + 1}] AS r{r}"
-              for r in range(N_HASHES // N_BANDS)
-          )
-          + " FROM sig"
-          for b in range(N_BANDS)
-      )}
-    ),
+    bands AS ({_sql_bands()}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM bands a JOIN bands b
         ON a.band = b.band
-       AND {' AND '.join(f'a.r{r} = b.r{r}' for r in range(N_HASHES // N_BANDS))}
+       AND {_sql_band_eq('a', 'b')}
        AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(len(list_filter(range(1, {N_HASHES + 1}), i -> sig_a[i] = sig_b[i]))
-                 / {float(N_HASHES)}, 4) AS est_jaccard
+           round({_sql_est('sig_a', 'sig_b')}, 4) AS est_jaccard
     FROM cand
-    WHERE len(list_filter(range(1, {N_HASHES + 1}), i -> sig_a[i] = sig_b[i]))
-          / {float(N_HASHES)} >= 0.5
+    WHERE {_sql_est('sig_a', 'sig_b')} >= 0.5
     ORDER BY doc_a, doc_b
 """
 
@@ -1170,21 +1200,6 @@ def incremental_near_dedup(corpus: DataFrame, arrivals: DataFrame) -> DataFrame:
     )
 
 
-_INCR_SIG_SQL = ", ".join(f"min(h1 + {i}*h2)" for i in range(N_HASHES))
-_INCR_BANDS_SQL = " UNION ALL ".join(
-    "SELECT doc_id, in_corpus, sig, " + str(b) + " AS band, "
-    + ", ".join(
-        f"sig[{b * (N_HASHES // N_BANDS) + r + 1}] AS r{r}"
-        for r in range(N_HASHES // N_BANDS)
-    )
-    + " FROM sig"
-    for b in range(N_BANDS)
-)
-_INCR_KEY_EQ = " AND ".join(f"a.r{r} = c.r{r}" for r in range(N_HASHES // N_BANDS))
-_INCR_EST = (
-    f"len(list_filter(range(1, {N_HASHES + 1}), i -> a.sig[i] = c.sig[i]))"
-    f" / {float(N_HASHES)}"
-)
 
 
 @query(
@@ -1194,7 +1209,7 @@ _INCR_EST = (
     WITH base AS (
       SELECT doc_id, text,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-               % 256 < 205 AS in_corpus
+               % 256 < {TRAIN_BUCKET} AS in_corpus
       FROM documents
     ),
     w0 AS (
@@ -1217,24 +1232,24 @@ _INCR_EST = (
       FROM post
     ),
     sig AS (
-      SELECT doc_id, in_corpus, [{_INCR_SIG_SQL}] AS sig
+      SELECT doc_id, in_corpus, [{_sql_sig_mins()}] AS sig
       FROM hp GROUP BY doc_id, in_corpus
     ),
-    bands AS ({_INCR_BANDS_SQL}),
+    bands AS ({_sql_bands('in_corpus, ')}),
     cor AS (
       SELECT a.doc_id, CAST(min(c.doc_id) AS BIGINT) AS dup_of_corpus
       FROM bands a JOIN bands c
         ON NOT a.in_corpus AND c.in_corpus
-       AND a.band = c.band AND {_INCR_KEY_EQ}
-      WHERE {_INCR_EST} >= 0.5
+       AND a.band = c.band AND {_sql_band_eq('a', 'c')}
+      WHERE {_sql_est('a.sig', 'c.sig')} >= 0.5
       GROUP BY a.doc_id
     ),
     bat AS (
       SELECT a.doc_id, CAST(min(c.doc_id) AS BIGINT) AS dup_of_batch
       FROM bands a JOIN bands c
         ON NOT a.in_corpus AND NOT c.in_corpus AND c.doc_id < a.doc_id
-       AND a.band = c.band AND {_INCR_KEY_EQ}
-      WHERE {_INCR_EST} >= 0.5
+       AND a.band = c.band AND {_sql_band_eq('a', 'c')}
+      WHERE {_sql_est('a.sig', 'c.sig')} >= 0.5
       GROUP BY a.doc_id
     )
     SELECT b.doc_id,
@@ -1258,4 +1273,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     b = hash_bucket("doc_id")
-    return incremental_near_dedup(d.filter(b < 205), d.filter(b >= 205))
+    return incremental_near_dedup(
+        d.filter(b < TRAIN_BUCKET), d.filter(b >= TRAIN_BUCKET)
+    )

@@ -14,6 +14,12 @@ from ..registry import query
 
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
 
+# ONE definition of the tokenizer vocabulary size — text_vocab_coverage
+# (builds the table) and text_tokenize_vocab (applies it) must agree,
+# in both engines, or the applied ids silently diverge from the
+# published coverage curve.
+VOCAB_SIZE = 512
+
 # Tiny per-language marker-word profiles for the heuristic language ID.
 # Real profiles would be char-trigram frequency tables; the mechanism
 # (score per language, argmax) is identical.
@@ -701,10 +707,23 @@ def text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_counts(d: DataFrame) -> DataFrame:
+    """Corpus word-count frame (token, n) — the ONE definition shared
+    by text_vocab_coverage (ranking/coverage) and text_tokenize_vocab
+    (vocab application), so the two can never desynchronize on
+    tokenization or counting."""
+    return (
+        d.select(F.explode_outer(words("text")).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @query(
     "text_vocab_coverage",
     registered=False,
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT unnest(string_split(text, ' ')) AS token FROM documents
     ), counts AS (
@@ -718,7 +737,7 @@ def text_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     )
     SELECT token, n, token_id, cum_n, cum_n / total_n AS coverage
-    FROM ranked WHERE token_id <= 512
+    FROM ranked WHERE token_id <= {VOCAB_SIZE}
     """,
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,12 +762,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-less window on the big side would be worse still. Plan
     pin: single parquet scan, single Window, no join."""
     d = table(spark, sf_dir, "documents")
-    counts = (
-        d.select(F.explode_outer(words("text")).alias("token"))
-        .filter(F.col("token").isNotNull())
-        .groupBy("token")
-        .agg(F.count("*").alias("n"))
-    )
+    counts = token_counts(d)
     w = Window.orderBy(F.col("n").desc(), "token")
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = counts.select(
@@ -758,7 +772,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).cast("bigint").alias("cum_n"),
         F.sum("n").over(w_all).cast("bigint").alias("total_n"),
     )
-    return ranked.filter(F.col("token_id") <= 512).select(
+    return ranked.filter(F.col("token_id") <= VOCAB_SIZE).select(
         "token", "n", "token_id", "cum_n",
         (F.col("cum_n") / F.col("total_n")).alias("coverage"),
     )
@@ -767,7 +781,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_tokenize_vocab",
     registered=False,
-    oracle="""
+    oracle=f"""
     WITH counts AS (
       SELECT token, count(*) AS n FROM (
         SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
@@ -777,7 +791,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (
       SELECT token, CAST(rk AS BIGINT) AS id FROM (
         SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts
-      ) WHERE rk <= 512
+      ) WHERE rk <= {VOCAB_SIZE}
     ),
     toks AS (
       SELECT doc_id, t.tok, t.pos
@@ -820,11 +834,9 @@ def text_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     ws = words("text")
     counts = (
-        d.select(F.explode(ws).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("n"))
+        token_counts(d)
         .orderBy(F.col("n").desc(), "token")
-        .limit(512)
+        .limit(VOCAB_SIZE)
         .collect()
     )
     pairs = []
@@ -832,7 +844,9 @@ def text_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.extend([F.lit(r["token"]), F.lit(i + 1)])
     if pairs:
         vocab_map = F.create_map(*pairs)
-        encode = lambda w: F.coalesce(vocab_map.getItem(w), F.lit(0)).cast("bigint")  # noqa: E731
+        # vocab_map[w], not .getItem(w): Column-key getItem is deprecated
+        # since Spark 3.0 and warns on every run
+        encode = lambda w: F.coalesce(vocab_map[w], F.lit(0)).cast("bigint")  # noqa: E731
     else:
         # empty corpus -> empty vocab: everything is OOV (create_map()
         # with no entries types as map<void,void> and can't be probed)

@@ -379,8 +379,9 @@ def test_incremental_near_dedup_verdicts(spark):
             (10, "en", base + " lambda"),          # near-copy of corpus doc 1
             (11, "en", "pack my box with five dozen liquor jugs today"),
             # strict near-copy of 11 (one appended word): shingle overlap
-            # 8/9, high enough that >=1 of the 4 LSH bands matches under
-            # the deterministic md5 hash family
+            # 7/8 (doc 11 has 7 3-shingles, doc 12 those plus one), high
+            # enough that >=1 of the 4 LSH bands matches under the
+            # deterministic md5 hash family
             (12, "en", "pack my box with five dozen liquor jugs today always"),
             (13, "en", "completely unrelated content about spark plans"),
         ],
@@ -396,10 +397,13 @@ def test_incremental_near_dedup_verdicts(spark):
     docs = table(spark, SF_DIR, "documents")
     from promptly_data_pipelines_spark.extensions.sampling import hash_bucket
 
-    n_arrivals = docs.filter(hash_bucket("doc_id") >= 205).count()
+    from promptly_data_pipelines_spark.extensions.sampling import TRAIN_BUCKET
+
+    n_arrivals = docs.filter(hash_bucket("doc_id") >= TRAIN_BUCKET).count()
     assert len(reg) == n_arrivals  # every arrival gets exactly one verdict
     corpus_ids = {
-        r["doc_id"] for r in docs.filter(hash_bucket("doc_id") < 205).select("doc_id").collect()
+        r["doc_id"]
+        for r in docs.filter(hash_bucket("doc_id") < TRAIN_BUCKET).select("doc_id").collect()
     }
     for r in reg:
         if r["verdict"] == "kept":
