@@ -487,3 +487,68 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("n_shared_5grams"))
     )
+
+
+# ---------------------------------------------------- eval-set builder
+
+
+@query(
+    "eval_set_build",
+    registered=False,
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, text,
+             CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256 AS sb
+      FROM documents
+    ),
+    train AS (
+      SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h
+      FROM b WHERE sb < {TRAIN_BUCKET}
+    ),
+    test AS (
+      SELECT doc_id, lang, source,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS h
+      FROM b WHERE sb >= {VAL_BUCKET}
+    ),
+    clean AS (
+      SELECT t.doc_id, t.lang, t.source FROM test t
+      WHERE NOT EXISTS (SELECT 1 FROM train tr WHERE tr.h = t.h)
+    )
+    SELECT doc_id, lang, source FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM clean
+    ) WHERE rn <= 10
+    """,
+)
+def eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-set build composite — the pieces of this module
+    composed into the query a real pipeline ships: take the TEST side
+    of the leakage-safe grouped split, drop any document whose
+    normalized content hash also occurs in the TRAIN side (exact
+    decontamination — run BEFORE capping so removals don't shrink the
+    final set), then cap at 10 docs per language in deterministic
+    hash order (the stratified-sample rule). Output: a balanced,
+    train-disjoint eval set.
+
+    Scale note: unlike ``decontaminate_exact`` (whose benchmark side
+    is eval-suite-sized and broadcasts), here the anti-join's right
+    side is the TRAIN corpus — both sides are corpus-scale, so the
+    anti-join shuffles on content_hash (no broadcast hint; hashes
+    only, text pruned). The cap is the WindowGroupLimit shape."""
+    from .dedup import _normalized
+
+    d = table(spark, sf_dir, "documents")
+    sb = hash_bucket("source")
+    hashed = _normalized(d).withColumn("h", F.md5("norm_text"))
+    train = hashed.filter(sb < TRAIN_BUCKET).select("h")
+    test = hashed.filter(sb >= VAL_BUCKET).select("doc_id", "lang", "source", "h")
+    clean = test.join(train, "h", "left_anti")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang", "source")
+    )

@@ -190,3 +190,36 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") - prev_val, 2).alias("delta"),
         (F.unix_millis("ts") - F.unix_millis(prev_ts)).alias("ms_since_prev"),
     )
+
+
+@query(
+    "window_distribution",
+    registered=False,
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family completion: the three distribution window functions —
+    percent_rank, cume_dist, ntile(10) — over one shared window spec
+    (per-priority price order), which Catalyst folds into a single
+    Window operator: one shuffle, one sort, three functions. Both
+    quotients are rank/count integer ratios computed in double, so the
+    values are bit-identical cross-engine without rounding. The
+    ordering includes the key (o_orderkey) so all three outputs are
+    total-order deterministic."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )

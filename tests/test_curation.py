@@ -412,3 +412,34 @@ def test_incremental_near_dedup_verdicts(spark):
             assert r["dup_of"] in corpus_ids
         else:
             assert r["verdict"] == "dup_batch" and r["dup_of"] < r["doc_id"]
+
+
+def test_eval_set_is_train_disjoint_and_capped(spark):
+    """Composite invariants: no eval doc shares a normalized content
+    hash with any train-split doc, every eval doc is in the grouped
+    TEST split, and no language exceeds the cap."""
+    from promptly_data_pipelines_spark.extensions.dedup import _normalized
+    from promptly_data_pipelines_spark.extensions.sampling import (
+        TRAIN_BUCKET,
+        VAL_BUCKET,
+        hash_bucket,
+    )
+
+    ev = run("eval_set_build", spark, SF_DIR)
+    d = table(spark, SF_DIR, "documents")
+    sb = hash_bucket("source")
+    hashed = _normalized(d).withColumn("h", F.md5("norm_text"))
+    train_h = {r["h"] for r in hashed.filter(sb < TRAIN_BUCKET).select("h").collect()}
+    test_ids = {
+        r["doc_id"] for r in d.filter(sb >= VAL_BUCKET).select("doc_id").collect()
+    }
+    picked = ev.collect()
+    assert picked, "eval set should not be empty on the fixture corpus"
+    doc_h = {
+        r["doc_id"]: r["h"] for r in hashed.select("doc_id", "h").collect()
+    }
+    for r in picked:
+        assert r["doc_id"] in test_ids
+        assert doc_h[r["doc_id"]] not in train_h
+    caps = ev.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in caps)
