@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from .dedup import _md5_word, _MASK63
+from .dedup import _md5_word, _MASK63, _normalized
 from .sampling import TRAIN_BUCKET, VAL_BUCKET, hash_bucket
 from .similarity import dot
 from .text import STOPWORDS, words
@@ -538,8 +538,6 @@ def eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the TRAIN corpus — both sides are corpus-scale, so the
     anti-join shuffles on content_hash (no broadcast hint; hashes
     only, text pruned). The cap is the WindowGroupLimit shape."""
-    from .dedup import _normalized
-
     d = table(spark, sf_dir, "documents")
     sb = hash_bucket("source")
     hashed = _normalized(d).withColumn("h", F.md5("norm_text"))
