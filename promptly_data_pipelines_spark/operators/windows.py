@@ -223,3 +223,124 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@query(
+    "sessionize_gaps",
+    registered=False,
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events
+      WHERE ts IS NOT NULL
+    ),
+    gapped AS (
+      SELECT user_id, event_id, ts, ms,
+             CASE WHEN ms - lag(ms) OVER w > {SESSION_GAP_MS}
+                    OR lag(ms) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS session_idx
+      FROM gapped
+    )
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS t_start, max(ts) AS t_end
+    FROM sessioned
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the lag/gap/cumsum window pattern: a
+    new session starts after a >30-minute silence, session ids are the
+    running count of session starts per user, then one aggregate rolls
+    each session up. This is the portable SQL form of what
+    ``session_window`` (the streaming T6 twin) does natively — both
+    exist because the window form back-fills HISTORY on any engine and
+    composes with arbitrary per-session aggregates, while
+    session_window is the one that runs incrementally under
+    watermarks. One shuffle (user partition), both window specs share
+    it, map-side-combined rollup. Gap arithmetic is integer epoch-ms
+    so both engines agree exactly."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ms = F.unix_millis("ts")
+    w = Window.partitionBy("user_id").orderBy(ms, "event_id")
+    new_session = (
+        (ms - F.lag(ms, 1).over(w) > SESSION_GAP_MS) | F.lag(ms, 1).over(w).isNull()
+    ).cast("int")
+    sessioned = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session).over(w).cast("bigint").alias("session_idx"),
+    )
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+
+
+@query(
+    "events_funnel",
+    registered=False,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup') AS t_signup,
+             min(ts) FILTER (event_type = 'view') AS t_view,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_signup) AS BIGINT) AS n_signup,
+           CAST(count(CASE WHEN t_view > t_signup THEN 1 END) AS BIGINT)
+             AS n_signup_view,
+           CAST(count(CASE WHEN t_purchase > t_view AND t_view > t_signup THEN 1 END)
+             AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis — ordered-step conversion counts under the
+    FIRST-OCCURRENCE definition (the user's first view happened after
+    their first signup, first purchase after that; the stricter
+    any-qualifying-subsequence form needs a per-user ordered scan —
+    a sessionize_gaps-style window — where this shape needs none):
+    conditional-min aggregates collapse each user to one row of
+    first-occurrence timestamps, then one global aggregate counts
+    stage survivors. Two map-side-combined
+    aggregations, one shuffle keyed by user, final single-row
+    reduce — the shape that holds at any user cardinality (no join,
+    no window, no per-user explode). NULL-safe by construction:
+    missing stages are NULL and comparisons with NULL drop the user
+    from later stages exactly like the oracle's CASE arms."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count("t_signup").cast("bigint").alias("n_signup"),
+        F.count(F.when(F.col("t_view") > F.col("t_signup"), 1))
+        .cast("bigint")
+        .alias("n_signup_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_view"))
+                & (F.col("t_view") > F.col("t_signup")),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )
