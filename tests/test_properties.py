@@ -515,3 +515,62 @@ def test_bloom_matches_python_mirror(spark, keys, probes):
         assert got[p] == expect, f"key {p}: spark={got[p]} python={expect}"
         if p in set(keys):
             assert got[p], f"false negative on inserted key {p}"
+
+
+# ---------------------------------------------------------- sessionize
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=200 * 60_000),  # ts offset ms
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(evs=session_events)
+def test_sessionize_gaps_matches_python_mirror(spark, evs):
+    """Random event streams (duplicate timestamps, exact-boundary
+    gaps, single-event users) must sessionize identically to a
+    sequential Python mirror of the >30-minute rule."""
+    import datetime as dt
+
+    from promptly_data_pipelines_spark.operators.windows import (
+        SESSION_GAP_MS,
+        sessionize_gaps,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(milliseconds=off), int(u), "view", 1.0, "{}")
+        for i, (u, off) in enumerate(evs)
+    ]
+    d = str(os.path.join(tempfile.gettempdir(), f"pdp_sess_prop_{uuid.uuid4().hex}"))
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in sessionize_gaps(spark, d).collect()
+    }
+
+    # python mirror: per user, order by (ms, event_id), new session on
+    # gap > SESSION_GAP_MS
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, off) in enumerate(evs):
+        per_user.setdefault(u, []).append((off, i))
+    want: dict[tuple[int, int], int] = {}
+    for u, lst in per_user.items():
+        lst.sort()
+        idx = 0
+        prev = None
+        for off, _i in lst:
+            if prev is None or off - prev > SESSION_GAP_MS:
+                idx += 1
+            want[(u, idx)] = want.get((u, idx), 0) + 1
+            prev = off
+    assert got == want
+    shutil.rmtree(d, ignore_errors=True)
