@@ -182,6 +182,7 @@ def _load_all() -> None:
     from .extensions import (  # noqa: F401
         curation,
         dedup,
+        lines,
         multimodal,
         packing,
         sampling,

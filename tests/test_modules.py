@@ -1278,3 +1278,51 @@ def test_run_suite_empty_raises(spark):
         run_suite({})
     with _pytest.raises(ValueError, match="empty check suite"):
         run_suite_config(spark, SF_DIR, suite=[])
+
+
+def test_line_dedup_strips_boilerplate_keeps_order(spark):
+    """Semantic pin for line_dedup on a hand-built corpus: the shared
+    template line disappears from every doc, content lines survive in
+    original order, and a template-only doc drops out entirely."""
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.extensions.lines import line_dedup
+
+    tpl = "cookie banner accept all"
+    lines = []
+    for doc in range(6):
+        lines.append(Row(doc_id=doc, seg_idx=0, line=tpl))
+        if doc < 5:  # doc 5 is template-only
+            lines.append(Row(doc_id=doc, seg_idx=1, line=f"unique content {doc} a"))
+            lines.append(Row(doc_id=doc, seg_idx=2, line=f"unique content {doc} b"))
+    out = {
+        r.doc_id: (r.n_lines_kept, r.clean_text)
+        for r in line_dedup(spark.createDataFrame(lines), min_doc_freq=5).collect()
+    }
+    assert 5 not in out, "template-only doc must drop"
+    for doc in range(5):
+        assert out[doc] == (
+            2,
+            f"unique content {doc} a unique content {doc} b",
+        ), f"doc {doc}: template not stripped or order lost"
+
+
+def test_line_dedup_threshold_boundary(spark):
+    """A line in exactly min_doc_freq-1 docs survives; at the
+    threshold it is boilerplate. Repeats of a line WITHIN one doc do
+    not inflate its document frequency (count is DISTINCT docs)."""
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.extensions.lines import line_dedup
+
+    rows = []
+    for doc in range(4):
+        rows.append(Row(doc_id=doc, seg_idx=0, line="shared by four docs x"))
+    for doc in range(3):
+        rows.append(Row(doc_id=doc, seg_idx=1, line="shared by three docs y"))
+    # same line twice inside doc 0: df stays 3, not 4
+    rows.append(Row(doc_id=0, seg_idx=2, line="shared by three docs y"))
+    out = {r.doc_id: r.clean_text for r in line_dedup(spark.createDataFrame(rows), min_doc_freq=4).collect()}
+    assert all("shared by four docs x" not in t for t in out.values())
+    assert out[1] == "shared by three docs y"
+    assert out[0] == "shared by three docs y shared by three docs y"

@@ -411,3 +411,21 @@ def test_curation_map_side_ops_have_no_shuffle(spark):
         p = _plan(spark, name)
         assert "Exchange" not in p, f"{name}: unexpected shuffle"
         assert "EvalPython" not in p, f"{name}: unexpected Python"
+
+
+def test_line_dedup_hot_census_broadcast(spark):
+    """Boilerplate-line removal must broadcast the hot-line census into
+    the anti-join — the line stream (corpus-sized, exploded) never
+    shuffles for the filter. The census side is tiny by construction
+    (only lines with doc-frequency >= threshold survive), so at 100 TB
+    the broadcast is bounded by the boilerplate vocabulary, not the
+    corpus. Also: the lines frame is persisted once and feeds both the
+    census and the anti-join probe (signature-table pattern)."""
+    p = _plan(spark, "text_line_dedup")
+    tree = p.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin LeftAnti" in tree, "hot-line census not broadcast-anti-joined"
+    assert "InMemoryRelation" in tree, "lines frame no longer persisted"
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
+    assert len(scan_ids) <= 1, f"corpus scanned more than once ({scan_ids})"
