@@ -1,0 +1,164 @@
+"""Learned quality/routing filters: distributed Naive Bayes.
+
+Web-corpus pipelines gate documents with cheap learned classifiers
+(fastText language ID, logistic quality scorers trained on
+reference-vs-crawl text). The trainable core those share is: featurize
+→ count statistics per class over the training split → broadcast the
+model → score the corpus in one pass. This module implements that
+loop natively in Spark as a multinomial Naive Bayes with add-one
+smoothing — the model IS two count tables, so training is two
+map-side-combined groupBys and "deploying" the model is a broadcast
+join, no ML runtime needed.
+
+The registered task predicts each held-out document's ``lang`` from
+its words (labels exist in the fixture corpus, making accuracy
+oracle-checkable end to end). The identical shape serves
+quality classification: label = reference-corpus membership, features
+= words or char n-grams.
+
+Scale design (100 TB):
+- the training pass is bounded by (classes × vocabulary), and the
+  model tables broadcast (the exploded corpus token stream never
+  shuffles against them);
+- scoring aggregates the token stream to (doc, word, multiplicity)
+  FIRST, then expands ×|classes| — the expansion runs on the
+  compressed per-doc vocabulary, not the raw token stream;
+- the argmax is a per-doc window over |classes| rows.
+
+Float-parity note: log-likelihoods are sums of ln() of exact integer
+ratios; ln and the sum order differ across engines in the last ulps,
+so scores are rounded (6dp) BEFORE the argmax ordering in BOTH
+engines, and the reported score is rounded at 4dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .sampling import TRAIN_BUCKET, hash_bucket
+from .text import words
+
+_SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+
+
+@query(
+    "classify_nb_lang",
+    registered=False,
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             {_SQL_BUCKET} < {TRAIN_BUCKET} AS is_train
+      FROM documents
+    ),
+    train_toks AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      FROM split WHERE is_train
+    ),
+    cnt AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM cnt),
+    priors AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM split WHERE is_train GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM split WHERE is_train),
+    test_toks AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      FROM split WHERE NOT is_train
+    ),
+    doc_words AS (
+      SELECT doc_id, true_lang, word, CAST(count(*) AS BIGINT) AS m
+      FROM test_toks GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.doc_id, d.true_lang, p.lang,
+             ln(CAST(p.n_docs AS DOUBLE) / n.n_train)
+               + sum(d.m * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + vocab.v)))
+               AS score
+      FROM doc_words d
+      CROSS JOIN priors p
+      JOIN tot t ON p.lang = t.lang
+      CROSS JOIN vocab CROSS JOIN n
+      LEFT JOIN cnt c ON c.lang = p.lang AND c.word = d.word
+      GROUP BY d.doc_id, d.true_lang, p.lang, p.n_docs, n.n_train
+    )
+    SELECT doc_id, true_lang, lang AS pred_lang,
+           round(score, 4) AS score,
+           lang = true_lang AS correct
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train multinomial NB on the hash-split train documents, predict
+    ``lang`` for every held-out document. Returns (doc_id, true_lang,
+    pred_lang, score, correct)."""
+    d = table(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id", "lang", "text", (hash_bucket("doc_id") < TRAIN_BUCKET).alias("is_train")
+    )
+    train = split.filter("is_train")
+    test = split.filter("NOT is_train")
+
+    train_toks = train.select("lang", F.explode_outer(words("text")).alias("word")).filter(
+        F.col("word").isNotNull()
+    )
+    cnt = train_toks.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
+    vocab = cnt.agg(F.countDistinct("word").alias("v"))
+    priors = train.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    n = train.agg(F.count("*").cast("bigint").alias("n_train"))
+
+    test_toks = test.select(
+        "doc_id", F.col("lang").alias("true_lang"), F.explode_outer(words("text")).alias("word")
+    ).filter(F.col("word").isNotNull())
+    doc_words = test_toks.groupBy("doc_id", "true_lang", "word").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+
+    model = (
+        priors.join(tot, "lang")
+        .crossJoin(vocab)
+        .crossJoin(n)
+        .select("lang", "n_docs", "tot", "v", "n_train")
+    )
+    cnt_k = cnt.select(F.col("lang").alias("c_lang"), F.col("word").alias("c_word"), "c")
+    expanded = (
+        doc_words.crossJoin(F.broadcast(model))
+        .join(
+            F.broadcast(cnt_k),
+            (F.col("lang") == F.col("c_lang")) & (F.col("word") == F.col("c_word")),
+            "left",
+        )
+    )
+    scored = expanded.groupBy("doc_id", "true_lang", "lang", "n_docs", "n_train").agg(
+        (
+            F.log(F.first("n_docs").cast("double") / F.first("n_train"))
+            + F.sum(
+                F.col("m")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+            )
+        ).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), "lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("lang").alias("pred_lang"),
+            F.round("score", 4).alias("score"),
+            (F.col("lang") == F.col("true_lang")).alias("correct"),
+        )
+    )

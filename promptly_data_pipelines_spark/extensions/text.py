@@ -864,3 +864,154 @@ def text_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice(F.col("ids"), 1, 5), lambda i: i.cast("string")), "-"
         ).alias("ids_head"),
     )
+
+
+# ------------------------------------------------ unicode normalization
+
+
+@query(
+    "text_nfc_normalize",
+    registered=False,
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+           nfc_normalize(raw) AS text_nfc
+    FROM staged
+    """,
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the first step of any multilingual
+    corpus pipeline (mixed NFC/NFD sources make identical strings hash
+    differently, silently breaking exact dedup and tokenizer vocab
+    lookups). The fixture corpus is ASCII, so the staging step
+    manufactures the real-world hazard deterministically: every 'a'
+    becomes 'a' + U+0301 (combining acute) — the DECOMPOSED form of
+    'á' — and normalization must re-compose it (1 char, not 2; char
+    counts prove it happened).
+
+    Java's String has no normalizer reachable from Spark SQL exprs, so
+    this is a legitimate Python-path op: an Arrow-vectorized pandas
+    UDF over ``unicodedata.normalize`` (zero per-row Python calls at
+    the Spark boundary; the loop is C-level inside the batch). Pure
+    map-side — no shuffle, partitioning follows the scan."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    nfc = pandas_udf(_nfc_fn, "string")
+
+    d = table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        # 'a' + U+0301 combining acute: the DECOMPOSED form (2 chars)
+        F.regexp_replace("text", "a", "a\u0301").alias("raw"),
+    )
+    return staged.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("n_chars_raw"),
+        F.length(nfc(F.col("raw"))).cast("bigint").alias("n_chars_nfc"),
+        nfc(F.col("raw")).alias("text_nfc"),
+    )
+
+
+# ------------------------------------------------ collocation mining (PMI)
+
+PMI_MIN_COUNT = 5  # bigrams below this support are noise
+
+
+@query(
+    "text_pmi_bigrams",
+    registered=False,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(w) AS tok FROM toks
+    ),
+    ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ucnt),
+    big AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    btot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bcnt)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+           round(ln((CAST(c12 AS DOUBLE) / nb) /
+                    ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 4)
+             AS pmi
+    FROM bcnt
+    JOIN ucnt u1 ON bcnt.w1 = u1.tok
+    JOIN ucnt u2 ON bcnt.w2 = u2.tok
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE c12 >= {PMI_MIN_COUNT}
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, the standard phrase-detection statistic (Church &
+    Hanks 1990; word2vec's phrase pass uses the same score). High-PMI
+    pairs become tokenizer merge candidates / phrase units; a support
+    floor ({PMI_MIN_COUNT}) kills the long noise tail.
+
+    Scale: bigrams come from an in-row slice (zip of w with its own
+    tail) — the explode is corpus-token-sized, the counts are
+    map-side-combined groupBys, and the unigram table joins back by
+    word (vocabulary-sized, broadcastable). The two grand totals are
+    single-row frames cross-joined in (broadcast by definition). PMI
+    is rounded at 4dp: the inputs to ln() are exact integer ratios,
+    but ln itself may differ in the last ulp across libm
+    implementations."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(words("text").alias("w"))
+    uni = toks.select(F.explode("w").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = ucnt.agg(F.sum("c").cast("bigint").alias("n"))
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    btot = bcnt.agg(F.sum("c12").cast("bigint").alias("nb"))
+    u1 = ucnt.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    out = (
+        bcnt.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(F.broadcast(u1), F.col("w1") == F.col("t1"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("t2"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c12").cast("bigint").alias("pair_count"),
+        F.round(
+            F.log(
+                (F.col("c12").cast("double") / F.col("nb"))
+                / (
+                    (F.col("c1").cast("double") / F.col("n"))
+                    * (F.col("c2").cast("double") / F.col("n"))
+                )
+            ),
+            4,
+        ).alias("pmi"),
+    )

@@ -393,3 +393,39 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "agg_percentiles",
+    registered=False,
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           min(l_quantity) AS q_min,
+           max(l_quantity) AS q_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linearly-interpolated quartiles per group (both engines
+    implement type R-7: rank (n-1)·p, interpolate between floor/ceil
+    neighbors). percentile() is a full-sort-per-group aggregate — the
+    exact form is for dashboard-grade small groups; the 100 TB path is
+    approx_percentile (KLL sketch, mergeable, one pass), demonstrated
+    by dq_profile. Oracle-parity note: quartile fractions (0, .25, .5,
+    .75) are binary-exact and l_quantity is integral, so interpolation
+    is exact in both engines with NO rounding; a non-dyadic fraction
+    (0.9) or fractional inputs would differ in the last ulp between
+    the engines' interpolation formulas and would need a rounding
+    policy."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("q25"),
+        F.percentile(q, F.lit(0.50)).alias("q50"),
+        F.percentile(q, F.lit(0.75)).alias("q75"),
+        F.min(q).alias("q_min"),
+        F.max(q).alias("q_max"),
+    )

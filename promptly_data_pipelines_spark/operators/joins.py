@@ -489,3 +489,60 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("active")
         .alias("status"),
     )
+
+
+@query(
+    "join_fuzzy",
+    registered=False,
+    oracle="""
+    WITH dirty AS (
+      SELECT s_suppkey AS d_key,
+             CASE
+               WHEN s_suppkey % 7 = 0 THEN replace(s_name, 'Supplier', 'Company')
+               WHEN s_suppkey % 3 = 0 THEN replace(s_name, 'Supplier', 'Suplier')
+               WHEN s_suppkey % 3 = 1 THEN replace(s_name, 'Supplier', 'Supplyer')
+               ELSE s_name
+             END AS d_name
+      FROM supplier
+    ),
+    blocked AS (
+      SELECT d.d_key, d.d_name, s.s_suppkey, s.s_name,
+             levenshtein(d.d_name, s.s_name) AS edit_dist
+      FROM dirty d JOIN supplier s ON right(d.d_name, 4) = right(s.s_name, 4)
+    )
+    SELECT d_key, d_name, s_suppkey, s_name, CAST(edit_dist AS INT) AS edit_dist
+    FROM blocked WHERE edit_dist <= 2
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: blocked fuzzy (Levenshtein ≤ 2) join of a dirty
+    name roll against the clean supplier dimension — the classic
+    entity-resolution shape (dirty CRM export vs master table). The
+    staging step derives the dirty side deterministically: one-edit
+    misspellings ('Suplier', 'Supplyer'), untouched names, and an
+    over-threshold rewrite ('Company#…') that must be REJECTED by the
+    distance filter, proving the threshold does work.
+
+    Scale design: Levenshtein is O(|a|·|b|) per pair, so the join is
+    BLOCKED — candidate pairs only form inside a cheap equality block
+    (here the 4-char numeric suffix that survives all the edits; in
+    production a phonetic key or q-gram prefix), turning an all-pairs
+    O(n²) into an equi-join Catalyst shuffles/broadcasts like any
+    other. The distance UDF-free: F.levenshtein is a JVM built-in
+    inside WholeStageCodegen."""
+    s = table(spark, sf_dir, "supplier")
+    dirty = s.select(
+        F.col("s_suppkey").alias("d_key"),
+        F.when(F.col("s_suppkey") % 7 == 0, F.regexp_replace("s_name", "Supplier", "Company"))
+        .when(F.col("s_suppkey") % 3 == 0, F.regexp_replace("s_name", "Supplier", "Suplier"))
+        .when(F.col("s_suppkey") % 3 == 1, F.regexp_replace("s_name", "Supplier", "Supplyer"))
+        .otherwise(F.col("s_name"))
+        .alias("d_name"),
+    )
+    clean = s.select("s_suppkey", "s_name")
+    blocked = dirty.join(
+        clean, F.substring(F.col("d_name"), -4, 4) == F.substring(F.col("s_name"), -4, 4)
+    ).withColumn("edit_dist", F.levenshtein("d_name", "s_name"))
+    return blocked.filter(F.col("edit_dist") <= 2).select(
+        "d_key", "d_name", "s_suppkey", "s_name", F.col("edit_dist").cast("int").alias("edit_dist")
+    )

@@ -159,3 +159,65 @@ def write_jdbc(df: DataFrame, url: str, dbtable: str, mode: str = "append", **op
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+@query(
+    "scan_orc_roundtrip",
+    registered=False,
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-tier format coverage: ORC sink + scan. ORC is the other
+    columnar format a lakehouse ingest layer meets (Hive-era tables);
+    Spark's native vectorized ORC reader gives it the same pushdown /
+    pruning story as Parquet. Round-trips nation → ORC → back, so the
+    oracle is the source table: any type or value damage in the
+    writer/reader shows as a parity break."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_orc_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    n = table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").orc(out)
+    return spark.read.schema(n.schema).orc(out).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    registered=False,
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-tier format coverage: JSON-Lines sink + schema-declared scan —
+    the interchange format of LLM training corpora (one JSON doc per
+    line). Two pitfalls this query pins down:
+
+    - timestamps: Spark's default JSON timestampFormat writes
+      MILLIsecond precision, silently truncating the micros the
+      fixture events carry — both writer and reader must declare a
+      6-digit fractional format or the round-trip is lossy;
+    - schema: the read declares the writer's schema (no inference
+      pass); the embedded JSON string in ``props`` stays an opaque
+      string, exactly as a schema-on-read raw layer should treat it.
+
+    At 100 TB JSONL is strictly worse than Parquet (no pushdown, no
+    column pruning, ~4× the bytes) — this op exists for corpus
+    interchange at the pipeline edges, not for intermediate storage."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_jsonl_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev = table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").option("timestampFormat", ts_fmt).json(out)
+    return (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", ts_fmt)
+        .option("mode", "FAILFAST")  # corrupt interchange data must
+        # fail loudly here; the PERMISSIVE/quarantine path is the
+        # badrecords module's job
+        .json(out)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )

@@ -344,3 +344,72 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_full_funnel"),
     )
+
+
+@query(
+    "events_gap_fill",
+    registered=False,
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    f AS (
+      SELECT c.user_id, c.day, d.n, d.v
+      FROM cal c LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           coalesce(n, CAST(0 AS BIGINT)) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           n IS NULL AS is_gap
+    FROM f
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily rollup, then the
+    missing calendar days inside each user's active span are
+    materialized (``sequence`` of dates exploded per user — the
+    calendar is generated from each group's own min/max, never a
+    driver-side date loop) and the last observed daily value is
+    carried forward (``last(..., ignorenulls)`` running window). The
+    pattern behind feature stores and monitoring rollups: downstream
+    models need one row per entity per period, not a sparse stream.
+
+    Scale: the rollup is one map-side-combined aggregation; the
+    calendar explode is bounded by span-days per user (not corpus
+    rows); the forward-fill window partitions by user, so state is one
+    value per partition — no global sort anywhere. Daily sums are
+    rounded at the inputs' 2-decimal width (the aggregates.py parity
+    discipline) BEFORE the fill, so the carried value is identical in
+    both engines."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("v"),
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    f = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("n").isNull().alias("is_gap"),
+    )

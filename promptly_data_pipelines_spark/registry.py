@@ -180,8 +180,10 @@ def _load_all() -> None:
         reference_pipeline,
     )
     from .extensions import (  # noqa: F401
+        classify,
         curation,
         dedup,
+        graph,
         lines,
         multimodal,
         packing,

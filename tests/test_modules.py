@@ -1326,3 +1326,69 @@ def test_line_dedup_threshold_boundary(spark):
     assert all("shared by four docs x" not in t for t in out.values())
     assert out[1] == "shared by three docs y"
     assert out[0] == "shared by three docs y shared by three docs y"
+
+
+def test_pagerank_matches_python_mirror_and_conserves_mass(spark):
+    """pagerank_scaled vs a sequential integer mirror on a seeded
+    random symmetric graph: values must be bit-identical (the whole
+    point of the fixed-point design), and total mass may only shrink,
+    by less than one scaled unit per edge per iteration (floor loss)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.extensions.graph import (
+        BASE,
+        N_ITER,
+        SCALE,
+        pagerank_scaled,
+    )
+
+    rng = random.Random(20260814)
+    n = 60
+    pairs = set()
+    for _ in range(300):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            pairs.add((a, b))
+            pairs.add((b, a))  # symmetric: no dangling nodes
+    edges = sorted(pairs)
+
+    out_edges = {}
+    for s, d in edges:
+        out_edges.setdefault(s, []).append(d)
+    nodes = sorted(out_edges)
+    r = {v: SCALE for v in nodes}
+    for _ in range(N_ITER):
+        acc = {v: 0 for v in nodes}
+        for s, ds in out_edges.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                acc[d] += c
+        r = {v: BASE + (85 * acc[v]) // 100 for v in nodes}
+
+    df = pagerank_scaled(
+        spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    )
+    got = {row.node: row.rank_scaled for row in df.collect()}
+    assert got == r, "distributed ranks differ from the sequential mirror"
+    # mass conservation: per iteration the update keeps ≤ 100% of mass
+    # (floor loss per edge + the 85/100 floor per node), never grows
+    assert sum(got.values()) <= n * SCALE
+    assert sum(got.values()) >= n * BASE
+
+
+def test_nb_classifier_beats_chance_and_is_deterministic(spark):
+    """The NB language classifier must extract the (weak) real signal
+    in the synthetic corpus: accuracy above the 5-class chance floor,
+    and bit-identical across runs (hash split + count model = no RNG)."""
+    from promptly_data_pipelines_spark.registry import run
+
+    a = run("classify_nb_lang", spark, SF_DIR)
+    rows = {r.doc_id: r.pred_lang for r in a.collect()}
+    n = len(rows)
+    correct = sum(1 for r in a.collect() if r.correct)
+    assert n > 50
+    assert correct / n > 0.25, f"accuracy {correct/n:.2f} not above chance"
+    again = {r.doc_id: r.pred_lang for r in run("classify_nb_lang", spark, SF_DIR).collect()}
+    assert rows == again
