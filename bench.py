@@ -85,6 +85,17 @@ SECONDARY = [
     # r5: the one-pass Expand-based column profiler (cheap; tracked so
     # a regression to per-column jobs shows up as a step change)
     "dq_profile",
+    # r6 (session 2): the boilerplate tier — line dedup (line-keyed
+    # census shuffle + broadcast anti-join + doc reassembly) and the
+    # sliding-gram duplicated-span fraction (the heavy one: ~n_tokens
+    # gram rows per doc through a census + semi-join) — plus the graph
+    # tier's 3-iteration integer PageRank (edges build + 3 join/agg
+    # rounds) and the NB classifier (train counts + broadcast-scored
+    # token stream + argmax window)
+    "text_line_dedup",
+    "text_dup_span_fraction",
+    "graph_pagerank",
+    "classify_nb_lang",
     # r6 curation tier, tracked from introduction: the bloom-prefiltered
     # dim-fact join (two jobs: bitset agg + join), the SemDeDup-style
     # keep-best cell dedup (one window shuffle), RAG chunking (pure

@@ -550,3 +550,111 @@ def eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------- BPE merge training
+
+BPE_MERGES = 6  # merge rounds the registered trainer runs
+BPE_MIN_PAIR = 2  # stop early below this support
+
+
+def bpe_merge_step(seqs: DataFrame, tok_a: str, tok_b: str) -> DataFrame:
+    """Apply ONE merge (tok_a, tok_b) -> tok_a||tok_b to every symbol
+    sequence, greedy left-to-right non-overlapping — the classic BPE
+    scan, as an in-row ``aggregate`` fold (no UDF): walk the symbols,
+    and when the accumulator's tail is tok_a and the current symbol is
+    tok_b, replace the tail with the merged symbol. Non-overlap holds
+    because a just-merged tail equals tok_a||tok_b, which can never
+    equal tok_a again (tok_b is non-empty)."""
+    merged = tok_a + tok_b
+    return seqs.withColumn(
+        "seq",
+        F.aggregate(
+            "seq",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(tok_a))
+                & (x == F.lit(tok_b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ),
+    )
+
+
+def bpe_train(wc: DataFrame, n_merges: int = BPE_MERGES) -> list:
+    """Byte-pair-encoding trainer (Sennrich et al. 2016) over a
+    word-frequency table (word, n). Returns the merge list
+    [(step, tok_a, tok_b, merged, pair_count)].
+
+    Scale design: real BPE trainers never iterate the corpus — they
+    iterate the WORD-COUNT table, which is vocabulary-sized (Heaps'
+    law: ~millions of rows at 100 TB, not billions), after ONE corpus
+    shuffle builds it. Each round is: weighted adjacent-pair count
+    (in-row pairing, map-side-combined groupBy), a driver-side argmax
+    of ONE row (the merge decision is model metadata — the same
+    driver/executor split every distributed trainer uses), and a
+    map-side fold applying the merge. Rounds persist + unpersist their
+    sequence table so lineage stays flat over hundreds of merges."""
+    from pyspark.storagelevel import StorageLevel
+
+    seqs = wc.select("n", F.split("word", "").alias("seq")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges = []
+    for step in range(n_merges):
+        pairs = (
+            seqs.filter(F.size("seq") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.transform(
+                        F.slice(F.col("seq"), 1, F.size("seq") - 1),
+                        lambda x, i: F.struct(
+                            x.alias("a"), F.element_at(F.col("seq"), i + 2).alias("b")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "a", "b").first()
+        if best is None or best.c < BPE_MIN_PAIR:
+            break
+        merges.append((step, best.a, best.b, best.a + best.b, int(best.c)))
+        nxt = bpe_merge_step(seqs, best.a, best.b).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()  # materialize before dropping the parent cache
+        seqs.unpersist()
+        seqs = nxt
+    seqs.unpersist()
+    return merges
+
+
+@query("bpe_train_merges", registered=False)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_MERGES} BPE merges on the corpus word counts and
+    return the merge table — the tokenizer model a downstream
+    ``text_tokenize_vocab``-style applier would consume. No SQL oracle:
+    the merge loop is iterative with a data-dependent argmax per round
+    (not expressible as one query); correctness is pinned instead by
+    an exact-equality property test against a sequential reference
+    BPE (tests/test_properties.py), the same evidence pattern as
+    connected components."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode_outer(words("text")).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = bpe_train(wc)
+    if not rows:
+        return spark.createDataFrame(
+            [], "step int, tok_a string, tok_b string, merged string, pair_count bigint"
+        )
+    return spark.createDataFrame(
+        rows, "step int, tok_a string, tok_b string, merged string, pair_count bigint"
+    )

@@ -156,3 +156,138 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select("doc_id", _template_col().alias("text"))
     lines = split_lines(staged).persist(StorageLevel.MEMORY_AND_DISK)
     return line_dedup(lines)
+
+
+# ------------------------------------------- duplicated-span fraction
+
+GRAM_TOKENS = 8  # sliding n-gram width for cross-doc span duplication
+GRAM_HOT_DF = 3  # an n-gram in >= this many docs marks a duplicated span
+
+# 8-token per-site template: exactly one template-pure 8-gram per doc
+# (position 0); grams that straddle template and content are
+# doc-specific and must NOT count as duplicated.
+_SPAN_TEMPLATE_SQL = (
+    "'site ' || source || ' home login privacy terms contact about ' || text"
+)
+
+
+def _span_template_col() -> F.Column:
+    return F.concat_ws(
+        " ",
+        F.lit("site"),
+        F.col("source"),
+        F.lit("home login privacy terms contact about"),
+        F.col("text"),
+    )
+
+
+@query(
+    "text_dup_span_fraction",
+    registered=False,
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {_SPAN_TEMPLATE_SQL} AS text FROM documents
+    ),
+    t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM staged
+    ),
+    g AS (
+      SELECT doc_id, len(w) AS n_tokens, unnest(range(0, len(w) - {GRAM_TOKENS} + 1)) AS pos, w
+      FROM t WHERE len(w) >= {GRAM_TOKENS}
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, pos,
+             array_to_string(w[pos + 1 : pos + {GRAM_TOKENS}], ' ') AS gram
+      FROM g
+    ),
+    hot AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= {GRAM_HOT_DF}
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(flatten(
+               list_transform(list(pos), p -> range(p, p + {GRAM_TOKENS}))
+             ))) AS BIGINT) AS n_dup_tokens
+      FROM grams WHERE gram IN (SELECT gram FROM hot)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
+           CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE) / len(t.w) AS dup_frac
+    FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """,
+)
+def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction — the RefinedWeb/Gopher
+    ``dup_ngram_frac`` quality signal: which share of a document's
+    tokens sits inside an {GRAM_TOKENS}-gram that also appears in >=
+    {GRAM_HOT_DF} other documents. Line dedup REMOVES aligned
+    boilerplate; this measures UNALIGNED duplication (quotes, mirrored
+    passages, licence blocks at arbitrary offsets) as a per-doc filter
+    feature. Staging injects an 8-token site template so each doc
+    carries exactly one template-pure gram; straddling grams are
+    doc-specific and must not be counted.
+
+    Scale: sliding grams explode ~n_tokens rows/doc (vs the line
+    tier's n/width) — this op is the expensive one of the family, so
+    the hot census joins back SEMI (broadcast, grams stream never
+    shuffles) and coverage is computed in-row from match positions
+    (union of [pos, pos+{GRAM_TOKENS}) intervals via
+    sequence/flatten/array_distinct), one groupBy(doc) of the
+    match rows only. The final fraction is an exact integer ratio —
+    emitted unrounded because identical int inputs divide identically
+    in both engines."""
+    d = table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", _span_template_col().alias("text"))
+    w = words("text")
+    t = staged.select("doc_id", w.alias("w"))
+    g = t.filter(F.size("w") >= GRAM_TOKENS).select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.col("w"),
+        F.explode(F.sequence(F.lit(0), F.size("w") - GRAM_TOKENS)).alias("pos"),
+    )
+    grams = g.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.array_join(F.slice(F.col("w"), F.col("pos") + 1, F.lit(GRAM_TOKENS)), " ").alias(
+            "gram"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("gram_df"))
+        .filter(F.col("gram_df") >= GRAM_HOT_DF)
+        .select("gram")
+    )
+    cov = (
+        grams.join(F.broadcast(hot), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.size(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.collect_list("pos"),
+                            lambda p: F.sequence(p, p + GRAM_TOKENS - 1),
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("n_dup_tokens")
+        )
+    )
+    base = t.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0).cast("bigint")).alias("n_dup_tokens"),
+        (
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens")
+        ).alias("dup_frac"),
+    )

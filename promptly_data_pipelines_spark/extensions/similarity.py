@@ -427,3 +427,89 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qv"), F.lit(0).cast("bigint"), lambda a, v: a + F.abs(v)
         ).alias("q_l1"),
     )
+
+
+# ---------------------------------------------------------- PCA projection
+
+PCA_K = 8  # components kept by the registered projection
+
+
+def pca_fit(e: DataFrame, dim: int, k: int = PCA_K):
+    """Distributed PCA fit: one Arrow-batched pass computes per-batch
+    moment partials (n, Σx, Σx·xᵀ) via mapInPandas — vectorized numpy
+    inside each batch, (1 + dim + dim²) scalars out per batch — and
+    the driver combines the partials and eigendecomposes the dim×dim
+    covariance (4096 doubles here: model-sized, like the k-means
+    centroids at extensions/similarity.py:85 — NOT a lineage hazard).
+    Returns (mean: list[float], components: list[list[float]]) with
+    components sorted by descending eigenvalue, each sign-normalized
+    (first nonzero coordinate positive) so the model is deterministic
+    up to float summation order.
+
+    At 100 TB the reduce stays exactly this shape — partials are
+    O(dim²) per batch regardless of rows; only eigh is driver-side,
+    on a matrix whose size is data-independent."""
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "o": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        moments, schema="n long, s array<double>, o array<double>"
+    ).collect()
+    import numpy as np
+
+    n = sum(p.n for p in parts)
+    s = np.sum([p.s for p in parts], axis=0)
+    o = np.sum([p.o for p in parts], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :k].T  # top-k rows
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = np.flatnonzero(np.abs(comps[i]) > 1e-12)
+        if len(j) and comps[i, j[0]] < 0:
+            comps[i] = -comps[i]
+    return mean.tolist(), comps.tolist()
+
+
+@query("embedding_pca_project", registered=False)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction before ANN indexing / semantic dedup:
+    project every embedding onto the top-{PCA_K} principal components
+    (fit distributed, see pca_fit). The projection itself is a pure
+    JVM expression — the mean and components inline as array literals
+    (model-sized), each output coordinate a zip_with dot product — so
+    the scoring pass is map-side, no Python, no shuffle. No SQL
+    oracle: eigendecomposition is not SQL-expressible; correctness is
+    pinned by a property test against numpy full-data PCA
+    (tests/test_properties.py), tolerance-based because covariance
+    partials sum in partition order."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.select("embedding").first()
+    if probe is None:
+        # empty corpus: there is nothing to fit or project — an empty,
+        # schema-stable frame, not a crash (degenerate-input sweep)
+        return spark.createDataFrame([], "vec_id bigint, label int, proj array<double>")
+    dim = len(probe.embedding)
+    mean, comps = pca_fit(e, dim)
+    m_lit = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), m_lit, lambda x, m: x - m
+    )
+    proj = F.array(
+        *[
+            dot(centered, F.array(*[F.lit(float(v)) for v in c])).alias(f"p{i}")
+            for i, c in enumerate(comps)
+        ]
+    )
+    return e.select("vec_id", "label", proj.alias("proj"))

@@ -429,3 +429,16 @@ def test_line_dedup_hot_census_broadcast(spark):
 
     scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
     assert len(scan_ids) <= 1, f"corpus scanned more than once ({scan_ids})"
+
+
+def test_dup_span_census_broadcast_single_scan(spark):
+    """The duplicated-span census must broadcast into a LeftSemi join
+    against the gram stream (corpus-sized sliding grams never shuffle
+    for the filter), and the persisted grams frame must collapse the
+    corpus to a single parquet scan."""
+    p = _plan(spark, "text_dup_span_fraction")
+    tree = p.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree, (
+        "hot-gram census is not a broadcast semi join"
+    )
+    assert "InMemoryRelation" in tree, "grams frame no longer persisted"

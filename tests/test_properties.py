@@ -574,3 +574,106 @@ def test_sessionize_gaps_matches_python_mirror(spark, evs):
             prev = off
     assert got == want
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_trainer_matches_sequential_reference(spark):
+    """bpe_train vs a from-scratch sequential BPE (Sennrich 2016
+    pseudocode: count weighted adjacent pairs, argmax with (count desc,
+    pair asc) tie-break, greedy left-to-right merge scan) on the real
+    corpus word counts: the merge tables must be identical, step for
+    step. This is the correctness evidence for the iterative trainer —
+    the data-dependent argmax per round makes a one-shot SQL oracle
+    impossible."""
+    from collections import Counter
+
+    import duckdb
+
+    from conftest import SF_DIR
+    from promptly_data_pipelines_spark.extensions.curation import (
+        BPE_MERGES,
+        BPE_MIN_PAIR,
+        bpe_train,
+    )
+    from promptly_data_pipelines_spark.registry import run
+
+    wc_rows = duckdb.connect().execute(
+        f"""SELECT word, count(*) AS n FROM (
+              SELECT unnest(string_split(text, ' ')) AS word
+              FROM read_parquet('{SF_DIR}/documents.parquet'))
+            WHERE word <> '' GROUP BY word"""
+    ).fetchall()
+
+    def seq_bpe(wc, n_merges):
+        seqs = [(list(w), n) for w, n in wc]
+        out = []
+        for step in range(n_merges):
+            counts = Counter()
+            for s, n in seqs:
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] += n
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < BPE_MIN_PAIR:
+                break
+            out.append((step, a, b, a + b, c))
+            merged = a + b
+            nxt = []
+            for s, n in seqs:
+                r, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        r.append(merged)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                nxt.append((r, n))
+            seqs = nxt
+        return out
+
+    expected = seq_bpe(wc_rows, BPE_MERGES)
+    got = [
+        (r.step, r.tok_a, r.tok_b, r.merged, r.pair_count)
+        for r in run("bpe_train_merges", spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    assert len(got) > 0, "corpus must yield at least one merge"
+
+
+def test_pca_projection_matches_numpy_reference(spark):
+    """embedding_pca_project vs single-process numpy PCA on the same
+    vectors: same mean/covariance/eigh pipeline, same sign rule.
+    Tolerance-based (1e-8 absolute on unit-scale data): the
+    distributed covariance sums partials in partition order, so the
+    last float ulps differ from numpy's row order."""
+    import duckdb
+    import numpy as np
+
+    from conftest import SF_DIR
+    from promptly_data_pipelines_spark.extensions.similarity import PCA_K
+    from promptly_data_pipelines_spark.registry import run
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows], dtype="float64")
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :PCA_K].T.copy()
+    for i in range(PCA_K):
+        j = np.flatnonzero(np.abs(comps[i]) > 1e-12)
+        if len(j) and comps[i, j[0]] < 0:
+            comps[i] = -comps[i]
+    expected = (x - mean) @ comps.T
+
+    # eigengap sanity: with a degenerate spectrum the component basis
+    # is not unique and a coordinate-wise compare would be meaningless
+    top = vals[::-1][: PCA_K + 1]
+    assert np.min(np.abs(np.diff(top))) > 1e-9, "degenerate eigengap"
+
+    got_rows = {r.vec_id: r.proj for r in run("embedding_pca_project", spark, SF_DIR).collect()}
+    got = np.array([got_rows[i] for i in ids])
+    np.testing.assert_allclose(got, expected, atol=1e-8)
