@@ -717,3 +717,53 @@ def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"pdp_stream_ij_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(joined, name, ckpt, "append")
     return spark.table(name)
+
+
+@query(
+    "stream_exec_enrich",
+    registered=False,
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, '__unknown__') AS segment,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_id % 10 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def stream_exec_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment through the REAL engine — the most
+    common production streaming shape (curated_provider.sql:66-68's
+    dim join, continuously): staged envelopes → readStream → decode +
+    tombstone filter → join the BATCH customer dim (stream-static
+    joins are stateless; Spark re-reads/broadcasts the static side per
+    micro-batch, so dim updates between batches are picked up) →
+    per-segment aggregation in complete mode into a memory sink.
+
+    The unmatched-key branch is kept observable ('__unknown__')
+    because at scale the dim is eventually consistent with the stream
+    — rows arriving before their dim row is ingested must land
+    somewhere visible, not vanish into an inner join. Oracle: the
+    identical left join + aggregation over the live (non-tombstone)
+    events."""
+    base = _fresh_staging_dir(spark, sf_dir, "stream_enrich")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events")
+    synthesize_envelopes(ev).write.json(src)
+    live = live_rows(read_envelope_stream(spark, src))
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(live, dim, "user_id")
+    agg = enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("__unknown__")).alias("segment"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    sink_name = f"pdp_stream_enrich_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
+    _run_memory_sink(agg, sink_name, ckpt, "complete")
+    return spark.table(sink_name)

@@ -162,3 +162,116 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("true_lang")).alias("correct"),
         )
     )
+
+
+@query(
+    "text_perplexity_buckets",
+    registered=False,
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             {_SQL_BUCKET} < {TRAIN_BUCKET} AS is_train
+      FROM documents
+    ),
+    train_toks AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      FROM split WHERE is_train
+    ),
+    cnt AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM cnt),
+    test_toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      FROM split WHERE NOT is_train
+    ),
+    doc_words AS (
+      SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS m
+      FROM test_toks GROUP BY 1, 2, 3
+    ),
+    ce AS (
+      SELECT d.doc_id, d.lang,
+             -sum(d.m * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + vocab.v)))
+               / sum(d.m) AS h
+      FROM doc_words d
+      JOIN tot t ON d.lang = t.lang
+      CROSS JOIN vocab
+      LEFT JOIN cnt c ON c.lang = d.lang AND c.word = d.word
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, lang, round(h, 4) AS cross_entropy,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM (
+      SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY round(h, 6), doc_id) AS nt
+      FROM ce
+    )
+    """,
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score each held-out document
+    under its own language's unigram LM (trained on the hash split,
+    add-one smoothing — the KenLM role, reduced to order-0 so both
+    engines can compute it exactly) and cut each language into
+    head/middle/tail terciles of cross-entropy. Downstream mixing then
+    samples head-heavy — the CCNet recipe for favoring fluent text
+    without a supervised quality label.
+
+    Scale: identical shape to classify_nb_lang minus the ×|classes|
+    expansion (each doc scores under ONE language) — model broadcast,
+    compressed (doc, word, multiplicity) stream, per-language ntile
+    window (partitioned — never a global sort). Cross-entropy is a
+    quotient of a float sum, so ordering uses round(·,6) with doc_id
+    tiebreak and the reported value rounds at 4dp (the aggregates.py
+    float-parity discipline)."""
+    d = table(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id", "lang", "text", (hash_bucket("doc_id") < TRAIN_BUCKET).alias("is_train")
+    )
+    train = split.filter("is_train")
+    test = split.filter("NOT is_train")
+
+    train_toks = train.select("lang", F.explode_outer(words("text")).alias("word")).filter(
+        F.col("word").isNotNull()
+    )
+    cnt = train_toks.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
+    vocab = cnt.agg(F.countDistinct("word").alias("v"))
+
+    test_toks = test.select("doc_id", "lang", F.explode_outer(words("text")).alias("word")).filter(
+        F.col("word").isNotNull()
+    )
+    doc_words = test_toks.groupBy("doc_id", "lang", "word").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    cnt_k = cnt.select(F.col("lang").alias("c_lang"), F.col("word").alias("c_word"), "c")
+    scored = (
+        doc_words.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(cnt_k),
+            (F.col("lang") == F.col("c_lang")) & (F.col("word") == F.col("c_word")),
+            "left",
+        )
+    )
+    ce = scored.groupBy("doc_id", "lang").agg(
+        (
+            -F.sum(
+                F.col("m")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v"))
+                )
+            )
+            / F.sum("m")
+        ).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy(F.round("h", 6), "doc_id")
+    return ce.withColumn("nt", F.ntile(3).over(w)).select(
+        "doc_id",
+        "lang",
+        F.round("h", 4).alias("cross_entropy"),
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

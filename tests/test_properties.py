@@ -677,3 +677,52 @@ def test_pca_projection_matches_numpy_reference(spark):
     got_rows = {r.vec_id: r.proj for r in run("embedding_pca_project", spark, SF_DIR).collect()}
     got = np.array([got_rows[i] for i in ids])
     np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+# --------------------------------------------------- line dedup property
+
+line_word = st.sampled_from(["x", "y", "z", "nav"])
+line_text = st.lists(line_word, min_size=1, max_size=3).map(" ".join)
+line_corpus = st.lists(  # doc -> its ordered lines
+    st.lists(line_text, min_size=1, max_size=5), min_size=1, max_size=8
+)
+
+
+@SETTINGS
+@given(corpus=line_corpus)
+def test_line_dedup_matches_python_mirror(spark, corpus):
+    """line_dedup vs a direct Python mirror on tiny random corpora
+    drawn from a 4-word vocabulary (forces cross-doc line collisions,
+    within-doc repeats, and all-hot documents): kept-line reassembly
+    and the distinct-doc census must agree exactly."""
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.extensions.lines import line_dedup
+
+    min_df = 3
+    rows = [
+        Row(doc_id=d, seg_idx=i, line=ln)
+        for d, lines in enumerate(corpus)
+        for i, ln in enumerate(lines)
+    ]
+
+    docs_per_line = defaultdict(set)
+    for r in rows:
+        docs_per_line[r.line].add(r.doc_id)
+    hot = {ln for ln, ds in docs_per_line.items() if len(ds) >= min_df}
+    expected = {}
+    for d, lines in enumerate(corpus):
+        kept = [ln for ln in lines if ln not in hot]
+        if kept:
+            expected[d] = (len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_lines_kept, r.clean_text)
+        for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, seg_idx long, line string"),
+            min_doc_freq=min_df,
+        ).collect()
+    }
+    assert got == expected
