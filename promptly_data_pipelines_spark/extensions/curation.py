@@ -658,3 +658,53 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, tok_a string, tok_b string, merged string, pair_count bigint"
     )
+
+
+@query("bpe_apply_compression", registered=False)
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer loop: train {BPE_MERGES} merges
+    (bpe_train), then APPLY them to every document and report the
+    per-doc symbol counts before/after — the compression the learned
+    merges buy, which is the number a tokenizer-budget planner needs
+    per corpus slice. Application replays the merge list in training
+    order over each doc's char stream with the same in-row greedy fold
+    the trainer uses (bpe_merge_step), so apply-time tokenization is
+    definitionally consistent with training. Per-word fold via an
+    in-row nested transform: docs explode to words ONCE, fold, then
+    re-aggregate counts — one shuffle per direction, model inlined as
+    plan literals.
+
+    No SQL oracle (data-dependent merge list); correctness rides on
+    the trainer's exact-equality property test plus the apply
+    invariants pinned in tests/test_modules.py (symbol count shrinks
+    monotonically per merge; concatenating a doc's symbols
+    reconstructs its text)."""
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode_outer(words("text")).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(wc)
+
+    toks = d.select("doc_id", F.explode_outer(words("text")).alias("word")).filter(
+        F.col("word").isNotNull()
+    )
+    seqs = toks.select("doc_id", F.split("word", "").alias("seq"))
+    n_before = seqs.groupBy("doc_id").agg(
+        F.sum(F.size("seq")).cast("bigint").alias("n_symbols_chars")
+    )
+    for _, a, b, _m, _c in merges:
+        seqs = bpe_merge_step(seqs, a, b)
+    n_after = seqs.groupBy("doc_id").agg(
+        F.sum(F.size("seq")).cast("bigint").alias("n_symbols_bpe")
+    )
+    return n_before.join(n_after, "doc_id").select(
+        "doc_id",
+        "n_symbols_chars",
+        "n_symbols_bpe",
+        (F.col("n_symbols_bpe").cast("double") / F.col("n_symbols_chars")).alias(
+            "compression"
+        ),
+    )

@@ -1015,3 +1015,58 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pmi"),
     )
+
+
+# ------------------------------------------------ character entropy
+
+
+@query(
+    "text_char_entropy",
+    registered=False,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(replace(text, ' ', ''), '') AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_chars,
+           round(-list_sum(list_transform(
+             list_sort(list_distinct(cs)),
+             ch -> (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / len(cs))
+                   * ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / len(cs))
+           )), 4) AS char_entropy
+    FROM t WHERE len(cs) > 0
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution per document — a
+    classic gibberish/boilerplate signal (near-zero = repeated-char
+    runs or padding; natural language sits in a band, and both ends
+    get pruned). Entirely in-row: char split, sorted distinct
+    alphabet, per-char count via array filter (O(alphabet × len) —
+    alphabet is small by definition), entropy as an in-row transform +
+    sum. No shuffle, no UDF; partitioning follows the scan.
+
+    Float parity: the per-char terms sum over the SORTED distinct
+    alphabet so both engines add in the same order; ln() may still
+    differ in the last ulp, so the result rounds at 4dp."""
+    d = table(spark, sf_dir, "documents")
+    cs = F.split(F.replace(F.col("text"), F.lit(" "), F.lit("")), "")
+    # both engines return a pure char list from split-on-"" (no
+    # trailing "" element); only fully-empty docs need the guard
+    t = d.select("doc_id", cs.alias("cs")).filter(F.size("cs") > 0)
+    n = F.size("cs").cast("double")
+    term = lambda ch: (  # noqa: E731
+        (F.size(F.filter(F.col("cs"), lambda x: x == ch)).cast("double") / n)
+        * F.log(F.size(F.filter(F.col("cs"), lambda x: x == ch)).cast("double") / n)
+    )
+    ent = -F.aggregate(
+        F.transform(F.array_sort(F.array_distinct("cs")), term),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        F.size("cs").cast("bigint").alias("n_chars"),
+        F.round(ent, 4).alias("char_entropy"),
+    )

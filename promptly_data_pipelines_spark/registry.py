@@ -178,6 +178,7 @@ def _load_all() -> None:
         flagship,
         incremental,
         reference_pipeline,
+        web_corpus,
     )
     from .extensions import (  # noqa: F401
         classify,

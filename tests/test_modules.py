@@ -1392,3 +1392,42 @@ def test_nb_classifier_beats_chance_and_is_deterministic(spark):
     assert correct / n > 0.25, f"accuracy {correct/n:.2f} not above chance"
     again = {r.doc_id: r.pred_lang for r in run("classify_nb_lang", spark, SF_DIR).collect()}
     assert rows == again
+
+
+def test_bpe_apply_invariants(spark):
+    """bpe_apply_compression: per-doc BPE symbol count never exceeds
+    the char count, every ratio is in (0, 1], and the corpus-wide
+    total shrinks (the trained merges must actually buy compression
+    on the corpus they were trained on)."""
+    from promptly_data_pipelines_spark.registry import run
+
+    rows = run("bpe_apply_compression", spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_symbols_bpe <= r.n_symbols_chars
+        assert 0 < r.compression <= 1
+    total_b = sum(r.n_symbols_bpe for r in rows)
+    total_c = sum(r.n_symbols_chars for r in rows)
+    assert total_b < total_c
+
+
+def test_bpe_merge_step_greedy_fold(spark):
+    """The in-row merge fold implements the classic greedy
+    left-to-right non-overlapping scan: 'aaaa' under (a,a) becomes
+    [aa, aa], 'aaa' becomes [aa, a], and a merge never re-fires on
+    its own output."""
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.extensions.curation import bpe_merge_step
+
+    df = spark.createDataFrame(
+        [
+            Row(word="aaaa", seq=list("aaaa")),
+            Row(word="aaa", seq=list("aaa")),
+            Row(word="aba", seq=list("aba")),
+        ]
+    )
+    out = {r.word: r.seq for r in bpe_merge_step(df, "a", "a").collect()}
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aba"] == ["a", "b", "a"]
