@@ -1,34 +1,39 @@
-"""Learned quality/routing filters: distributed Naive Bayes.
+"""Learned quality/routing filters: distributed Naive Bayes and
+unigram-LM perplexity.
 
 Web-corpus pipelines gate documents with cheap learned classifiers
 (fastText language ID, logistic quality scorers trained on
-reference-vs-crawl text). The trainable core those share is: featurize
-→ count statistics per class over the training split → broadcast the
-model → score the corpus in one pass. This module implements that
-loop natively in Spark as a multinomial Naive Bayes with add-one
-smoothing — the model IS two count tables, so training is two
+reference-vs-crawl text) and LM fluency scores (CCNet perplexity
+buckets). The trainable core those share is: featurize → count
+statistics per class over the training split → broadcast the model →
+score the corpus in one pass. This module implements that loop
+natively in Spark — the model IS two count tables, so training is two
 map-side-combined groupBys and "deploying" the model is a broadcast
 join, no ML runtime needed.
 
-The registered task predicts each held-out document's ``lang`` from
-its words (labels exist in the fixture corpus, making accuracy
-oracle-checkable end to end). The identical shape serves
-quality classification: label = reference-corpus membership, features
-= words or char n-grams.
+ONE definition of the LM machinery: the count-model builder, the
+smoothed log-prob join, the cross-entropy aggregate, and the tercile
+window exist once here (Spark helpers + SQL fragments) and are reused
+by classify_nb_lang, text_perplexity_buckets AND
+pipelines.web_corpus — a smoothing or rounding change in one place
+cannot silently diverge from the others or their oracles (review
+finding, r6 session 2).
 
 Scale design (100 TB):
 - the training pass is bounded by (classes × vocabulary), and the
   model tables broadcast (the exploded corpus token stream never
   shuffles against them);
 - scoring aggregates the token stream to (doc, word, multiplicity)
-  FIRST, then expands ×|classes| — the expansion runs on the
-  compressed per-doc vocabulary, not the raw token stream;
-- the argmax is a per-doc window over |classes| rows.
+  FIRST, then joins the model — the join runs on the compressed
+  per-doc vocabulary, not the raw token stream (NB additionally
+  expands ×|classes| on that compressed stream);
+- the argmax / tercile windows partition by doc / lang — never a
+  global sort.
 
 Float-parity note: log-likelihoods are sums of ln() of exact integer
 ratios; ln and the sum order differ across engines in the last ulps,
-so scores are rounded (6dp) BEFORE the argmax ordering in BOTH
-engines, and the reported score is rounded at 4dp.
+so scores are rounded (6dp) BEFORE any ordering in BOTH engines, and
+reported values round at 4dp.
 """
 
 from __future__ import annotations
@@ -42,6 +47,106 @@ from .sampling import TRAIN_BUCKET, hash_bucket
 from .text import words
 
 _SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+
+# ------------------------- shared LM machinery (Spark + SQL, ONE copy)
+
+# Count model over a `train_toks(lang, word)` CTE.
+SQL_LM_MODEL = """cnt AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM cnt)"""
+
+# Add-one-smoothed per-doc cross-entropy over a
+# `doc_words(doc_id, lang, word, m)` CTE and the model CTEs above.
+SQL_CE = """ce AS (
+      SELECT d.doc_id, d.lang, CAST(sum(d.m) AS BIGINT) AS n_tokens,
+             -sum(d.m * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + vocab.v)))
+               / sum(d.m) AS h
+      FROM doc_words d
+      JOIN tot t ON d.lang = t.lang
+      CROSS JOIN vocab
+      LEFT JOIN cnt c ON c.lang = d.lang AND c.word = d.word
+      GROUP BY d.doc_id, d.lang
+    )"""
+
+SQL_NTILE = "ntile(3) OVER (PARTITION BY lang ORDER BY round(h, 6), doc_id)"
+SQL_TERCILE = "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+def lm_counts(train_toks: DataFrame):
+    """(lang, word) token stream → (cnt, tot, vocab) count-model
+    frames — the Spark twin of SQL_LM_MODEL."""
+    cnt = train_toks.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
+    vocab = cnt.agg(F.countDistinct("word").alias("v"))
+    return cnt, tot, vocab
+
+
+def doc_word_multiplicity(toks: DataFrame, *keys: str) -> DataFrame:
+    """Compress a token stream to (keys..., word, m) BEFORE any model
+    join — the join then runs on per-doc vocabulary, not raw tokens."""
+    return toks.groupBy(*keys, "word").agg(F.count("*").cast("bigint").alias("m"))
+
+
+def smoothed_scored(doc_words: DataFrame, cnt, tot, vocab) -> DataFrame:
+    """Join the broadcast count model onto a compressed (…, lang,
+    word, m) stream; adds c/tot/v columns for the smoothed term."""
+    cnt_k = cnt.select(F.col("lang").alias("c_lang"), F.col("word").alias("c_word"), "c")
+    return (
+        doc_words.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(cnt_k),
+            (F.col("lang") == F.col("c_lang")) & (F.col("word") == F.col("c_word")),
+            "left",
+        )
+    )
+
+
+def _smoothed_logprob() -> F.Column:
+    """ln((c+1) / (tot+V)) — the add-one term, identical in SQL_CE."""
+    return F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+        / (F.col("tot") + F.col("v"))
+    )
+
+
+def cross_entropy_frame(doc_words: DataFrame, cnt, tot, vocab) -> DataFrame:
+    """(doc_id, lang, word, m) → (doc_id, lang, n_tokens, h) — the
+    Spark twin of SQL_CE."""
+    return smoothed_scored(doc_words, cnt, tot, vocab).groupBy("doc_id", "lang").agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        (-F.sum(F.col("m") * _smoothed_logprob()) / F.sum("m")).alias("h"),
+    )
+
+
+def tercile_buckets(ce: DataFrame) -> DataFrame:
+    """Adds the per-language head/middle/tail bucket (ntile over
+    round(h,6) with doc_id tiebreak) — the Spark twin of
+    SQL_NTILE/SQL_TERCILE."""
+    w = Window.partitionBy("lang").orderBy(F.round("h", 6), "doc_id")
+    return ce.withColumn("nt", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail"),
+    )
+
+
+def _hash_split(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", "lang", "text", (hash_bucket("doc_id") < TRAIN_BUCKET).alias("is_train")
+    )
+
+
+def _tok_stream(d: DataFrame, *cols: str) -> DataFrame:
+    return d.select(*cols, F.explode_outer(words("text")).alias("word")).filter(
+        F.col("word").isNotNull()
+    )
+
+
+# ------------------------------------------------------- Naive Bayes
 
 
 @query(
@@ -57,9 +162,7 @@ _SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGI
       SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
       FROM split WHERE is_train
     ),
-    cnt AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1, 2),
-    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
-    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM cnt),
+    {SQL_LM_MODEL},
     priors AS (
       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
       FROM split WHERE is_train GROUP BY 1
@@ -99,29 +202,21 @@ _SQL_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGI
 def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train multinomial NB on the hash-split train documents, predict
     ``lang`` for every held-out document. Returns (doc_id, true_lang,
-    pred_lang, score, correct)."""
-    d = table(spark, sf_dir, "documents")
-    split = d.select(
-        "doc_id", "lang", "text", (hash_bucket("doc_id") < TRAIN_BUCKET).alias("is_train")
-    )
+    pred_lang, score, correct). The ×|classes| expansion runs on the
+    compressed (doc, word, m) stream; the count model comes from the
+    shared lm_counts — only the class-prior argmax is NB-specific."""
+    split = _hash_split(table(spark, sf_dir, "documents"))
     train = split.filter("is_train")
     test = split.filter("NOT is_train")
 
-    train_toks = train.select("lang", F.explode_outer(words("text")).alias("word")).filter(
-        F.col("word").isNotNull()
-    )
-    cnt = train_toks.groupBy("lang", "word").agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
-    vocab = cnt.agg(F.countDistinct("word").alias("v"))
+    cnt, tot, vocab = lm_counts(_tok_stream(train, "lang"))
     priors = train.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
     n = train.agg(F.count("*").cast("bigint").alias("n_train"))
 
-    test_toks = test.select(
-        "doc_id", F.col("lang").alias("true_lang"), F.explode_outer(words("text")).alias("word")
-    ).filter(F.col("word").isNotNull())
-    doc_words = test_toks.groupBy("doc_id", "true_lang", "word").agg(
-        F.count("*").cast("bigint").alias("m")
+    test_toks = _tok_stream(
+        test.withColumnRenamed("lang", "true_lang"), "doc_id", "true_lang"
     )
+    doc_words = doc_word_multiplicity(test_toks, "doc_id", "true_lang")
 
     model = (
         priors.join(tot, "lang")
@@ -130,24 +225,15 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "tot", "v", "n_train")
     )
     cnt_k = cnt.select(F.col("lang").alias("c_lang"), F.col("word").alias("c_word"), "c")
-    expanded = (
-        doc_words.crossJoin(F.broadcast(model))
-        .join(
-            F.broadcast(cnt_k),
-            (F.col("lang") == F.col("c_lang")) & (F.col("word") == F.col("c_word")),
-            "left",
-        )
+    expanded = doc_words.crossJoin(F.broadcast(model)).join(
+        F.broadcast(cnt_k),
+        (F.col("lang") == F.col("c_lang")) & (F.col("word") == F.col("c_word")),
+        "left",
     )
     scored = expanded.groupBy("doc_id", "true_lang", "lang", "n_docs", "n_train").agg(
         (
             F.log(F.first("n_docs").cast("double") / F.first("n_train"))
-            + F.sum(
-                F.col("m")
-                * F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v"))
-                )
-            )
+            + F.sum(F.col("m") * _smoothed_logprob())
         ).alias("score")
     )
     w = Window.partitionBy("doc_id").orderBy(F.round("score", 6).desc(), "lang")
@@ -164,6 +250,9 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- perplexity buckets
+
+
 @query(
     "text_perplexity_buckets",
     registered=False,
@@ -177,9 +266,7 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
       FROM split WHERE is_train
     ),
-    cnt AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1, 2),
-    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
-    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM cnt),
+    {SQL_LM_MODEL},
     test_toks AS (
       SELECT doc_id, lang,
              unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
@@ -189,20 +276,11 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS m
       FROM test_toks GROUP BY 1, 2, 3
     ),
-    ce AS (
-      SELECT d.doc_id, d.lang,
-             -sum(d.m * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + vocab.v)))
-               / sum(d.m) AS h
-      FROM doc_words d
-      JOIN tot t ON d.lang = t.lang
-      CROSS JOIN vocab
-      LEFT JOIN cnt c ON c.lang = d.lang AND c.word = d.word
-      GROUP BY d.doc_id, d.lang
-    )
+    {SQL_CE}
     SELECT doc_id, lang, round(h, 4) AS cross_entropy,
-           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+           {SQL_TERCILE} AS bucket
     FROM (
-      SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY round(h, 6), doc_id) AS nt
+      SELECT *, {SQL_NTILE} AS nt
       FROM ce
     )
     """,
@@ -214,64 +292,17 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines can compute it exactly) and cut each language into
     head/middle/tail terciles of cross-entropy. Downstream mixing then
     samples head-heavy — the CCNet recipe for favoring fluent text
-    without a supervised quality label.
-
-    Scale: identical shape to classify_nb_lang minus the ×|classes|
-    expansion (each doc scores under ONE language) — model broadcast,
-    compressed (doc, word, multiplicity) stream, per-language ntile
-    window (partitioned — never a global sort). Cross-entropy is a
-    quotient of a float sum, so ordering uses round(·,6) with doc_id
-    tiebreak and the reported value rounds at 4dp (the aggregates.py
-    float-parity discipline)."""
-    d = table(spark, sf_dir, "documents")
-    split = d.select(
-        "doc_id", "lang", "text", (hash_bucket("doc_id") < TRAIN_BUCKET).alias("is_train")
+    without a supervised quality label. Entirely assembled from the
+    shared LM helpers above."""
+    split = _hash_split(table(spark, sf_dir, "documents"))
+    cnt, tot, vocab = lm_counts(_tok_stream(split.filter("is_train"), "lang"))
+    doc_words = doc_word_multiplicity(
+        _tok_stream(split.filter("NOT is_train"), "doc_id", "lang"), "doc_id", "lang"
     )
-    train = split.filter("is_train")
-    test = split.filter("NOT is_train")
-
-    train_toks = train.select("lang", F.explode_outer(words("text")).alias("word")).filter(
-        F.col("word").isNotNull()
-    )
-    cnt = train_toks.groupBy("lang", "word").agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
-    vocab = cnt.agg(F.countDistinct("word").alias("v"))
-
-    test_toks = test.select("doc_id", "lang", F.explode_outer(words("text")).alias("word")).filter(
-        F.col("word").isNotNull()
-    )
-    doc_words = test_toks.groupBy("doc_id", "lang", "word").agg(
-        F.count("*").cast("bigint").alias("m")
-    )
-    cnt_k = cnt.select(F.col("lang").alias("c_lang"), F.col("word").alias("c_word"), "c")
-    scored = (
-        doc_words.join(F.broadcast(tot), "lang")
-        .crossJoin(F.broadcast(vocab))
-        .join(
-            F.broadcast(cnt_k),
-            (F.col("lang") == F.col("c_lang")) & (F.col("word") == F.col("c_word")),
-            "left",
-        )
-    )
-    ce = scored.groupBy("doc_id", "lang").agg(
-        (
-            -F.sum(
-                F.col("m")
-                * F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v"))
-                )
-            )
-            / F.sum("m")
-        ).alias("h")
-    )
-    w = Window.partitionBy("lang").orderBy(F.round("h", 6), "doc_id")
-    return ce.withColumn("nt", F.ntile(3).over(w)).select(
+    ce = cross_entropy_frame(doc_words, cnt, tot, vocab)
+    return tercile_buckets(ce).select(
         "doc_id",
         "lang",
         F.round("h", 4).alias("cross_entropy"),
-        F.when(F.col("nt") == 1, "head")
-        .when(F.col("nt") == 2, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
+        "bucket",
     )

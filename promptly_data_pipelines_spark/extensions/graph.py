@@ -80,11 +80,24 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pagerank_scaled(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+def pagerank_scaled(
+    edges: DataFrame, n_iter: int = N_ITER, scale: int = SCALE
+) -> DataFrame:
     """Fixed-point PageRank over a directed edge list with no dangling
     nodes (every src must also appear as dst and vice versa — true for
     any symmetric construction). Returns (node, rank_scaled bigint,
-    rank double)."""
+    rank double).
+
+    Integer-headroom invariant (review finding): every intermediate is
+    bounded by 85 × total mass = 85 × n_nodes × scale (a hub can in
+    the worst case aggregate the whole graph's mass, and the damping
+    multiplies by 85 before the ÷100). That product must stay below
+    2^63 or Spark's ANSI mode / DuckDB abort on BIGINT overflow — a
+    failure mode the arbitrary-precision Python property mirror can
+    never reproduce. The bound is ENFORCED here, with the remedy in
+    the error: at 1e12 scale the ceiling is ~108k nodes; a billion-node
+    graph runs at scale=1e7 and still carries 7 digits of rank
+    precision."""
     # Materialize the edge list ONCE: deg, nodes, and all n_iter
     # contribution joins re-read this cache — without it the upstream
     # build (self-join + distinct for the co-purchase construction)
@@ -97,7 +110,16 @@ def pagerank_scaled(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("r"))
+    n_nodes = nodes.count()  # reads the fresh cache; node-table-sized
+    if 85 * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"pagerank integer headroom exceeded: 85 * {n_nodes} nodes * "
+            f"scale {scale} >= 2^63 — rerun with scale <= "
+            f"{(2**63 - 1) // (85 * n_nodes)} (rank precision shrinks "
+            "with scale; see the docstring bound)"
+        )
+    base = 15 * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     for _ in range(n_iter):
         contribs = (
             ed.join(ranks, ed["src"] == ranks["node"])
@@ -109,7 +131,7 @@ def pagerank_scaled(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
-                (F.lit(BASE) + F.expr("(85 * coalesce(s, 0)) div 100"))
+                (F.lit(base) + F.expr("(85 * coalesce(s, 0)) div 100"))
                 .cast("long")
                 .alias("r"),
             )
@@ -117,7 +139,7 @@ def pagerank_scaled(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),
-        (F.col("r") / F.lit(float(SCALE))).alias("rank"),
+        (F.col("r") / F.lit(float(scale))).alias("rank"),
     )
 
 

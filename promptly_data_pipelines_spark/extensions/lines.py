@@ -243,7 +243,12 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     staged = d.select("doc_id", _span_template_col().alias("text"))
     w = words("text")
-    t = staged.select("doc_id", w.alias("w"))
+    # Persist the TOKENIZED frame, not just the grams: `base` (every
+    # doc's token count, incl. docs too short to gram) and the gram
+    # expansion both derive from it — persisting only grams left base
+    # re-scanning + re-tokenizing the corpus (review finding; the
+    # single-scan invariant is now asserted by the plan test).
+    t = staged.select("doc_id", w.alias("w")).persist(StorageLevel.MEMORY_AND_DISK)
     g = t.filter(F.size("w") >= GRAM_TOKENS).select(
         "doc_id",
         F.size("w").alias("n_tokens"),

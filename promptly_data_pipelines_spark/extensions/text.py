@@ -1027,6 +1027,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, string_split(replace(text, ' ', ''), '') AS cs
       FROM documents
+      WHERE length(replace(text, ' ', '')) > 0
     )
     SELECT doc_id,
            CAST(len(cs) AS BIGINT) AS n_chars,
@@ -1050,11 +1051,21 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float parity: the per-char terms sum over the SORTED distinct
     alphabet so both engines add in the same order; ln() may still
     differ in the last ulp, so the result rounds at 4dp."""
-    d = table(spark, sf_dir, "documents")
-    cs = F.split(F.replace(F.col("text"), F.lit(" "), F.lit("")), "")
-    # both engines return a pure char list from split-on-"" (no
-    # trailing "" element); only fully-empty docs need the guard
-    t = d.select("doc_id", cs.alias("cs")).filter(F.size("cs") > 0)
+    return char_entropy_frame(table(spark, sf_dir, "documents"))
+
+
+def char_entropy_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, n_chars, char_entropy). Split out
+    from the registered query so the empty/whitespace-doc guard is
+    unit-testable with injected rows."""
+    squeezed = F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    cs = F.split(squeezed, "")
+    # Guard on the CHARACTER LENGTH, not size(cs): split-on-"" of an
+    # empty string returns [''] (size 1) in BOTH engines, so a
+    # size(cs) > 0 filter would let empty/whitespace-only docs through
+    # with a bogus (n_chars=1, entropy=0) row — review finding, pinned
+    # by test_char_entropy_drops_empty_docs.
+    t = d.filter(F.length(squeezed) > 0).select("doc_id", cs.alias("cs"))
     n = F.size("cs").cast("double")
     term = lambda ch: (  # noqa: E731
         (F.size(F.filter(F.col("cs"), lambda x: x == ch)).cast("double") / n)

@@ -10,10 +10,14 @@ template would otherwise dominate both the LM and the length gate),
 then score fluency under a language model trained on the cleaned
 corpus itself, then cut per-language terciles that downstream
 sampling draws from head-heavy. Every stage reuses an
-already-verified operator (extensions.lines.split_lines/line_dedup,
-the classify.py LM shape) chained in ONE lazy plan, and the whole
-composite carries a complete DuckDB oracle assembled from the same
-fragments.
+already-verified operator — extensions.lines.split_lines/line_dedup
+for the boilerplate tier, and the SHARED LM machinery from
+extensions.classify (lm_counts / cross_entropy_frame /
+tercile_buckets plus their SQL fragment twins), so the scoring
+pipeline is single-sourced across classify_nb_lang,
+text_perplexity_buckets and this composite — chained in ONE lazy
+plan, with the complete chain mirrored in a single DuckDB oracle
+assembled from the same fragments.
 
 Scale shape: line dedup is the census + broadcast anti-join
 (lines.py); the LM model is vocabulary-bounded and broadcasts; the
@@ -23,13 +27,23 @@ stage boundary, nothing quadratic, nothing collected.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import table
 from ..registry import query
-from ..extensions.classify import _SQL_BUCKET
+from ..extensions.classify import (
+    _SQL_BUCKET,
+    SQL_CE,
+    SQL_LM_MODEL,
+    SQL_NTILE,
+    SQL_TERCILE,
+    cross_entropy_frame,
+    doc_word_multiplicity,
+    lm_counts,
+    tercile_buckets,
+)
 from ..extensions.lines import (
     HOT_DOC_FREQ,
     SEG_TOKENS,
@@ -90,38 +104,21 @@ MIN_CLEAN_WORDS = 8  # post-dedup floor: template-only shells drop here
       SELECT lang, unnest(w) AS word FROM gated
       WHERE {_SQL_BUCKET} < {TRAIN_BUCKET}
     ),
-    cnt AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c FROM train_toks GROUP BY 1, 2),
-    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
-    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM cnt),
+    {SQL_LM_MODEL},
     doc_words AS (
-      SELECT doc_id, lang, unnest(w) AS word FROM gated
-    ),
-    dw AS (
       SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS m
-      FROM doc_words GROUP BY 1, 2, 3
+      FROM (SELECT doc_id, lang, unnest(w) AS word FROM gated)
+      GROUP BY 1, 2, 3
     ),
-    ce AS (
-      SELECT d.doc_id, d.lang, CAST(sum(d.m) AS BIGINT) AS n_tokens,
-             -sum(d.m * ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.tot + vocab.v)))
-               / sum(d.m) AS h
-      FROM dw d
-      JOIN tot t ON d.lang = t.lang
-      CROSS JOIN vocab
-      LEFT JOIN cnt c ON c.lang = d.lang AND c.word = d.word
-      GROUP BY d.doc_id, d.lang
-    ),
-    buckets AS (
-      SELECT *, CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-      FROM (
-        SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY round(h, 6), doc_id) AS nt
-        FROM ce
-      )
-    )
+    {SQL_CE}
     SELECT lang, bucket,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
            round(sum(round(h, 4)), 4) AS sum_ce
-    FROM buckets
+    FROM (
+      SELECT *, {SQL_TERCILE} AS bucket
+      FROM (SELECT *, {SQL_NTILE} AS nt FROM ce)
+    )
     GROUP BY lang, bucket
     """,
 )
@@ -142,50 +139,15 @@ def web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    train_toks = (
-        gated.filter(hash_bucket("doc_id") < TRAIN_BUCKET)
-        .select("lang", F.explode("w").alias("word"))
+    train_toks = gated.filter(hash_bucket("doc_id") < TRAIN_BUCKET).select(
+        "lang", F.explode("w").alias("word")
     )
-    cnt = train_toks.groupBy("lang", "word").agg(F.count("*").alias("c"))
-    tot = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tot"))
-    vocab = cnt.agg(F.countDistinct("word").alias("v"))
-
-    dw = (
-        gated.select("doc_id", "lang", F.explode("w").alias("word"))
-        .groupBy("doc_id", "lang", "word")
-        .agg(F.count("*").cast("bigint").alias("m"))
+    cnt, tot, vocab = lm_counts(train_toks)
+    doc_words = doc_word_multiplicity(
+        gated.select("doc_id", "lang", F.explode("w").alias("word")), "doc_id", "lang"
     )
-    cnt_k = cnt.select(F.col("lang").alias("c_lang"), F.col("word").alias("c_word"), "c")
-    scored = (
-        dw.join(F.broadcast(tot), "lang")
-        .crossJoin(F.broadcast(vocab))
-        .join(
-            F.broadcast(cnt_k),
-            (F.col("lang") == F.col("c_lang")) & (F.col("word") == F.col("c_word")),
-            "left",
-        )
-    )
-    ce = scored.groupBy("doc_id", "lang").agg(
-        F.sum("m").cast("bigint").alias("n_tokens"),
-        (
-            -F.sum(
-                F.col("m")
-                * F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                    / (F.col("tot") + F.col("v"))
-                )
-            )
-            / F.sum("m")
-        ).alias("h"),
-    )
-    w = Window.partitionBy("lang").orderBy(F.round("h", 6), "doc_id")
-    buckets = ce.withColumn("nt", F.ntile(3).over(w)).withColumn(
-        "bucket",
-        F.when(F.col("nt") == 1, "head")
-        .when(F.col("nt") == 2, "middle")
-        .otherwise("tail"),
-    )
-    return buckets.groupBy("lang", "bucket").agg(
+    ce = cross_entropy_frame(doc_words, cnt, tot, vocab)
+    return tercile_buckets(ce).groupBy("lang", "bucket").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.round(F.sum(F.round("h", 4)), 4).alias("sum_ce"),

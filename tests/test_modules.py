@@ -1431,3 +1431,89 @@ def test_bpe_merge_step_greedy_fold(spark):
     assert out["aaaa"] == ["aa", "aa"]
     assert out["aaa"] == ["aa", "a"]
     assert out["aba"] == ["a", "b", "a"]
+
+
+def test_char_entropy_drops_empty_docs(spark):
+    """Review finding: split-on-'' of '' returns [''] (size 1) in both
+    engines, so the guard must test character length, not array size —
+    empty and whitespace-only docs produce NO row, and real docs score
+    the expected entropy (uniform 2-char doc = ln 2)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.extensions.text import char_entropy_frame
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=""),
+            Row(doc_id=1, text="   "),
+            Row(doc_id=2, text="ab ab"),
+            Row(doc_id=3, text="aaaa"),
+        ]
+    )
+    out = {r.doc_id: (r.n_chars, r.char_entropy) for r in char_entropy_frame(d).collect()}
+    assert set(out) == {2, 3}, "empty/whitespace docs must drop"
+    assert out[2] == (4, round(math.log(2), 4))
+    assert out[3] == (4, -0.0) or out[3] == (4, 0.0)
+
+
+def test_pagerank_headroom_guard(spark):
+    """The BIGINT overflow ceiling (85 · n_nodes · scale < 2^63) is
+    enforced with an actionable error, not discovered as an ANSI
+    ArithmeticException mid-job — and the suggested max scale in the
+    message is itself safe."""
+    import re
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.extensions.graph import pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a in range(4) for b in range(4) if a != b]
+    )
+    with _pytest.raises(ValueError, match="headroom") as e:
+        pagerank_scaled(edges, scale=2**61)
+    suggested = int(re.search(r"scale <= (\d+)", str(e.value)).group(1))
+    assert 85 * 4 * suggested < 2**63
+    # and the suggested scale actually runs
+    out = pagerank_scaled(edges, scale=suggested)
+    assert out.count() == 4
+
+
+def test_bpe_merge_steps_reconstruct_and_shrink(spark):
+    """The invariants the bpe_apply docstring promises, pinned per
+    MERGE STEP (not just end-state): after every single merge replay,
+    concatenating each word's symbols reconstructs the word exactly
+    (no symbol dropped/duplicated mid-fold), and the corpus-weighted
+    symbol total strictly decreases (each applied merge fired at
+    least once)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.curation import (
+        bpe_merge_step,
+        bpe_train,
+    )
+    from promptly_data_pipelines_spark.extensions.text import words
+
+    d = table(spark, SF_DIR, "documents")
+    wc = (
+        d.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train(wc)
+    assert merges
+
+    seqs = wc.select("word", "n", F.split("word", "").alias("seq"))
+    prev_total = seqs.select(F.sum(F.size("seq") * F.col("n"))).first()[0]
+    for _, a, b, _m, _c in merges:
+        seqs = bpe_merge_step(seqs, a, b)
+        bad = seqs.filter(F.concat_ws("", F.col("seq")) != F.col("word")).count()
+        assert bad == 0, f"merge ({a},{b}) broke reconstruction for {bad} words"
+        total = seqs.select(F.sum(F.size("seq") * F.col("n"))).first()[0]
+        assert total < prev_total, f"merge ({a},{b}) fired zero times"
+        prev_total = total

@@ -442,3 +442,7 @@ def test_dup_span_census_broadcast_single_scan(spark):
         "hot-gram census is not a broadcast semi join"
     )
     assert "InMemoryRelation" in tree, "grams frame no longer persisted"
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
+    assert len(scan_ids) <= 1, f"corpus scanned more than once ({scan_ids})"

@@ -5,10 +5,12 @@ at sf0.001 without the full pytest session.
 Run:  python tools/quick_parity.py text_line_dedup graph_pagerank ...
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import duckdb
 
