@@ -221,3 +221,69 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(out)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     )
+
+
+N_EXPORT_SHARDS = 8
+_EXPORT_SUM_MASK = (1 << 40) - 1  # 40-bit per-doc hash: 2^23 docs/shard
+# of checksum headroom before the BIGINT sum could overflow
+
+
+@query(
+    "export_jsonl_manifest",
+    registered=False,
+    oracle=f"""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {N_EXPORT_SHARDS} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(CAST(('0x' || substr(md5(text), 17, 16))::UBIGINT
+                         % {_EXPORT_SUM_MASK + 1} AS BIGINT)) AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def export_jsonl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus export: hash-sharded JSONL plus a MANIFEST — the
+    contract every downstream loader needs (which shards exist, how
+    many rows each holds, and an order-insensitive content checksum to
+    detect truncated/duplicated shards without re-reading text). The
+    manifest is computed from the WRITTEN files (read back), not from
+    the source frame, so a lost task or partial overwrite shows up as
+    a parity break against the oracle's source-side expectation — the
+    readback IS the verification.
+
+    Mechanics: deterministic md5 shard assignment (rerun-stable, no
+    RNG), repartition by shard before partitionBy so each shard dir
+    gets one writer (no tasks×shards sliver files — the
+    sink_partitioned discipline), checksum = BIGINT sum of a 40-bit
+    per-doc content hash (order-insensitive, overflow headroom 2^23
+    docs per shard, cross-engine exact — the md5 family of
+    extensions/hashing.py).
+
+    At 100 TB: shard count scales to the loader's read parallelism;
+    the export is one shuffle (by shard) + a partitioned write, and
+    the manifest pass streams the written bytes once."""
+    from ..extensions.hashing import _md5_word
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_export_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    d = table(spark, sf_dir, "documents")
+    sharded = d.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % N_EXPORT_SHARDS
+        ),
+    )
+    sharded.repartition("shard").write.mode("overwrite").partitionBy("shard").json(out)
+    back = spark.read.schema(sharded.schema).json(out)
+    return back.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(_md5_word(F.col("text"), 17, _EXPORT_SUM_MASK)).cast("bigint").alias(
+            "content_sum"
+        ),
+    )

@@ -507,3 +507,82 @@ def dq_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects. The `passed` column is dropped for the oracle (it is
     derived: n_violations = 0) — parity is over the counted facts."""
     return run_suite_config(spark, sf_dir, CORPUS_GATE_SUITE).drop("passed")
+
+
+# ---------------------------------------------------- distribution drift
+
+PSI_BIN_WIDTH = 25.0
+PSI_MAX_BIN = 13  # values >= width*13 clamp into the top bin
+PSI_CUTOVER = "2024-01-16"
+
+
+@query(
+    "dq_drift_psi",
+    registered=False,
+    oracle=f"""
+    WITH binned AS (
+      SELECT least(CAST(floor(value / {PSI_BIN_WIDTH}) AS BIGINT), {PSI_MAX_BIN}) AS bin,
+             ts < TIMESTAMP '{PSI_CUTOVER}' AS is_ref
+      FROM events
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur,
+             CAST(count(*) AS BIGINT) AS k
+      FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           round(
+             (CAST(n_cur + 1 AS DOUBLE) / (t_cur + k) - CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))
+             * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + k))
+                  / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + k))), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the events value
+    distribution before and after a cutover date — the standard
+    monitoring metric for "did this column's distribution move"
+    (Σ terms < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted; the
+    per-bin terms localize WHERE it moved). Fixed-width bins with a
+    clamped top bin; add-one smoothing keeps every ratio an exact
+    integer rational so both engines feed ln() identical doubles
+    (round 6dp absorbs the last-ulp ln difference). Bins empty on BOTH
+    sides are absent rather than smoothed in — consistent across
+    engines and irrelevant to the sum.
+
+    Scale: one map-side-combined aggregation over the fact table
+    (count FILTER per side), then arithmetic on a bins×1 frame. The
+    cutover predicate pushes to the scan; at 100 TB this runs per
+    partition-pair as part of the freshness suite (dq_volume_anomaly's
+    loop shape)."""
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(
+            F.floor(F.col("value") / PSI_BIN_WIDTH).cast("bigint"), F.lit(PSI_MAX_BIN)
+        ).alias("bin"),
+        (F.col("ts") < F.lit(PSI_CUTOVER).cast("timestamp")).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).cast("bigint").alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).cast("bigint").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + F.col("k"))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + F.col("k"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )
