@@ -413,3 +413,107 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "events_retention_curve",
+    registered=False,
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    active AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM du GROUP BY day),
+    first_seen AS (SELECT user_id, min(day) AS day FROM du GROUP BY user_id),
+    news AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY day)
+    SELECT a.day, a.n_active,
+           coalesce(n.n_new, CAST(0 AS BIGINT)) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM active a LEFT JOIN news n ON a.day = n.day
+    """,
+)
+def events_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting curve: daily active users, newly-seen users
+    (first-ever activity that day), and the cumulative user count —
+    the acquisition/retention decomposition every product dashboard
+    starts from. Two map-side-combined aggregations over the distinct
+    (day, user) frame; the cumulative sum runs on the per-DAY frame
+    (calendar-sized — the one place an unpartitioned running window is
+    correct, because the input is already reduced to ~rows-per-day;
+    the corpus-sized stream never sees it)."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    active = du.groupBy("day").agg(F.count("*").cast("bigint").alias("n_active"))
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("day"))
+    news = first_seen.groupBy("day").agg(F.count("*").cast("bigint").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        active.join(news, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_new"), F.lit(0).cast("bigint")).alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+    )
+
+
+EMA_HALF_LIFE_DAYS = 7.0
+
+
+@query(
+    "events_ema",
+    registered=False,
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, value,
+             CAST(epoch_ms(ts) AS DOUBLE) AS ts_ms,
+             max(CAST(epoch_ms(ts) AS DOUBLE)) OVER (PARTITION BY user_id) AS t_ms
+      FROM events
+    ),
+    terms AS (
+      SELECT user_id, value,
+             exp(-ln(2.0) / {EMA_HALF_LIFE_DAYS} * ((t_ms - ts_ms) / 86400000.0)) AS wt
+      FROM w
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * wt), 6) / round(sum(wt), 6) AS ema_value
+    FROM terms GROUP BY user_id
+    """,
+)
+def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed average per user (7-day half-life), anchored at
+    each user's latest event — the recency-weighted feature ("what is
+    this user's value trending at") feature stores compute instead of
+    flat means. One window (per-user max ts) + one aggregation; the
+    decay weight is a map-side expression.
+
+    Float parity: exp() differs across engines in the last ulps and
+    the sums accumulate in different orders, so BOTH sums round at 6dp
+    FIRST and the quotient of the now-identical doubles divides
+    exactly — rounding the quotient itself would hit decimal-boundary
+    disagreement (the aggregates.py avg discipline)."""
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    ts_ms = F.unix_millis("ts").cast("double")
+    w = ev.select(
+        "user_id",
+        "value",
+        ts_ms.alias("ts_ms"),
+        F.max(ts_ms).over(wu).alias("t_ms"),
+    )
+    import math
+
+    lam = math.log(2.0) / EMA_HALF_LIFE_DAYS
+    terms = w.select(
+        "user_id",
+        "value",
+        F.exp(F.lit(-lam) * ((F.col("t_ms") - F.col("ts_ms")) / 86400000.0)).alias("wt"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.round(F.sum(F.col("value") * F.col("wt")), 6) / F.round(F.sum("wt"), 6)).alias(
+            "ema_value"
+        ),
+    )

@@ -586,3 +586,36 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
     )
+
+
+@query(
+    "dq_functional_dep",
+    registered=False,
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    ),
+    viol AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_values
+      FROM pairs GROUP BY c_nationkey HAVING count(*) > 1
+    )
+    SELECT c_nationkey, n_values FROM viol
+    """,
+)
+def dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency test (the dbt-style generalization of
+    ``relationships``): does A → B hold, i.e. does any A value map to
+    more than one distinct B? Returns the violating keys with their
+    value counts — customers of one nation legitimately span market
+    segments, so this check INTENTIONALLY reports violations (the
+    mechanism under test is detection, not a vacuous empty pass; the
+    unique/not-null checks cover the empty-result shape). One distinct
+    + one grouped HAVING — map-side combined, violation-sized
+    output."""
+    c = table(spark, sf_dir, "customer")
+    pairs = c.select("c_nationkey", "c_mktsegment").distinct()
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_values"))
+        .filter(F.col("n_values") > 1)
+    )
