@@ -49,10 +49,10 @@ CHUNK_TOKENS = 32  # window width (tokens)
 CHUNK_STRIDE = 24  # window stride -> 8-token overlap between chunks
 
 
-@query(
-    "text_chunk_windows",
-    registered=False,
-    oracle=f"""
+# Shared by text_chunk_windows (expression form) AND udfs.udtf_chunk_windows
+# (Python UDTF form): both implementations must be value-identical, so
+# both are checked against this ONE oracle.
+CHUNK_WINDOWS_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
       FROM documents
@@ -66,7 +66,13 @@ CHUNK_STRIDE = 24  # window stride -> 8-token overlap between chunks
            CAST(least({CHUNK_TOKENS}, len(w) - start) AS BIGINT) AS n_tokens,
            array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
     FROM s
-    """,
+    """
+
+
+@query(
+    "text_chunk_windows",
+    registered=False,
+    oracle=CHUNK_WINDOWS_ORACLE,
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style chunking: overlapping {CHUNK_TOKENS}-token windows at

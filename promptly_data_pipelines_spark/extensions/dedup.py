@@ -1276,3 +1276,61 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dedup(
         d.filter(b < TRAIN_BUCKET), d.filter(b >= TRAIN_BUCKET)
     )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    registered=False,
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_rep, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_rep
+               ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_rep, CAST(n_chars AS BIGINT) AS n_chars,
+           (rk = 1) AS keep
+    FROM ranked
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection by QUALITY: the min-id
+    canonical of ``dedup_cluster_cc`` is arbitrary — a curation
+    pipeline keeps each near-dup cluster's BEST member (here: longest
+    doc, doc_id tiebreak; in production a quality-score column — the
+    policy is one orderBy away). Same verified machinery: exact
+    Jaccard pairs → connected components → one window per cluster over
+    the cluster-sized member frame (never the corpus), joined with the
+    quality attribute from the source table. The oracle replays the
+    identical recursive-closure clustering and the identical ranking.
+
+    This is the SemDeDup-style keep-best applied to the TEXT near-dup
+    graph (the embedding-cell variant is dedup_semantic_keep_best) —
+    together they cover both halves of the survivor-selection
+    surface."""
+    d = table(spark, sf_dir, "documents")
+    comp = connected_components(ngram_jaccard_pairs(d))
+    ranked = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.col("rk") == 1).alias("keep"),
+        )
+    )

@@ -193,3 +193,49 @@ def salted_partial_agg(ev: DataFrame, n_salts: int = 16) -> DataFrame:
         F.round(F.sum("psum"), 2).alias("sum_value"),
         F.sum("pcnt").cast("bigint").alias("n_events"),
     )
+
+
+from .curation import CHUNK_WINDOWS_ORACLE
+
+
+@query(
+    "udtf_chunk_windows",
+    registered=False,
+    oracle=CHUNK_WINDOWS_ORACLE,
+)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-tier API coverage: the same RAG chunking as
+    curation.text_chunk_windows, implemented as a Python UDTF (Spark 4
+    user-defined TABLE function) consumed through a SQL LATERAL join.
+    UDTFs are the escape hatch for one-row-to-many transforms whose
+    logic needs arbitrary Python (a real tokenizer library, a format
+    parser) — strictly slower than the expression form (per-row Python,
+    no codegen), which is why the expression twin is the registered
+    bench path and this one exists to prove the API works and, via the
+    SHARED oracle, that both forms are value-identical.
+
+    Scale note: a UDTF evaluates per input row on the executor —
+    partitioning follows the input, no shuffle — but the rows cross
+    the Python boundary individually (not Arrow batches); keep UDTFs
+    off corpus-sized hot paths unless the logic truly needs Python."""
+    from pyspark.sql.functions import udtf
+
+    from .curation import CHUNK_STRIDE, CHUNK_TOKENS
+
+    @udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_text string")
+    class ChunkWindows:
+        def eval(self, text: str):
+            w = [t for t in (text or "").split(" ") if t]
+            for ci, start in enumerate(range(0, len(w), CHUNK_STRIDE)):
+                chunk = w[start : start + CHUNK_TOKENS]
+                yield ci, len(chunk), " ".join(chunk)
+
+    spark.udtf.register("chunk_windows_udtf", ChunkWindows)
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("pdp_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM pdp_udtf_docs, LATERAL chunk_windows_udtf(text) c
+        """
+    )

@@ -619,3 +619,26 @@ def dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_values"))
         .filter(F.col("n_values") > 1)
     )
+
+
+def observe_audit(df: DataFrame, name: str = "audit"):
+    """Attach an inline audit to a frame via Spark's Observation API:
+    row count, null keys, and negative values are collected AS the
+    frame is consumed by its next action — zero extra passes, zero
+    extra jobs (contrast: run_suite_config is a separate one-job scan;
+    this rides along with whatever job the caller was running anyway,
+    which is the right tool when the frame is about to be written out).
+    Returns (df_with_observation, observation); read
+    ``observation.get`` AFTER the action. Works on batch frames;
+    streaming observability goes through the progress listener
+    instead."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_id").isNull().cast("int")).alias("n_null_keys"),
+        F.sum((F.col("value") < 0).cast("int")).alias("n_negative"),
+    )
+    return observed, obs

@@ -1580,3 +1580,22 @@ def test_export_manifest_detects_true_content(spark, tmp_path):
     assert m1 == m2
     assert sum(v[0] for v in m1.values()) == 500  # sf0.001 corpus size
     assert set(m1) == set(range(8))
+
+
+def test_observe_audit_rides_the_consuming_action(spark):
+    """The Observation API collects audit metrics during the frame's
+    own action — values must match an explicit recount, and the
+    constructed dirty rows must be visible in the metrics."""
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.quality.checks import observe_audit
+
+    rows = [Row(event_id=i, value=float(i % 7) - 1.0) for i in range(100)]
+    rows.append(Row(event_id=None, value=5.0))
+    df = spark.createDataFrame(rows)
+    observed, obs = observe_audit(df)
+    observed.write.format("noop").mode("overwrite").save()  # the ONLY action
+    m = obs.get
+    assert m["n_rows"] == 101
+    assert m["n_null_keys"] == 1
+    assert m["n_negative"] == sum(1 for r in rows if r.value is not None and r.value < 0)
