@@ -546,3 +546,57 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked.filter(F.col("edit_dist") <= 2).select(
         "d_key", "d_name", "s_suppkey", "s_name", F.col("edit_dist").cast("int").alias("edit_dist")
     )
+
+
+ASOF_TOLERANCE_DAYS = 3
+
+
+@query(
+    "join_asof_tolerance",
+    registered=False,
+    oracle=f"""
+    WITH matched AS (
+      SELECT e.event_id, e.user_id,
+             strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             p.ts AS p_ts, p.value AS p_value,
+             (p.ts IS NOT NULL AND p.ts >= e.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY)
+               AS in_window
+      FROM events e
+      ASOF LEFT JOIN (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      ) p ON e.user_id = p.user_id AND e.ts > p.ts
+    )
+    SELECT event_id, user_id, ts_str,
+           CASE WHEN in_window THEN strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') END
+             AS last_purchase_ts,
+           CASE WHEN in_window THEN p_value END AS last_purchase_value,
+           in_window AS has_recent_purchase
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas merge_asof's ``tolerance=``,
+    kdb's windowed wj): the latest prior purchase counts only if it is
+    at most {ASOF_TOLERANCE_DAYS} days old — beyond that the state is
+    stale and the enrichment must be NULL, not silently ancient (the
+    feature-staleness bug tolerance exists to prevent). Implemented as
+    the same union-then-window asof_join plus a post-match window
+    filter: both payload fields null out TOGETHER (matching the
+    struct-carry discipline — a half-stale composite row must never
+    appear)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(
+        ev, purchases, key="user_id", time_col="ts", payload_cols=["ts", "value"], strict=True
+    )
+    in_window = F.col("asof_ts").isNotNull() & (
+        F.col("asof_ts") >= F.col("ts") - F.expr(f"INTERVAL {ASOF_TOLERANCE_DAYS} DAY")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts_str"),
+        F.when(in_window, ts_str("asof_ts")).alias("last_purchase_ts"),
+        F.when(in_window, F.col("asof_value")).alias("last_purchase_value"),
+        in_window.alias("has_recent_purchase"),
+    )

@@ -1599,3 +1599,29 @@ def test_observe_audit_rides_the_consuming_action(spark):
     assert m["n_rows"] == 101
     assert m["n_null_keys"] == 1
     assert m["n_negative"] == sum(1 for r in rows if r.value is not None and r.value < 0)
+
+
+def test_hll_sketch_rollup_accuracy_and_merge(spark):
+    """The sketch rollup's two contracts: per-group estimates land
+    within 5% of exact, and the merged __total__ estimate equals a
+    single corpus-wide sketch built directly (merge associativity —
+    the property that makes sketch TABLES a substitute for fact-table
+    rescans)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.registry import run
+
+    rows = {r.event_type: r for r in run("agg_hll_sketch_rollup", spark, SF_DIR).collect()}
+    total_row = rows.pop("__total__")
+    for r in rows.values():
+        assert abs(r.est_distinct - r.exact_distinct) / r.exact_distinct <= 0.05
+
+    ev = table(spark, SF_DIR, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first()
+    assert total_row.est_distinct == direct.est
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(total_row.est_distinct - exact_total) / exact_total <= 0.05
