@@ -81,7 +81,7 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def pagerank_scaled(
-    edges: DataFrame, n_iter: int = N_ITER, scale: int = SCALE
+    edges: DataFrame, n_iter: int = N_ITER, scale: int | None = None
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list with no dangling
     nodes (every src must also appear as dst and vice versa — true for
@@ -111,7 +111,24 @@ def pagerank_scaled(
         StorageLevel.MEMORY_AND_DISK
     )
     n_nodes = nodes.count()  # reads the fresh cache; node-table-sized
-    if 85 * n_nodes * scale >= 2**63:
+    if scale is None:
+        # auto mode (the registered query's path — it exposes no scale
+        # knob, so a hard raise here would make growth a failure,
+        # review finding): the largest power of 10 that keeps the
+        # worst-case bound, capped at the documented default. At the
+        # oracle SFs (≤ ~10k nodes) this resolves to SCALE exactly, so
+        # the fixed-constant oracle stays valid; at 200k+ nodes the
+        # rank precision steps down a digit instead of aborting.
+        safe = (2**63 - 1) // (85 * max(n_nodes, 1))
+        scale = SCALE
+        while scale > safe:
+            scale //= 10
+        if scale == 0:
+            raise ValueError(
+                f"pagerank integer headroom exceeded even at scale 1 "
+                f"({n_nodes} nodes) — shard the graph"
+            )
+    elif 85 * n_nodes * scale >= 2**63:
         raise ValueError(
             f"pagerank integer headroom exceeded: 85 * {n_nodes} nodes * "
             f"scale {scale} >= 2^63 — rerun with scale <= "

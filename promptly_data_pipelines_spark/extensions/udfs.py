@@ -22,6 +22,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..catalog import table
 from ..registry import query
+from .curation import CHUNK_STRIDE, CHUNK_TOKENS, CHUNK_WINDOWS_ORACLE
 
 
 def _clip_scale_fn(v: pd.Series) -> pd.Series:
@@ -195,9 +196,6 @@ def salted_partial_agg(ev: DataFrame, n_salts: int = 16) -> DataFrame:
     )
 
 
-from .curation import CHUNK_WINDOWS_ORACLE
-
-
 @query(
     "udtf_chunk_windows",
     registered=False,
@@ -219,8 +217,6 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python boundary individually (not Arrow batches); keep UDTFs
     off corpus-sized hot paths unless the logic truly needs Python."""
     from pyspark.sql.functions import udtf
-
-    from .curation import CHUNK_STRIDE, CHUNK_TOKENS
 
     @udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_text string")
     class ChunkWindows:

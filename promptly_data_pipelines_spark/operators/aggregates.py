@@ -446,11 +446,17 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality (lgConfigK=12 → ~1.6% typical) and merge associativity
     (union of per-type sketches estimates == one corpus-wide sketch's
     estimate, exactly)."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = table(spark, sf_dir, "events")
+    # persist: the per-type sketch table feeds BOTH union branches
+    # (typed rows + merged total); without it each branch re-scans and
+    # re-aggregates the fact table — the exact rescan this pattern
+    # exists to avoid (review finding)
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_distinct"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     typed = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").alias("est_distinct"),

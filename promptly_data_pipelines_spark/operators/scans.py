@@ -264,19 +264,19 @@ def export_jsonl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the export is one shuffle (by shard) + a partitioned write, and
     the manifest pass streams the written bytes once."""
     from ..extensions.hashing import _md5_word
+    from ..extensions.sampling import hash_bucket
 
     out = os.path.join(
         tempfile.gettempdir(),
         f"pdp_export_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
     )
     d = table(spark, sf_dir, "documents")
+    # ONE bucket derivation repo-wide: hash_bucket (extensions/sampling)
+    # is the md5-first-8-hex contract every hash split uses — review
+    # finding: an inline copy here could silently desynchronize the
+    # export sharding from the splits.
     sharded = d.withColumn(
-        "shard",
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % N_EXPORT_SHARDS
-        ),
+        "shard", hash_bucket("doc_id", N_EXPORT_SHARDS).cast("bigint")
     )
     sharded.repartition("shard").write.mode("overwrite").partitionBy("shard").json(out)
     back = spark.read.schema(sharded.schema).json(out)

@@ -621,7 +621,12 @@ def dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def observe_audit(df: DataFrame, name: str = "audit"):
+def observe_audit(
+    df: DataFrame,
+    name: str = "audit",
+    key_col: str = "event_id",
+    value_col: str = "value",
+):
     """Attach an inline audit to a frame via Spark's Observation API:
     row count, null keys, and negative values are collected AS the
     frame is consumed by its next action — zero extra passes, zero
@@ -631,14 +636,16 @@ def observe_audit(df: DataFrame, name: str = "audit"):
     Returns (df_with_observation, observation); read
     ``observation.get`` AFTER the action. Works on batch frames;
     streaming observability goes through the progress listener
-    instead."""
+    instead. ``key_col``/``value_col`` pick which columns the
+    null-key / negative-value audits watch (events-shaped defaults —
+    review finding: the audit must follow the frame, not assume it)."""
     from pyspark.sql import Observation
 
     obs = Observation(name)
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("event_id").isNull().cast("int")).alias("n_null_keys"),
-        F.sum((F.col("value") < 0).cast("int")).alias("n_negative"),
+        F.sum(F.col(key_col).isNull().cast("int")).alias("n_null_keys"),
+        F.sum((F.col(value_col) < 0).cast("int")).alias("n_negative"),
     )
     return observed, obs

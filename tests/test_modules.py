@@ -1625,3 +1625,26 @@ def test_hll_sketch_rollup_accuracy_and_merge(spark):
     assert total_row.est_distinct == direct.est
     exact_total = ev.select("user_id").distinct().count()
     assert abs(total_row.est_distinct - exact_total) / exact_total <= 0.05
+
+
+def test_pagerank_auto_downscales_past_headroom(spark):
+    """Auto-scale path (no explicit scale): a 120k-node ring exceeds
+    the 2^63 bound at the default 1e12 scale; the registered-query
+    path must step the scale down a digit and complete instead of
+    raising (growth is not a failure). Ring symmetry ⇒ every node
+    ends with the identical rank."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.extensions.graph import pagerank_scaled
+
+    n = 120_000
+    fwd = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    back = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    out = pagerank_scaled(fwd.union(back))
+    rows = out.select("rank_scaled").distinct().collect()
+    assert out.count() == n
+    assert len(rows) == 1, "ring symmetry must give one identical rank"
+    # scale stepped down to 1e11: rank of a regular graph stays ~scale
+    assert 0.5e11 < rows[0].rank_scaled < 2e11
