@@ -35,6 +35,10 @@ PAIR_OPS = {
     "dedup_embedding_cosine",
     "udf_grouped_map",
     "udf_grouped_map_coarse",
+    # r6 session 2: pagerank's unrolled-iteration plan pays multi-second
+    # JIT first-touch (measured 13.4 / 7.3 / 5.0 across fresh-session
+    # reps) — same steady-state discipline as the pair ops
+    "graph_pagerank",
 }
 HEADLINE = [
     "dedup_ngram_jaccard",
