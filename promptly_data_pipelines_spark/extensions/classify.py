@@ -306,3 +306,147 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 4).alias("cross_entropy"),
         "bucket",
     )
+
+
+# --------------------------------------------- bigram LM perplexity
+
+
+@query(
+    "text_perplexity_bigram",
+    registered=False,
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, text,
+             {_SQL_BUCKET} < {TRAIN_BUCKET} AS is_train
+      FROM documents
+    ),
+    train_toks AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+      FROM split WHERE is_train
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM train_toks),
+    train_pairs AS (
+      SELECT lang, w[i] AS w1, w[i + 1] AS w2
+      FROM (
+        SELECT lang, w, unnest(range(1, len(w))) AS i
+        FROM (
+          SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM split WHERE is_train
+        ) WHERE len(w) >= 2
+      )
+    ),
+    bcnt AS (
+      SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM train_pairs GROUP BY 1, 2, 3
+    ),
+    ctx AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bcnt GROUP BY 1, 2),
+    test_pairs AS (
+      SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+      FROM (
+        SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i
+        FROM (
+          SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM split WHERE NOT is_train
+        ) WHERE len(w) >= 2
+      )
+    ),
+    doc_pairs AS (
+      SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS m
+      FROM test_pairs GROUP BY 1, 2, 3, 4
+    ),
+    ce AS (
+      SELECT d.doc_id, d.lang, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+             -sum(d.m * ln(CAST(coalesce(b.c12, 0) + 1 AS DOUBLE)
+                           / (coalesce(x.c1, 0) + vocab.v)))
+               / sum(d.m) AS h
+      FROM doc_pairs d
+      CROSS JOIN vocab
+      LEFT JOIN ctx x ON x.lang = d.lang AND x.w1 = d.w1
+      LEFT JOIN bcnt b ON b.lang = d.lang AND b.w1 = d.w1 AND b.w2 = d.w2
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, lang, n_bigrams, round(h, 4) AS cross_entropy,
+           {SQL_TERCILE} AS bucket
+    FROM (SELECT *, {SQL_NTILE} AS nt FROM ce)
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 upgrade of text_perplexity_buckets: score held-out
+    documents under a per-language BIGRAM LM — P(w2|w1) with add-one
+    smoothing over (context count, train vocab) — and tercile per
+    language. Bigram models separate fluent word ORDER from fluent
+    word CHOICE (a unigram model scores a shuffled document
+    identically; the bigram model does not), which is why real CCNet
+    filtering uses order-n KenLM. Unseen contexts degrade to 1/V —
+    the standard add-one floor.
+
+    Same scale posture as the shared machinery: the model is bounded
+    by observed bigrams (≪ vocab², Heaps again), broadcast; the doc
+    stream compresses to (doc, w1, w2, multiplicity) before the model
+    joins; terciles ride the shared SQL_NTILE/SQL_TERCILE fragments
+    and tercile_buckets helper. Documents under 2 words carry no
+    bigram evidence and drop (documented contract)."""
+    split = _hash_split(table(spark, sf_dir, "documents"))
+    train = split.filter("is_train")
+    test = split.filter("NOT is_train")
+
+    vocab = (
+        _tok_stream(train, "lang")
+        .agg(F.countDistinct("word").alias("v"))
+    )
+
+    def pairs(d: DataFrame, *keys: str) -> DataFrame:
+        w = words("text")
+        t = d.select(*keys, w.alias("w")).filter(F.size("w") >= 2)
+        p = F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        )
+        return t.select(*keys, p.alias("p")).select(*keys, "p.w1", "p.w2")
+
+    bcnt = pairs(train, "lang").groupBy("lang", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    ctx = bcnt.groupBy("lang", "w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+
+    doc_pairs = pairs(test, "doc_id", "lang").groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    ctx_k = ctx.select(
+        F.col("lang").alias("x_lang"), F.col("w1").alias("x_w1"), "c1"
+    )
+    bcnt_k = bcnt.select(
+        F.col("lang").alias("b_lang"),
+        F.col("w1").alias("b_w1"),
+        F.col("w2").alias("b_w2"),
+        "c12",
+    )
+    scored = (
+        doc_pairs.crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(ctx_k),
+            (F.col("lang") == F.col("x_lang")) & (F.col("w1") == F.col("x_w1")),
+            "left",
+        )
+        .join(
+            F.broadcast(bcnt_k),
+            (F.col("lang") == F.col("b_lang"))
+            & (F.col("w1") == F.col("b_w1"))
+            & (F.col("w2") == F.col("b_w2")),
+            "left",
+        )
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    ce = scored.groupBy("doc_id", "lang").agg(
+        F.sum("m").cast("bigint").alias("n_bigrams"),
+        (-F.sum(F.col("m") * lp) / F.sum("m")).alias("h"),
+    )
+    return tercile_buckets(ce).select(
+        "doc_id", "lang", "n_bigrams", F.round("h", 4).alias("cross_entropy"), "bucket"
+    )
