@@ -236,3 +236,72 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@query(
+    "sample_class_balance",
+    registered=False,
+    oracle="""
+    WITH cc AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_c FROM embeddings GROUP BY label
+    ),
+    tgt AS (SELECT CAST(max(n_c) AS BIGINT) AS target FROM cc),
+    ranked AS (
+      SELECT e.vec_id, e.label, c.n_c, t.target,
+             row_number() OVER (PARTITION BY e.label ORDER BY e.vec_id) AS rk
+      FROM embeddings e JOIN cc c USING (label) CROSS JOIN tgt t
+    ),
+    reps AS (
+      SELECT vec_id, label,
+             target // n_c + CASE WHEN rk <= target % n_c THEN 1 ELSE 0 END AS r
+      FROM ranked
+    )
+    SELECT vec_id, label, CAST(unnest(range(0, r)) AS BIGINT) AS replica_idx
+    FROM reps WHERE r > 0
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count oversampling to class parity: every label is
+    brought to EXACTLY the majority class's count by integer
+    replication — each row repeats target div n_c times and the first
+    target mod n_c rows (by id order) once more. Unlike
+    fraction-based sampleBy, the output class sizes are exact and the
+    replica assignment is deterministic (rerun-/engine-stable, no
+    RNG) — what a training-data loader wants from a rebalanced
+    manifest (replica_idx lets downstream shuffling treat copies as
+    distinct rows).
+
+    Scale: one count aggregation (class-cardinality output, broadcast
+    back), one per-class window (partitioned — the id ordering is for
+    the remainder assignment only, never a global sort), and an
+    in-row sequence explode bounded by the imbalance ratio. The
+    minority-explosion factor IS the cost knob: a 1000× imbalanced
+    corpus multiplies its minority rows 1000× — cap the target or
+    combine with downweighting when that bound bites."""
+    e = table(spark, sf_dir, "embeddings")
+    cc = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_c"))
+    tgt = cc.agg(F.max("n_c").cast("bigint").alias("target"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ranked = (
+        e.select("vec_id", "label")
+        .join(F.broadcast(cc), "label")
+        .crossJoin(F.broadcast(tgt))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    reps = ranked.select(
+        "vec_id",
+        "label",
+        (
+            F.expr("target div n_c")
+            + F.when(F.col("rk") <= F.col("target") % F.col("n_c"), 1).otherwise(0)
+        ).alias("r"),
+    )
+    return (
+        reps.filter(F.col("r") > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.col("r") - 1)).alias("__idx"),
+        )
+        .select("vec_id", "label", F.col("__idx").cast("bigint").alias("replica_idx"))
+    )

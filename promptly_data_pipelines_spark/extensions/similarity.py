@@ -513,3 +513,91 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return e.select("vec_id", "label", proj.alias("proj"))
+
+
+# ------------------------------------------------- k-center coreset
+
+K_CENTERS = 4
+
+
+def _kcenter_oracle(k: int = K_CENTERS) -> str:
+    """Unrolled greedy k-center: d_{j} = min(d_{j-1}, dist to newest
+    center), next center = argmax d (round 6, vec_id tiebreak) —
+    identical arithmetic to the Spark loop (squared euclidean via the
+    dot-product identity |a|²+|b|²-2ab, the proven-parity
+    list_dot_product / fold pair)."""
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        "n2 AS (SELECT vec_id, vec, list_dot_product(vec, vec) AS nn FROM e)",
+        "c0 AS (SELECT vec_id, vec, nn FROM n2 WHERE vec_id = (SELECT min(vec_id) FROM e))",
+    ]
+    prev_d = None
+    for j in range(1, k):
+        new_d = (
+            f"round(p.nn + c.nn - 2 * list_dot_product(p.vec, c.vec), 6)"
+        )
+        d_expr = new_d if prev_d is None else f"least(p.d, {new_d})"
+        parts.append(
+            f"""d{j} AS (
+      SELECT p.vec_id, p.vec, p.nn, {d_expr} AS d
+      FROM {'n2' if prev_d is None else f'd{j - 1}'} p CROSS JOIN c{j - 1} c
+    )"""
+        )
+        parts.append(
+            f"""c{j} AS (
+      SELECT vec_id, vec, nn, d FROM d{j} ORDER BY d DESC, vec_id LIMIT 1
+    )"""
+        )
+        prev_d = True
+    finals = ["SELECT CAST(0 AS BIGINT) AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c0"]
+    for j in range(1, k):
+        finals.append(f"SELECT CAST({j} AS BIGINT), vec_id, d FROM c{j}")
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+@query("embedding_coreset_kcenter", registered=False, oracle=_kcenter_oracle())
+def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-maximizing coreset: greedy k-center (Gonzalez 1985,
+    2-approximation of the optimal covering radius) over the embedding
+    corpus — pick the point farthest from the selected set, {K_CENTERS}
+    rounds. The selection a curation pipeline uses to build a small
+    maximally-diverse subset (eval seeds, annotation batches,
+    cluster-initialization) where similarity sampling would pick
+    near-duplicates. Returns (sel_order, vec_id, radius) — radius is
+    the selected point's distance at selection, i.e. the covering
+    radius the set had BEFORE it joined; the seed is the min-id point
+    (deterministic, no RNG).
+
+    Scale: each round is ONE map-side distance update against the
+    newest center (broadcast as plan literals — center count is k,
+    model-sized) + one argmax (TakeOrdered, k rows to the driver). The
+    min-distance column folds incrementally, so round j costs one
+    O(dim) dot product per point, not j of them. Distances use the
+    |a|²+|b|²-2ab identity over the SAME left-to-right dot-product
+    fold both engines share (similarity_topk's proven-parity
+    machinery); argmax orders on round(d, 6) with vec_id tiebreak."""
+    e = _doubled(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "vec", dot(F.col("vec"), F.col("vec")).alias("nn")
+    )
+    e = e.persist()
+    seed = e.orderBy("vec_id").first()
+    if seed is None:
+        return spark.createDataFrame([], "sel_order bigint, vec_id bigint, radius double")
+    selected = [(0, seed.vec_id, None)]
+    cur_vec, cur_nn = seed.vec, seed.nn
+    df = e
+    have_d = False
+    for j in range(1, K_CENTERS):
+        c_lit = F.array(*[F.lit(float(v)) for v in cur_vec])
+        nd = F.round(
+            F.col("nn") + F.lit(float(cur_nn)) - 2 * dot(F.col("vec"), c_lit), 6
+        )
+        df = df.withColumn("d", F.least(F.col("d"), nd) if have_d else nd)
+        have_d = True
+        nxt = df.orderBy(F.col("d").desc(), "vec_id").first()
+        selected.append((j, nxt.vec_id, float(nxt.d)))
+        cur_vec, cur_nn = nxt.vec, nxt.nn
+    e.unpersist()
+    return spark.createDataFrame(
+        selected, "sel_order bigint, vec_id bigint, radius double"
+    )

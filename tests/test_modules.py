@@ -1648,3 +1648,23 @@ def test_pagerank_auto_downscales_past_headroom(spark):
     assert len(rows) == 1, "ring symmetry must give one identical rank"
     # scale stepped down to 1e11: rank of a regular graph stays ~scale
     assert 0.5e11 < rows[0].rank_scaled < 2e11
+
+
+def test_kcenter_coreset_radius_monotone_and_diverse(spark):
+    """Greedy k-center invariants: the covering radius at selection is
+    non-increasing round over round (the farthest remaining point can
+    only get closer as centers are added), all selections are distinct,
+    and the seed is the min-id point."""
+    from conftest import SF_DIR
+    from promptly_data_pipelines_spark.registry import run
+
+    rows = sorted(
+        run("embedding_coreset_kcenter", spark, SF_DIR).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert [r.sel_order for r in rows] == list(range(len(rows)))
+    assert rows[0].radius is None and rows[0].vec_id == 0
+    radii = [r.radius for r in rows[1:]]
+    assert all(r > 0 for r in radii)
+    assert all(a >= b for a, b in zip(radii, radii[1:])), f"radius grew: {radii}"
+    assert len({r.vec_id for r in rows}) == len(rows)
