@@ -100,6 +100,10 @@ SECONDARY = [
     "text_dup_span_fraction",
     "graph_pagerank",
     "classify_nb_lang",
+    # r6 (session 2, late): the end-to-end web-curation composite —
+    # line dedup + gate + LM scoring + terciles in one plan; tracked
+    # so regressions in any chained stage surface at pipeline level
+    "web_corpus_prep",
     # r6 curation tier, tracked from introduction: the bloom-prefiltered
     # dim-fact join (two jobs: bitset agg + join), the SemDeDup-style
     # keep-best cell dedup (one window shuffle), RAG chunking (pure

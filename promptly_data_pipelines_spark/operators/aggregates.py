@@ -470,3 +470,42 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_distinct"),
     )
     return typed.unionByName(total)
+
+
+@query(
+    "agg_grouping_sets",
+    registered=False,
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+             AS grouping_level
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube are sugar
+    for, needed when the report wants a CUSTOM set of aggregation
+    levels (here: detail, by-status, grand total — but NOT by-priority,
+    which a cube would force). grouping() disambiguates real NULLs
+    from subtotal rows, encoded as the same bit-packed level id both
+    engines compute. One Expand + one shuffle — each input row fans
+    out once per grouping set before the map-side combine, so cost
+    scales with |sets|, not with distinct-value counts."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus"))
+            .cast("bigint")
+            .alias("grouping_level"),
+        )
+    )

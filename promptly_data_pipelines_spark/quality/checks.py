@@ -649,3 +649,60 @@ def observe_audit(
         F.sum((F.col(value_col) < 0).cast("int")).alias("n_negative"),
     )
     return observed, obs
+
+
+Z_THRESHOLD = 2.5
+
+
+@query(
+    "dq_value_outliers",
+    registered=False,
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS s,
+             round(sum(value * value), 4) AS sq
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             round((e.value - st.s / st.n)
+                   / sqrt((st.sq - st.s * st.s / st.n) / (st.n - 1)), 4) AS z
+      FROM events e JOIN stats st USING (event_type)
+      WHERE st.n > 1
+    )
+    SELECT event_id, event_type, value, z
+    FROM scored WHERE abs(z) >= {Z_THRESHOLD}
+    """,
+)
+def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection — the value-level companion
+    to dq_volume_anomaly's row-count monitor: events whose value sits
+    ≥ {Z_THRESHOLD}σ from their type's mean. One map-side-combined
+    moment aggregation (n, Σx, Σx²) joined back broadcast; mean and
+    variance derive from the ROUNDED sums (2dp/4dp — exact at the
+    inputs' decimal width) with identical arithmetic in both engines,
+    and z rounds at 4dp BEFORE the threshold so the flag decision is
+    engine-identical even at the boundary. The two-pass shape (stats,
+    then score) is the honest streaming-unfriendly form; a streaming
+    deployment maintains the moments as running state instead."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    scored = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > 1)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - mean) / F.sqrt(var), 4).alias("z"),
+        )
+    )
+    return scored.filter(F.abs(F.col("z")) >= Z_THRESHOLD)
