@@ -517,3 +517,56 @@ def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ema_value"
         ),
     )
+
+
+@query(
+    "events_transition_matrix",
+    registered=False,
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / tt.n_from AS p
+    FROM trans t JOIN totals tt USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the model behind
+    next-action prediction, funnel leak localization, and bot
+    detection (bot sessions have degenerate transition rows). One
+    per-user lag window (partitioned, event_id tiebreak for same-ts
+    determinism) + two map-side-combined counts; the probability is an
+    exact integer ratio, division of identical ints — no rounding
+    needed (the engines divide identical doubles identically). Output
+    is |event types|² rows — model-sized regardless of corpus."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )
