@@ -104,20 +104,38 @@ def smoothed_scored(doc_words: DataFrame, cnt, tot, vocab) -> DataFrame:
     )
 
 
-def _smoothed_logprob() -> F.Column:
-    """ln((c+1) / (tot+V)) — the add-one term, identical in SQL_CE."""
+def add_one_logprob(count_col: F.Column, denom_col: F.Column) -> F.Column:
+    """ln((count+1) / denom) — THE add-one smoothing term. Order-1
+    passes denom = tot + V; the bigram path passes denom = c1 + V.
+    One definition (review finding: the bigram query had re-derived
+    this inline, where a smoothing fix would not have reached it)."""
     return F.log(
-        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-        / (F.col("tot") + F.col("v"))
+        (F.coalesce(count_col, F.lit(0)) + 1).cast("double") / denom_col
     )
+
+
+def ce_aggregate(scored: DataFrame, keys: list, m_col: str, lp: F.Column) -> DataFrame:
+    """Per-key cross-entropy: -Σ m·lp / Σ m plus the evidence count —
+    shared by the order-1 and order-2 paths."""
+    return scored.groupBy(*keys).agg(
+        F.sum(m_col).cast("bigint").alias("n_tokens"),
+        (-F.sum(F.col(m_col) * lp) / F.sum(m_col)).alias("h"),
+    )
+
+
+def _smoothed_logprob() -> F.Column:
+    """Order-1 smoothing term over the model-joined columns."""
+    return add_one_logprob(F.col("c"), F.col("tot") + F.col("v"))
 
 
 def cross_entropy_frame(doc_words: DataFrame, cnt, tot, vocab) -> DataFrame:
     """(doc_id, lang, word, m) → (doc_id, lang, n_tokens, h) — the
     Spark twin of SQL_CE."""
-    return smoothed_scored(doc_words, cnt, tot, vocab).groupBy("doc_id", "lang").agg(
-        F.sum("m").cast("bigint").alias("n_tokens"),
-        (-F.sum(F.col("m") * _smoothed_logprob()) / F.sum("m")).alias("h"),
+    return ce_aggregate(
+        smoothed_scored(doc_words, cnt, tot, vocab),
+        ["doc_id", "lang"],
+        "m",
+        _smoothed_logprob(),
     )
 
 
@@ -363,6 +381,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN vocab
       LEFT JOIN ctx x ON x.lang = d.lang AND x.w1 = d.w1
       LEFT JOIN bcnt b ON b.lang = d.lang AND b.w1 = d.w1 AND b.w2 = d.w2
+      WHERE vocab.v > 0
       GROUP BY d.doc_id, d.lang
     )
     SELECT doc_id, lang, n_bigrams, round(h, 4) AS cross_entropy,
@@ -424,8 +443,13 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w2").alias("b_w2"),
         "c12",
     )
+    # v > 0 guard (review finding): with an EMPTY train split the
+    # vocab is 0 and every unseen denominator coalesces to 0 — ANSI
+    # DIVIDE_BY_ZERO. No model, no scores: all test rows drop, the
+    # same shape the unigram path gets from its inner model join.
     scored = (
         doc_pairs.crossJoin(F.broadcast(vocab))
+        .filter(F.col("v") > 0)
         .join(
             F.broadcast(ctx_k),
             (F.col("lang") == F.col("x_lang")) & (F.col("w1") == F.col("x_w1")),
@@ -439,13 +463,11 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
     )
-    lp = F.log(
-        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
-        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    lp = add_one_logprob(
+        F.col("c12"), F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
     )
-    ce = scored.groupBy("doc_id", "lang").agg(
-        F.sum("m").cast("bigint").alias("n_bigrams"),
-        (-F.sum(F.col("m") * lp) / F.sum("m")).alias("h"),
+    ce = ce_aggregate(scored, ["doc_id", "lang"], "m", lp).withColumnRenamed(
+        "n_tokens", "n_bigrams"
     )
     return tercile_buckets(ce).select(
         "doc_id", "lang", "n_bigrams", F.round("h", 4).alias("cross_entropy"), "bucket"

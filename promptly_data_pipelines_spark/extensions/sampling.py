@@ -257,7 +257,7 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT vec_id, label, CAST(unnest(range(0, r)) AS BIGINT) AS replica_idx
-    FROM reps WHERE r > 0
+    FROM reps
     """,
 )
 def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,8 +296,10 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("target") % F.col("n_c"), 1).otherwise(0)
         ).alias("r"),
     )
+    # r >= 1 always: target = max(n_c) >= n_c makes target div n_c >= 1,
+    # so no replica filter is needed (a zero-replica row cannot exist)
     return (
-        reps.filter(F.col("r") > 0)
+        reps
         .select(
             "vec_id",
             "label",

@@ -575,28 +575,53 @@ def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(dim) dot product per point, not j of them. Distances use the
     |a|²+|b|²-2ab identity over the SAME left-to-right dot-product
     fold both engines share (similarity_topk's proven-parity
-    machinery); argmax orders on round(d, 6) with vec_id tiebreak."""
+    machinery); argmax orders on round(d, 6) with vec_id tiebreak.
+    Contract: the unrolled oracle assumes ≥ {K_CENTERS} distinct
+    points (always true of the fixture corpus); on degenerate corpora
+    the Spark side stops early rather than emit duplicate centers
+    (kcenter_select, pinned by test_kcenter_early_stop)."""
     e = _doubled(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "vec", dot(F.col("vec"), F.col("vec")).alias("nn")
     )
+    return kcenter_select(spark, e)
+
+
+def kcenter_select(spark: SparkSession, e: DataFrame, k: int = K_CENTERS) -> DataFrame:
+    """Greedy k-center over a (vec_id, vec, nn) frame. Stops early when
+    the farthest remaining point is distance 0 from the selected set
+    (corpus has < k distinct points — review finding: without the stop
+    the argmax re-picks a center and the "diversity" set contains
+    duplicates). The min-distance frame is persisted per round and the
+    previous round's cache released, so round j really is ONE new dot
+    product per point (the chained-withColumn form re-evaluated every
+    prior round's expression on each action — measured O(k²))."""
     e = e.persist()
     seed = e.orderBy("vec_id").first()
     if seed is None:
+        e.unpersist()
         return spark.createDataFrame([], "sel_order bigint, vec_id bigint, radius double")
     selected = [(0, seed.vec_id, None)]
     cur_vec, cur_nn = seed.vec, seed.nn
     df = e
+    prev_cached = None
     have_d = False
-    for j in range(1, K_CENTERS):
+    for j in range(1, k):
         c_lit = F.array(*[F.lit(float(v)) for v in cur_vec])
         nd = F.round(
             F.col("nn") + F.lit(float(cur_nn)) - 2 * dot(F.col("vec"), c_lit), 6
         )
-        df = df.withColumn("d", F.least(F.col("d"), nd) if have_d else nd)
+        df = df.withColumn("d", F.least(F.col("d"), nd) if have_d else nd).persist()
         have_d = True
         nxt = df.orderBy(F.col("d").desc(), "vec_id").first()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = df
+        if nxt is None or float(nxt.d) <= 0:
+            break  # every remaining point coincides with a center
         selected.append((j, nxt.vec_id, float(nxt.d)))
         cur_vec, cur_nn = nxt.vec, nxt.nn
+    if prev_cached is not None:
+        prev_cached.unpersist()
     e.unpersist()
     return spark.createDataFrame(
         selected, "sel_order bigint, vec_id bigint, radius double"

@@ -671,6 +671,7 @@ Z_THRESHOLD = 2.5
                    / sqrt((st.sq - st.s * st.s / st.n) / (st.n - 1)), 4) AS z
       FROM events e JOIN stats st USING (event_type)
       WHERE st.n > 1
+        AND (st.sq - st.s * st.s / st.n) / (st.n - 1) > 0
     )
     SELECT event_id, event_type, value, z
     FROM scored WHERE abs(z) >= {Z_THRESHOLD}
@@ -695,9 +696,13 @@ def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n")
     var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    # var > 0 guard (review finding): a constant-valued group has
+    # var == 0 (or epsilon-negative after rounding) — ANSI Spark would
+    # throw DIVIDE_BY_ZERO and DuckDB sqrt(-x) errors; a zero-variance
+    # group has no outliers BY DEFINITION, so both engines drop it.
     scored = (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.col("n") > 1)
+        .filter((F.col("n") > 1) & (var > 0))
         .select(
             "event_id",
             "event_type",

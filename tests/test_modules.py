@@ -1668,3 +1668,81 @@ def test_kcenter_coreset_radius_monotone_and_diverse(spark):
     assert all(r > 0 for r in radii)
     assert all(a >= b for a, b in zip(radii, radii[1:])), f"radius grew: {radii}"
     assert len({r.vec_id for r in rows}) == len(rows)
+
+
+def test_kcenter_early_stop_on_degenerate_corpus(spark):
+    """Review finding: with fewer distinct points than K_CENTERS the
+    greedy loop used to re-pick the min-id center forever (duplicate
+    'diversity' rows with radius 0). Now it stops at the last positive
+    radius: a 2-point corpus yields exactly 2 distinct selections."""
+    from pyspark.sql import Row, functions as F
+
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        dot,
+        kcenter_select,
+    )
+
+    e = spark.createDataFrame(
+        [Row(vec_id=0, vec=[0.0, 0.0]), Row(vec_id=1, vec=[3.0, 4.0])]
+    ).withColumn("nn", dot(F.col("vec"), F.col("vec")))
+    rows = sorted(kcenter_select(spark, e).collect(), key=lambda r: r.sel_order)
+    assert [(r.sel_order, r.vec_id) for r in rows] == [(0, 0), (1, 1)]
+    assert rows[1].radius == 25.0  # squared euclidean
+
+
+def test_bigram_perplexity_survives_empty_train_split(spark, tmp_path):
+    """Review finding: an all-test hash split used to hit ANSI
+    DIVIDE_BY_ZERO (vocab 0, every denominator 0). Stage a corpus
+    whose doc_ids all hash past TRAIN_BUCKET and assert the query
+    returns an empty, well-formed frame instead of throwing."""
+    import os
+
+    from promptly_data_pipelines_spark.catalog import DECLARED_SCHEMAS, TABLES
+    from promptly_data_pipelines_spark.extensions.sampling import TRAIN_BUCKET, hash_bucket
+    from promptly_data_pipelines_spark.registry import run
+
+    d = str(tmp_path / "sf_testonly")
+    # find doc_ids hashing into the test region
+    from pyspark.sql import Row, functions as F
+
+    probe = spark.range(4000).select(F.col("id"), hash_bucket("id").alias("b"))
+    test_ids = [r.id for r in probe.filter(F.col("b") >= TRAIN_BUCKET).limit(3).collect()]
+    assert len(test_ids) == 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=int(i), text="alpha beta gamma delta", lang="en", source="s0", n_chars=23) for i in test_ids],
+        DECLARED_SCHEMAS["documents"],
+    )
+    for t in TABLES:
+        frame = docs if t == "documents" else spark.createDataFrame([], DECLARED_SCHEMAS[t])
+        frame.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+    out = run("text_perplexity_bigram", spark, d)
+    assert out.collect() == []
+    assert out.columns == ["doc_id", "lang", "n_bigrams", "cross_entropy", "bucket"]
+
+
+def test_value_outliers_zero_variance_group_drops(spark):
+    """Review finding: a constant-valued group (variance 0) used to
+    throw ANSI DIVIDE_BY_ZERO. The guard must drop such groups — a
+    zero-variance group has no outliers by definition."""
+    from pyspark.sql import Row, functions as F
+
+    from promptly_data_pipelines_spark.quality.checks import Z_THRESHOLD
+
+    rows = [Row(event_id=i, event_type="const", value=1.0) for i in range(5)]
+    rows += [Row(event_id=100 + i, event_type="var", value=float(v)) for i, v in enumerate([1, 1, 1, 1, 1, 1, 1, 1, 100])]
+    ev = spark.createDataFrame(rows)
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    scored = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n") > 1) & (var > 0))
+        .select("event_id", "event_type", F.round((F.col("value") - mean) / F.sqrt(var), 4).alias("z"))
+    )
+    out = scored.filter(F.abs(F.col("z")) >= Z_THRESHOLD).collect()
+    assert all(r.event_type == "var" for r in out)
+    assert any(r.event_id == 108 for r in out), "the true outlier must be flagged"
