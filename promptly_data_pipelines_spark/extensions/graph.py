@@ -208,3 +208,82 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_ITER} exact-integer PageRank iterations."""
     li = table(spark, sf_dir, "lineitem")
     return pagerank_scaled(copurchase_edges(li))
+
+
+MIN_PAIR_SUPPORT = 5  # absolute co-occurrence floor for a rule
+
+
+@query(
+    "basket_association_rules",
+    registered=False,
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM li a JOIN li b USING (l_orderkey)
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.c_ab,
+           CAST(p.c_ab AS DOUBLE) / n.n_orders AS support,
+           CAST(p.c_ab AS DOUBLE) / ia.c AS confidence,
+           (CAST(p.c_ab AS DOUBLE) * n.n_orders) / (ia.c * ic.c) AS lift
+    FROM pairs p
+    JOIN item ia ON p.ante = ia.l_partkey
+    JOIN item ic ON p.cons = ic.l_partkey
+    CROSS JOIN n
+    WHERE p.c_ab >= {MIN_PAIR_SUPPORT}
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant's Apriori at
+    the pairwise level): for part pairs co-purchased in ≥
+    {MIN_PAIR_SUPPORT} orders, the support / confidence / lift
+    triple — the recommendation/affinity statistic the co-purchase
+    PageRank ranks globally and this op ranks PER RULE (lift > 1 ⇒
+    genuinely associated, not just both popular). All three measures
+    are exact integer ratios — both engines divide identical ints into
+    identical doubles, so no rounding policy is needed anywhere.
+
+    Scale: the pair census is the same basket-bounded k² expansion as
+    copurchase_edges (here via the self-join because the COUNT per
+    pair is needed, not the distinct edge); the item table is
+    catalog-sized and broadcasts; the support floor prunes the rule
+    tail before the joins. Same Apriori property as always: pairs
+    below floor can never form higher-order rules, so this output is
+    also the candidate generation for 3-itemsets."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons")
+        )
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_PAIR_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("ante"), F.col("c").alias("c_a"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("c").alias("c_c"))
+    return (
+        pairs.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("c_ab").cast("double") / F.col("c_a")).alias("confidence"),
+            (
+                (F.col("c_ab").cast("double") * F.col("n_orders"))
+                / (F.col("c_a") * F.col("c_c"))
+            ).alias("lift"),
+        )
+    )

@@ -494,29 +494,39 @@ def events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST and the quotient of the now-identical doubles divides
     exactly — rounding the quotient itself would hit decimal-boundary
     disagreement (the aggregates.py avg discipline)."""
-    ev = table(spark, sf_dir, "events")
+    terms = decayed_terms(table(spark, sf_dir, "events"))
+    return terms.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        ema_agg().alias("ema_value"),
+    )
+
+
+def decayed_terms(ev: DataFrame) -> DataFrame:
+    """(user_id, value, wt): each event's decay weight anchored at its
+    user's latest event — shared by events_ema and the feature-store
+    build so the decay definition exists once."""
+    import math
+
     wu = Window.partitionBy("user_id")
     ts_ms = F.unix_millis("ts").cast("double")
+    lam = math.log(2.0) / EMA_HALF_LIFE_DAYS
     w = ev.select(
         "user_id",
         "value",
         ts_ms.alias("ts_ms"),
         F.max(ts_ms).over(wu).alias("t_ms"),
     )
-    import math
-
-    lam = math.log(2.0) / EMA_HALF_LIFE_DAYS
-    terms = w.select(
+    return w.select(
         "user_id",
         "value",
         F.exp(F.lit(-lam) * ((F.col("t_ms") - F.col("ts_ms")) / 86400000.0)).alias("wt"),
     )
-    return terms.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n_events"),
-        (F.round(F.sum(F.col("value") * F.col("wt")), 6) / F.round(F.sum("wt"), 6)).alias(
-            "ema_value"
-        ),
-    )
+
+
+def ema_agg() -> F.Column:
+    """round-both-sums-then-divide EMA aggregate (the avg parity
+    discipline) over a decayed_terms frame."""
+    return F.round(F.sum(F.col("value") * F.col("wt")), 6) / F.round(F.sum("wt"), 6)
 
 
 @query(
@@ -570,3 +580,143 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+@query(
+    "customers_rfm_segments",
+    registered=False,
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), (SELECT mx FROM anchor)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r,
+             CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m
+      FROM cust
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r * 100 + f * 10 + m AS rfm_code
+    FROM scored
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value decomposition:
+    quintiles of Recency (days since last order, inverted so 5 = most
+    recent), Frequency, and Monetary, packed into the 111-555 segment
+    code marketing stacks key campaigns on. Ranks are ntile over
+    (metric, custkey) — integer arithmetic, engine-exact, no float
+    quantile boundaries to disagree on.
+
+    Scale note: the ntile windows are GLOBAL sorts — correct here
+    because they run on the customer-cardinality aggregate (orders of
+    magnitude below fact volume), the same justification as the
+    retention curve's calendar frame. A 1e9-customer deployment swaps
+    them for approx_percentile boundary joins (dq_profile's sketch
+    pattern) and accepts boundary-epsilon segment churn."""
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("mx"), F.to_date("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    return cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (r.cast("bigint") * 100 + f.cast("bigint") * 10 + m.cast("bigint")).alias(
+            "rfm_code"
+        ),
+    )
+
+
+@query(
+    "events_user_features",
+    registered=False,
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+             CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT)
+               AS span_days,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY user_id
+    ),
+    decay AS (
+      SELECT user_id,
+             round(sum(value * wt), 6) / round(sum(wt), 6) AS ema_value
+      FROM (
+        SELECT user_id, value,
+               exp(-ln(2.0) / {EMA_HALF_LIFE_DAYS}
+                   * ((max(CAST(epoch_ms(ts) AS DOUBLE)) OVER (PARTITION BY user_id)
+                       - CAST(epoch_ms(ts) AS DOUBLE)) / 86400000.0)) AS wt
+        FROM events
+      ) GROUP BY user_id
+    ),
+    last_ev AS (
+      SELECT user_id, event_type AS last_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT b.user_id, b.n_events, b.n_types, b.active_days, b.span_days,
+           b.total_value, d.ema_value, l.last_type
+    FROM base b JOIN decay d USING (user_id) JOIN last_ev l USING (user_id)
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store build: one row per user with the features a
+    churn/propensity model consumes — volume (n_events), breadth
+    (n_types), engagement cadence (active_days vs span_days), value
+    mass, the decayed recent-value EMA (shared decayed_terms
+    definition), and the latest action. Three verified operator shapes
+    composed in one lazy plan: a map-side-combined multi-aggregate,
+    the decay window + rounded-sums division, and a latest-wins
+    window — all partitioned by user, one shuffle key throughout, so
+    the whole build co-partitions and AQE can collapse the joins into
+    the same exchange."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("active_days"),
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+        .cast("bigint")
+        .alias("span_days"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    decay = decayed_terms(ev).groupBy("user_id").agg(ema_agg().alias("ema_value"))
+    wl = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last_ev = (
+        ev.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_type"))
+    )
+    return base.join(decay, "user_id").join(last_ev, "user_id")
