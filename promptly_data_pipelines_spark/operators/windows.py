@@ -720,3 +720,74 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("last_type"))
     )
     return base.join(decay, "user_id").join(last_ev, "user_id")
+
+
+@query(
+    "orders_cohort_retention",
+    registered=False,
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS am
+      FROM orders
+    ),
+    cohorts AS (
+      SELECT o_custkey, min(am) AS cohort_month FROM activity GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY cohort_month
+    ),
+    joined AS (
+      SELECT c.cohort_month,
+             CAST(datediff('month', c.cohort_month, a.am) AS BIGINT) AS month_offset,
+             a.o_custkey
+      FROM activity a JOIN cohorts c USING (o_custkey)
+    )
+    SELECT strftime(j.cohort_month, '%Y-%m') AS cohort,
+           j.month_offset,
+           CAST(count(DISTINCT j.o_custkey) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST(count(DISTINCT j.o_custkey) AS DOUBLE) / s.cohort_size AS retention
+    FROM joined j JOIN sizes s USING (cohort_month)
+    GROUP BY j.cohort_month, j.month_offset, s.cohort_size
+    """,
+)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort retention matrix — the canonical growth-analytics
+    table: customers grouped by first-order month (cohort), retention
+    = share of the cohort active again N months later. Complements
+    events_retention_curve (which counts users by calendar day, no
+    cohort dimension): this is the month × offset triangle a growth
+    dashboard heat-maps. Offset-0 retention is 1.0 by construction —
+    a built-in self-check.
+
+    Scale: two distinct-aggregations and one customer-keyed join, all
+    partitioned by customer/cohort — cohort cardinality is months ×
+    offsets (tiny); the fact table is touched once for the distinct
+    activity set. Retention is an exact integer ratio — identical
+    division both engines, no rounding policy needed."""
+    o = table(spark, sf_dir, "orders")
+    activity = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("am")
+    ).distinct()
+    cohorts = activity.groupBy("o_custkey").agg(F.min("am").alias("cohort_month"))
+    sizes = cohorts.groupBy("cohort_month").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    joined = activity.join(cohorts, "o_custkey").select(
+        "cohort_month",
+        (F.months_between("am", "cohort_month").cast("bigint")).alias("month_offset"),
+        "o_custkey",
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_month")
+        .groupBy("cohort_month", "month_offset", "cohort_size")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_active"))
+        .select(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            "month_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )
