@@ -1081,3 +1081,127 @@ def char_entropy_frame(d: DataFrame) -> DataFrame:
         F.size("cs").cast("bigint").alias("n_chars"),
         F.round(ent, 4).alias("char_entropy"),
     )
+
+
+# ------------------------------------------------ RAKE keyphrases
+
+RAKE_TOP_K = 20
+_STOP_IN = "('" + "','".join(STOPWORDS) + "')"
+
+
+@query(
+    "text_rake_keyphrases",
+    registered=False,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w, i, w[i] AS tok
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w,
+               unnest(range(1, len(list_filter(string_split(text, ' '), x -> x <> '')) + 1)) AS i
+        FROM documents
+      )
+    ),
+    marked AS (
+      SELECT doc_id, i, tok, tok IN {_STOP_IN} AS is_stop,
+             sum(CASE WHEN tok IN {_STOP_IN} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+      FROM toks
+    ),
+    cands AS (
+      SELECT doc_id, run_id,
+             list_transform(list_sort(list({{'i': i, 'tok': tok}})), x -> x.tok) AS phrase_words
+      FROM marked WHERE NOT is_stop
+      GROUP BY doc_id, run_id
+      HAVING count(*) >= 2
+    ),
+    cand_words AS (
+      SELECT doc_id, run_id, len(phrase_words) AS plen,
+             array_to_string(phrase_words, ' ') AS phrase,
+             unnest(phrase_words) AS word
+      FROM cands
+    ),
+    wstats AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM cand_words GROUP BY word
+    ),
+    scored AS (
+      SELECT c.doc_id, c.run_id, c.phrase,
+             round(sum(CAST(s.degree AS DOUBLE) / s.freq), 4) AS score
+      FROM cand_words c JOIN wstats s USING (word)
+      GROUP BY c.doc_id, c.run_id, c.phrase
+    ),
+    best AS (
+      SELECT phrase, max(score) AS score, CAST(count(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY phrase
+    )
+    SELECT phrase, score, n_docs FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rk FROM best
+    ) WHERE rk <= {RAKE_TOP_K}
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (length ≥ 2); each word
+    scores degree/frequency over the candidate corpus (degree = total
+    length of candidates containing it — co-occurrence reach; freq =
+    raw count), a phrase scores the sum of its words, and the corpus
+    top-{RAKE_TOP_K} come back with document support. TF-IDF finds
+    characteristic single TOKENS per doc; RAKE finds multi-word
+    PHRASES corpus-wide — the keyphrase surface a tagging/indexing
+    pipeline wants.
+
+    Scale: run segmentation is a per-doc running count (window
+    partitioned by doc over token positions); word stats are
+    vocabulary-sized and join back broadcast; the final top-k is a
+    rank over the distinct-phrase table. Score sums (few exact
+    rationals per phrase) round at 4dp — groupBy sum order is
+    engine-specific, the usual discipline."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(words("text")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    is_stop = F.col("tok").isin(*STOPWORDS)
+    wr = Window.partitionBy("doc_id").orderBy("i")
+    marked = toks.select(
+        "doc_id",
+        "i",
+        "tok",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop.cast("int")).over(wr).alias("run_id"),
+    )
+    cands = (
+        marked.filter(~F.col("is_stop"))
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))), lambda x: x["tok"]
+            ).alias("phrase_words")
+        )
+        .filter(F.size("phrase_words") >= 2)
+    )
+    cand_words = cands.select(
+        "doc_id",
+        "run_id",
+        F.size("phrase_words").alias("plen"),
+        F.array_join("phrase_words", " ").alias("phrase"),
+        F.explode("phrase_words").alias("word"),
+    )
+    wstats = cand_words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    scored = (
+        cand_words.join(F.broadcast(wstats), "word")
+        .groupBy("doc_id", "run_id", "phrase")
+        .agg(F.round(F.sum(F.col("degree").cast("double") / F.col("freq")), 4).alias("score"))
+    )
+    best = scored.groupBy("phrase").agg(
+        F.max("score").alias("score"), F.count("*").cast("bigint").alias("n_docs")
+    )
+    wk = Window.orderBy(F.col("score").desc(), "phrase")
+    return (
+        best.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= RAKE_TOP_K)
+        .select("phrase", "score", "n_docs")
+    )

@@ -711,3 +711,65 @@ def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+
+
+RECON_TOLERANCE = 0.01  # absolute currency tolerance
+
+
+@query(
+    "dq_cross_table_reconcile",
+    registered=False,
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS li_total,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_totalprice, li.li_total, li.n_lines,
+           round(o.o_totalprice - li.li_total, 4) AS diff,
+           abs(round(o.o_totalprice - li.li_total, 4)) <= {RECON_TOLERANCE}
+             AS reconciles
+    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    WHERE abs(round(o.o_totalprice - li.li_total, 4)) > {RECON_TOLERANCE}
+    """,
+)
+def dq_cross_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation — the financial-close DQ check: each
+    order's header total vs the sum of its line items (discounted
+    extended price), reporting every order outside tolerance. The
+    fixture generator prices headers and lines independently, so this
+    check INTENTIONALLY reports violations — like dq_functional_dep,
+    the mechanism under test is detection; a reconciled warehouse
+    returns zero rows. Both sides round the line sum at the 2dp input
+    width and round the diff before the tolerance compare, so the
+    violation set is engine-identical at the boundary.
+
+    Scale: one map-side-combined aggregation of the fact table + one
+    key join with the header table — the shape runs per partition-pair
+    under the incremental runner for a daily close."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            # 4dp, not 2: the discounted product is a 4-decimal value —
+            # rounding its sum at 2dp sits exactly on x.xx50 boundaries
+            # where the engines' round() disagree (the documented
+            # gotcha; first parity run caught 4 such orders)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "li_total"
+            ),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderkey",
+        "o_totalprice",
+        "li_total",
+        "n_lines",
+        F.round(F.col("o_totalprice") - F.col("li_total"), 4).alias("diff"),
+    )
+    return j.filter(F.abs(F.col("diff")) > RECON_TOLERANCE).withColumn(
+        "reconciles", F.abs(F.col("diff")) <= RECON_TOLERANCE
+    )
