@@ -23,13 +23,13 @@ from ..registry import query
 from .dedup import _md5_word, _MASK63, _normalized
 from .sampling import TRAIN_BUCKET, VAL_BUCKET, hash_bucket
 from .similarity import dot
-from .text import STOPWORDS, words
+from .text import STOP_SQL_LITERAL, STOPWORDS, words
 
 # ONE definition of the fluency proxy (stopword ratio, 4dp) shared by
 # curriculum_stages and corpus_token_budget in BOTH engines — the two
 # orderings must never diverge from each other or from their oracles.
 _TOKS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
-_STOP_IN_SQL = "('" + "','".join(STOPWORDS) + "')"
+_STOP_IN_SQL = STOP_SQL_LITERAL  # single-sourced in extensions/text.py
 _FLUENCY_SQL = (
     f"round(CAST(len(list_filter(string_split(text, ' '), w -> w IN {_STOP_IN_SQL}))"
     f" AS DOUBLE) / len({_TOKS_SQL}), 4)"

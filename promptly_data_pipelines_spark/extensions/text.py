@@ -14,6 +14,11 @@ from ..registry import query
 
 STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
 
+# THE SQL IN-list literal for STOPWORDS — one definition (review
+# finding: three modules had re-derived it; quoting/escaping changes
+# must land everywhere at once when STOPWORDS grows)
+STOP_SQL_LITERAL = "('" + "','".join(STOPWORDS) + "')"
+
 # ONE definition of the tokenizer vocabulary size — text_vocab_coverage
 # (builds the table) and text_tokenize_vocab (applies it) must agree,
 # in both engines, or the applied ids silently diverge from the
@@ -1086,7 +1091,6 @@ def char_entropy_frame(d: DataFrame) -> DataFrame:
 # ------------------------------------------------ RAKE keyphrases
 
 RAKE_TOP_K = 20
-_STOP_IN = "('" + "','".join(STOPWORDS) + "')"
 
 
 @query(
@@ -1102,8 +1106,8 @@ _STOP_IN = "('" + "','".join(STOPWORDS) + "')"
       )
     ),
     marked AS (
-      SELECT doc_id, i, tok, tok IN {_STOP_IN} AS is_stop,
-             sum(CASE WHEN tok IN {_STOP_IN} THEN 1 ELSE 0 END)
+      SELECT doc_id, i, tok, tok IN {STOP_SQL_LITERAL} AS is_stop,
+             sum(CASE WHEN tok IN {STOP_SQL_LITERAL} THEN 1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY i) AS run_id
       FROM toks
     ),
@@ -1132,7 +1136,8 @@ _STOP_IN = "('" + "','".join(STOPWORDS) + "')"
       GROUP BY c.doc_id, c.run_id, c.phrase
     ),
     best AS (
-      SELECT phrase, max(score) AS score, CAST(count(*) AS BIGINT) AS n_docs
+      SELECT phrase, max(score) AS score,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
       FROM scored GROUP BY phrase
     )
     SELECT phrase, score, n_docs FROM (
@@ -1196,8 +1201,11 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "run_id", "phrase")
         .agg(F.round(F.sum(F.col("degree").cast("double") / F.col("freq")), 4).alias("score"))
     )
+    # DISTINCT docs (review finding): a phrase occurring as two runs in
+    # one doc is one document of support, not two
     best = scored.groupBy("phrase").agg(
-        F.max("score").alias("score"), F.count("*").cast("bigint").alias("n_docs")
+        F.max("score").alias("score"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
     wk = Window.orderBy(F.col("score").desc(), "phrase")
     return (

@@ -28,12 +28,12 @@ from ..catalog import table
 from ..registry import query
 from ..extensions.dedup import _normalized
 from ..extensions.packing import pack_assignments
-from ..extensions.text import STOPWORDS, scrub_pii, words
+from ..extensions.text import STOP_SQL_LITERAL, STOPWORDS, scrub_pii, words
 
 MIN_WORDS = 30
 MIN_STOP_RATIO = 0.03  # natural-prose floor: below ≈ tables/code/noise
 
-_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+_STOP_SQL = STOP_SQL_LITERAL  # single-sourced in extensions/text.py
 
 
 def curate_corpus(d: DataFrame) -> DataFrame:

@@ -727,9 +727,7 @@ RECON_TOLERANCE = 0.01  # absolute currency tolerance
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o.o_orderkey, o.o_totalprice, li.li_total, li.n_lines,
-           round(o.o_totalprice - li.li_total, 4) AS diff,
-           abs(round(o.o_totalprice - li.li_total, 4)) <= {RECON_TOLERANCE}
-             AS reconciles
+           round(o.o_totalprice - li.li_total, 4) AS diff
     FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
     WHERE abs(round(o.o_totalprice - li.li_total, 4)) > {RECON_TOLERANCE}
     """,
@@ -741,9 +739,11 @@ def dq_cross_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture generator prices headers and lines independently, so this
     check INTENTIONALLY reports violations — like dq_functional_dep,
     the mechanism under test is detection; a reconciled warehouse
-    returns zero rows. Both sides round the line sum at the 2dp input
-    width and round the diff before the tolerance compare, so the
-    violation set is engine-identical at the boundary.
+    returns zero rows. Both sides round the line sum AND the diff at
+    4dp — the discounted product's true decimal width; rounding at the
+    2dp input width sat exactly on x.xx50 boundaries where the
+    engines' round() disagree (caught on 4 orders in the first parity
+    run) — so the violation set is engine-identical at the boundary.
 
     Scale: one map-side-combined aggregation of the fact table + one
     key join with the header table — the shape runs per partition-pair
@@ -770,6 +770,6 @@ def dq_cross_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.round(F.col("o_totalprice") - F.col("li_total"), 4).alias("diff"),
     )
-    return j.filter(F.abs(F.col("diff")) > RECON_TOLERANCE).withColumn(
-        "reconciles", F.abs(F.col("diff")) <= RECON_TOLERANCE
-    )
+    # violations-only output (the run_suite contract): a 'reconciles'
+    # flag would be constant False here — review finding, dropped
+    return j.filter(F.abs(F.col("diff")) > RECON_TOLERANCE)
