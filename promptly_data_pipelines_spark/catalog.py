@@ -85,3 +85,30 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     reference curated_provider.sql:52,67 chains models by name)."""
     for n in names:
         table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def assert_schema_contract(df: DataFrame, ddl: str, name: str = "frame") -> None:
+    """Hard schema contract: the frame must match the declared DDL
+    EXACTLY (names, order, types, nullability ignored — Spark's
+    nullability is advisory on read paths). The additive-evolution
+    module handles compatible drift; this is the boundary check for
+    sinks and exports where silent drift corrupts downstream readers.
+    Raises with a field-by-field diff, not a stack trace."""
+    spark = df.sparkSession
+    expected = spark.createDataFrame([], ddl).schema
+    got = df.schema
+    if [(f.name, f.dataType) for f in got.fields] == [
+        (f.name, f.dataType) for f in expected.fields
+    ]:
+        return
+    lines = []
+    for i in range(max(len(got.fields), len(expected.fields))):
+        g = got.fields[i] if i < len(got.fields) else None
+        e = expected.fields[i] if i < len(expected.fields) else None
+        gs = f"{g.name}:{g.dataType.simpleString()}" if g else "<missing>"
+        es = f"{e.name}:{e.dataType.simpleString()}" if e else "<missing>"
+        if gs != es:
+            lines.append(f"  field {i}: got {gs}, expected {es}")
+    raise ValueError(
+        f"schema contract violated for {name}:\n" + "\n".join(lines)
+    )

@@ -791,3 +791,62 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
         )
     )
+
+
+@query(
+    "orders_pareto_share",
+    registered=False,
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT round(sum(revenue), 2) AS total FROM cust),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS rk,
+             round(sum(revenue) OVER (
+               ORDER BY revenue DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+      FROM cust
+    )
+    SELECT r.rk, r.o_custkey, r.revenue, r.cum_revenue,
+           r.cum_revenue / t.total AS cum_share,
+           CAST(r.rk AS DOUBLE) / (SELECT count(*) FROM cust) AS cust_share
+    FROM ranked r CROSS JOIN tot t
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto/80-20) curve: customers ranked by
+    revenue with cumulative revenue share vs cumulative customer
+    share — the table behind "the top X% of customers drive Y% of
+    revenue" and the Lorenz/Gini family. The running sum ROUNDS at
+    each step's 2dp width (cumulative sums of 2dp values are 2dp
+    decimals, so the rounded prefix is exact and engine-identical);
+    shares divide identical doubles — no quotient rounding.
+
+    Scale note: the ranking is a global sort over the CUSTOMER
+    aggregate (the RFM/retention justification — entity-cardinality,
+    not fact-cardinality); at extreme entity counts the curve is
+    usually wanted only at decile resolution, which approx_percentile
+    boundaries deliver sort-free."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    tot = cust.agg(F.round(F.sum("revenue"), 2).alias("total"))
+    n = cust.count()
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = cust.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "o_custkey",
+        "revenue",
+        F.round(F.sum("revenue").over(wsum), 2).alias("cum_revenue"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "o_custkey",
+        "revenue",
+        "cum_revenue",
+        (F.col("cum_revenue") / F.col("total")).alias("cum_share"),
+        (F.col("rk").cast("double") / F.lit(n)).alias("cust_share"),
+    )

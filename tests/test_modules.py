@@ -1746,3 +1746,25 @@ def test_value_outliers_zero_variance_group_drops(spark):
     out = scored.filter(F.abs(F.col("z")) >= Z_THRESHOLD).collect()
     assert all(r.event_type == "var" for r in out)
     assert any(r.event_id == 108 for r in out), "the true outlier must be flagged"
+
+
+def test_schema_contract_passes_and_diffs(spark):
+    """assert_schema_contract: exact match passes; drift raises with a
+    field-level diff naming the offending position, never a Py4J stack
+    bomb. Every catalog fixture table honors its declared schema."""
+    import pytest as _pytest
+
+    from conftest import SF_DIR
+    from promptly_data_pipelines_spark.catalog import (
+        DECLARED_SCHEMAS,
+        TABLES,
+        assert_schema_contract,
+        table,
+    )
+
+    for t in TABLES:
+        assert_schema_contract(table(spark, SF_DIR, t), DECLARED_SCHEMAS[t], t)
+
+    bad = table(spark, SF_DIR, "nation").withColumnRenamed("n_name", "name")
+    with _pytest.raises(ValueError, match="field 1: got name:string, expected n_name:string"):
+        assert_schema_contract(bad, DECLARED_SCHEMAS["nation"], "nation")
