@@ -181,9 +181,11 @@ def main() -> None:
         (r.query_id, r.vec_id)
         for r in queries["similarity_topk"](spark, SF_DIR).collect()
     }
+    # raw IVF result set (the registered similarity_topk_ivf now emits
+    # the exact rows + recall contract, not the approximate candidates)
     approx = {
         (r.query_id, r.vec_id)
-        for r in queries["similarity_topk_ivf"](spark, SF_DIR).collect()
+        for r in queries["similarity_topk_ivf_raw"](spark, SF_DIR).collect()
     }
     secondary["similarity_ivf_recall"] = round(len(exact & approx) / max(1, len(exact)), 4)
 
@@ -192,26 +194,38 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "secondary": secondary,
-                "sf": sf_num,
-                "env": {
-                    "loadavg_start": [round(x, 2) for x in load_start],
-                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                    "cpus": CPUS,
-                    "spread": spread,
-                    "testdata": _testdata_fingerprint(),
-                },
-            }
-        )
-    )
+    # r6 verdict item #1: the driver's tail capture truncated the r6
+    # metric line mid-JSON because env/spread/testdata grew it past the
+    # capture window. Emit the bulky diagnostic block FIRST on its own
+    # line (and to a sidecar file), and keep the compact headline line
+    # as the very LAST line of stdout so the tail capture always parses.
+    env_detail = {
+        "metric": "bench_env_detail",
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpus": CPUS,
+        "spread": spread,
+        "testdata": _testdata_fingerprint(),
+    }
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "secondary": secondary,
+        "sf": sf_num,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_env.json"),
+            "w",
+        ) as fh:
+            json.dump(env_detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(env_detail))
     spark.stop()
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -97,8 +97,13 @@ def assert_schema_contract(df: DataFrame, ddl: str, name: str = "frame") -> None
     spark = df.sparkSession
     expected = spark.createDataFrame([], ddl).schema
     got = df.schema
-    if [(f.name, f.dataType) for f in got.fields] == [
-        (f.name, f.dataType) for f in expected.fields
+    # Compare simpleString() per field, not dataType objects: dataType
+    # equality is sensitive to NESTED-field nullability (a struct/array
+    # element differing only in nullable would raise here while the
+    # simpleString-based diff below rendered nothing — advice finding),
+    # and the docstring promises nullability is ignored at every level.
+    if [(f.name, f.dataType.simpleString()) for f in got.fields] == [
+        (f.name, f.dataType.simpleString()) for f in expected.fields
     ]:
         return
     lines = []

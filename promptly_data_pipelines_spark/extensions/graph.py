@@ -128,6 +128,19 @@ def pagerank_scaled(
                 f"pagerank integer headroom exceeded even at scale 1 "
                 f"({n_nodes} nodes) — shard the graph"
             )
+        if scale != SCALE:
+            # advice finding: the silent step-down changes rank_scaled
+            # units between graph sizes and diverges from the registered
+            # oracle's hard-coded 1e12 scale — make a future large-SF
+            # parity failure self-explanatory instead of mysterious.
+            import warnings
+
+            warnings.warn(
+                f"pagerank auto scale stepped down to {scale} for "
+                f"{n_nodes} nodes (default {SCALE}); rank_scaled units "
+                "changed and the fixed-scale oracle no longer applies",
+                stacklevel=2,
+            )
     elif 85 * n_nodes * scale >= 2**63:
         raise ValueError(
             f"pagerank integer headroom exceeded: 85 * {n_nodes} nodes * "

@@ -19,6 +19,11 @@ from ..registry import query
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
+# IVF recall contract: overlap/exact >= RECALL_NUM/TOP_K (0.8) per query.
+# Observed per-query overlap (r7 probe): sf0.001 {5,4,4,5,4}, sf0.01 all 5,
+# sf0.1 {5,4,5,5,4} — the contract holds everywhere with the driver's
+# correctness SF (0.01) at a full point of margin.
+RECALL_NUM = 4
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -38,9 +43,7 @@ def _doubled(df: DataFrame, out: str = "vec") -> DataFrame:
     return df.withColumn(out, F.col("embedding").cast("array<double>"))
 
 
-@query(
-    "similarity_topk",
-    oracle=f"""
+_EXACT_TOPK_CTE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
     q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -50,12 +53,18 @@ def _doubled(df: DataFrame, out: str = "vec") -> DataFrame:
                    6) AS cos_sim
       FROM q CROSS JOIN e
       WHERE e.vec_id <> q.query_id
-    )
-    SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
-      FROM scored
-    ) WHERE rk <= {TOP_K}
-    """,
+    ),
+    exact AS (
+      SELECT query_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= {TOP_K}
+    )"""
+
+
+@query(
+    "similarity_topk",
+    oracle=_EXACT_TOPK_CTE + "\n    SELECT query_id, vec_id, cos_sim, rk FROM exact",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 baseline: exact brute-force cosine top-k. Queries (vec_id<5)
@@ -137,8 +146,54 @@ def learned_centroids(e: DataFrame, iters: int = 3) -> DataFrame:
     return cents
 
 
-@query("similarity_topk_ivf")  # pruned search: recall<1 by design → rows-only
+@query(
+    "similarity_topk_ivf",
+    # r6 verdict item #2: the IVF search is approximate, so its rows
+    # can't be value-hashed directly — instead the registered query
+    # emits the EXACT top-k rows (fully deterministic, mirrored below)
+    # plus a per-query recall contract computed from the IVF candidates
+    # INSIDE the query: ivf_recall_ok = (n_overlap * TOP_K >= n_exact *
+    # RECALL_NUM), i.e. recall >= 0.8, in pure integer arithmetic
+    # (0.8*5 in doubles is 4.000000000000000222 — ceil would demand 5).
+    # The oracle asserts TRUE: if IVF recall ever regresses below the
+    # contract on any query, the boolean flips and the hash goes red.
+    oracle=_EXACT_TOPK_CTE
+    + "\n    SELECT query_id, vec_id, cos_sim, rk, TRUE AS ivf_recall_ok FROM exact",
+)
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 scale path, driver-checkable form: exact top-k rows joined
+    with a per-query IVF recall contract (see the oracle note above).
+    The raw approximate result set is similarity_topk_ivf_raw; exact
+    recall at the bench SF is recorded every round by bench.py."""
+    # exact feeds three consumers (overlap, flags, final join) — persist
+    # so the brute-force corpus pass runs ONCE (the cached frame is k·q
+    # rows; without this Spark re-executes the cross-join per consumer)
+    exact = similarity_topk(spark, sf_dir).persist()
+    ivf = similarity_topk_ivf_raw(spark, sf_dir)
+    overlap = (
+        exact.join(ivf.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    flags = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)) * F.lit(TOP_K)
+                >= F.col("n_exact") * F.lit(RECALL_NUM)
+            ).alias("ivf_recall_ok"),
+        )
+    )
+    return exact.join(F.broadcast(flags), "query_id").select(
+        "query_id", "vec_id", "cos_sim", "rk", "ivf_recall_ok"
+    )
+
+
+@query("similarity_topk_ivf_raw", registered=False)  # approximate: no oracle
+def similarity_topk_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 scale path: IVF-style coarse quantization with LEARNED
     centroids (deterministic k-means, see learned_centroids — round 1
     used positional stand-ins). Each corpus vector is indexed in its
@@ -533,8 +588,12 @@ def _kcenter_oracle(k: int = K_CENTERS) -> str:
     ]
     prev_d = None
     for j in range(1, k):
+        # greatest(0.0, ...) before rounding: the |a|²+|b|²-2ab identity
+        # can go tiny-negative for distinct-but-near points (catastrophic
+        # cancellation); without the clamp the Spark early stop at d<=0
+        # could truncate the coreset on such a pair (advice finding).
         new_d = (
-            f"round(p.nn + c.nn - 2 * list_dot_product(p.vec, c.vec), 6)"
+            "round(greatest(0.0, p.nn + c.nn - 2 * list_dot_product(p.vec, c.vec)), 6)"
         )
         d_expr = new_d if prev_d is None else f"least(p.d, {new_d})"
         parts.append(
@@ -607,8 +666,16 @@ def kcenter_select(spark: SparkSession, e: DataFrame, k: int = K_CENTERS) -> Dat
     have_d = False
     for j in range(1, k):
         c_lit = F.array(*[F.lit(float(v)) for v in cur_vec])
+        # clamp before rounding (mirrored in the oracle): cancellation in
+        # |a|²+|b|²-2ab can round to a tiny NEGATIVE distance for distinct
+        # near points, which would trip the d<=0 early stop and truncate
+        # the coreset before k genuinely distinct centers (advice finding)
         nd = F.round(
-            F.col("nn") + F.lit(float(cur_nn)) - 2 * dot(F.col("vec"), c_lit), 6
+            F.greatest(
+                F.lit(0.0),
+                F.col("nn") + F.lit(float(cur_nn)) - 2 * dot(F.col("vec"), c_lit),
+            ),
+            6,
         )
         df = df.withColumn("d", F.least(F.col("d"), nd) if have_d else nd).persist()
         have_d = True

@@ -525,7 +525,17 @@ def decayed_terms(ev: DataFrame) -> DataFrame:
 
 def ema_agg() -> F.Column:
     """round-both-sums-then-divide EMA aggregate (the avg parity
-    discipline) over a decayed_terms frame."""
+    discipline) over a decayed_terms frame.
+
+    Parity caveat (advice finding): unlike the 2dp money sums — whose
+    addends are decimally exact, making the rounded prefix sums exact —
+    the decay weights here are irrational exp() terms, so rounding the
+    float sums at 6dp is PROBABILISTIC parity: cross-engine equality
+    holds as long as sum-order drift (≲5e-7 at fixture per-user event
+    counts) does not straddle a rounding boundary. If a much larger
+    fixture ever flakes here, the remedy is the char-entropy treatment:
+    sort-stabilize the summation (collect_list sorted by ts, fold
+    left-to-right) so both engines add in the same order."""
     return F.round(F.sum(F.col("value") * F.col("wt")), 6) / F.round(F.sum("wt"), 6)
 
 
@@ -832,8 +842,14 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries deliver sort-free."""
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    tot = cust.agg(F.round(F.sum("revenue"), 2).alias("total"))
-    n = cust.count()
+    # customer count rides the same 1-row total aggregate instead of an
+    # eager cust.count() (which re-ran the orders scan+groupBy a second
+    # time just to inline a literal — advice finding): one aggregate job,
+    # both scalars broadcast together.
+    tot = cust.agg(
+        F.round(F.sum("revenue"), 2).alias("total"),
+        F.count("*").alias("n_cust"),
+    )
     w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = cust.select(
@@ -848,5 +864,5 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "cum_revenue",
         (F.col("cum_revenue") / F.col("total")).alias("cum_share"),
-        (F.col("rk").cast("double") / F.lit(n)).alias("cust_share"),
+        (F.col("rk").cast("double") / F.col("n_cust")).alias("cust_share"),
     )

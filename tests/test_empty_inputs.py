@@ -30,6 +30,7 @@ EXPECTED_DATA_DEPENDENT: dict[str, str] = {
     # k-means needs at least one centroid seed vector (vec_id % 64 == 0)
     # — an index build over an empty corpus is a no-op a pipeline skips
     "similarity_topk_ivf": "IVF index build needs >=1 seed centroid",
+    "similarity_topk_ivf_raw": "IVF index build needs >=1 seed centroid",
 }
 
 

@@ -521,9 +521,23 @@ def test_ivf_recall_vs_exact(spark):
 
     sf = "/root/testdata/sf0.001"
     exact = {(r.query_id, r.vec_id) for r in run("similarity_topk", spark, sf).collect()}
-    approx = {(r.query_id, r.vec_id) for r in run("similarity_topk_ivf", spark, sf).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in run("similarity_topk_ivf_raw", spark, sf).collect()
+    }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"
+    # and the registered driver-checkable form agrees: every per-query
+    # contract flag is true exactly when that query's overlap >= 4/5
+    flags = {
+        r.query_id: r.ivf_recall_ok
+        for r in run("similarity_topk_ivf", spark, sf).collect()
+    }
+    per_q = {qid: 0 for qid, _ in exact}
+    for pair in exact & approx:
+        per_q[pair[0]] += 1
+    for qid, n in per_q.items():
+        assert flags[qid] == (n >= 4), (qid, n, flags[qid])
 
 
 def test_lakehouse_merge_gated(spark):
