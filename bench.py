@@ -113,6 +113,9 @@ SECONDARY = [
     "dedup_semantic_keep_best",
     "text_chunk_windows",
     "split_contamination",
+    # r7: the PQ/ADC + exact-re-rank ANN path (train + encode + search
+    # in one plan; the memory-scale complement to IVF's pruning)
+    "similarity_topk_pq",
 ]
 
 
@@ -173,6 +176,34 @@ def main() -> None:
         # on that line, a tight band means the min is trustworthy
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
+    # Skew stress (r6 verdict item #6): sf0.1's near-uniform langs and
+    # sparse dups can't exercise the df-cap/salting/banding code that
+    # exists FOR skew — amplify documents 10× into a hot-lang (70% one
+    # key) + template-near-dup-cluster slice (extensions/stress.py,
+    # deterministic) and time the dedup family against it as labeled
+    # secondary lines. Build + write is untimed (it's test rigging);
+    # each timed line pays the full scan of the skewed parquet.
+    import shutil
+    import tempfile
+
+    from promptly_data_pipelines_spark.extensions.stress import write_skewed_sf
+
+    skew_dir = tempfile.mkdtemp(prefix="pdp_skew10_")
+    try:
+        write_skewed_sf(spark, SF_DIR, skew_dir, factor=10)
+        for name in ("dedup_near_text", "dedup_simhash", "dedup_ngram_jaccard"):
+            queries[name](spark, skew_dir).write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                queries[name](spark, skew_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            secondary[f"skew10_{name}"] = round(min(runs), 3)
+            spread[f"skew10_{name}"] = [round(min(runs), 3), round(max(runs), 3)]
+    finally:
+        shutil.rmtree(skew_dir, ignore_errors=True)
+
     # Accuracy companion to the similarity timings (round-4 verdict
     # item #4): IVF recall vs exact top-k at the bench SF, recorded
     # every round so the accuracy/speed trade is tracked like perf is.
@@ -188,6 +219,11 @@ def main() -> None:
         for r in queries["similarity_topk_ivf_raw"](spark, SF_DIR).collect()
     }
     secondary["similarity_ivf_recall"] = round(len(exact & approx) / max(1, len(exact)), 4)
+    pq = {
+        (r.query_id, r.vec_id)
+        for r in queries["similarity_topk_pq"](spark, SF_DIR).collect()
+    }
+    secondary["similarity_pq_recall"] = round(len(exact & pq) / max(1, len(exact)), 4)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -100,6 +100,73 @@ def synthesize_envelopes(events: DataFrame, extra_cols: tuple[str, ...] = ()) ->
     )
 
 
+# The EXACT schema Spark's format("kafka") source yields (columns,
+# names, types, order — see spark-sql-kafka's KafkaRecordToRowConverter
+# fixed projection; headers appear only with includeHeaders=true).
+# Pinned here so the no-broker wire tests exercise the same frame shape
+# a live topic would produce (r6 verdict item #4).
+KAFKA_SOURCE_DDL = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def synthesize_kafka_frames(
+    events: DataFrame, topic: str = "cdc.public.events", n_partitions: int = 4
+) -> DataFrame:
+    """events fixture → byte-exact ``format("kafka")`` frame: the
+    Debezium value envelope UTF-8-encoded to binary, the key as the
+    PK-JSON Debezium emits (``{"event_id": N}``), topic/partition/
+    offset/timestamp/timestampType exactly as the source yields them.
+    Partition assignment is pmod(event_id, n) — a deterministic
+    stand-in for Kafka's murmur2-of-key-bytes partitioner (same
+    property that matters: all records for one key share a partition);
+    offsets are per-partition arrival positions (ts, event_id order —
+    Kafka guarantees order only within a partition)."""
+    env = synthesize_envelopes(events, extra_cols=("event_id",))
+    part = F.pmod(F.col("event_id"), F.lit(n_partitions)).cast("int")
+    from pyspark.sql import Window
+
+    offset_w = Window.partitionBy("partition").orderBy("kafka_timestamp", "event_id")
+    return (
+        env.select(
+            F.encode(F.to_json(F.struct(F.col("event_id"))), "UTF-8").alias("key"),
+            F.encode(F.col("raw_message"), "UTF-8").alias("value"),
+            F.lit(topic).alias("topic"),
+            part.alias("partition"),
+            F.col("kafka_timestamp"),
+            F.col("event_id"),
+        )
+        .withColumn(
+            "offset", (F.row_number().over(offset_w) - 1).cast("bigint")
+        )
+        .select(
+            "key",
+            "value",
+            "topic",
+            "partition",
+            "offset",
+            F.col("kafka_timestamp").alias("timestamp"),
+            F.lit(0).cast("int").alias("timestampType"),  # CreateTime
+        )
+    )
+
+
+def from_kafka_source_frame(kafka: DataFrame) -> DataFrame:
+    """The production projection from a ``format("kafka")`` frame to
+    the (raw_message, kafka_timestamp) shape every downstream decode
+    consumes — the single adapter both the batch backfill and the
+    readStream path would use against a live topic. Kafka compaction
+    tombstones (value IS NULL — distinct from Debezium's op='d'
+    delete envelope) surface as a null raw_message, which from_json
+    decodes to a null payload and the after-image filter drops —
+    asserted by tests/test_kafka_wire.py."""
+    return kafka.select(
+        F.col("value").cast("string").alias("raw_message"),
+        F.col("timestamp").alias("kafka_timestamp"),
+    )
+
+
 def decode_envelopes(kafka_like: DataFrame) -> DataFrame:
     """raw JSON messages → typed columns. ``from_json`` with the declared
     envelope schema (never schema inference); works identically on a

@@ -693,3 +693,195 @@ def kcenter_select(spark: SparkSession, e: DataFrame, k: int = K_CENTERS) -> Dat
     return spark.createDataFrame(
         selected, "sel_order bigint, vec_id bigint, radius double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third ANN path, and the memory one.
+# IVF prunes WHICH vectors a query touches; PQ shrinks WHAT each touch
+# costs: a 64-dim float64 vector (512 B) becomes PQ_M=4 one-byte codes
+# (4 B, 128×) plus a shared m×k codebook. At 100 TB of embeddings the
+# encoded corpus fits where the raw one cannot, and the ADC scan joins
+# 4-byte codes — raw vectors are read only for the shortlist re-rank.
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public method, standard serving pattern.)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (64-dim → 4 × 16-dim slices)
+PQ_DIM = 16  # dims per subspace
+PQ_K = 16  # codes per subspace codebook
+PQ_SHORTLIST_MIN = 50  # ADC shortlist floor; the effective size is
+# max(this, corpus/5) — like IVF's adaptive nprobe, recall follows the
+# SHORTLISTED FRACTION on the ANN-hostile near-uniform fixture.
+# r7 sweep (aggregate recall at sf0.001/0.01/0.1): fixed 50 →
+# 0.72/0.80/0.56; 10% → 0.72/0.80/0.84; 20% → 0.92/0.88/0.92
+# (per-query min 4/5). 20% is honest for uniform synthetic data — a
+# clustered real corpus concentrates the ADC mass and the fraction
+# drops by orders of magnitude; PQ_K=32 measured WORSE at small SFs
+# (0.60/0.64) — 2 Lloyd iterations can't separate 32 codes there.
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² — JVM expression, same fold discipline as dot()."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, sub, svec): the vector split into PQ_M contiguous
+    PQ_DIM-wide slices — pure map-side, no shuffle."""
+    subs = F.array(
+        *[F.slice(F.col("vec"), s * PQ_DIM + 1, PQ_DIM) for s in range(PQ_M)]
+    )
+    return e.select("vec_id", F.posexplode(subs).alias("sub", "svec"))
+
+
+def _assign_codes(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vec_id, sub): broadcast the m×k
+    codebook (model-sized) over one pass of the subvector frame; 6dp
+    rounding + code tiebreak keeps the argmin engine-deterministic."""
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d").asc(), F.col("code"))
+    return (
+        sv.join(F.broadcast(cents), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "svec",
+            "code",
+            F.round(_sq_dist(F.col("svec"), F.col("cvec")), 6).alias("d"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "svec", "code")
+    )
+
+
+def pq_train(spark: SparkSession, e: DataFrame, iters: int = 2) -> DataFrame:
+    """Per-subspace Lloyd codebooks, deterministic end to end: seeds are
+    the subvectors of vec_id < PQ_K (fixed, no RNG), means round at 6dp,
+    assignment ties break toward the lowest code, and a code that loses
+    all members keeps its previous center (standard empty-cell guard).
+    Each iteration is ONE pass over the subvector frame (assign,
+    broadcast codebook) + one posexplode/groupBy mean — the codebook
+    (m·k·PQ_DIM doubles) is re-materialized through the driver per
+    iteration, metadata-sized like learned_centroids."""
+    sv = _subvectors(e).persist()
+    seeds = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("svec").alias("cvec")
+    )
+    rows = seeds.collect()
+    if len(rows) < PQ_M * PQ_K:
+        sv.unpersist()
+        raise ValueError(
+            f"pq_train: empty corpus or too few seed vectors "
+            f"(need vec_id 0..{PQ_K - 1}, found {len(rows) // PQ_M})"
+        )
+    schema = "sub int, code int, cvec array<double>"
+    cents = spark.createDataFrame([(r.sub, r.code, list(r.cvec)) for r in rows], schema)
+    for _ in range(iters):
+        assigned = _assign_codes(sv, cents)
+        means = (
+            assigned.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                ).alias("cvec")
+            )
+        )
+        new = {(r.sub, r.code): list(r.cvec) for r in means.collect()}
+        cents = spark.createDataFrame(
+            [
+                (r.sub, r.code, new.get((r.sub, r.code), list(r.cvec)))
+                for r in cents.collect()
+            ],
+            schema,
+        )
+    sv.unpersist()
+    return cents
+
+
+def pq_encode(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, sub, code) — the compressed corpus: PQ_M small ints per
+    vector. One broadcast-join pass; this is the table a serving layer
+    materializes (4 B/vector where the raw corpus is 512 B)."""
+    return _assign_codes(_subvectors(e), cents).select("vec_id", "sub", "code")
+
+
+@query("similarity_topk_pq", registered=False)  # approximate: recall pinned in tests
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 memory-scale path: PQ/ADC shortlist + exact re-rank — the
+    production serving pattern (asymmetric distance computation):
+
+    1. train per-subspace codebooks (pq_train, deterministic Lloyd);
+    2. encode the corpus once (pq_encode — 4 one-byte codes/vector);
+    3. per query, precompute the m×k table of partial squared
+       distances query-subvector↔codebook-entry (n_queries·PQ_M·PQ_K
+       rows — model-sized, broadcast);
+    4. ADC scan: join the ENCODED corpus (codes, not vectors) to the
+       partial table on (sub, code), sum the m partials per
+       (query, vec) — approximate distance without touching a single
+       raw corpus float;
+    5. exact re-rank: fetch raw vectors for the adaptive shortlist
+       (max(PQ_SHORTLIST_MIN, corpus/5) best ADC candidates) only,
+       exact cosine, emit top-{TOP_K} in similarity_topk's schema.
+
+    Scale: step 4 reads 4 B/vector instead of 512 — the corpus's raw
+    floats are touched only for shortlist×queries rows in step 5.
+    Recall vs exact top-k is pinned ≥0.8 in tests; approximate by
+    design, so rows-only (the same posture similarity_topk_ivf_raw
+    has; the driver-checkable contract row is the IVF one)."""
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    n_corpus = e.count()
+    shortlist_k = max(PQ_SHORTLIST_MIN, -(-n_corpus // 5))
+    cents = pq_train(spark, e)
+    enc = pq_encode(e, cents)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qsub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("qvec"), s * PQ_DIM + 1, PQ_DIM) for s in range(PQ_M)])
+        ).alias("sub", "qsvec"),
+    )
+    partials = (
+        qsub.join(F.broadcast(cents), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.round(_sq_dist(F.col("qsvec"), F.col("cvec")), 6).alias("pd"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(partials), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+    )
+    short_w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+    shortlist = (
+        adc.withColumn("srk", F.row_number().over(short_w))
+        .filter(F.col("srk") <= shortlist_k)
+        .select("query_id", "vec_id")
+    )
+    rerank = (
+        shortlist.join(e.select("vec_id", "vec"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        rerank.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rk")
+    )

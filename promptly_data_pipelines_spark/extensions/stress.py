@@ -1,0 +1,78 @@
+"""Skew-stress corpus builder (r6 verdict item #6).
+
+sf0.1 cannot surface skew behavior — its langs are near-uniform and
+its duplicates are sparse — yet the dedup family carries code that
+exists FOR skew (shingle df-caps, salted pair joins, pigeonhole block
+keys). This module deterministically amplifies a documents table into
+the adversarial shape a 100 TB web crawl actually has:
+
+- **hot partition key**: ~70% of rows collapse onto one lang value
+  (the 'en' of a real crawl) — stresses every (key, lang)-partitioned
+  shuffle and the df-cap's hot-shingle census;
+- **template near-dup clusters**: every 5th base doc is replicated
+  ``factor`` times with a tiny per-copy suffix (the boilerplate /
+  mirror-site shape) — stresses LSH banding with dense candidate
+  clusters instead of sparse pairs;
+- **10× volume** at unchanged text length distribution.
+
+Everything is derived from doc_id arithmetic — no RNG, no timestamps —
+so the slice is bit-identical across runs and rounds at the same
+source SF. bench.py builds it once per run (untimed) and times the
+dedup family against it as labeled ``skew10_*`` secondary lines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+HOT_LANG = "en"
+HOT_PCT = 70  # % of rows forced onto the hot lang key
+TEMPLATE_MOD = 5  # every TEMPLATE_MOD-th base doc becomes a near-dup cluster
+
+
+def skewed_documents(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFrame:
+    """``factor``× amplified documents frame with a hot lang key and
+    template near-dup clusters (see module docstring). Output schema is
+    the documents schema exactly, so every dedup/text operator runs on
+    it unmodified."""
+    d = table(spark, sf_dir, "documents")
+    rep = d.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    )
+    is_template = (F.col("doc_id") % TEMPLATE_MOD == 0) & (F.col("rep") > 0)
+    # template copies: same base text + a 2-token per-copy suffix —
+    # inside LSH/simhash thresholds, outside exact-hash equality
+    text = F.when(
+        is_template,
+        F.concat(F.col("text"), F.lit(" mirror copy "), F.col("rep").cast("string")),
+    ).otherwise(F.col("text"))
+    # hot key: doc_id*factor+rep cycles 0..99 via %100 — deterministic,
+    # uniform over copies, so HOT_PCT% of ALL rows land on HOT_LANG
+    new_id = F.col("doc_id") * factor + F.col("rep")
+    lang = F.when(new_id % 100 < HOT_PCT, F.lit(HOT_LANG)).otherwise(F.col("lang"))
+    return rep.select(
+        new_id.alias("doc_id"),
+        text.alias("text"),
+        lang.alias("lang"),
+        F.col("source"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
+def write_skewed_sf(
+    spark: SparkSession, src_sf_dir: str, dest_dir: str, factor: int = 10
+) -> str:
+    """Materialize the skewed slice as ``{dest_dir}/documents.parquet``
+    so the registered dedup queries run against it unmodified (they
+    take an sf_dir and read the documents table) and pay a real
+    parquet scan, not a recomputed expression tree."""
+    os.makedirs(dest_dir, exist_ok=True)
+    skewed_documents(spark, src_sf_dir, factor).write.mode("overwrite").parquet(
+        os.path.join(dest_dir, "documents.parquet")
+    )
+    return dest_dir

@@ -137,7 +137,13 @@ def jdbc_scan(
     connection/task. Filters and projections push down to the database
     as WHERE/SELECT clauses. Integration-tested against embedded Derby
     (tests/test_jdbc.py): round-trip parity, the 4-slice partitioned
-    read, and plan-asserted WHERE pushdown."""
+    read, plan-asserted WHERE pushdown, and (r7) dialect fidelity —
+    DECIMAL(12,2)/µs-TIMESTAMP/DATE/BOOLEAN/unicode round-trips,
+    quoted mixed-case identifiers, fetchsize pass-through, and a
+    hand-written ``query`` pushdown. Postgres-only residue (untestable
+    without a pg server, documented in the type test): SERIAL/identity,
+    timestamptz, array/JSONB columns, COPY bulk protocol, and the
+    int2→smallint read mapping (Derby widens SMALLINT→int)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     if partition_column is not None:
         reader = (

@@ -1,13 +1,16 @@
 """Data-quality report generation — the Elementary ``edr report`` role
 (reference app.py:52-59; the acceptance suite's only end-to-end
-assertion is that this report exists, test_dbt.py:161-177).
+assertion is that an HTML report exists, test_dbt.py:161-177).
 
-Produces a machine-readable JSON report plus a human-readable
-markdown summary from a check suite + table metrics.
+Produces a machine-readable JSON report, a human-readable markdown
+summary, AND the reference-parity self-contained HTML page (inline
+CSS, no external assets — the same deliverable shape ``edr report``
+writes) from a check suite + table metrics.
 """
 
 from __future__ import annotations
 
+import html as _html
 import json
 import os
 from datetime import datetime, timezone
@@ -76,4 +79,68 @@ def write_report(
     md_path = os.path.join(out_dir, "report.md")
     with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    return {"json": json_path, "md": md_path}
+
+    html_path = os.path.join(out_dir, "report.html")
+    with open(html_path, "w") as f:
+        f.write(_render_html(payload))
+    return {"json": json_path, "md": md_path, "html": html_path}
+
+
+def _render_html(payload: dict) -> str:
+    """Self-contained HTML report (reference test_dbt.py:161-177 asserts
+    ``edr report`` produced exactly this artifact class: one .html file,
+    no external assets). Plain string templating — every dynamic value
+    is escaped; no JS, inline CSS only, renders file:// offline."""
+
+    def esc(v) -> str:
+        return _html.escape(str(v))
+
+    status = "PASS" if payload["passed"] else "FAIL"
+    color = "#1a7f37" if payload["passed"] else "#cf222e"
+    check_rows = "\n".join(
+        "<tr><td>{}</td><td class='num'>{}</td><td style='color:{}'>{}</td></tr>".format(
+            esc(c["check_name"]),
+            esc(c["n_violations"]),
+            "#1a7f37" if c["passed"] else "#cf222e",
+            "pass" if c["passed"] else "FAIL",
+        )
+        for c in payload["checks"]
+    )
+    table_rows = "\n".join(
+        "<tr><td>{}</td><td class='num'>{}</td><td class='num'>{}</td>"
+        "<td>{}</td><td>{}</td></tr>".format(
+            esc(name),
+            esc(m.get("row_count")),
+            esc(m.get("key_cardinality")),
+            esc(m.get("min_ts")),
+            esc(m.get("max_ts")),
+        )
+        for name, m in payload["tables"].items()
+    )
+    return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Data quality report — {esc(payload["run_id"])}</title>
+<style>
+body {{ font: 14px/1.5 system-ui, sans-serif; margin: 2rem auto; max-width: 56rem; color: #1f2328; }}
+h1 {{ font-size: 1.4rem; }} h2 {{ font-size: 1.1rem; margin-top: 2rem; }}
+.badge {{ display: inline-block; padding: .2rem .6rem; border-radius: .4rem;
+          color: #fff; background: {color}; font-weight: 600; }}
+table {{ border-collapse: collapse; width: 100%; margin-top: .5rem; }}
+th, td {{ border: 1px solid #d1d9e0; padding: .35rem .6rem; text-align: left; }}
+th {{ background: #f6f8fa; }} td.num {{ text-align: right; font-variant-numeric: tabular-nums; }}
+.meta {{ color: #59636e; }}
+</style></head><body>
+<h1>Data quality report <span class="badge">{status}</span></h1>
+<p class="meta">Run {esc(payload["run_id"])} · generated {esc(payload["generated_at"])}</p>
+<h2>Checks ({len(payload["checks"])})</h2>
+<table><thead><tr><th>check</th><th>violations</th><th>status</th></tr></thead>
+<tbody>
+{check_rows}
+</tbody></table>
+<h2>Tables ({len(payload["tables"])})</h2>
+<table><thead><tr><th>table</th><th>rows</th><th>keys</th><th>min_ts</th><th>max_ts</th></tr></thead>
+<tbody>
+{table_rows}
+</tbody></table>
+</body></html>
+"""

@@ -31,6 +31,9 @@ EXPECTED_DATA_DEPENDENT: dict[str, str] = {
     # — an index build over an empty corpus is a no-op a pipeline skips
     "similarity_topk_ivf": "IVF index build needs >=1 seed centroid",
     "similarity_topk_ivf_raw": "IVF index build needs >=1 seed centroid",
+    # PQ codebook training seeds from vec_id < PQ_K — an index build
+    # over an empty corpus is a pipeline ordering error
+    "similarity_topk_pq": "PQ codebook training needs seed vectors",
 }
 
 

