@@ -188,11 +188,16 @@ def main() -> None:
 
     from promptly_data_pipelines_spark.extensions.stress import write_skewed_sf
 
+    # Everything after the headline loop is EXTRA evidence — a failure
+    # here must degrade to an error marker, never kill the record the
+    # driver is capturing (the r6 lesson, from the other direction).
     skew_dir = tempfile.mkdtemp(prefix="pdp_skew10_")
     try:
         write_skewed_sf(spark, SF_DIR, skew_dir, factor=10)
         for name in ("dedup_near_text", "dedup_simhash", "dedup_ngram_jaccard"):
-            queries[name](spark, skew_dir).write.format("noop").mode("overwrite").save()
+            # min-of-2, no extra warmup pass: these lines are heavy
+            # (10× corpus, dense clusters) and secondary — the second
+            # run is the steady-state one and min() absorbs first-touch
             runs = []
             for _ in range(2):
                 spark.catalog.clearCache()
@@ -201,29 +206,36 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             secondary[f"skew10_{name}"] = round(min(runs), 3)
             spread[f"skew10_{name}"] = [round(min(runs), 3), round(max(runs), 3)]
+    except Exception as exc:  # noqa: BLE001 — marker instead of a dead record
+        secondary["skew10_error"] = f"{type(exc).__name__}: {exc}"[:200]
     finally:
         shutil.rmtree(skew_dir, ignore_errors=True)
 
     # Accuracy companion to the similarity timings (round-4 verdict
-    # item #4): IVF recall vs exact top-k at the bench SF, recorded
+    # item #4): IVF/PQ recall vs exact top-k at the bench SF, recorded
     # every round so the accuracy/speed trade is tracked like perf is.
     # (The pytest pin at sf0.001 is ≥0.8; this measures the real SF.)
-    exact = {
-        (r.query_id, r.vec_id)
-        for r in queries["similarity_topk"](spark, SF_DIR).collect()
-    }
-    # raw IVF result set (the registered similarity_topk_ivf now emits
-    # the exact rows + recall contract, not the approximate candidates)
-    approx = {
-        (r.query_id, r.vec_id)
-        for r in queries["similarity_topk_ivf_raw"](spark, SF_DIR).collect()
-    }
-    secondary["similarity_ivf_recall"] = round(len(exact & approx) / max(1, len(exact)), 4)
-    pq = {
-        (r.query_id, r.vec_id)
-        for r in queries["similarity_topk_pq"](spark, SF_DIR).collect()
-    }
-    secondary["similarity_pq_recall"] = round(len(exact & pq) / max(1, len(exact)), 4)
+    try:
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in queries["similarity_topk"](spark, SF_DIR).collect()
+        }
+        # raw IVF result set (the registered similarity_topk_ivf now emits
+        # the exact rows + recall contract, not the approximate candidates)
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in queries["similarity_topk_ivf_raw"](spark, SF_DIR).collect()
+        }
+        secondary["similarity_ivf_recall"] = round(
+            len(exact & approx) / max(1, len(exact)), 4
+        )
+        pq = {
+            (r.query_id, r.vec_id)
+            for r in queries["similarity_topk_pq"](spark, SF_DIR).collect()
+        }
+        secondary["similarity_pq_recall"] = round(len(exact & pq) / max(1, len(exact)), 4)
+    except Exception as exc:  # noqa: BLE001
+        secondary["recall_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -260,7 +272,10 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(env_detail))
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — a teardown hiccup must not
+        pass  # swallow the headline line the driver is waiting for
     print(json.dumps(headline), flush=True)
 
 

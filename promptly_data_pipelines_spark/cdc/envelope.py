@@ -17,7 +17,7 @@ derived from event_id (%10==0 → delete, %3==0 → update, else create).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -125,8 +125,6 @@ def synthesize_kafka_frames(
     Kafka guarantees order only within a partition)."""
     env = synthesize_envelopes(events, extra_cols=("event_id",))
     part = F.pmod(F.col("event_id"), F.lit(n_partitions)).cast("int")
-    from pyspark.sql import Window
-
     offset_w = Window.partitionBy("partition").orderBy("kafka_timestamp", "event_id")
     return (
         env.select(

@@ -729,33 +729,38 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _subvectors(e: DataFrame) -> DataFrame:
-    """(vec_id, sub, svec): the vector split into PQ_M contiguous
-    PQ_DIM-wide slices — pure map-side, no shuffle."""
-    subs = F.array(
-        *[F.slice(F.col("vec"), s * PQ_DIM + 1, PQ_DIM) for s in range(PQ_M)]
-    )
-    return e.select("vec_id", F.posexplode(subs).alias("sub", "svec"))
+def _slice_sub(s: int) -> Column:
+    return F.slice(F.col("vec"), s * PQ_DIM + 1, PQ_DIM)
 
 
-def _assign_codes(sv: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest codebook entry per (vec_id, sub): broadcast the m×k
-    codebook (model-sized) over one pass of the subvector frame; 6dp
-    rounding + code tiebreak keeps the argmin engine-deterministic."""
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d").asc(), F.col("code"))
-    return (
-        sv.join(F.broadcast(cents), "sub")
-        .select(
-            "vec_id",
-            "sub",
-            "svec",
-            "code",
-            F.round(_sq_dist(F.col("svec"), F.col("cvec")), 6).alias("d"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub", "svec", "code")
+def _codebook_by_sub(cents: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Collected codebook as {sub: [(code, cvec)] sorted by code} —
+    m·k·PQ_DIM doubles, model-sized, safe on the driver."""
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cents.collect():
+        by_sub.setdefault(int(r.sub), []).append((int(r.code), list(r.cvec)))
+    return {s: sorted(v) for s, v in by_sub.items()}
+
+
+def _code_expr(svec: Column, codes: list[tuple[int, list[float]]]) -> Column:
+    """Argmin over the LITERAL codebook, fully in-row: distances to the
+    k codes as a literal-array expression, argmin via array_position of
+    the min (first match == lowest code on 6dp-rounded ties — the same
+    determinism contract as the window form it replaced). Embedding the
+    codebook as plan literals (it is k·PQ_DIM doubles — a model, not
+    data) makes code assignment a MAP-SIDE expression: the r7 review
+    found the original join+window form shuffled the whole subvector
+    stream per assignment pass, which at 100 TB is a full-corpus
+    network pass paid for an argmin over 16 constants."""
+    d_arr = F.array(
+        *[
+            F.round(_sq_dist(svec, F.array(*[F.lit(float(x)) for x in cvec])), 6)
+            for _, cvec in codes
+        ]
     )
+    # codes are dense 0..k-1 (empty-cell guard preserves them), so the
+    # 1-based first-match position maps directly to the code id
+    return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
 
 
 def pq_train(spark: SparkSession, e: DataFrame, iters: int = 2) -> DataFrame:
@@ -763,25 +768,30 @@ def pq_train(spark: SparkSession, e: DataFrame, iters: int = 2) -> DataFrame:
     the subvectors of vec_id < PQ_K (fixed, no RNG), means round at 6dp,
     assignment ties break toward the lowest code, and a code that loses
     all members keeps its previous center (standard empty-cell guard).
-    Each iteration is ONE pass over the subvector frame (assign,
-    broadcast codebook) + one posexplode/groupBy mean — the codebook
-    (m·k·PQ_DIM doubles) is re-materialized through the driver per
-    iteration, metadata-sized like learned_centroids."""
-    sv = _subvectors(e).persist()
-    seeds = sv.filter(F.col("vec_id") < PQ_K).select(
-        "sub", F.col("vec_id").cast("int").alias("code"), F.col("svec").alias("cvec")
+    Each iteration: one MAP-SIDE assignment pass over the corpus (the
+    codebook rides the plan as literals — see _code_expr) + the
+    irreducible k-means reduce (groupBy (sub, code, pos) means); the
+    codebook is re-materialized through the driver per iteration,
+    metadata-sized like learned_centroids. Returns the (sub, code,
+    cvec) frame a serving layer would persist as the index metadata."""
+    seed_rows = sorted(
+        e.filter(F.col("vec_id") < PQ_K).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
     )
-    rows = seeds.collect()
-    if len(rows) < PQ_M * PQ_K:
-        sv.unpersist()
+    if len(seed_rows) < PQ_K:
         raise ValueError(
             f"pq_train: empty corpus or too few seed vectors "
-            f"(need vec_id 0..{PQ_K - 1}, found {len(rows) // PQ_M})"
+            f"(need vec_id 0..{PQ_K - 1}, found {len(seed_rows)})"
         )
-    schema = "sub int, code int, cvec array<double>"
-    cents = spark.createDataFrame([(r.sub, r.code, list(r.cvec)) for r in rows], schema)
+    by_sub = {
+        s: [
+            (code, list(r.vec)[s * PQ_DIM : (s + 1) * PQ_DIM])
+            for code, r in enumerate(seed_rows)
+        ]
+        for s in range(PQ_M)
+    }
     for _ in range(iters):
-        assigned = _assign_codes(sv, cents)
+        assigned = _assigned_subvectors(e, by_sub)
         means = (
             assigned.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
             .groupBy("sub", "code", "pos")
@@ -793,23 +803,44 @@ def pq_train(spark: SparkSession, e: DataFrame, iters: int = 2) -> DataFrame:
                 ).alias("cvec")
             )
         )
-        new = {(r.sub, r.code): list(r.cvec) for r in means.collect()}
-        cents = spark.createDataFrame(
-            [
-                (r.sub, r.code, new.get((r.sub, r.code), list(r.cvec)))
-                for r in cents.collect()
-            ],
-            schema,
-        )
-    sv.unpersist()
-    return cents
+        new = {(int(r.sub), int(r.code)): list(r.cvec) for r in means.collect()}
+        by_sub = {
+            s: [(c, new.get((s, c), old)) for c, old in by_sub[s]]
+            for s in range(PQ_M)
+        }
+    return spark.createDataFrame(
+        [(s, c, v) for s in range(PQ_M) for c, v in by_sub[s]],
+        "sub int, code int, cvec array<double>",
+    )
+
+
+def _assigned_subvectors(
+    e: DataFrame, by_sub: dict[int, list[tuple[int, list[float]]]]
+) -> DataFrame:
+    """(vec_id, sub, svec, code) with the code computed in-row against
+    the literal codebook — zero shuffle before the consumer's reduce."""
+    entries = F.array(
+        *[
+            F.struct(
+                _slice_sub(s).alias("svec"),
+                _code_expr(_slice_sub(s), by_sub[s]).alias("code"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return e.select("vec_id", F.posexplode(entries).alias("sub", "ent")).select(
+        "vec_id", "sub", F.col("ent.svec").alias("svec"), F.col("ent.code").alias("code")
+    )
 
 
 def pq_encode(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, sub, code) — the compressed corpus: PQ_M small ints per
-    vector. One broadcast-join pass; this is the table a serving layer
-    materializes (4 B/vector where the raw corpus is 512 B)."""
-    return _assign_codes(_subvectors(e), cents).select("vec_id", "sub", "code")
+    vector, computed in ONE map-side pass (codebook as plan literals,
+    no join, no shuffle — plan-pinned); this is the table a serving
+    layer materializes (4 B/vector where the raw corpus is 512 B)."""
+    by_sub = _codebook_by_sub(cents)
+    codes = F.array(*[_code_expr(_slice_sub(s), by_sub[s]) for s in range(PQ_M)])
+    return e.select("vec_id", F.posexplode(codes).alias("sub", "code"))
 
 
 @query("similarity_topk_pq", registered=False)  # approximate: recall pinned in tests

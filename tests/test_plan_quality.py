@@ -446,3 +446,55 @@ def test_dup_span_census_broadcast_single_scan(spark):
 
     scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
     assert len(scan_ids) <= 1, f"corpus scanned more than once ({scan_ids})"
+
+
+def test_pq_adc_scan_joins_codes_not_vectors(spark):
+    """similarity_topk_pq scale contract (r7): the ADC scan joins the
+    ENCODED corpus to the broadcast partial-distance table — the
+    query-side partials must be broadcast (model-sized), never shuffled
+    against the corpus, and no Python appears anywhere in
+    train/encode/search."""
+    p = _plan(spark, "similarity_topk_pq")
+    assert "BroadcastHashJoin" in p, "partials join lost its broadcast"
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p, "PQ must be pure JVM expressions"
+
+
+def test_pq_encode_is_map_side(spark):
+    """Code assignment embeds the codebook as plan literals — encoding
+    the corpus must be ONE shuffle-free pass (the r7 review replaced a
+    join+window form that shuffled the full subvector stream)."""
+    import io as _io
+    import contextlib as _ctx
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        _doubled,
+        pq_encode,
+        pq_train,
+    )
+
+    e = _doubled(table(spark, SF_DIR, "embeddings"))
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        pq_encode(e, pq_train(spark, e)).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, "pq_encode: unexpected shuffle"
+    assert "Join" not in p, "pq_encode: codebook must be literals, not a join"
+
+
+def test_skew_slice_build_is_map_side(spark, tmp_path):
+    """The stress corpus build (explode + arithmetic) is declared
+    embarrassingly parallel — amplifying 100 TB by 10x must not pay a
+    shuffle before the write."""
+    import io as _io
+    import contextlib as _ctx
+
+    from promptly_data_pipelines_spark.extensions.stress import skewed_documents
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        skewed_documents(spark, SF_DIR, 10).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p, "skew build: unexpected shuffle"
+    assert "EvalPython" not in p

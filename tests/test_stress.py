@@ -60,11 +60,12 @@ def test_dedup_family_on_skewed_slice(spark, skew_dir):
     # robustness bar and the counts print into the test log
     assert n_near > 0 and n_jac > 0
     assert n_sim >= 0  # simhash hamming<=3 may prune suffix-perturbed copies
-    # planted check: copies of one template doc must appear as pairs
-    base_template = [
-        r
-        for r in near.limit(10000).collect()
-        if r.doc_a // FACTOR == r.doc_b // FACTOR
-        and (r.doc_a // FACTOR) % TEMPLATE_MOD == 0
-    ]
-    assert base_template, "no planted template pair surfaced by dedup_near_text"
+    # planted check: copies of one template doc must appear as pairs —
+    # filtered in-plan (a collect+limit could sample a pair-free prefix)
+    from pyspark.sql import functions as F
+
+    planted = near.filter(
+        (F.floor(F.col("doc_a") / FACTOR) == F.floor(F.col("doc_b") / FACTOR))
+        & (F.floor(F.col("doc_a") / FACTOR) % TEMPLATE_MOD == 0)
+    ).count()
+    assert planted > 0, "no planted template pair surfaced by dedup_near_text"
