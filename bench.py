@@ -116,6 +116,10 @@ SECONDARY = [
     # r7: the PQ/ADC + exact-re-rank ANN path (train + encode + search
     # in one plan; the memory-scale complement to IVF's pruning)
     "similarity_topk_pq",
+    # r7: the URL-layer curation composite (canonicalize → URL dedup →
+    # domain-reputation gate → per-domain cap) — two window shuffles +
+    # a broadcast census over the staged crawl
+    "web_url_curation",
 ]
 
 

@@ -192,6 +192,7 @@ def _load_all() -> None:
         similarity,
         text,
         udfs,
+        web,
     )
 
     missing = [n for n in _ORDER if n not in _QUERIES]

@@ -1832,3 +1832,62 @@ def test_schema_contract_passes_and_diffs(spark):
     bad = table(spark, SF_DIR, "nation").withColumnRenamed("n_name", "name")
     with _pytest.raises(ValueError, match="field 1: got name:string, expected n_name:string"):
         assert_schema_contract(bad, DECLARED_SCHEMAS["nation"], "nation")
+
+
+def test_canonical_url_edge_shapes(spark):
+    """canonical_url beyond the staged corpus shape: bare host, root
+    slash, no query, all-tracking query, port variants, mixed-case
+    scheme — the shapes a real crawl frontier contains."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.extensions.web import (
+        canonical_url,
+        host_of,
+        registrable_domain,
+    )
+
+    cases = [
+        # (raw, canonical, host, domain)
+        ("http://EXAMPLE.com", "https://example.com", "example.com", "example.com"),
+        ("https://example.com/", "https://example.com", "example.com", "example.com"),
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x",
+         "https://example.com/a/b", "example.com", "example.com"),
+        ("http://www.sub.shop.co:80/x?b=2&a=1#frag",
+         "https://sub.shop.co/x?a=1&b=2", "sub.shop.co", "shop.co"),
+        ("https://h.io/p?ref=tw&fbclid=1&gclid=2&utm_medium=m",
+         "https://h.io/p", "h.io", "h.io"),
+        ("https://h.io:8080/p", "https://h.io:8080/p", "h.io:8080", "h.io:8080"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _, _, _ in cases], "url string")
+    got = df.select(
+        canonical_url(F.col("url")).alias("c"),
+        host_of(F.col("url")).alias("h"),
+        registrable_domain(host_of(F.col("url"))).alias("d"),
+    ).collect()
+    for (raw, want_c, want_h, want_d), row in zip(cases, got):
+        assert row.c == want_c, f"{raw}: canonical {row.c!r} != {want_c!r}"
+        assert row.h == want_h, f"{raw}: host {row.h!r} != {want_h!r}"
+        assert row.d == want_d, f"{raw}: domain {row.d!r} != {want_d!r}"
+
+
+def test_strip_html_edge_shapes(spark):
+    """strip_html beyond the staged template: nested/unclosed tags,
+    multi-line script bodies, case-mixed tags, double-encoded
+    entities decoding exactly one level."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.extensions.web import strip_html
+
+    cases = [
+        ("<p>a<b>b</b>c</p>", "a b c"),
+        ("<SCRIPT>\nvar x = '<p>not text</p>';\n</SCRIPT>ok", "ok"),
+        ("<style media='all'>body { color: red; }</style>text", "text"),
+        ("&amp;lt; stays encoded once", "&lt; stays encoded once"),
+        ("a &nbsp; b\t\nc", "a b c"),
+        ("no tags at all", "no tags at all"),
+        ("<div", "<div"),  # unclosed bracket: not a tag, preserved
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = df.select(strip_html(F.col("html")).alias("t")).collect()
+    for (raw, want), row in zip(cases, got):
+        assert row.t == want, f"{raw!r}: {row.t!r} != {want!r}"

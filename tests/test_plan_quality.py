@@ -498,3 +498,32 @@ def test_skew_slice_build_is_map_side(spark, tmp_path):
     p = buf.getvalue()
     assert "Exchange" not in p, "skew build: unexpected shuffle"
     assert "EvalPython" not in p
+
+
+def test_url_tier_map_side(spark):
+    """URL canonicalization and HTML strip are pure expression trees:
+    amplifying a 100 TB crawl through them must not pay a shuffle or
+    leave whole-stage codegen."""
+    for name in ("url_canonicalize", "text_html_strip"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, f"{name}: unexpected shuffle"
+        assert "EvalPython" not in p, f"{name}: must be pure JVM expressions"
+
+
+def test_domain_gate_census_broadcast(spark):
+    """web_url_curation's reputation gate: the domain census (tiny) is
+    the broadcast side of the semi-join — the survivor stream never
+    shuffles to be filtered — and the whole chain costs exactly the two
+    windows + final aggregate, with no cartesian anywhere."""
+    p = _plan(spark, "web_url_curation")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    """The per-domain cap's rank<=K filter must be rewritten to
+    WindowGroupLimit so each map task keeps only K rows per domain
+    BEFORE the shuffle (same pin as topk_group)."""
+    p = _plan(spark, "sample_domain_cap")
+    assert "WindowGroupLimit" in p, "rank-filter not pushed to group-limit"
