@@ -165,10 +165,14 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a per-query IVF recall contract (see the oracle note above).
     The raw approximate result set is similarity_topk_ivf_raw; exact
     recall at the bench SF is recorded every round by bench.py."""
-    # exact feeds three consumers (overlap, flags, final join) — persist
-    # so the brute-force corpus pass runs ONCE (the cached frame is k·q
-    # rows; without this Spark re-executes the cross-join per consumer)
-    exact = similarity_topk(spark, sf_dir).persist()
+    # exact feeds three consumers (overlap, flags, final join) — run the
+    # brute-force corpus pass ONCE and pin its k·q rows (25 at the
+    # defaults: bounded result-set state, not data) as a local frame.
+    # r7 used .persist(), which leaked cached frames across the ~190-query
+    # parity sweep (never unpersisted — ADVICE r7); an eager materialize
+    # of a k·q-row frame needs no cache lifecycle at any corpus size.
+    exact_plan = similarity_topk(spark, sf_dir)
+    exact = spark.createDataFrame(exact_plan.collect(), schema=exact_plan.schema)
     ivf = similarity_topk_ivf_raw(spark, sf_dir)
     overlap = (
         exact.join(ivf.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")

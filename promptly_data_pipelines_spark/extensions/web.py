@@ -43,9 +43,12 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import query
 
-# Tracking-parameter prefixes dropped by canonicalization (the C4 /
-# common crawler convention: session and campaign noise, not content).
-TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref")
+# Tracking parameters dropped by canonicalization (the C4 / common
+# crawler convention: session and campaign noise, not content).
+# utm_* is a prefix family; the rest are matched by EXACT key so
+# refresh=, refund_id=, gclsrc= etc. survive.
+TRACKING_PREFIX = "utm_"
+TRACKING_KEYS = ("fbclid", "gclid", "ref")
 DOMAIN_CAP = 10  # max pages one domain may contribute (Gopher-style)
 GATE_MIN_AVG_CHARS = 290.0  # reputation gate: thin-content domains
 
@@ -142,8 +145,13 @@ def host_of(url: Column) -> Column:
 def registrable_domain(host: Column) -> Column:
     """Last-two-labels heuristic for the registrable domain (a real
     deployment consults the public-suffix list, which is not shipped
-    here; for *.com/org/net style hosts the heuristic is exact)."""
-    return F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    here; for *.com/org/net style hosts the heuristic is exact).
+    Dotless hosts (localhost, bare intranet names) fall back to the
+    host itself rather than pooling into one '' bucket — that would
+    let the reputation gate and the per-domain cap treat every
+    intranet host as a single domain."""
+    d = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    return F.when(d == "", host).otherwise(d)
 
 
 def canonical_url(url: Column) -> Column:
@@ -157,15 +165,17 @@ def canonical_url(url: Column) -> Column:
         F.regexp_extract(rest, "^[^/?]+(/[^?]*)?", 1), "/+$", ""
     )
     raw_q = F.regexp_extract(rest, "\\?(.*)$", 1)
+    # Tracking params are dropped by EXACT key (fbclid, gclid, ref);
+    # only utm_ stays a prefix rule.  Matching the raw 'k=v' token by
+    # prefix would also eat refresh=, refund_id=, gclsrc=, ... and
+    # silently collapse distinct pages into one canonical key.
     kept = F.array_join(
         F.array_sort(
             F.filter(
                 F.split(raw_q, "&"),
                 lambda p: (p != "")
                 & ~p.startswith("utm_")
-                & ~p.startswith("fbclid")
-                & ~p.startswith("gclid")
-                & ~p.startswith("ref"),
+                & ~F.split(p, "=", 2).getItem(0).isin("fbclid", "gclid", "ref"),
             )
         ),
         "&",
@@ -185,7 +195,10 @@ _CANON_SQL = """
              'https://' || chost || cpath
              || (CASE WHEN ckept = '' THEN '' ELSE '?' || ckept END) AS curl,
              chost AS host,
-             regexp_extract(chost, '([^.]+\\.[^.]+)$', 1) AS domain
+             CASE WHEN regexp_extract(chost, '([^.]+\\.[^.]+)$', 1) = ''
+                  THEN chost
+                  ELSE regexp_extract(chost, '([^.]+\\.[^.]+)$', 1)
+             END AS domain
       FROM (
         SELECT *,
                regexp_replace(
@@ -199,9 +212,8 @@ _CANON_SQL = """
                  list_sort(list_filter(string_split(
                      coalesce(regexp_extract(crest, '\\?(.*)$', 1), ''), '&'),
                    p -> p <> '' AND NOT (p LIKE 'utm\\_%' ESCAPE '\\')
-                        AND NOT starts_with(p, 'fbclid')
-                        AND NOT starts_with(p, 'gclid')
-                        AND NOT starts_with(p, 'ref'))),
+                        AND NOT string_split(p, '=')[1]
+                                IN ('fbclid', 'gclid', 'ref'))),
                  '&') AS ckept
         FROM (
           SELECT *,

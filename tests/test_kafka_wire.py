@@ -173,7 +173,7 @@ def test_kafka_stream_path_availablenow(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     got = {
         (r.event_id, r.op)
         for r in spark.table("kafka_wire_stream").select("event_id", "op").collect()
