@@ -195,10 +195,26 @@ def main() -> None:
     # Everything after the headline loop is EXTRA evidence — a failure
     # here must degrade to an error marker, never kill the record the
     # driver is capturing (the r6 lesson, from the other direction).
+    # r8: skew10_dedup_ngram_jaccard is DEMOTED from this suite (r7
+    # verdict item #1): the inverted-index pair stream is ∝ shared-
+    # shingles × C(cluster,2) — superlinear on dense template clusters
+    # BY DESIGN (decomposition in BASELINE.md round 8). Its skew-scale
+    # replacement is dedup_near_text_exact (LSH candidates + in-row
+    # exact verify — same exactness on the surfaced pairs, pair count
+    # independent of doc length). The join/window core joins the suite
+    # (r7 item #6): skewed_orders puts 70% of a 10× fact table on one
+    # customer key through topk_group (map-side WindowGroupLimit) and
+    # join_equi (broadcast dims are skew-immune).
     skew_dir = tempfile.mkdtemp(prefix="pdp_skew10_")
     try:
         write_skewed_sf(spark, SF_DIR, skew_dir, factor=10)
-        for name in ("dedup_near_text", "dedup_simhash", "dedup_ngram_jaccard"):
+        for name in (
+            "dedup_near_text",
+            "dedup_simhash",
+            "dedup_near_text_exact",
+            "topk_group",
+            "join_equi",
+        ):
             # min-of-2, no extra warmup pass: these lines are heavy
             # (10× corpus, dense clusters) and secondary — the second
             # run is the steady-state one and min() absorbs first-touch

@@ -755,7 +755,15 @@ def _code_expr(svec: Column, codes: list[tuple[int, list[float]]]) -> Column:
     data) makes code assignment a MAP-SIDE expression: the r7 review
     found the original join+window form shuffled the whole subvector
     stream per assignment pass, which at 100 TB is a full-corpus
-    network pass paid for an argmin over 16 constants."""
+    network pass paid for an argmin over 16 constants.
+
+    The zip_with+aggregate HOF distance is DELIBERATE (r8 measured):
+    unrolling Σ(aᵢ-bᵢ)² into k·PQ_DIM literal getItem/mul/add terms —
+    the "codegen-friendly" form — ran 7× SLOWER (6.8 s vs 0.9 s per
+    cached-corpus encode pass): the ~4k-node expression tree defeats
+    whole-stage codegen and falls back to node-at-a-time interpreted
+    eval, while the HOF's small lambda loop is a tight interpreted
+    loop. Measured, not assumed — see BASELINE.md round 8."""
     d_arr = F.array(
         *[
             F.round(_sq_dist(svec, F.array(*[F.lit(float(x)) for x in cvec])), 6)
@@ -767,11 +775,38 @@ def _code_expr(svec: Column, codes: list[tuple[int, list[float]]]) -> Column:
     return (F.array_position(d_arr, F.array_min(d_arr)) - 1).cast("int")
 
 
-def pq_train(spark: SparkSession, e: DataFrame, iters: int = 2) -> DataFrame:
+PQ_TRAIN_SAMPLE_TARGET = 4096  # codebook training sample size (see pq_train)
+
+
+def pq_train(
+    spark: SparkSession,
+    e: DataFrame,
+    iters: int = 1,
+    n_corpus: int | None = None,
+    sample_target: int = PQ_TRAIN_SAMPLE_TARGET,
+) -> DataFrame:
     """Per-subspace Lloyd codebooks, deterministic end to end: seeds are
     the subvectors of vec_id < PQ_K (fixed, no RNG), means round at 6dp,
     assignment ties break toward the lowest code, and a code that loses
     all members keeps its previous center (standard empty-cell guard).
+
+    iters defaults to 1 (r8): the r8 decomposition measured recall
+    0.88/0.88/1.0 across sf0.001/0.01/0.1 with ONE iteration vs
+    0.92/0.88/0.92 with two — on the near-uniform fixture the second
+    corpus pass buys nothing (at sf0.1 it is strictly worse), and each
+    pass is the dominant PQ cost. A clustered real corpus is where
+    more iterations pay; the knob stays exposed.
+
+    Training runs on a DETERMINISTIC SAMPLE (r8, the FAISS-style
+    posture): codebooks are k·PQ_DIM-double models and never need the
+    full corpus — vectors with vec_id % mod == 0 train them, where mod
+    = max(1, n_corpus // sample_target) keeps ~sample_target training
+    vectors at ANY corpus size. At 100 TB this caps every Lloyd pass
+    at a fixed-size input (the full-corpus passes are encode + ADC,
+    both single-scan); at the parity fixtures (n ≤ 2000 ≤ target) mod
+    resolves to 1 — the sample IS the corpus, so fixture results are
+    unchanged by construction (pinned in test_modules). Pass n_corpus
+    when the caller already counted; None counts here.
     Each iteration: one MAP-SIDE assignment pass over the corpus (the
     codebook rides the plan as literals — see _code_expr) + the
     irreducible k-means reduce (groupBy (sub, code, pos) means); the
@@ -787,6 +822,10 @@ def pq_train(spark: SparkSession, e: DataFrame, iters: int = 2) -> DataFrame:
             f"pq_train: empty corpus or too few seed vectors "
             f"(need vec_id 0..{PQ_K - 1}, found {len(seed_rows)})"
         )
+    if n_corpus is None:
+        n_corpus = e.count()
+    mod = max(1, n_corpus // sample_target)
+    train = e if mod == 1 else e.filter(F.col("vec_id") % mod == 0)
     by_sub = {
         s: [
             (code, list(r.vec)[s * PQ_DIM : (s + 1) * PQ_DIM])
@@ -795,7 +834,7 @@ def pq_train(spark: SparkSession, e: DataFrame, iters: int = 2) -> DataFrame:
         for s in range(PQ_M)
     }
     for _ in range(iters):
-        assigned = _assigned_subvectors(e, by_sub)
+        assigned = _assigned_subvectors(train, by_sub)
         means = (
             assigned.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
             .groupBy("sub", "code", "pos")
@@ -870,10 +909,20 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs exact top-k is pinned ≥0.8 in tests; approximate by
     design, so rows-only (the same posture similarity_topk_ivf_raw
     has; the driver-checkable contract row is the IVF one)."""
-    e = _doubled(table(spark, sf_dir, "embeddings"))
+    # The corpus feeds five consumers (count, train seeds, train
+    # assignment, encode, re-rank) — persist the cast frame so the
+    # parquet scan + array<double> cast happens ONCE (r8 decomposition:
+    # ~1 s/pass repeated per consumer was most of the old 11.3 s; same
+    # materialize-the-index shape as dedup_near_text, ContextCleaner
+    # reclaims the cache when the plan is unreferenced).
+    from pyspark.storagelevel import StorageLevel
+
+    e = _doubled(table(spark, sf_dir, "embeddings")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_corpus = e.count()
     shortlist_k = max(PQ_SHORTLIST_MIN, -(-n_corpus // 5))
-    cents = pq_train(spark, e)
+    cents = pq_train(spark, e, n_corpus=n_corpus)
     enc = pq_encode(e, cents)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")

@@ -33,6 +33,7 @@ from ..catalog import table
 HOT_LANG = "en"
 HOT_PCT = 70  # % of rows forced onto the hot lang key
 TEMPLATE_MOD = 5  # every TEMPLATE_MOD-th base doc becomes a near-dup cluster
+HOT_CUSTKEY = 1  # the one customer 70% of skewed orders collapse onto
 
 
 def skewed_documents(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFrame:
@@ -64,15 +65,65 @@ def skewed_documents(spark: SparkSession, sf_dir: str, factor: int = 10) -> Data
     )
 
 
+def skewed_orders(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFrame:
+    """``factor``× amplified orders with a HOT CUSTOMER key: 70% of all
+    rows collapse onto o_custkey=HOT_CUSTKEY (the whale-account /
+    default-tenant shape every marketplace fact table has). Output
+    schema is the orders schema exactly, so the §2 join/window core
+    (join_equi, topk_group) runs on it unmodified. Derived from
+    o_orderkey arithmetic — deterministic, no RNG.
+
+    What it stresses: a shuffle keyed by o_custkey (window partitions,
+    non-broadcast joins) sends 70% of the fact table to ONE reduce
+    task unless something intervenes — the interveners under test are
+    map-side WindowGroupLimit (topk_group keeps ≤k rows per group per
+    map task, so the hot reducer receives tasks·k rows, not 70% of the
+    corpus) and AQE skew-join splitting (plan-pinned in
+    tests/test_stress.py). Dim joins stay skew-immune via broadcast —
+    also exercised, join_equi's plan broadcasts customer/nation/region."""
+    o = table(spark, sf_dir, "orders")
+    rep = o.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    )
+    new_key = F.col("o_orderkey") * factor + F.col("rep")
+    hot = (new_key % 100 < HOT_PCT)
+    return rep.select(
+        new_key.alias("o_orderkey"),
+        F.when(hot, F.lit(HOT_CUSTKEY)).otherwise(F.col("o_custkey")).alias("o_custkey"),
+        "o_orderstatus",
+        # perturb the price per copy so window order keys stay distinct
+        (F.col("o_totalprice") + F.col("rep")).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
 def write_skewed_sf(
     spark: SparkSession, src_sf_dir: str, dest_dir: str, factor: int = 10
 ) -> str:
     """Materialize the skewed slice as ``{dest_dir}/documents.parquet``
-    so the registered dedup queries run against it unmodified (they
-    take an sf_dir and read the documents table) and pay a real
-    parquet scan, not a recomputed expression tree."""
+    + ``orders.parquet`` (hot-customer fact) + passthrough copies of
+    the dims the join queries read (customer/nation/region), so the
+    registered dedup AND join/window queries run against it unmodified
+    (they take an sf_dir and read their tables) and pay a real parquet
+    scan, not a recomputed expression tree."""
     os.makedirs(dest_dir, exist_ok=True)
-    skewed_documents(spark, src_sf_dir, factor).write.mode("overwrite").parquet(
-        os.path.join(dest_dir, "documents.parquet")
-    )
+    # Multi-file output (repartition before write): the source fixtures
+    # are single-row-group parquet, and an amplified slice written as
+    # ONE file would scan on one task AND leave every downstream
+    # shuffle with one mapper — AQE can only split a skewed reduce
+    # partition at MAPPER boundaries, so a single-mapper shuffle is
+    # unsplittable no matter how hot the key (found by the r8 skew-join
+    # plan pin). A real 10× corpus is many files; mirror that.
+    par = spark.sparkContext.defaultParallelism
+    skewed_documents(spark, src_sf_dir, factor).repartition(par).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest_dir, "documents.parquet"))
+    skewed_orders(spark, src_sf_dir, factor).repartition(par).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest_dir, "orders.parquet"))
+    for dim in ("customer", "nation", "region"):
+        table(spark, src_sf_dir, dim).write.mode("overwrite").parquet(
+            os.path.join(dest_dir, f"{dim}.parquet")
+        )
     return dest_dir

@@ -602,6 +602,36 @@ def test_pq_recall_and_determinism(spark):
     assert rng[0] >= 0 and rng[1] < PQ_K
 
 
+def test_pq_train_sampling(spark):
+    """r8 train-on-sample posture: below the sample target the sample
+    IS the corpus (codebooks identical to pre-sampling rounds by
+    construction); above it, training sees ~target vectors via the
+    deterministic vec_id % mod filter and still yields a full, valid
+    codebook."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        PQ_DIM,
+        PQ_K,
+        PQ_M,
+        _doubled,
+        pq_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _doubled(table(spark, sf, "embeddings"))
+    n = e.count()
+    full = pq_train(spark, e, n_corpus=n)  # mod == 1 (n <= target)
+    explicit = pq_train(spark, e, n_corpus=n, sample_target=n + 1)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, explicit.collect()))
+    # force a real subsample: target n//3 → mod 3, every 3rd vector
+    sampled = pq_train(spark, e, n_corpus=n, sample_target=max(PQ_K, n // 3))
+    rows = sampled.collect()
+    assert len(rows) == PQ_M * PQ_K
+    assert all(len(r.cvec) == PQ_DIM for r in rows)
+    # sampling changed the training set, so at least one center moved
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, full.collect()))
+
+
 def test_lakehouse_merge_gated(spark):
     """Environment-gated MERGE INTO: without Iceberg/Delta jars the
     detection must report absence and merge_into_table must refuse with

@@ -1,0 +1,74 @@
+"""Default test invocation (r7 verdict item #4): the sharded fan-out
+the README describes, wired into one command so the ≤10-min budget is
+the default rather than an opt-in.
+
+    python tools/run_tests.py            # full suite, sharded
+    python tools/run_tests.py -n 3       # 3 parity shards
+    PDP_TEST_SF_DIR=... python tools/run_tests.py
+
+Runs the oracle-parity sweep in N shard subprocesses (each with its
+own 4-cpu SparkSession; no pytest-xdist in this container) alongside
+the rest of the suite, streams each process's tail on failure, and
+exits nonzero if ANY process fails. Coverage is identical to the
+single-process run: every shard is the same parametrized test module,
+split modulo N, plus `--ignore`d-nowhere remainder tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", "--shards", type=int, default=2,
+                    help="parity sweep shard count (default 2)")
+    ap.add_argument("pytest_args", nargs="*", default=[],
+                    help="extra args passed to every pytest invocation")
+    args = ap.parse_args()
+
+    t0 = time.perf_counter()
+    procs: list[tuple[str, subprocess.Popen, str]] = []
+
+    def launch(label: str, cmd: list[str], env_extra: dict[str, str]) -> None:
+        env = {**os.environ, **env_extra}
+        log = os.path.join(tempfile.gettempdir(), f"pdp_tests_{label}.log")
+        fh = open(log, "w")
+        p = subprocess.Popen(
+            cmd, cwd=REPO, env=env, stdout=fh, stderr=subprocess.STDOUT
+        )
+        procs.append((label, p, log))
+
+    base = [sys.executable, "-m", "pytest", "-q", *args.pytest_args]
+    for i in range(args.shards):
+        launch(
+            f"parity{i}",
+            base + ["tests/test_oracle_parity.py"],
+            {"PDP_PARITY_SHARD": f"{i}/{args.shards}"},
+        )
+    launch("main", base + ["tests/", "--ignore", os.path.join(REPO, "tests/test_oracle_parity.py")], {})
+
+    rc = 0
+    for label, p, log in procs:
+        p.wait()
+        with open(log) as fh:
+            tail = fh.read().splitlines()[-12:]
+        status = "OK" if p.returncode == 0 else f"FAIL rc={p.returncode}"
+        print(f"--- {label}: {status} ({log})")
+        for line in tail if p.returncode != 0 else tail[-2:]:
+            print(f"    {line}")
+        rc = rc or p.returncode
+    print(f"total wall-clock: {time.perf_counter() - t0:.0f}s "
+          f"({args.shards} parity shards + main)")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
