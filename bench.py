@@ -144,6 +144,17 @@ def main() -> None:
     # noise-dominated by host drift; record enough in the JSON itself
     # to attribute a swing to environment vs code without prose.
     load_start = os.getloadavg()
+    if load_start[0] >= 2.0:
+        # r7 lesson: a record taken on a loaded machine set inflated
+        # first-time baselines that read as false wins the next round.
+        # Self-flag on stderr (the driver parses stdout only) so the
+        # env block's verdict is visible at run time, not post-hoc.
+        print(
+            f"WARNING: bench starting at loadavg {load_start[0]:.2f} "
+            "(>= 2) — timings will carry machine-load noise; prefer a "
+            "quiet machine (see BASELINE.md round-8 note)",
+            file=sys.stderr,
+        )
     spark = get_session("pdp-bench", cpus=CPUS, shuffle_partitions=CPUS)
     # local-only included: the headline list predates the registry's
     # registered/local split and stays fixed for round-over-round

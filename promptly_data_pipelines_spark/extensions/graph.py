@@ -81,7 +81,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def pagerank_scaled(
-    edges: DataFrame, n_iter: int = N_ITER, scale: int | None = None
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    scale: int | None = None,
+    require_scale: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list with no dangling
     nodes (every src must also appear as dst and vice versa — true for
@@ -127,6 +130,20 @@ def pagerank_scaled(
             raise ValueError(
                 f"pagerank integer headroom exceeded even at scale 1 "
                 f"({n_nodes} nodes) — shard the graph"
+            )
+        if require_scale is not None and scale != require_scale:
+            # r8 (verdict item #8): the oracle-checked caller pins the
+            # scale its static SQL was generated at — fail HERE with
+            # the cause instead of letting the driver record a bare
+            # value-hash mismatch at some future larger SF.
+            raise ValueError(
+                f"graph_pagerank parity contract: auto scale resolved "
+                f"to {scale} for {n_nodes} nodes, but the DuckDB "
+                f"oracle is generated at fixed scale {require_scale} "
+                f"(headroom bound 85·n_nodes·scale < 2^63). At this "
+                "corpus size the fixed-scale oracle no longer applies "
+                "— call pagerank_scaled directly (auto scale) or "
+                "regenerate the oracle at the resolved scale."
             )
         if scale != SCALE:
             # advice finding: the silent step-down changes rank_scaled
@@ -218,9 +235,12 @@ def _oracle_iterations(n_iter: int = N_ITER) -> str:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority score for every part in the co-purchase graph after
-    {N_ITER} exact-integer PageRank iterations."""
+    {N_ITER} exact-integer PageRank iterations. require_scale pins the
+    fixed-point scale the static oracle SQL was generated at: a corpus
+    big enough to step the auto scale down fails fast with the cause
+    instead of a bare value-hash mismatch (r8, verdict item #8)."""
     li = table(spark, sf_dir, "lineitem")
-    return pagerank_scaled(copurchase_edges(li))
+    return pagerank_scaled(copurchase_edges(li), require_scale=SCALE)
 
 
 MIN_PAIR_SUPPORT = 5  # absolute co-occurrence floor for a rule

@@ -1754,6 +1754,13 @@ def test_pagerank_auto_downscales_past_headroom(spark):
     assert len(rows) == 1, "ring symmetry must give one identical rank"
     # scale stepped down to 1e11: rank of a regular graph stays ~scale
     assert 0.5e11 < rows[0].rank_scaled < 2e11
+    # r8 parity contract: the oracle-checked caller pins require_scale —
+    # past the headroom the call must fail WITH THE CAUSE (fixed-scale
+    # oracle no longer applies), not hand the driver a hash mismatch
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fixed-scale oracle no longer applies"):
+        pagerank_scaled(fwd.union(back), require_scale=10**12)
 
 
 def test_kcenter_coreset_radius_monotone_and_diverse(spark):

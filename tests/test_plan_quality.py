@@ -179,6 +179,21 @@ def test_jaccard_single_corpus_scan(spark):
     assert len(scan_ids) == 1, f"documents scanned more than once (scan ids {scan_ids}):\n{tree}"
 
 
+def test_near_text_exact_plan_shape(spark):
+    """r8 scale path (LSH candidates → exact in-row verify): no
+    cartesian product anywhere (the verify must join candidates to
+    the gset table on doc_id, never pair docs directly), and the
+    signature table feeds both band-join sides from ONE cached
+    relation (the dedup_near_text materialize-the-index shape)."""
+    p = _plan(spark, "dedup_near_text_exact")
+    tree = p.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree, "exact verify degenerated to all-pairs"
+    assert "InMemoryRelation" in tree, "signature table no longer cached"
+    # the verify joins are plain equi-joins on doc_id — some join node
+    # must exist, and none of them nested-loop
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
 def test_jaccard_hot_shingles_dropped_before_collect(spark):
     """Round-3 verdict finding #1: the df cap must drop a hot
     shingle's postings BEFORE collect_list materializes them on one
