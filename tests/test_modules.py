@@ -632,6 +632,52 @@ def test_pq_train_sampling(spark):
     assert sorted(map(tuple, rows)) != sorted(map(tuple, full.collect()))
 
 
+def test_pq_index_persist_roundtrip(spark, tmp_path):
+    """r8 serving pattern: pq_index_save writes codebook + codes;
+    pq_index_search against the persisted index returns EXACTLY the
+    in-session similarity_topk_pq result (the index changes when the
+    build cost is paid, not what is computed), and the search plan
+    reads the codes parquet, never re-encoding the corpus."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        PQ_K,
+        PQ_M,
+        _doubled,
+        pq_index_save,
+        pq_index_search,
+    )
+    from promptly_data_pipelines_spark.registry import run
+
+    sf = "/root/testdata/sf0.001"
+    e = _doubled(table(spark, sf, "embeddings"))
+    idx = str(tmp_path / "pq_index")
+    pq_index_save(spark, e, idx)
+    served = pq_index_search(spark, idx, e)
+    in_session = run("similarity_topk_pq", spark, sf)
+    got = sorted((r.query_id, r.vec_id, r.cos_sim, r.rk) for r in served.collect())
+    want = sorted((r.query_id, r.vec_id, r.cos_sim, r.rk) for r in in_session.collect())
+    assert got == want
+    # index sanity: codebook is model-sized, codes are 4/vector
+    cb = spark.read.parquet(f"{idx}/codebook.parquet")
+    codes = spark.read.parquet(f"{idx}/codes.parquet")
+    assert cb.count() == PQ_M * PQ_K
+    assert codes.count() == PQ_M * e.count()
+    # the search plan scans the CODES parquet (ADC side, pinned by its
+    # ReadSchema) — and must not contain the encode expression (the
+    # argmin's array_min is the encode fingerprint)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert "ReadSchema: struct<vec_id:bigint,sub:int,code:int>" in plan, (
+        "ADC side no longer scans the persisted codes table"
+    )
+    assert "array_min" not in plan, "search path re-encoded the corpus"
+
+
 def test_lakehouse_merge_gated(spark):
     """Environment-gated MERGE INTO: without Iceberg/Delta jars the
     detection must report absence and merge_into_table must refuse with
