@@ -266,32 +266,36 @@ _NEAR_TEXT_ORACLE = f"""
 """
 
 
-@query("dedup_near_text", oracle=_NEAR_TEXT_ORACLE)
-def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: MinHash+LSH near-dup candidates. Signatures → band keys
-    (hash of 4 consecutive minhashes) → self-join within (band, key)
-    buckets → estimated Jaccard = fraction of matching minhashes.
-    Pairs sharing ≥1 band are candidates; emit those with est ≥ 0.5.
-    At 100 TB the band join is the only pairwise step and touches only
-    colliding docs."""
-    d = table(spark, sf_dir, "documents")
-    # Same materialize-the-index shape as dedup_simhash: the band
-    # self-join reads the signature table twice and exchange reuse
-    # does not deduplicate the shingle+16-hash subtree — persist +
-    # force so the corpus is shingled once per run, then both join
-    # sides read the (doc_id, 16×long) cache.
-    # Cache lifetime follows the library convention (see
-    # shingle_postings): ContextCleaner releases it once the returned
-    # plan's references are GC'd — fine for the run-once query shape.
+def _lsh_candidate_pairs(d: DataFrame, keep_sigs: bool = True) -> DataFrame:
+    """LSH candidate generation over a documents frame, shared by
+    dedup_near_text (est-Jaccard verify, keep_sigs=True) and
+    dedup_near_text_exact (exact verify, ids only) so the band-join
+    semantics can never drift between the two — the same ONE-definition
+    rule BAND_KEY_COLS enforces for the key layout.
+
+    Same materialize-the-index shape as dedup_simhash: the band
+    self-join reads the signature table twice and exchange reuse does
+    not deduplicate the shingle+16-hash subtree — persist + force so
+    the corpus is shingled once per run, then both join sides read the
+    (doc_id, 16×long) cache. Cache lifetime follows the library
+    convention (see shingle_postings): ContextCleaner releases it once
+    the returned plan's references are GC'd — fine for the run-once
+    query shape."""
     sig = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()
-    sig_arr = sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig"))
+    sig_arr = sig.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig")
+    )
     bands = lsh_band_keys(sig_arr, "doc_id", "sig")
-    left = bands.alias("a")
-    right = bands.alias("b")
-    cand = (
-        left.join(
-            right,
+    extra = (
+        [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
+        if keep_sigs
+        else []
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             [
                 F.col("a.band") == F.col("b.band"),
                 *[
@@ -304,11 +308,21 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            *extra,
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+@query("dedup_near_text", oracle=_NEAR_TEXT_ORACLE)
+def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: MinHash+LSH near-dup candidates. Signatures → band keys
+    (hash of 4 consecutive minhashes) → self-join within (band, key)
+    buckets → estimated Jaccard = fraction of matching minhashes.
+    Pairs sharing ≥1 band are candidates; emit those with est ≥ 0.5.
+    At 100 TB the band join is the only pairwise step and touches only
+    colliding docs."""
+    cand = _lsh_candidate_pairs(table(spark, sf_dir, "documents"), keep_sigs=True)
     est = F.round(est_jaccard("sig_a", "sig_b"), 4)
     return (
         cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
@@ -400,28 +414,7 @@ def dedup_near_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row. No df-cap required — no posting list is materialized, so
     there is no per-shingle reduce-state risk."""
     d = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d).persist(StorageLevel.MEMORY_AND_DISK)
-    sig.count()
-    sig_arr = sig.select(
-        "doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig")
-    )
-    bands = lsh_band_keys(sig_arr, "doc_id", "sig").drop("sig")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            [
-                F.col("a.band") == F.col("b.band"),
-                *[F.col(f"a.r{r}") == F.col(f"b.r{r}") for r in range(ROWS_PER_BAND)],
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _lsh_candidate_pairs(d, keep_sigs=False)
     w = words("text")
     gset = F.when(
         F.size(w) >= 3,

@@ -131,20 +131,6 @@ def pagerank_scaled(
                 f"pagerank integer headroom exceeded even at scale 1 "
                 f"({n_nodes} nodes) — shard the graph"
             )
-        if require_scale is not None and scale != require_scale:
-            # r8 (verdict item #8): the oracle-checked caller pins the
-            # scale its static SQL was generated at — fail HERE with
-            # the cause instead of letting the driver record a bare
-            # value-hash mismatch at some future larger SF.
-            raise ValueError(
-                f"graph_pagerank parity contract: auto scale resolved "
-                f"to {scale} for {n_nodes} nodes, but the DuckDB "
-                f"oracle is generated at fixed scale {require_scale} "
-                f"(headroom bound 85·n_nodes·scale < 2^63). At this "
-                "corpus size the fixed-scale oracle no longer applies "
-                "— call pagerank_scaled directly (auto scale) or "
-                "regenerate the oracle at the resolved scale."
-            )
         if scale != SCALE:
             # advice finding: the silent step-down changes rank_scaled
             # units between graph sizes and diverges from the registered
@@ -164,6 +150,22 @@ def pagerank_scaled(
             f"scale {scale} >= 2^63 — rerun with scale <= "
             f"{(2**63 - 1) // (85 * n_nodes)} (rank precision shrinks "
             "with scale; see the docstring bound)"
+        )
+    if require_scale is not None and scale != require_scale:
+        # r8 (verdict item #8): the oracle-checked caller pins the scale
+        # its static SQL was generated at — fail HERE with the cause
+        # instead of letting the driver record a bare value-hash
+        # mismatch at some future larger SF. Checked AFTER resolution,
+        # common to the auto and explicit-scale branches (review
+        # finding: nesting it in the auto branch let an explicit scale
+        # bypass the contract the parameter claims to enforce).
+        raise ValueError(
+            f"graph_pagerank parity contract: scale resolved to {scale} "
+            f"for {n_nodes} nodes, but the DuckDB oracle is generated "
+            f"at fixed scale {require_scale} (headroom bound "
+            "85·n_nodes·scale < 2^63). The fixed-scale oracle no longer "
+            "applies — call pagerank_scaled directly (auto scale) or "
+            "regenerate the oracle at the resolved scale."
         )
     base = 15 * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("r"))

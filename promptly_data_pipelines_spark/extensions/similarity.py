@@ -912,9 +912,17 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus feeds five consumers (count, train seeds, train
     # assignment, encode, re-rank) — persist the cast frame so the
     # parquet scan + array<double> cast happens ONCE (r8 decomposition:
-    # ~1 s/pass repeated per consumer was most of the old 11.3 s; same
-    # materialize-the-index shape as dedup_near_text, ContextCleaner
-    # reclaims the cache when the plan is unreferenced).
+    # ~1 s/pass repeated per consumer was most of the old 11.3 s).
+    # Cache lifetime follows the library convention (shingle_postings /
+    # dedup_near_text): ContextCleaner reclaims it once the returned
+    # plan's references are GC'd — acceptable for the run-once query
+    # shape, and bench/parity runs clearCache() between invocations.
+    # NOTE this is a corpus-sized (512 B/vector) cache: at cluster
+    # scale a serving layer does NOT cache raw vectors — it builds the
+    # index once via pq_index_save (one scan, no cache needed) and
+    # serves from the 4 B/vector codes; this in-session form exists
+    # for the one-shot query/benchmark shape where the five scans
+    # would otherwise dominate.
     from pyspark.storagelevel import StorageLevel
 
     e = _doubled(table(spark, sf_dir, "embeddings")).persist(
@@ -1006,6 +1014,13 @@ def pq_index_save(
     pq_encode(e, cents).write.mode("overwrite").parquet(
         os.path.join(dest_dir, "codes.parquet")
     )
+    # corpus size rides with the index (meta.parquet, one row): the
+    # serving path derives its adaptive shortlist from it WITHOUT a
+    # per-batch count job over the raw corpus (review finding — the
+    # amortized path was paying a full count per search call)
+    spark.createDataFrame([(n,)], "n_corpus bigint").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest_dir, "meta.parquet"))
 
 
 def pq_index_search(
@@ -1025,4 +1040,9 @@ def pq_index_search(
 
     cents = spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
     enc = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
-    return _pq_adc_rerank(e, enc, cents, e.count(), top_k)
+    n_corpus = int(
+        spark.read.parquet(os.path.join(index_dir, "meta.parquet"))
+        .head()
+        .n_corpus
+    )
+    return _pq_adc_rerank(e, enc, cents, n_corpus, top_k)

@@ -86,7 +86,13 @@ def skewed_orders(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFra
         "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
     )
     new_key = F.col("o_orderkey") * factor + F.col("rep")
-    hot = (new_key % 100 < HOT_PCT)
+    # hot iff rep/factor < HOT_PCT% — EXACTLY HOT_PCT% of rows per base
+    # order, for ANY source key distribution (review finding: a
+    # new_key%100 rule only hit 70% because TPC-H orderkeys happen to
+    # cycle evenly mod 10 over the current fixtures; sparse or
+    # truncated keys would silently drop below the documented fraction
+    # and the zero-margin shape test would misfire)
+    hot = (F.col("rep") * 100 < F.lit(HOT_PCT * factor))
     return rep.select(
         new_key.alias("o_orderkey"),
         F.when(hot, F.lit(HOT_CUSTKEY)).otherwise(F.col("o_custkey")).alias("o_custkey"),

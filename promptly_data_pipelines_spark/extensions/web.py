@@ -165,17 +165,19 @@ def canonical_url(url: Column) -> Column:
         F.regexp_extract(rest, "^[^/?]+(/[^?]*)?", 1), "/+$", ""
     )
     raw_q = F.regexp_extract(rest, "\\?(.*)$", 1)
-    # Tracking params are dropped by EXACT key (fbclid, gclid, ref);
-    # only utm_ stays a prefix rule.  Matching the raw 'k=v' token by
-    # prefix would also eat refresh=, refund_id=, gclsrc=, ... and
-    # silently collapse distinct pages into one canonical key.
+    # Tracking params are dropped by EXACT key (TRACKING_KEYS); only
+    # TRACKING_PREFIX (utm_) stays a prefix rule.  Matching the raw
+    # 'k=v' token by prefix would also eat refresh=, refund_id=,
+    # gclsrc=, ... and silently collapse distinct pages into one
+    # canonical key. Both engines derive from the SAME constants
+    # (the DuckDB mirror interpolates them into _CANON_SQL below).
     kept = F.array_join(
         F.array_sort(
             F.filter(
                 F.split(raw_q, "&"),
                 lambda p: (p != "")
-                & ~p.startswith("utm_")
-                & ~F.split(p, "=", 2).getItem(0).isin("fbclid", "gclid", "ref"),
+                & ~p.startswith(TRACKING_PREFIX)
+                & ~F.split(p, "=", 2).getItem(0).isin(*TRACKING_KEYS),
             )
         ),
         "&",
@@ -190,7 +192,13 @@ def canonical_url(url: Column) -> Column:
 
 # DuckDB mirror of canonical_url/host_of/registrable_domain over a
 # staged CTE exposing ``url`` — composed into each oracle below.
-_CANON_SQL = """
+# The tracking-param fragments interpolate the SAME module constants
+# the Spark expression uses, so editing TRACKING_PREFIX/TRACKING_KEYS
+# changes both engines in lockstep (review finding: hardcoded literal
+# twins desynchronize silently).
+_SQL_PREFIX_LIKE = TRACKING_PREFIX.replace("_", "\\_") + "%"
+_SQL_KEYS_IN = ", ".join(f"'{k}'" for k in TRACKING_KEYS)
+_CANON_SQL = f"""
       SELECT *,
              'https://' || chost || cpath
              || (CASE WHEN ckept = '' THEN '' ELSE '?' || ckept END) AS curl,
@@ -211,9 +219,9 @@ _CANON_SQL = """
                array_to_string(
                  list_sort(list_filter(string_split(
                      coalesce(regexp_extract(crest, '\\?(.*)$', 1), ''), '&'),
-                   p -> p <> '' AND NOT (p LIKE 'utm\\_%' ESCAPE '\\')
+                   p -> p <> '' AND NOT (p LIKE '{_SQL_PREFIX_LIKE}' ESCAPE '\\')
                         AND NOT string_split(p, '=')[1]
-                                IN ('fbclid', 'gclid', 'ref'))),
+                                IN ({_SQL_KEYS_IN}))),
                  '&') AS ckept
         FROM (
           SELECT *,

@@ -88,18 +88,20 @@ def test_near_text_exact_on_skewed_slice(spark, skew_dir):
     ).collect()[0]
     assert stats.n > 0, "no planted template pair surfaced"
     assert stats.jmin >= 0.5
-    # and the exact values agree with the inverted-index verifier on
-    # the pairs both forms emit (same-lang pairs): anti-join on value
+    # and the exact-verify output must capture the inverted-index
+    # verifier's HIGH-J pairs: at J>=0.9 the LSH band S-curve gives
+    # p≈0.999 per pair, so a 5% miss bound has orders-of-magnitude
+    # margin — restricting to J>=0.9 keeps the assertion about
+    # dedup_near_text_exact, not about LSH recall in the 0.5-0.7 band
+    # where per-pair surfacing is genuinely probabilistic (~0.23-0.6;
+    # review finding: a 0.55 cutoff made the test fixture-shape
+    # dependent and would fail on correct code)
     jac = run("dedup_ngram_jaccard", spark, skew_dir)
-    # ngram_jaccard conservatively under-counts |A∩B| for df-capped
-    # shingles, so compare only pair IDENTITY on the common subset —
-    # every ngram pair at J>=0.55 (margin over cap slack) that shares
-    # a band must be in the exact-verify output
-    strong = jac.filter(F.col("jaccard") >= 0.55).select("doc_a", "doc_b")
+    strong = jac.filter(F.col("jaccard") >= 0.9).select("doc_a", "doc_b")
     missing = strong.join(ex.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
-    # LSH recall is probabilistic per pair but ~0.999 at J>=0.9; at the
-    # planted-cluster regime a handful of misses is the expected tail
-    assert missing.count() <= strong.count() * 0.2
+    n_strong = strong.count()
+    assert n_strong > 0, "skew slice lost its high-J template pairs"
+    assert missing.count() <= n_strong * 0.05
 
 
 def test_skewed_orders_shape(spark, skew_dir):
