@@ -265,6 +265,13 @@ def main() -> None:
             for r in queries["similarity_topk_pq"](spark, SF_DIR).collect()
         }
         secondary["similarity_pq_recall"] = round(len(exact & pq) / max(1, len(exact)), 4)
+        ivfpq = {
+            (r.query_id, r.vec_id)
+            for r in queries["similarity_topk_ivfpq"](spark, SF_DIR).collect()
+        }
+        secondary["similarity_ivfpq_recall"] = round(
+            len(exact & ivfpq) / max(1, len(exact)), 4
+        )
     except Exception as exc:  # noqa: BLE001
         secondary["recall_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

