@@ -110,6 +110,26 @@ MinHash-LSH candidates. What to check: signatures aggregate per doc
 in one pass; the band → bucket-join generates candidates through an
 equi-join on (band, bucket, lang) — linear + shuffle; the short-doc
 and df guards drop degenerate buckets before the join.""",
+    "dedup_near_text_exact": """\
+LSH candidates → EXACT in-row Jaccard verify (r8 — the dense-crawl
+scale path for the n-gram verifier). What to check: candidates come
+from the shared band-bucket equi-join (_lsh_candidate_pairs — same
+semantics as dedup_near_text by construction); the verify is two
+plain equi-joins of the candidate pairs onto the per-doc shingle-set
+table followed by one in-row array_intersect — no per-shingle pair
+stream ever exists (the inverted-index form emits S·C(c,2) rows per
+dense cluster, measured 318× at 10× rows), and no df-cap is needed
+because no posting list is materialized. Pinned: no
+CartesianProduct/nested-loop join, cached signature relation
+(test_near_text_exact_plan_shape).""",
+    "similarity_topk_ivfpq": """\
+IVF×PQ composite (r8 — the FAISS IVFx,PQy serving shape). What to
+check: candidates are an equi-join of cell assignments with the
+BROADCAST probe table (never a pair product); the ADC stage joins
+candidates to the 4 B/vector codes and the broadcast partial-distance
+table — raw vectors appear only in the shortlist re-rank join; no
+Python anywhere. Pinned: BroadcastHashJoin present, no
+CartesianProduct, no EvalPython (test_ivfpq_plan_shape).""",
     "dedup_embedding_cosine": """\
 Embedding-cosine near-dup pairs. What to check: the pair join is a
 ShuffledHashJoin on the 16-way salted block key — `hint(

@@ -726,3 +726,98 @@ def test_line_dedup_matches_python_mirror(spark, corpus):
         ).collect()
     }
     assert got == expected
+
+
+# --- r8: URL canonicalization properties -----------------------------------
+
+url_token = st.sampled_from(
+    ["a", "b", "p1", "x.html", "ref", "refresh", "utm_x", "fbclid", "id"]
+)
+url_strategy = st.builds(
+    lambda scheme, www, host, port, segs, params, frag: (
+        f"{scheme}://{'www.' if www else ''}{host}{port}"
+        + "".join(f"/{s}" for s in segs)
+        + ("?" + "&".join(f"{k}={i}" for i, k in enumerate(params)) if params else "")
+        + frag
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    st.booleans(),
+    st.sampled_from(["ex.com", "Sub.Shop.co", "localhost", "h.io"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(url_token, min_size=0, max_size=3),
+    st.lists(url_token, min_size=0, max_size=4),
+    st.sampled_from(["", "#frag", "#a/b?c=1"]),
+)
+
+
+@SETTINGS
+@given(urls=st.lists(url_strategy, min_size=1, max_size=8))
+def test_canonical_url_idempotent_and_shape(spark, urls):
+    """canonical_url is IDEMPOTENT (canonicalizing a canonical URL is a
+    no-op — the property that makes a crawl frontier's dedup key
+    stable across re-crawls) and shape-normal: https scheme, no
+    fragment, no tracking params, sorted query, no trailing slash.
+    Hypothesis sweeps scheme case, www/ports, dotless hosts, tracking
+    and tracking-lookalike params (refresh vs ref), and fragments."""
+    from promptly_data_pipelines_spark.extensions.web import (
+        TRACKING_KEYS,
+        TRACKING_PREFIX,
+        canonical_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2, f"not idempotent: {r.c1!r} -> {r.c2!r}"
+        assert r.c1.startswith("https://")
+        assert "#" not in r.c1
+        assert not r.c1.endswith("/")
+        if "?" in r.c1:
+            q = r.c1.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts), f"query not sorted: {r.c1!r}"
+            for p in parts:
+                key = p.split("=", 1)[0]
+                assert not key.startswith(TRACKING_PREFIX), r.c1
+                assert key not in TRACKING_KEYS, r.c1
+
+
+@SETTINGS
+@given(urls=st.lists(url_strategy, min_size=2, max_size=8))
+def test_canonical_url_matches_python_mirror(spark, urls):
+    """canonical_url against an independent pure-Python mirror of the
+    documented spec — catches drift between the expression tree and
+    the intended semantics (not just between the two SQL engines,
+    which share the spec's blind spots)."""
+    import re as _re
+
+    from promptly_data_pipelines_spark.extensions.web import (
+        TRACKING_KEYS,
+        TRACKING_PREFIX,
+        canonical_url,
+    )
+
+    def mirror(u: str) -> str:
+        u = _re.sub(r"#.*$", "", u)
+        u = _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://", "", u)
+        m = _re.match(r"^([^/?]+)", u)
+        host = (m.group(1) if m else "").lower()
+        host = _re.sub(r"^www\.", "", host)
+        host = _re.sub(r":(443|80)$", "", host)
+        pm = _re.match(r"^[^/?]+(/[^?]*)?", u)
+        path = _re.sub(r"/+$", "", pm.group(1) or "" if pm else "")
+        qm = _re.search(r"\?(.*)$", u)
+        raw = (qm.group(1) if qm else "").split("&")
+        kept = sorted(
+            p
+            for p in raw
+            if p != ""
+            and not p.startswith(TRACKING_PREFIX)
+            and p.split("=", 1)[0] not in TRACKING_KEYS
+        )
+        return "https://" + host + path + ("?" + "&".join(kept) if kept else "")
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [mirror(u) for u in urls]

@@ -53,7 +53,21 @@ def main() -> int:
             base + ["tests/test_oracle_parity.py"],
             {"PDP_PARITY_SHARD": f"{i}/{args.shards}"},
         )
-    launch("main", base + ["tests/", "--ignore", os.path.join(REPO, "tests/test_oracle_parity.py")], {})
+    # test_modules is the largest non-parity module (operator unit +
+    # recall/determinism tests) — its own process keeps the residual
+    # "main" shard from becoming the wall-clock bottleneck as the
+    # module grows (r8: main crept past 10 min with modules inside it)
+    launch("modules", base + ["tests/test_modules.py"], {})
+    launch(
+        "main",
+        base
+        + [
+            "tests/",
+            "--ignore", os.path.join(REPO, "tests/test_oracle_parity.py"),
+            "--ignore", os.path.join(REPO, "tests/test_modules.py"),
+        ],
+        {},
+    )
 
     rc = 0
     for label, p, log in procs:
