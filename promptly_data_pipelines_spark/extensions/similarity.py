@@ -224,6 +224,18 @@ def similarity_topk_ivf_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, learned_centroids(e))
 
 
+N_ASSIGN = 2  # IVF multi-assignment width — ONE definition for all paths
+
+
+def _default_nprobe(nlist: int) -> int:
+    """The adaptive-nprobe rule (r5: recall follows the probed corpus
+    FRACTION, so the ratio is the knob) — ONE definition shared by
+    ivf_topk and the IVF-PQ composite so a retune cannot silently
+    leave the composite probing a different fraction than the recall
+    pins were measured at."""
+    return max(3, -(-nlist // 3))
+
+
 def _cell_assign(e: DataFrame, cents: DataFrame, n_assign: int) -> DataFrame:
     """(vec_id, vec, cell): each corpus vector indexed in its n_assign
     nearest cells (broadcast centroids, one corpus pass) — shared by
@@ -264,13 +276,12 @@ def ivf_topk(
     e: DataFrame,
     cents: DataFrame,
     nprobe: int | None = None,
-    n_assign: int = 2,
+    n_assign: int = N_ASSIGN,
 ) -> DataFrame:
     """IVF search given a centroid table; ``nprobe=None`` selects the
     adaptive default max(3, ceil(nlist/3)) — see similarity_topk_ivf."""
     if nprobe is None:
-        nlist = cents.count()  # centroid table: tiny, counted once
-        nprobe = max(3, -(-nlist // 3))
+        nprobe = _default_nprobe(cents.count())  # centroid table: tiny
     assigned = _cell_assign(e, cents, n_assign)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -1104,11 +1115,20 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation stages (IVF coverage × ADC ranking) and the r8
     sweep measured n/5 at exactly 0.80 recall at sf0.001 (zero
     margin, the ADVICE-r7 IVF lesson) vs n/3 at 0.84/1.0/0.92 across
-    sf0.001/0.01/0.1; candidates are ~60% of n, so the re-rank still
-    touches fewer raw vectors than flat PQ does. Approximate by
-    design → rows-only; recall vs exact is pinned ≥0.8 at sf0.001 in
-    tests and recorded at the bench SF every round
+    sf0.001/0.01/0.1. Cost honesty: the wider shortlist means the
+    exact RE-RANK reads ~67% MORE raw vectors than flat PQ (n/3 vs
+    n/5) — what IVF prunes is the ADC CODE scan (~60% of codes at
+    these settings, and the probed fraction is the tunable knob);
+    the composite wins where the code scan dominates, which is the
+    100 TB regime, not the re-rank. Approximate by design →
+    rows-only; recall vs exact is pinned ≥0.8 at sf0.001 in tests
+    and recorded at the bench SF every round
     (secondary.similarity_ivfpq_recall)."""
+    # Corpus cache: same consumers/justification/lifetime as
+    # similarity_topk_pq (see the NOTE there — run-once query shape,
+    # ContextCleaner reclaim, clearCache between bench/parity runs;
+    # a serving deployment uses the persisted-index path instead and
+    # never caches raw vectors).
     from pyspark.storagelevel import StorageLevel
 
     e = _doubled(table(spark, sf_dir, "embeddings")).persist(
@@ -1117,10 +1137,10 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = e.count()
     cents = learned_centroids(e)
     nlist = cents.count()
-    nprobe = max(3, -(-nlist // 3))
+    nprobe = _default_nprobe(nlist)
     cb = pq_train(spark, e, n_corpus=n_corpus)
     enc = pq_encode(e, cb)
-    assigned = _cell_assign(e, cents, n_assign=2).select("vec_id", "cell")
+    assigned = _cell_assign(e, cents, n_assign=N_ASSIGN).select("vec_id", "cell")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )

@@ -80,7 +80,7 @@ def main() -> int:
             print(f"    {line}")
         rc = rc or p.returncode
     print(f"total wall-clock: {time.perf_counter() - t0:.0f}s "
-          f"({args.shards} parity shards + main)")
+          f"({args.shards} parity shards + modules + main)")
     return rc
 
 
