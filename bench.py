@@ -169,8 +169,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     secondary: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    # per-line 1-min loadavg at line start (r8): run-level start/end
+    # loadavg can't attribute which LINES ran under accumulated load —
+    # tail-of-session lines (skew tier, PQ) read inflated and the
+    # attribution was guesswork across r6-r8 verdicts. Recorded in the
+    # env detail line + sidecar, never the headline.
+    line_load: dict[str, float] = {}
     for name in HEADLINE + SECONDARY:
         out = timings if name in HEADLINE else secondary
+        line_load[name] = round(os.getloadavg()[0], 2)
         if name in PAIR_OPS:
             # one untimed pass first: these expression-heavy plans pay
             # multi-second JIT/codegen first-touch that min-of-N alone
@@ -203,6 +210,17 @@ def main() -> None:
 
     from promptly_data_pipelines_spark.extensions.stress import write_skewed_sf
 
+    # JMH-style tier fork (r8): by the time the stress tier runs, the
+    # JVM has executed ~35 queries and its heap/shuffle/codegen-cache
+    # state — not the operator — dominates tail-line variance
+    # (skew10_dedup_simhash measured 54 s here vs a 15.7 s min-of-2
+    # floor for IDENTICAL code in a dedicated probe JVM; line_load
+    # proved no external load was present). A fresh session gives
+    # every tier the same JVM conditions the headline tier gets —
+    # the same reason JMH forks per benchmark.
+    spark.stop()
+    spark = get_session("pdp-bench-stress", cpus=CPUS, shuffle_partitions=CPUS)
+
     # Everything after the headline loop is EXTRA evidence — a failure
     # here must degrade to an error marker, never kill the record the
     # driver is capturing (the r6 lesson, from the other direction).
@@ -229,6 +247,7 @@ def main() -> None:
             # min-of-2, no extra warmup pass: these lines are heavy
             # (10× corpus, dense clusters) and secondary — the second
             # run is the steady-state one and min() absorbs first-touch
+            line_load[f"skew10_{name}"] = round(os.getloadavg()[0], 2)
             runs = []
             for _ in range(2):
                 spark.catalog.clearCache()
@@ -292,6 +311,7 @@ def main() -> None:
         try:
             e_pq = _doubled(_table(spark, SF_DIR, "embeddings"))
             pq_index_save(spark, e_pq, pq_dir)  # untimed: the amortized cost
+            line_load["similarity_pq_search_only"] = round(os.getloadavg()[0], 2)
             runs = []
             for _ in range(2):
                 spark.catalog.clearCache()
@@ -325,6 +345,7 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "cpus": CPUS,
         "spread": spread,
+        "line_load": line_load,
         "testdata": _testdata_fingerprint(),
     }
     headline = {
