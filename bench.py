@@ -303,29 +303,33 @@ def main() -> None:
         from promptly_data_pipelines_spark.catalog import table as _table
         from promptly_data_pipelines_spark.extensions.similarity import (
             _doubled,
+            ivfpq_index_save,
+            ivfpq_index_search,
             pq_index_save,
             pq_index_search,
         )
 
-        pq_dir = tempfile.mkdtemp(prefix="pdp_pq_index_")
-        try:
-            e_pq = _doubled(_table(spark, SF_DIR, "embeddings"))
-            pq_index_save(spark, e_pq, pq_dir)  # untimed: the amortized cost
-            line_load["similarity_pq_search_only"] = round(os.getloadavg()[0], 2)
-            runs = []
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                pq_index_search(spark, pq_dir, e_pq).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.perf_counter() - t0)
-            secondary["similarity_pq_search_only"] = round(min(runs), 3)
-            spread["similarity_pq_search_only"] = [
-                round(min(runs), 3), round(max(runs), 3),
-            ]
-        finally:
-            shutil.rmtree(pq_dir, ignore_errors=True)
+        for label, save_fn, search_fn in (
+            ("similarity_pq_search_only", pq_index_save, pq_index_search),
+            ("similarity_ivfpq_search_only", ivfpq_index_save, ivfpq_index_search),
+        ):
+            idx_dir = tempfile.mkdtemp(prefix="pdp_ann_index_")
+            try:
+                e_pq = _doubled(_table(spark, SF_DIR, "embeddings"))
+                save_fn(spark, e_pq, idx_dir)  # untimed: the amortized cost
+                line_load[label] = round(os.getloadavg()[0], 2)
+                runs = []
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    search_fn(spark, idx_dir, e_pq).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.perf_counter() - t0)
+                secondary[label] = round(min(runs), 3)
+                spread[label] = [round(min(runs), 3), round(max(runs), 3)]
+            finally:
+                shutil.rmtree(idx_dir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         secondary["pq_serve_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

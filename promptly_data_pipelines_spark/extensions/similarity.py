@@ -1141,6 +1141,23 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_train(spark, e, n_corpus=n_corpus)
     enc = pq_encode(e, cb)
     assigned = _cell_assign(e, cents, n_assign=N_ASSIGN).select("vec_id", "cell")
+    return _ivfpq_search(e, cents, cb, enc, assigned, n_corpus, nlist, TOP_K)
+
+
+def _ivfpq_search(
+    e: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    enc: DataFrame,
+    assigned: DataFrame,
+    n_corpus: int,
+    nlist: int,
+    top_k: int,
+) -> DataFrame:
+    """The IVF-PQ search half (probe → candidate equi-join → pruned ADC
+    → re-rank), shared by the in-session query and the persisted-index
+    form so the two cannot drift."""
+    nprobe = _default_nprobe(nlist)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
@@ -1152,5 +1169,56 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shortlist_k = max(PQ_SHORTLIST_MIN, -(-n_corpus // 3))
     return _pq_adc_rerank(
-        e, enc, cb, n_corpus, TOP_K, cand=cand, shortlist_k=shortlist_k
+        e, enc, cb, n_corpus, top_k, cand=cand, shortlist_k=shortlist_k
+    )
+
+
+def ivfpq_index_save(
+    spark: SparkSession, e: DataFrame, dest_dir: str, iters: int = 1
+) -> None:
+    """Persist the IVF-PQ index under ``dest_dir``: centroids.parquet
+    (coarse cells — nlist·dim doubles, model metadata), assign.parquet
+    (vec_id, cell — the inverted lists, N_ASSIGN rows/vector),
+    codebook.parquet + codes.parquet (the PQ layer), and meta.parquet
+    (n_corpus + nlist). The one full-corpus pass a deployment pays;
+    every subsequent query batch probes cells and scans codes only."""
+    import os
+
+    n = e.count()
+    cents = learned_centroids(e)
+    nlist = cents.count()
+    cents.write.mode("overwrite").parquet(os.path.join(dest_dir, "centroids.parquet"))
+    _cell_assign(e, cents, N_ASSIGN).select("vec_id", "cell").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest_dir, "assign.parquet"))
+    cb = pq_train(spark, e, iters=iters, n_corpus=n)
+    cb.write.mode("overwrite").parquet(os.path.join(dest_dir, "codebook.parquet"))
+    pq_encode(e, cb).write.mode("overwrite").parquet(
+        os.path.join(dest_dir, "codes.parquet")
+    )
+    spark.createDataFrame([(n, nlist)], "n_corpus bigint, nlist int").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest_dir, "meta.parquet"))
+
+
+def ivfpq_index_search(
+    spark: SparkSession,
+    index_dir: str,
+    e: DataFrame,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF-PQ search against a PERSISTED index: probes come from the
+    stored centroids, candidates from the stored inverted lists, ADC
+    from the stored codes — raw vectors are read only for the re-rank.
+    Results identical to similarity_topk_ivfpq built in-session from
+    the same corpus (pinned in tests)."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    assigned = spark.read.parquet(os.path.join(index_dir, "assign.parquet"))
+    cb = spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
+    enc = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    meta = spark.read.parquet(os.path.join(index_dir, "meta.parquet")).head()
+    return _ivfpq_search(
+        e, cents, cb, enc, assigned, int(meta.n_corpus), int(meta.nlist), top_k
     )

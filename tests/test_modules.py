@@ -648,6 +648,39 @@ def test_ivfpq_recall_and_determinism(spark):
     assert sorted(got1) == sorted(got2)  # deterministic end to end
 
 
+def test_ivfpq_index_persist_roundtrip(spark, tmp_path):
+    """IVF-PQ serving pattern: the persisted index (centroids +
+    inverted lists + codebook + codes) returns EXACTLY the in-session
+    composite's result — the index changes when the build is paid, not
+    what is computed."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        N_ASSIGN,
+        _doubled,
+        ivfpq_index_save,
+        ivfpq_index_search,
+    )
+    from promptly_data_pipelines_spark.registry import run
+
+    sf = "/root/testdata/sf0.001"
+    e = _doubled(table(spark, sf, "embeddings"))
+    idx = str(tmp_path / "ivfpq_index")
+    ivfpq_index_save(spark, e, idx)
+    got = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in ivfpq_index_search(spark, idx, e).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in run("similarity_topk_ivfpq", spark, sf).collect()
+    )
+    assert got == want
+    # inverted lists: exactly N_ASSIGN cells per vector
+    a = spark.read.parquet(f"{idx}/assign.parquet")
+    counts = a.groupBy("vec_id").count().agg(F.min("count"), F.max("count")).first()
+    assert counts == (N_ASSIGN, N_ASSIGN)
+
+
 def test_pq_index_persist_roundtrip(spark, tmp_path):
     """r8 serving pattern: pq_index_save writes codebook + codes;
     pq_index_search against the persisted index returns EXACTLY the
