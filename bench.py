@@ -206,60 +206,48 @@ def main() -> None:
     # secondary lines. Build + write is untimed (it's test rigging);
     # each timed line pays the full scan of the skewed parquet.
     import shutil
+    import subprocess
     import tempfile
 
-    from promptly_data_pipelines_spark.extensions.stress import write_skewed_sf
-
-    # JMH-style tier fork (r8): by the time the stress tier runs, the
-    # JVM has executed ~35 queries and its heap/shuffle/codegen-cache
-    # state — not the operator — dominates tail-line variance
-    # (skew10_dedup_simhash measured 54 s here vs a 15.7 s min-of-2
-    # floor for IDENTICAL code in a dedicated probe JVM; line_load
-    # proved no external load was present). A fresh session gives
-    # every tier the same JVM conditions the headline tier gets —
-    # the same reason JMH forks per benchmark.
+    # True JMH-style tier fork (r9, closing the r8 advice): by the time
+    # the stress tier runs, the JVM has executed ~35 queries and its
+    # heap/shuffle/codegen-cache state — not the operator — dominates
+    # tail-line variance (skew10_dedup_simhash measured 54 s in-session
+    # vs a 15.7 s min-of-2 floor for IDENTICAL code in a dedicated
+    # probe JVM). r8 used spark.stop()+get_session(), but in PySpark
+    # local mode that reuses the py4j gateway JVM — only the
+    # SparkContext (cached blocks, listeners, shuffle state) was fresh,
+    # not the codegen cache or heap. The tier now runs in a SUBPROCESS
+    # — a real JVM fork, the same reason JMH forks per benchmark — so
+    # its lines get exactly the conditions a dedicated probe gets and
+    # round-over-round comparisons hold. Parent session is stopped
+    # first so the two JVM heaps never coexist at full size.
+    # A failure here must degrade to an error marker, never kill the
+    # record the driver is capturing (the r6 lesson, inverted).
     spark.stop()
-    spark = get_session("pdp-bench-stress", cpus=CPUS, shuffle_partitions=CPUS)
-
-    # Everything after the headline loop is EXTRA evidence — a failure
-    # here must degrade to an error marker, never kill the record the
-    # driver is capturing (the r6 lesson, from the other direction).
-    # r8: skew10_dedup_ngram_jaccard is DEMOTED from this suite (r7
-    # verdict item #1): the inverted-index pair stream is ∝ shared-
-    # shingles × C(cluster,2) — superlinear on dense template clusters
-    # BY DESIGN (decomposition in BASELINE.md round 8). Its skew-scale
-    # replacement is dedup_near_text_exact (LSH candidates + in-row
-    # exact verify — same exactness on the surfaced pairs, pair count
-    # independent of doc length). The join/window core joins the suite
-    # (r7 item #6): skewed_orders puts 70% of a 10× fact table on one
-    # customer key through topk_group (map-side WindowGroupLimit) and
-    # join_equi (broadcast dims are skew-immune).
-    skew_dir = tempfile.mkdtemp(prefix="pdp_skew10_")
     try:
-        write_skewed_sf(spark, SF_DIR, skew_dir, factor=10)
-        for name in (
-            "dedup_near_text",
-            "dedup_simhash",
-            "dedup_near_text_exact",
-            "topk_group",
-            "join_equi",
-        ):
-            # min-of-2, no extra warmup pass: these lines are heavy
-            # (10× corpus, dense clusters) and secondary — the second
-            # run is the steady-state one and min() absorbs first-touch
-            line_load[f"skew10_{name}"] = round(os.getloadavg()[0], 2)
-            runs = []
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                queries[name](spark, skew_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            secondary[f"skew10_{name}"] = round(min(runs), 3)
-            spread[f"skew10_{name}"] = [round(min(runs), 3), round(max(runs), 3)]
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "PDP_BENCH_TIER": "stress"},
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        tier = json.loads(proc.stdout.strip().splitlines()[-1])
+        secondary.update(tier.get("secondary", {}))
+        spread.update(tier.get("spread", {}))
+        line_load.update(tier.get("line_load", {}))
+        if "skew10_error" in tier:
+            secondary["skew10_error"] = tier["skew10_error"]
     except Exception as exc:  # noqa: BLE001 — marker instead of a dead record
         secondary["skew10_error"] = f"{type(exc).__name__}: {exc}"[:200]
-    finally:
-        shutil.rmtree(skew_dir, ignore_errors=True)
+
+    # Post-headline extras (recall + ANN serving split) get a fresh
+    # SparkContext: cached blocks, listeners, and shuffle state from
+    # ~35 headline queries are dropped. NOTE: same JVM — local-mode
+    # py4j gateway reuse means the codegen cache and heap carry over;
+    # only the forked stress tier above gets true fresh-JVM conditions.
+    spark = get_session("pdp-bench-extras", cpus=CPUS, shuffle_partitions=CPUS)
 
     # Accuracy companion to the similarity timings (round-4 verdict
     # item #4): IVF/PQ recall vs exact top-k at the bench SF, recorded
@@ -376,5 +364,74 @@ def main() -> None:
     print(json.dumps(headline), flush=True)
 
 
+def stress_tier_main() -> None:
+    """PDP_BENCH_TIER=stress entry: the skew tier in its own forked JVM.
+
+    Prints exactly one JSON line {"secondary": ..., "spread": ...,
+    "line_load": ...} as the LAST stdout line (the parent parses the
+    last line only, so stray library chatter can't break the merge).
+
+    r8: skew10_dedup_ngram_jaccard is DEMOTED from this suite (r7
+    verdict item #1): the inverted-index pair stream is ∝ shared-
+    shingles × C(cluster,2) — superlinear on dense template clusters
+    BY DESIGN (decomposition in BASELINE.md round 8). Its skew-scale
+    replacement is dedup_near_text_exact (LSH candidates + in-row
+    exact verify — same exactness on the surfaced pairs, pair count
+    independent of doc length). The join/window core is in the suite
+    (r7 item #6): skewed_orders puts 70% of a 10× fact table on one
+    customer key through topk_group (map-side WindowGroupLimit) and
+    join_equi (broadcast dims are skew-immune)."""
+    import shutil
+    import tempfile
+
+    from promptly_data_pipelines_spark.extensions.stress import write_skewed_sf
+
+    secondary: dict[str, object] = {}
+    spread: dict[str, list[float]] = {}
+    line_load: dict[str, float] = {}
+    out = {"secondary": secondary, "spread": spread, "line_load": line_load}
+    try:
+        spark = get_session("pdp-bench-stress", cpus=CPUS, shuffle_partitions=CPUS)
+        queries = {**local_only_queries(), **all_queries()}
+        # same warmup the headline tier gets, so tier conditions match
+        queries["agg_count"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        skew_dir = tempfile.mkdtemp(prefix="pdp_skew10_")
+        try:
+            write_skewed_sf(spark, SF_DIR, skew_dir, factor=10)
+            for name in (
+                "dedup_near_text",
+                "dedup_simhash",
+                "dedup_near_text_exact",
+                "topk_group",
+                "join_equi",
+            ):
+                # min-of-2, no extra warmup pass: these lines are heavy
+                # (10× corpus, dense clusters) and secondary — the
+                # second run is the steady-state one, min() absorbs
+                # first-touch
+                line_load[f"skew10_{name}"] = round(os.getloadavg()[0], 2)
+                runs = []
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    queries[name](spark, skew_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.perf_counter() - t0)
+                secondary[f"skew10_{name}"] = round(min(runs), 3)
+                spread[f"skew10_{name}"] = [round(min(runs), 3), round(max(runs), 3)]
+        finally:
+            shutil.rmtree(skew_dir, ignore_errors=True)
+        spark.stop()
+    except Exception as exc:  # noqa: BLE001 — marker for the parent
+        out["skew10_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PDP_BENCH_TIER") == "stress":
+        stress_tier_main()
+    else:
+        main()

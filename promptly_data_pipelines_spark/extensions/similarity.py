@@ -1050,23 +1050,35 @@ def pq_index_save(
 ) -> None:
     """Build and persist the PQ index under ``dest_dir``: codebook.parquet
     (sub, code, cvec — m·k rows, model metadata) and codes.parquet
-    (vec_id, sub, code — the 4 B/vector compressed corpus). At 100 TB
-    this is the one full-corpus pass; everything after reads codes."""
+    (vec_id, sub, code — the 4 B/vector compressed corpus). The build
+    touches the corpus several times (count, codebook seed/train,
+    encode) — persist bounds that to ONE source read (r8 advice: the
+    uncached form re-scanned the source per pass, the exact cost the
+    in-session path's persist was added to avoid); everything after
+    the build reads codes only."""
     import os
 
-    n = e.count()
-    cents = pq_train(spark, e, iters=iters, n_corpus=n)
-    cents.write.mode("overwrite").parquet(os.path.join(dest_dir, "codebook.parquet"))
-    pq_encode(e, cents).write.mode("overwrite").parquet(
-        os.path.join(dest_dir, "codes.parquet")
-    )
-    # corpus size rides with the index (meta.parquet, one row): the
-    # serving path derives its adaptive shortlist from it WITHOUT a
-    # per-batch count job over the raw corpus (review finding — the
-    # amortized path was paying a full count per search call)
-    spark.createDataFrame([(n,)], "n_corpus bigint").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(dest_dir, "meta.parquet"))
+    from pyspark.storagelevel import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = e.count()
+        cents = pq_train(spark, e, iters=iters, n_corpus=n)
+        cents.write.mode("overwrite").parquet(
+            os.path.join(dest_dir, "codebook.parquet")
+        )
+        pq_encode(e, cents).write.mode("overwrite").parquet(
+            os.path.join(dest_dir, "codes.parquet")
+        )
+        # corpus size rides with the index (meta.parquet, one row): the
+        # serving path derives its adaptive shortlist from it WITHOUT a
+        # per-batch count job over the raw corpus (review finding — the
+        # amortized path was paying a full count per search call)
+        spark.createDataFrame([(n,)], "n_corpus bigint").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dest_dir, "meta.parquet"))
+    finally:
+        e.unpersist()
 
 
 def pq_index_search(
@@ -1137,7 +1149,6 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_corpus = e.count()
     cents = learned_centroids(e)
     nlist = cents.count()
-    nprobe = _default_nprobe(nlist)
     cb = pq_train(spark, e, n_corpus=n_corpus)
     enc = pq_encode(e, cb)
     assigned = _cell_assign(e, cents, n_assign=N_ASSIGN).select("vec_id", "cell")
@@ -1180,25 +1191,35 @@ def ivfpq_index_save(
     (coarse cells — nlist·dim doubles, model metadata), assign.parquet
     (vec_id, cell — the inverted lists, N_ASSIGN rows/vector),
     codebook.parquet + codes.parquet (the PQ layer), and meta.parquet
-    (n_corpus + nlist). The one full-corpus pass a deployment pays;
-    every subsequent query batch probes cells and scans codes only."""
+    (n_corpus + nlist). The build touches the corpus several times
+    (count, k-means, cell assign, codebook train, encode) — persist
+    bounds that to ONE source read (r8 advice); every subsequent
+    query batch probes cells and scans codes only."""
     import os
 
-    n = e.count()
-    cents = learned_centroids(e)
-    nlist = cents.count()
-    cents.write.mode("overwrite").parquet(os.path.join(dest_dir, "centroids.parquet"))
-    _cell_assign(e, cents, N_ASSIGN).select("vec_id", "cell").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(dest_dir, "assign.parquet"))
-    cb = pq_train(spark, e, iters=iters, n_corpus=n)
-    cb.write.mode("overwrite").parquet(os.path.join(dest_dir, "codebook.parquet"))
-    pq_encode(e, cb).write.mode("overwrite").parquet(
-        os.path.join(dest_dir, "codes.parquet")
-    )
-    spark.createDataFrame([(n, nlist)], "n_corpus bigint, nlist int").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(dest_dir, "meta.parquet"))
+    from pyspark.storagelevel import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = e.count()
+        cents = learned_centroids(e)
+        nlist = cents.count()
+        cents.write.mode("overwrite").parquet(
+            os.path.join(dest_dir, "centroids.parquet")
+        )
+        _cell_assign(e, cents, N_ASSIGN).select("vec_id", "cell").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dest_dir, "assign.parquet"))
+        cb = pq_train(spark, e, iters=iters, n_corpus=n)
+        cb.write.mode("overwrite").parquet(os.path.join(dest_dir, "codebook.parquet"))
+        pq_encode(e, cb).write.mode("overwrite").parquet(
+            os.path.join(dest_dir, "codes.parquet")
+        )
+        spark.createDataFrame([(n, nlist)], "n_corpus bigint, nlist int").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dest_dir, "meta.parquet"))
+    finally:
+        e.unpersist()
 
 
 def ivfpq_index_search(

@@ -23,6 +23,7 @@ dedup family against it as labeled ``skew10_*`` secondary lines.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,12 +87,21 @@ def skewed_orders(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFra
         "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
     )
     new_key = F.col("o_orderkey") * factor + F.col("rep")
-    # hot iff rep/factor < HOT_PCT% — EXACTLY HOT_PCT% of rows per base
-    # order, for ANY source key distribution (review finding: a
-    # new_key%100 rule only hit 70% because TPC-H orderkeys happen to
-    # cycle evenly mod 10 over the current fixtures; sparse or
-    # truncated keys would silently drop below the documented fraction
-    # and the zero-margin shape test would misfire)
+    # hot iff rep/factor < HOT_PCT% — independent of the source key
+    # distribution (review finding: a new_key%100 rule only hit 70%
+    # because TPC-H orderkeys happen to cycle evenly mod 10 over the
+    # current fixtures; sparse or truncated keys would silently drop
+    # below the documented fraction and the zero-margin shape test
+    # would misfire). EXACTLY HOT_PCT% per base order only when
+    # HOT_PCT*factor is a multiple of 100 (hot reps per order =
+    # ceil(HOT_PCT*factor/100), e.g. factor=3 would give 3/3 = 100%
+    # hot, not 70%) — assert it so a bad factor fails loudly instead
+    # of silently skewing the documented fraction (r8 advice).
+    assert HOT_PCT * factor % 100 == 0, (
+        f"factor={factor} cannot realize exactly {HOT_PCT}% hot rows "
+        f"(need HOT_PCT*factor % 100 == 0); use a multiple of "
+        f"{100 // math.gcd(HOT_PCT, 100)}"
+    )
     hot = (F.col("rep") * 100 < F.lit(HOT_PCT * factor))
     return rep.select(
         new_key.alias("o_orderkey"),
