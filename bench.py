@@ -407,10 +407,18 @@ def stress_tier_main() -> None:
                 "topk_group",
                 "join_equi",
             ):
-                # min-of-2, no extra warmup pass: these lines are heavy
-                # (10× corpus, dense clusters) and secondary — the
-                # second run is the steady-state one, min() absorbs
-                # first-touch
+                # PAIR_OPS get the same untimed warmup pass the
+                # headline tier gives them (JMH warms within the
+                # fork): the r9 true-fork measurement showed the
+                # expression-heavy simhash plan pays ~5-8 s of cold
+                # JIT that min-of-2 alone doesn't amortize — r8's
+                # same-JVM number rode codegen warmed by the headline
+                # tier, so without this the fork reads as a false
+                # regression (decomposition in BASELINE.md round 9)
+                if name in PAIR_OPS:
+                    queries[name](spark, skew_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                 line_load[f"skew10_{name}"] = round(os.getloadavg()[0], 2)
                 runs = []
                 for _ in range(2):

@@ -296,3 +296,135 @@ def text_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double") / F.col("n_tokens")
         ).alias("dup_frac"),
     )
+
+
+# ------------------------------------------ duplicated-span REMOVAL
+
+@query(
+    "text_remove_dup_spans",
+    registered=False,
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {_SPAN_TEMPLATE_SQL} AS text FROM documents
+    ),
+    t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM staged
+    ),
+    g AS (
+      SELECT doc_id, unnest(range(0, len(w) - {GRAM_TOKENS} + 1)) AS pos, w
+      FROM t WHERE len(w) >= {GRAM_TOKENS}
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(w[pos + 1 : pos + {GRAM_TOKENS}], ' ') AS gram
+      FROM g
+    ),
+    hot AS (
+      SELECT gram, min(doc_id) AS keeper FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= {GRAM_HOT_DF}
+    ),
+    cut AS (
+      SELECT gr.doc_id,
+             list_distinct(flatten(
+               list_transform(list(gr.pos), p -> range(p, p + {GRAM_TOKENS}))
+             )) AS cut
+      FROM grams gr JOIN hot h ON gr.gram = h.gram AND gr.doc_id <> h.keeper
+      GROUP BY gr.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(c.cut), 0) AS BIGINT) AS n_removed,
+           -- coalesce: duckdb array_to_string([]) is NULL, spark
+           -- array_join([]) is '' — a fully-removed doc must agree
+           coalesce(array_to_string(
+             list_filter(
+               list_transform(
+                 range(0, len(t.w)),
+                 i -> CASE WHEN c.cut IS NULL OR NOT list_contains(c.cut, i)
+                           THEN t.w[i + 1] END),
+               x -> x IS NOT NULL),
+             ' '), '') AS clean_text
+    FROM t LEFT JOIN cut c ON t.doc_id = c.doc_id
+    """,
+)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the operation of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr): text_dup_span_fraction MEASURES unaligned
+    duplication; this strips it, keeping one canonical occurrence.
+    Every {GRAM_TOKENS}-gram appearing in >= {GRAM_HOT_DF} distinct
+    docs is a duplicated span; the doc with the smallest doc_id
+    containing the gram keeps its occurrences, every other doc has the
+    covered token positions removed and its text reassembled in
+    original token order. Docs shorter than the gram width pass
+    through untouched. Staging matches text_dup_span_fraction (8-token
+    per-site template), so the template survives in exactly one doc
+    per template value and is stripped everywhere else.
+
+    Scale (100 TB): same shape as the fraction op — the gram stream is
+    never shuffled for the filter (hot census is the heavy-tail tiny
+    side, broadcast into the equi-join), coverage union + token drop
+    are in-row array ops, one groupBy(doc) of match rows only. The
+    paper's suffix-array construction is a single-machine design; the
+    fixed-width gram census is the distributable equivalent and is the
+    industry form (Dolma, RedPajama-v2 use gram-based span marking).
+    The token filter is O(n_tokens · |cut|) per doc — |cut| is bounded
+    by n_tokens, and both live in one row; no cross-row work."""
+    d = table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", _span_template_col().alias("text"))
+    t = staged.select("doc_id", words("text").alias("w")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    grams = (
+        t.filter(F.size("w") >= GRAM_TOKENS)
+        .select(
+            "doc_id",
+            F.col("w"),
+            F.explode(F.sequence(F.lit(0), F.size("w") - GRAM_TOKENS)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice(F.col("w"), F.col("pos") + 1, F.lit(GRAM_TOKENS)), " "
+            ).alias("gram"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("gram_df"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("gram_df") >= GRAM_HOT_DF)
+        .select("gram", "keeper")
+    )
+    cut = (
+        grams.join(F.broadcast(hot), "gram")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.collect_list("pos"),
+                        lambda p: F.sequence(p, p + GRAM_TOKENS - 1),
+                    )
+                )
+            ).alias("cut")
+        )
+    )
+    return t.join(cut, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("cut"), F.lit(0)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.filter(
+                F.col("w"),
+                lambda tok, i: F.col("cut").isNull() | ~F.array_contains("cut", i),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -2043,3 +2043,46 @@ def test_strip_html_edge_shapes(spark):
     got = df.select(strip_html(F.col("html")).alias("t")).collect()
     for (raw, want), row in zip(cases, got):
         assert row.t == want, f"{raw!r}: {row.t!r} != {want!r}"
+
+
+def test_remove_dup_spans_keeps_one_canonical_occurrence(spark, tmp_path):
+    """Semantic pin for text_remove_dup_spans (r9): a cross-doc 8-gram
+    span survives ONLY in the min-doc_id keeper; every other doc loses
+    exactly the covered tokens, remaining text stays in order, and
+    straddling grams (unique prefix + shared span) never trigger
+    removal. The staged per-site template behaves the same way (kept
+    in doc 0, stripped elsewhere)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"{shared} zero tail", "en", "web"),
+        (1, f"one prefix {shared} one tail", "en", "web"),
+        (2, f"two start {shared}", "en", "web"),
+        (3, "three totally unique body text here", "en", "web"),
+    ]
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+
+    from promptly_data_pipelines_spark.extensions.lines import (
+        text_remove_dup_spans,
+    )
+
+    tpl = "site web home login privacy terms contact about"
+    out = {
+        r.doc_id: r for r in text_remove_dup_spans(spark, str(tmp_path)).collect()
+    }
+    # doc 0 is keeper of BOTH hot grams (template df=4, shared df=3)
+    assert out[0].clean_text == f"{tpl} {shared} zero tail"
+    assert out[0].n_removed == 0
+    # non-keepers lose template + shared span, keep their unique text
+    assert out[1].clean_text == "one prefix one tail"
+    assert out[1].n_removed == 16
+    assert out[2].clean_text == "two start"
+    assert out[2].n_removed == 16
+    # template-only duplication: unique body fully survives
+    assert out[3].clean_text == "three totally unique body text here"
+    assert out[3].n_removed == 8

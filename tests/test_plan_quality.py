@@ -463,6 +463,24 @@ def test_dup_span_census_broadcast_single_scan(spark):
     assert len(scan_ids) <= 1, f"corpus scanned more than once ({scan_ids})"
 
 
+def test_remove_dup_spans_census_broadcast_single_scan(spark):
+    """text_remove_dup_spans scale contract (r9): the hot-gram census
+    (gram, keeper) is the heavy-tail tiny side and must BROADCAST into
+    the equi-join against the corpus-sized gram stream — the grams
+    never shuffle for the filter; the persisted tokenized/gram frames
+    collapse the corpus to a single parquet scan, and the token drop
+    is pure JVM array expressions (no Python)."""
+    p = _plan(spark, "text_remove_dup_spans")
+    tree = p.split("\n\n", 1)[0]
+    assert "BroadcastHashJoin" in tree, "hot-gram census not broadcast"
+    assert "InMemoryRelation" in tree, "grams frame no longer persisted"
+    assert "EvalPython" not in p, "token drop must be pure JVM expressions"
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s*[^(\n]*\((\d+)\)", tree))
+    assert len(scan_ids) <= 1, f"corpus scanned more than once ({scan_ids})"
+
+
 def test_pq_adc_scan_joins_codes_not_vectors(spark):
     """similarity_topk_pq scale contract (r7): the ADC scan joins the
     ENCODED corpus to the broadcast partial-distance table — the
