@@ -412,6 +412,101 @@ def stream_exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Stream-STREAM event-time interval join (the attribution shape:
+    purchase within ``window`` of a view by the same user). Both sides
+    carry a watermark and the join condition bounds event time in both
+    directions, so the symmetric-hash-join state store evicts rows
+    older than watermark+window — the state bound that makes this run
+    unbounded against two Kafka topics. Spark requires exactly this
+    (equi-key + two-sided time range) to plan a streaming join; a
+    condition without the time bound is rejected at analysis."""
+    v = views.withWatermark("view_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    )
+
+
+@query(
+    "stream_exec_join",
+    registered=False,
+    oracle="""
+    WITH live AS (
+      SELECT user_id, event_id, event_type, value,
+             date_trunc('milliseconds', ts) AS ts
+      FROM events WHERE event_id % 10 <> 0
+    )
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p.value AS purchase_value
+    FROM live v JOIN live p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+)
+def stream_exec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the REAL engine (the T
+    family's missing pair to the stream-static ``enrich_with_dim``):
+    one staged envelope topic read as TWO independent readStreams
+    (views and purchases — in production, two Kafka topics), decoded +
+    tombstone-filtered, then ``interval_join``ed (purchase within 6 h
+    of the same user's view, 24 h watermarks both sides) in append
+    mode into a memory sink.
+
+    Determinism contract, same reasoning as stream_exec_session: with
+    no file limit, availableNow drains the staged files in ONE
+    micro-batch where the watermark is still epoch-0, so no state is
+    evicted before matching and the emitted pairs equal the batch
+    interval join the oracle computes — deterministic regardless of
+    file order. Multi-batch arrival-order semantics (watermark lag,
+    late drops) are exercised by stream_exec_late_drop; this query
+    pins the JOIN path: symmetric hash join, two watermarked inputs,
+    per-side state store, append emission. Event times are
+    ms-truncated (Debezium ts_ms), purchase_value passes through the
+    JSON envelope losslessly (Jackson shortest-round-trip doubles), so
+    the oracle compares unrounded."""
+    base = _fresh_staging_dir(spark, sf_dir, "stream_join")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    synthesize_envelopes(table(spark, sf_dir, "events")).write.json(src)
+    lv_v = live_rows(read_envelope_stream(spark, src))
+    lv_p = live_rows(read_envelope_stream(spark, src))
+    views = lv_v.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = lv_p.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = interval_join(views, purchases)
+    sink = f"pdp_stream_join_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
+    _run_memory_sink(joined, sink, ckpt, "append")
+    return spark.table(sink).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        ts_str("view_ts").alias("view_ts"),
+        ts_str("purchase_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 # Arrival-ordered staging for the late-drop exec: 8 micro-batches at
 # every SF (batch size = ceil(n/8), mirrored by the oracle) — enough
 # that batches >= 2 exist to exercise drops, few enough that the

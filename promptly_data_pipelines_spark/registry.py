@@ -190,6 +190,7 @@ def _load_all() -> None:
         packing,
         sampling,
         similarity,
+        snapshot,
         text,
         udfs,
         web,
