@@ -293,3 +293,95 @@ def export_jsonl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_sum"
         ),
     )
+
+
+@query(
+    "project_xml",
+    registered=False,
+    oracle="""
+    SELECT event_id, user_id AS xml_user, event_type AS xml_type
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+)
+def project_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4's XML sibling (Spark 4 native XML, no jar): an XML payload
+    column is synthesized from events (attribute + two elements —
+    integer/enum fields only, so no float-formatting or escaping
+    ambiguity can hide in the round-trip) and decoded with
+    ``F.from_xml`` under a declared schema (attributes as ``_name``,
+    never inferred). The oracle recomputes the fields from the base
+    columns, so the synthesize→parse loop must be lossless for the
+    value hash to match — the same synthesize-then-verify pattern as
+    cdc/envelope.py. Map-side only: from_xml is a JVM expression
+    inside whole-stage codegen; no shuffle, no Python."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    xml = F.concat(
+        F.lit('<event id="'),
+        F.col("event_id"),
+        F.lit('"><user>'),
+        F.col("user_id"),
+        F.lit("</user><type>"),
+        F.col("event_type"),
+        F.lit("</type></event>"),
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "_id BIGINT, user BIGINT, type STRING").alias("x")
+    )
+    return parsed.select(
+        F.col("x._id").alias("event_id"),
+        F.col("x.user").alias("xml_user"),
+        F.col("x.type").alias("xml_type"),
+    )
+
+
+_BINARYFILE_CAP = 200  # absolute id bound: staging stays harness-sized at every SF
+
+
+@query(
+    "scan_binaryfile",
+    registered=False,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_BINARYFILE_CAP}
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8's ingest sibling: the ``binaryFile`` source — the scan the
+    multimodal tier (extensions/multimodal.py) starts from when blobs
+    live as OBJECTS rather than parquet binary columns (image/audio
+    corpora land this way). Stages a bounded slice of documents as
+    one UTF-8 file per doc (harness rigging — a real deployment scans
+    an existing object store), reads them back with
+    ``format("binaryFile")``, and emits only the DETERMINISTIC source
+    columns (path-derived id, byte length, content md5) —
+    modificationTime is excluded by protocol. The oracle recomputes
+    all three from the base table, so file write→binary read→hash
+    must be byte-lossless. The per-file driver write is bounded by
+    the absolute id cap, not corpus size; the scan itself is
+    distributed (one task per file group, path/length from the file
+    index, content streamed)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BINARYFILE_CAP)
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_binfiles_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    os.makedirs(out, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(out, f"{r.doc_id}.txt"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(out)
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
