@@ -177,6 +177,26 @@ def main() -> None:
     # warmup: tiny query to load classes / JIT the common path
     queries["agg_count"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Machine calibration (r9): a fixed, CODE-INDEPENDENT probe — pure
+    # engine work (range → modulo → groupBy shuffle, no file IO, no
+    # repo operators) whose cost by construction never changes round
+    # to round. Recorded at run start AND end so (a) two rounds'
+    # totals can be normalized by calibration rather than argued from
+    # loadavg, and (b) within-run drift (start vs end) is visible in
+    # the record itself. r5-r9 all spent verdict space attributing
+    # swings to machine state; this makes the attribution arithmetic.
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 50_000_000, 1, CPUS).selectExpr(
+                "id % 9973 AS k"
+            ).groupBy("k").count().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    calibration_start = _calibrate()
+
     # min of two runs per query: first-touch effects (codegen, shuffle
     # file allocation, page cache) dominate variance at this scale
     timings: dict[str, float] = {}
@@ -344,10 +364,19 @@ def main() -> None:
     # capture window. Emit the bulky diagnostic block FIRST on its own
     # line (and to a sidecar file), and keep the compact headline line
     # as the very LAST line of stdout so the tail capture always parses.
+    # closing calibration: same probe, end-of-run machine state (the
+    # closure reads the CURRENT session — the extras one — which is
+    # the point: it measures the machine as the last lines saw it)
+    try:
+        calibration_end = _calibrate()
+    except Exception:  # noqa: BLE001 — diagnostics must not kill the record
+        calibration_end = None
     env_detail = {
         "metric": "bench_env_detail",
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "calibration_start": calibration_start,
+        "calibration_end": calibration_end,
         "cpus": CPUS,
         "spread": spread,
         "line_load": line_load,
