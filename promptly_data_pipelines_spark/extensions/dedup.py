@@ -266,12 +266,19 @@ _NEAR_TEXT_ORACLE = f"""
 """
 
 
-def _lsh_candidate_pairs(d: DataFrame, keep_sigs: bool = True) -> DataFrame:
+def _lsh_candidate_pairs(d: DataFrame, pair_cols=None) -> DataFrame:
     """LSH candidate generation over a documents frame, shared by
-    dedup_near_text (est-Jaccard verify, keep_sigs=True) and
-    dedup_near_text_exact (exact verify, ids only) so the band-join
-    semantics can never drift between the two — the same ONE-definition
-    rule BAND_KEY_COLS enforces for the key layout.
+    dedup_near_text (est-Jaccard verify) and dedup_near_text_exact
+    (exact verify, ids only) so the band-join semantics can never
+    drift between the two — the same ONE-definition rule
+    BAND_KEY_COLS enforces for the key layout. ``pair_cols``, when
+    given, is a callable producing extra columns from the joined
+    a/b sides; it is evaluated IN the join projection, BEFORE the
+    candidate dropDuplicates, so pair-level verdicts (est-Jaccard)
+    ride the dedup exchange as one double instead of two 16-long
+    signature arrays — the r9 A/B measured the array-carrying form
+    ~10% slower locally, and at crawl scale the candidate stream is
+    output-sized so every byte per row is shuffle bytes.
 
     Same materialize-the-index shape as dedup_simhash: the band
     self-join reads the signature table twice and exchange reuse does
@@ -287,11 +294,7 @@ def _lsh_candidate_pairs(d: DataFrame, keep_sigs: bool = True) -> DataFrame:
         "doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig")
     )
     bands = lsh_band_keys(sig_arr, "doc_id", "sig")
-    extra = (
-        [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
-        if keep_sigs
-        else []
-    )
+    extra = pair_cols() if pair_cols is not None else []
     return (
         bands.alias("a")
         .join(
@@ -321,12 +324,18 @@ def dedup_near_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets → estimated Jaccard = fraction of matching minhashes.
     Pairs sharing ≥1 band are candidates; emit those with est ≥ 0.5.
     At 100 TB the band join is the only pairwise step and touches only
-    colliding docs."""
-    cand = _lsh_candidate_pairs(table(spark, sf_dir, "documents"), keep_sigs=True)
-    est = F.round(est_jaccard("sig_a", "sig_b"), 4)
+    colliding docs; est is computed in the join projection so the
+    candidate dedup exchange never carries signature arrays."""
+    cand = _lsh_candidate_pairs(
+        table(spark, sf_dir, "documents"),
+        pair_cols=lambda: [
+            F.round(est_jaccard(F.col("a.sig"), F.col("b.sig")), 4).alias(
+                "est_jaccard"
+            )
+        ],
+    )
     return (
-        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= 0.5)
+        cand.filter(F.col("est_jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -414,7 +423,7 @@ def dedup_near_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row. No df-cap required — no posting list is materialized, so
     there is no per-shingle reduce-state risk."""
     d = table(spark, sf_dir, "documents")
-    cand = _lsh_candidate_pairs(d, keep_sigs=False)
+    cand = _lsh_candidate_pairs(d)
     w = words("text")
     gset = F.when(
         F.size(w) >= 3,
