@@ -85,3 +85,43 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can compare values; approx=True is the 100 TB path."""
     ev = table(spark, sf_dir, "events")
     return profile_columns(ev, ["event_type", "user_id"])
+
+
+@query(
+    "dq_quantiles",
+    registered=False,
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS v_min,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99,
+           max(value) AS v_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def dq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT quantile profile (p50/p95/p99 + extrema) — the
+    distribution half of the column profiler, the metric tier
+    Elementary-style monitors threshold on (latency p99, value p95).
+    ``F.percentile`` sorts within the aggregation and linearly
+    interpolates between the two straddling values — deterministic
+    regardless of partitioning (no accumulation-order drift, unlike
+    sums), and bit-identical to DuckDB's ``quantile_cont`` on the same
+    doubles, so the oracle compares unrounded. The exact form
+    shuffles each group's values to its reducer; at 100 TB swap in
+    ``F.approx_percentile`` (t-digest-style sketch, map-side
+    combinable, rank error ≤ 1/accuracy) — the same exact/approx
+    pairing the profiler uses for distincts
+    (``approx_count_distinct``) and documented there."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("value").alias("v_min"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.max("value").alias("v_max"),
+    )
