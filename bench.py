@@ -44,6 +44,9 @@ PAIR_OPS = {
     # corpus_diff's md5 + full-outer plan 10.3 s first-touch vs 1.3 s
     "text_remove_dup_spans",
     "corpus_diff",
+    # r9 session 2: the bucketed stage+join plan (two table writes +
+    # SMJ) measured 11.2 s first-touch vs 2.4 s steady
+    "join_bucketed",
 }
 HEADLINE = [
     "dedup_ngram_jaccard",
@@ -133,6 +136,13 @@ SECONDARY = [
     "text_remove_dup_spans",
     "stream_exec_join",
     "corpus_diff",
+    # r9 (session 2), tracked from introduction: the bucketed
+    # ingest-amortized join (stage two bucketed tables + exchange-free
+    # rollup→join — the staging write IS the timed cost; downstream
+    # reuse is what 100 TB buys) and the two-pass MG hot-key census
+    # (mapInPandas sketch + broadcast recount over orders)
+    "join_bucketed",
+    "agg_heavy_hitters",
 ]
 
 

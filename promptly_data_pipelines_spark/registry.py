@@ -159,6 +159,7 @@ def _load_all() -> None:
         aggregates,
         badrecords,
         bloomjoin,
+        bucketing,
         compaction,
         evolution,
         joins,
@@ -185,6 +186,7 @@ def _load_all() -> None:
         curation,
         dedup,
         graph,
+        heavyhitters,
         lines,
         multimodal,
         packing,

@@ -1,0 +1,77 @@
+"""Heavy-hitter invariants (extensions/heavyhitters.py): the MG
+candidate pass survives aggressive eviction without losing a true
+heavy hitter, counts are exact, the candidate stream is bounded by
+k·P, and the recount joins by broadcast (the fact stream is never
+shuffled for the match). Value parity vs DuckDB is covered by the
+oracle-parity suite (agg_heavy_hitters)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from promptly_data_pipelines_spark.extensions.heavyhitters import (
+    _mg_partition_candidates,
+    heavy_hitters,
+)
+
+
+def _skewed_df(spark):
+    """1000 rows in 2 partitions: 'a'×400, 'b'×300, 300 distinct
+    singletons — hostile to a 4-counter table (constant eviction)."""
+    rows = [("a",)] * 400 + [("b",)] * 300 + [(f"x{i}",) for i in range(300)]
+    return spark.createDataFrame(rows, "key string").repartition(2)
+
+
+def test_exact_under_constant_eviction(spark):
+    """support=0.2 needs capacity ≥ 4; at exactly 4 the counter table
+    thrashes on the 300 singletons yet must still surface a and b
+    with EXACT counts, and nothing else."""
+    df = _skewed_df(spark)
+    got = {
+        r["key"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "key", support=0.2, capacity=4).collect()
+    }
+    assert got == {"a": 400, "b": 300}
+
+
+def test_candidate_stream_bounded_by_capacity(spark):
+    """Each partition emits ≤ capacity candidate keys regardless of
+    distinct-key cardinality — the O(k·P) shuffle contract."""
+    df = _skewed_df(spark)
+    cands = df.select("key").mapInPandas(
+        _mg_partition_candidates("key", 4), schema="key string"
+    )
+    per_part = cands.withColumn("p", F.spark_partition_id()).groupBy("p").count()
+    assert all(r["count"] <= 4 for r in per_part.collect())
+
+
+def test_below_support_keys_excluded(spark):
+    """A key at exactly the support boundary (count == n·s) is not a
+    hitter — the contract is strictly-greater, matching HAVING >."""
+    rows = [("hot",)] * 500 + [("edge",)] * 250 + [("cold",)] * 250
+    df = spark.createDataFrame(rows, "key string").repartition(2)
+    got = {r["key"] for r in heavy_hitters(df, "key", support=0.25).collect()}
+    assert got == {"hot"}  # edge/cold are exactly 0.25·n, excluded
+
+
+def test_recount_is_broadcast_and_column_pruned(spark):
+    """The recount pass broadcasts the candidate set over the fact
+    stream (no fact-side shuffle for the match) and the census scans
+    read only the key column."""
+    from promptly_data_pipelines_spark.catalog import table
+
+    hh = heavy_hitters(table(spark, SF_DIR, "orders"), "o_custkey", support=1e-4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hh.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    for line in p.splitlines():
+        if "ReadSchema" in line:
+            assert "o_custkey" in line and "o_totalprice" not in line
