@@ -458,6 +458,11 @@ def stress_tier_main() -> None:
                 "dedup_near_text_exact",
                 "topk_group",
                 "join_equi",
+                # r9 session 2: the hot-key census pointed at the slice
+                # whose hot key it exists to find (70% of a 10x fact
+                # table on one customer) — O(k*P) passes regardless of
+                # how hot the key is
+                "agg_heavy_hitters",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the

@@ -821,3 +821,33 @@ def test_canonical_url_matches_python_mirror(spark, urls):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [mirror(u) for u in urls]
+
+
+# --- heavy hitters: MG census vs exact Python counter ----------------
+
+hh_keys = st.lists(
+    st.sampled_from(["k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SETTINGS
+@given(keys=hh_keys, support=st.sampled_from([0.05, 0.15, 0.3]))
+def test_heavy_hitters_match_exact_counter(spark, keys, support):
+    """Any key multiset, minimal lossless capacity (⌈1/s⌉−1), hostile
+    partitioning (3 partitions over ≤60 rows): the census must equal
+    the exact Counter filtered at strictly-greater support — including
+    boundary multiplicities hypothesis lands exactly on n·s."""
+    from collections import Counter
+
+    from promptly_data_pipelines_spark.extensions.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string").repartition(3)
+    got = {
+        r["key"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "key", support=support).collect()
+    }
+    n = len(keys)
+    want = {k: c for k, c in Counter(keys).items() if c > n * support}
+    assert got == want

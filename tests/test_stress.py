@@ -168,3 +168,22 @@ def test_aqe_skew_join_split_engages(spark, skew_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_census_finds_planted_hot_key(spark, skew_dir):
+    """The hot-key census run against the slice whose hot key it
+    exists to diagnose: HOT_CUSTKEY must surface with an exact count
+    equal to the planted hot-row total, and no base-distribution key
+    (max ~25 orders × FACTOR·30% spread) crosses the 0.01% support."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.heavyhitters import heavy_hitters
+    from promptly_data_pipelines_spark.extensions.stress import HOT_CUSTKEY
+
+    sk = table(spark, skew_dir, "orders")
+    got = {
+        r["o_custkey"]: r["n_occurrences"]
+        for r in heavy_hitters(sk, "o_custkey", support=1e-2).collect()
+    }
+    hot_true = sk.filter(sk.o_custkey == HOT_CUSTKEY).count()
+    assert got.get(HOT_CUSTKEY) == hot_true
+    assert set(got) == {HOT_CUSTKEY}
