@@ -169,6 +169,7 @@ def _load_all() -> None:
         setops,
         sorts,
         sql_surface,
+        warcsource,
         windows,
     )
     from .cdc import batch, streaming  # noqa: F401

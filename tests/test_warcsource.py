@@ -1,0 +1,110 @@
+"""WARC Python DataSource (operators/warcsource.py): parser edge
+cases the parity sweep can't produce (payloads containing the record
+separator, multi-byte UTF-8 vs Content-Length-in-bytes, malformed
+input), partition planning, and the parse-once-land-parquet pattern.
+Value parity vs DuckDB is covered by the oracle-parity suite
+(scan_warc)."""
+
+from __future__ import annotations
+
+import io
+import os
+
+from promptly_data_pipelines_spark.operators.warcsource import (
+    _parse_warc_stream,
+    read_warc,
+    warc_to_parquet,
+    write_warc_files,
+)
+
+
+def test_payload_containing_separator_survives(tmp_path):
+    """Content-Length framing, not delimiter splitting: a payload that
+    embeds the record separator byte sequence must round-trip."""
+    evil = "before\r\n\r\nWARC/1.0\r\nafter"
+    write_warc_files([(1, evil)], str(tmp_path), n_files=1)
+    with open(tmp_path / "crawl-00000.warc", "rb") as fh:
+        recs = list(_parse_warc_stream(fh))
+    assert len(recs) == 1
+    assert recs[0][5] == evil
+
+
+def test_multibyte_payload_length_is_bytes(tmp_path):
+    """Content-Length counts UTF-8 bytes, not characters."""
+    text = "héllo wörld ☃"
+    write_warc_files([(7, text)], str(tmp_path), n_files=1)
+    with open(tmp_path / "crawl-00000.warc", "rb") as fh:
+        (rec,) = list(_parse_warc_stream(fh))
+    assert rec[4] == len(text.encode("utf-8"))
+    assert rec[5] == text
+
+
+def test_truncated_payload_raises(tmp_path):
+    p = tmp_path / "bad.warc"
+    p.write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    with open(p, "rb") as fh:
+        try:
+            list(_parse_warc_stream(fh))
+            raise AssertionError("truncated payload did not raise")
+        except ValueError as e:
+            assert "truncated" in str(e)
+
+
+def test_non_warc_boundary_raises():
+    fh = io.BytesIO(b"HTTP/1.1 200 OK\r\n\r\n")
+    try:
+        list(_parse_warc_stream(fh))
+        raise AssertionError("garbage boundary did not raise")
+    except ValueError as e:
+        assert "boundary" in str(e)
+
+
+def test_one_partition_per_file_and_parquet_landing(spark, tmp_path):
+    """Partition planning is file-granular, and the intended
+    parse-once pattern lands parquet that equals the direct read."""
+    rows = [(i, f"doc body {i}") for i in range(20)]
+    src = str(tmp_path / "crawl")
+    write_warc_files(rows, src, n_files=4)
+    df = read_warc(spark, src)
+    assert df.rdd.getNumPartitions() == 4
+    dst = str(tmp_path / "landed")
+    warc_to_parquet(spark, src, dst)
+    landed = spark.read.parquet(dst)
+    assert sorted(map(tuple, landed.collect())) == sorted(map(tuple, df.collect()))
+    assert landed.count() == 20
+
+
+def test_stream_reader_incremental_pickup_and_no_redelivery(spark, tmp_path):
+    """Wave-granular exactly-once: each availableNow drain against one
+    checkpoint consumes only the files that arrived since the last
+    drain, and a drain with nothing new appends nothing."""
+    from promptly_data_pipelines_spark.operators.warcsource import WarcDataSource
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src, exist_ok=True)
+    spark.dataSource.register(WarcDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("pdp_warc")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(
+            r["target_uri"] for r in spark.read.parquet(sink).collect()
+        )
+
+    write_warc_files([(1, "one"), (2, "two")], src, n_files=1, prefix="a")
+    assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2)]
+    # nothing new → nothing re-delivered
+    assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2)]
+    write_warc_files([(3, "three")], src, n_files=1, prefix="b")
+    assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2, 3)]
