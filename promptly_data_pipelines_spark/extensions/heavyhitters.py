@@ -63,11 +63,15 @@ def _mg_partition_candidates(key: str, capacity: int):
                     counters[val] += int(c)
                 else:
                     counters[val] = int(c)
-            if len(counters) > capacity:
+            while len(counters) > capacity:
                 # Weighted-MG overflow: subtract the minimum counter
-                # from every entry and evict the zeros. Each overflow
-                # removes ≥ m·(k+1) total mass, so total undercount
-                # per key ≤ n_p/(k+1) — the survival guarantee.
+                # from every entry and evict what reaches zero. One
+                # pass only evicts the min-TIED entries, so loop until
+                # the table fits (each pass removes ≥ 1). Every pass
+                # runs with > capacity entries live, so it removes
+                # ≥ m·(k+1) total mass; cumulative removed mass ≤ n_p
+                # ⇒ any key's undercount ≤ n_p/(k+1) — the survival
+                # guarantee holds across passes.
                 m = min(counters.values())
                 counters = {v: c - m for v, c in counters.items() if c > m}
         yield pd.DataFrame({key: list(counters.keys())})
@@ -85,13 +89,19 @@ def heavy_hitters(
     candidate pass lossless for the requested support
     (k ≥ 1/support − 1); passing a smaller value trades exactness of
     the SET for memory — counts of returned keys stay exact either
-    way."""
+    way.
+
+    NULL keys are excluded by contract (filtered up front — pandas
+    ``value_counts`` and the equi-join would each drop them silently
+    half-way otherwise); a hot NULL is a data-quality finding, which
+    is ``dq_not_null``'s job, not a census row."""
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0,1), got {support}")
     if capacity is None:
         capacity = max(8, ceil(1.0 / support) - 1)
     field = df.schema[key]
-    pruned = df.select(key)  # column-pruned scan: the census reads ONE column
+    # column-pruned scan: the census reads ONE column
+    pruned = df.select(key).filter(F.col(key).isNotNull())
     cands = (
         pruned.mapInPandas(
             _mg_partition_candidates(key, capacity),

@@ -11,15 +11,21 @@ index, but crawls ship as many ~1 GB files, so file-granular
 parallelism is the real-world parallelism), and a per-partition
 `read()` generator parses records.
 
-Scale honesty: `read()` yields rows through Python — this is the
-SLOW path by design budget (the same budget any custom Python source
-pays), acceptable for ingest-once formats that are re-written to
-parquet immediately (`warc_to_parquet` below is the intended
-pattern, mirroring the reference's ingest-then-model flow where raw
-Kafka/CSV land in Iceberg tables first — setup.py:102-130,
-raw_provider_postgres.sql). The parser itself is record-streaming
-(reads Content-Length bytes, never splits on payload content) and
-per-file memory is one record, not the file.
+Scale honesty: record PARSING is per-record Python — the inherent
+budget of any custom Python source, measured ~35 µs/record. The
+protocol offers two handoffs (row tuples or Arrow RecordBatches);
+tools/probe_warc.py A/B-measured both at two payload shapes (~100 B
+and ~2.5 KB avg) and the tuple handoff won by ~8-10% both times —
+building pa.arrays in Python costs more than row pickling saves at
+this parse rate, so the reader yields tuples and the probe keeps the
+Arrow variant reproducible. The durable conclusion is that the
+HANDOFF is second-order: the parse dominates, so the intended
+pattern for ingest-once formats is to pay it ONCE and land columnar
+(`warc_to_parquet` below), mirroring the reference's
+ingest-then-model flow where raw Kafka/CSV land in Iceberg tables
+first (setup.py:102-130, raw_provider_postgres.sql). The parser is
+record-streaming (reads Content-Length bytes, never splits on
+payload content); reader memory is one record, not the file.
 
 The reference has no crawl-format reader (its sources are Postgres/
 Kafka/CSV); this fills the ingest gap the web-curation tier
@@ -38,7 +44,16 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 
 from ..catalog import table
@@ -89,7 +104,7 @@ def write_warc_files(
             fh.write(b"".join(recs))
 
 
-def _parse_warc_stream(fh) -> "list[tuple]":
+def _parse_warc_stream(fh):
     """Record-streaming WARC parse: header block up to the blank line,
     then EXACTLY Content-Length payload bytes (never a split on
     payload content), then the record separator. Yields one tuple per
@@ -128,9 +143,44 @@ class _WarcFilePartition(InputPartition):
         self.path = path
 
 
+# column index in the record tuple (WARC_SCHEMA order) for pushdown
+_COL_IDX = {
+    "record_id": 0,
+    "warc_type": 1,
+    "target_uri": 2,
+    "warc_date": 3,
+    "content_length": 4,
+}
+_PUSHABLE = {
+    EqualTo: lambda v: lambda x: x == v,
+    GreaterThan: lambda v: lambda x: x > v,
+    GreaterThanOrEqual: lambda v: lambda x: x >= v,
+    LessThan: lambda v: lambda x: x < v,
+    LessThanOrEqual: lambda v: lambda x: x <= v,
+    StringStartsWith: lambda v: lambda x: x.startswith(v),
+    StringEndsWith: lambda v: lambda x: x.endswith(v),
+    StringContains: lambda v: lambda x: v in x,
+}
+
+
+def _compile_filter(f: Filter):
+    """Record-tuple predicate for a pushable filter, else None. Header
+    columns only — payload predicates stay Spark-side (the one column
+    worth shipping is the one a header filter lets us skip)."""
+    make = _PUSHABLE.get(type(f))
+    if make is None or len(f.attribute) != 1:
+        return None
+    idx = _COL_IDX.get(f.attribute[0])
+    if idx is None or f.value is None:
+        return None
+    pred = make(f.value)
+    return lambda row: pred(row[idx])
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = options["path"]
+        self._preds: list = []
 
     def partitions(self) -> list[InputPartition]:
         # one partition per crawl file — WARC's natural split unit
@@ -142,7 +192,38 @@ class WarcReader(DataSourceReader):
 
     def read(self, partition: _WarcFilePartition):
         with open(partition.path, "rb") as fh:
-            yield from _parse_warc_stream(fh)
+            records = _parse_warc_stream(fh)
+            if self._preds:
+                records = (
+                    r for r in records if all(p(r) for p in self._preds)
+                )
+            yield from records
+
+
+class WarcPushdownReader(WarcReader):
+    """WarcReader + header-filter pushdown. A SEPARATE class because
+    merely defining ``pushFilters`` makes Spark refuse the source
+    unless ``spark.sql.python.filterPushdown.enabled`` is true — so
+    the DataSource only hands this reader out when the session has the
+    conf on (``read_warc`` sets both sides coherently) and plain
+    consumers keep a reader that works under any conf."""
+
+    def pushFilters(self, filters: list[Filter]):
+        """Header-column pushdown (EqualTo/range/string-match on
+        record_id, warc_type, target_uri, warc_date, content_length):
+        accepted filters are applied record-by-record BEFORE the Arrow
+        batch is built, so skipped records never ship to the JVM —
+        for a selective crawl read (one domain, one type) that is the
+        difference between transferring the crawl and transferring
+        the matches. Payload filters and compound paths are returned
+        to Spark unchanged (partial pushdown is the protocol's
+        contract: returned filters are re-evaluated Spark-side)."""
+        for f in filters:
+            pred = _compile_filter(f)
+            if pred is None:
+                yield f
+            else:
+                self._preds.append(pred)
 
 
 class WarcStreamReader(DataSourceStreamReader):
@@ -197,16 +278,33 @@ class WarcDataSource(DataSource):
         return WARC_SCHEMA
 
     def reader(self, schema) -> WarcReader:
+        if self.options.get("pushdown", "false").lower() == "true":
+            return WarcPushdownReader(self.options)
         return WarcReader(self.options)
 
     def streamReader(self, schema) -> WarcStreamReader:
         return WarcStreamReader(self.options)
 
 
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Register (idempotent — latest registration wins) + read."""
+    """Register (idempotent — latest registration wins) + read, with
+    header-filter pushdown when the session allows it. The conf and
+    the reader flavor must agree (Spark refuses a pushFilters-capable
+    reader under a false conf), so both are set here together."""
     spark.dataSource.register(WarcDataSource)
-    return spark.read.format("pdp_warc").load(path)
+    try:
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+    except Exception:
+        pass  # conf locked down: fall through to the plain reader
+    enabled = (spark.conf.get(_PUSHDOWN_CONF, "false") or "false").lower() == "true"
+    return (
+        spark.read.format("pdp_warc")
+        .option("pushdown", "true" if enabled else "false")
+        .load(path)
+    )
 
 
 def warc_to_parquet(spark: SparkSession, warc_dir: str, parquet_dir: str) -> None:

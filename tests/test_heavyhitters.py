@@ -75,3 +75,33 @@ def test_recount_is_broadcast_and_column_pruned(spark):
     for line in p.splitlines():
         if "ReadSchema" in line:
             assert "o_custkey" in line and "o_totalprice" not in line
+
+
+def test_overflow_loops_until_table_fits():
+    """Strictly-distinct counts are the worst case for subtract-min
+    eviction (one pass removes only the min-tied entry): the overflow
+    must loop until the table fits capacity, or the emitted candidate
+    set breaks the O(k·P) contract. Pure-Python — no Spark."""
+    import pandas as pd
+
+    keys: list[str] = []
+    for i, k in enumerate("abcdefghijkl"):
+        keys += [k] * (i + 1)
+    gen = _mg_partition_candidates("key", 4)
+    (out,) = list(gen(iter([pd.DataFrame({"key": keys})])))
+    assert len(out) <= 4
+    # the heaviest keys must be the survivors
+    assert set(out["key"]) <= {"i", "j", "k", "l"}
+
+
+def test_null_keys_excluded_by_contract(spark):
+    """A hot NULL is dq_not_null's finding, not a census row — and it
+    must be excluded up front, not half-dropped by value_counts/join."""
+    rows = [("a",)] * 6 + [(None,)] * 10 + [("b",)] * 4
+    df = spark.createDataFrame(rows, "key string").repartition(2)
+    got = {
+        r["key"]: r["n_occurrences"]
+        for r in heavy_hitters(df, "key", support=0.3).collect()
+    }
+    # denominator = 10 non-null rows; a(6) and b(4) both exceed 3
+    assert got == {"a": 6, "b": 4}

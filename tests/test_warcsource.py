@@ -10,6 +10,8 @@ from __future__ import annotations
 import io
 import os
 
+from pyspark.sql import functions as F
+
 from promptly_data_pipelines_spark.operators.warcsource import (
     _parse_warc_stream,
     read_warc,
@@ -108,3 +110,56 @@ def test_stream_reader_incremental_pickup_and_no_redelivery(spark, tmp_path):
     assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2)]
     write_warc_files([(3, "three")], src, n_files=1, prefix="b")
     assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2, 3)]
+
+
+def test_pushfilters_partial_acceptance(tmp_path):
+    """Header filters are absorbed, payload/compound ones come back:
+    the protocol's partial-pushdown contract, reader-level."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+
+    from promptly_data_pipelines_spark.operators.warcsource import WarcPushdownReader
+
+    write_warc_files([(1, "aa"), (2, "bbbb")], str(tmp_path), n_files=1)
+    r = WarcPushdownReader({"path": str(tmp_path)})
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("warc_type",), "response"),
+                GreaterThan(("content_length",), 2),
+                EqualTo(("payload",), "aa"),  # payload: not pushable
+                IsNotNull(("warc_type",)),  # class not pushable
+            ]
+        )
+    )
+    assert {type(f).__name__ for f in leftover} == {"EqualTo", "IsNotNull"}
+    rows = list(r.read(r.partitions()[0]))
+    # content_length > 2 keeps only the 4-byte record
+    assert [x[4] for x in rows] == [4]
+
+
+def test_pushed_filter_results_match_unfiltered_scan(spark, tmp_path):
+    """End-to-end: a header filter through the engine returns exactly
+    the rows a post-hoc filter over the full scan returns — whether or
+    not the planner chose to push it down."""
+    from promptly_data_pipelines_spark.operators.warcsource import read_warc
+
+    rows = [(i, "x" * (i + 1)) for i in range(10)]
+    src = str(tmp_path / "crawl")
+    write_warc_files(rows, src, n_files=2)
+    df = read_warc(spark, src)
+    want = sorted(
+        r["target_uri"]
+        for r in df.collect()
+        if r["content_length"] > 5
+    )
+    filtered = df.filter(F.col("content_length") > 5)
+    got = sorted(r["target_uri"] for r in filtered.collect())
+    assert got == want and len(got) == 5
+    # and the plan shows the filter reached the source
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    assert "PushedFilters: [GreaterThan(content_length,5)]" in buf.getvalue()
