@@ -35,8 +35,11 @@ parquet columns.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +47,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -54,6 +59,7 @@ from pyspark.sql.datasource import (
     StringContains,
     StringEndsWith,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 from ..catalog import table
@@ -87,21 +93,37 @@ def write_warc_files(
     os.makedirs(out_dir, exist_ok=True)
     shards: dict[int, list[bytes]] = {i: [] for i in range(n_files)}
     for doc_id, text in rows:
-        payload = text.encode("utf-8")
-        rec = (
-            b"WARC/1.0\r\n"
-            + f"WARC-Type: response\r\n"
-            f"WARC-Record-ID: <urn:uuid:pdp-doc-{doc_id}>\r\n"
-            f"WARC-Date: {_WARC_DATE}\r\n"
-            f"WARC-Target-URI: https://example.org/doc/{doc_id}\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n".encode("ascii")
-            + payload
-            + b"\r\n\r\n"
+        rec = _warc_record_bytes(
+            f"urn:uuid:pdp-doc-{doc_id}",
+            "response",
+            f"https://example.org/doc/{doc_id}",
+            _WARC_DATE,
+            text,
         )
         shards[doc_id % n_files].append(rec)
     for i, recs in shards.items():
         with open(os.path.join(out_dir, f"{prefix}-{i:05d}.warc"), "wb") as fh:
             fh.write(b"".join(recs))
+
+
+def _warc_record_bytes(
+    record_id: str, warc_type: str, target_uri: str, warc_date: str, payload: str
+) -> bytes:
+    """One valid WARC/1.0 record. Content-Length frames the payload, so
+    a payload containing the record separator (``\\r\\n\\r\\n``) — or any
+    other header-lookalike bytes — round-trips losslessly: the parser
+    reads EXACTLY this many bytes and never scans payload content."""
+    body = payload.encode("utf-8")
+    return (
+        b"WARC/1.0\r\n"
+        + f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <{record_id}>\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode("utf-8")
+        + body
+        + b"\r\n\r\n"
+    )
 
 
 def _parse_warc_stream(fh):
@@ -191,6 +213,8 @@ class WarcReader(DataSourceReader):
         ]
 
     def read(self, partition: _WarcFilePartition):
+        if partition is None:  # zero crawl files: engine passes None
+            return
         with open(partition.path, "rb") as fh:
             records = _parse_warc_stream(fh)
             if self._preds:
@@ -257,6 +281,8 @@ class WarcStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _WarcFilePartition):
+        if partition is None:  # empty wave: engine passes None
+            return
         with open(partition.path, "rb") as fh:
             yield from _parse_warc_stream(fh)
 
@@ -265,10 +291,158 @@ class WarcStreamReader(DataSourceStreamReader):
         pass
 
 
+class _WarcCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced (or
+    None for an empty task) and its record count. Must stay picklable —
+    it rides the executor→driver result channel."""
+
+    def __init__(self, staged: str | None, n_records: int):
+        self.staged = staged
+        self.n_records = n_records
+
+
+# sink input contract: these two must exist; the rest are defaultable
+_SINK_REQUIRED = ("target_uri", "payload")
+_SINK_DEFAULTS = {"warc_type": "response", "warc_date": _WARC_DATE}
+
+
+def _check_sink_schema(schema) -> None:
+    """Fail on the DRIVER, before any task launches — a missing column
+    should cost a ValueError, not a thousand failed tasks."""
+    names = set(schema.fieldNames())
+    missing = [c for c in _SINK_REQUIRED if c not in names]
+    if missing:
+        raise ValueError(
+            f"pdp_warc sink requires columns {list(_SINK_REQUIRED)}; "
+            f"missing {missing} from input schema {sorted(names)}"
+        )
+
+
+def _row_record_bytes(row) -> bytes:
+    """Row → WARC record. record_id defaults to a fresh urn:uuid (valid
+    per ISO 28500 but nondeterministic — deterministic pipelines pass
+    their own); content_length is ALWAYS recomputed from the payload
+    (a stale input value must not break framing). NULL in a required
+    field is a contract violation, not a silent empty record."""
+    d = row.asDict()
+    uri, payload = d.get("target_uri"), d.get("payload")
+    if uri is None or payload is None:
+        raise ValueError(f"pdp_warc sink: NULL target_uri/payload in row {d!r}")
+    rid = d.get("record_id") or f"urn:uuid:{uuid.uuid4()}"
+    return _warc_record_bytes(
+        rid,
+        d.get("warc_type") or _SINK_DEFAULTS["warc_type"],
+        uri,
+        d.get("warc_date") or _SINK_DEFAULTS["warc_date"],
+        payload,
+    )
+
+
+def _stage_records(staging: str, iterator) -> _WarcCommit:
+    """Executor half of the two-phase commit, shared by batch and
+    stream: records land in a task-private uuid-named file under the
+    staging dir, so a speculative/retried task can never interleave
+    bytes with another attempt, and nothing is visible to readers until
+    the driver's commit renames it into place. Empty tasks stage
+    nothing (no zero-record files in the final layout)."""
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, f"task-{uuid.uuid4().hex}.warctmp")
+    n = 0
+    with open(staged, "wb") as fh:
+        for row in iterator:
+            fh.write(_row_record_bytes(row))
+            n += 1
+    if n == 0:
+        os.remove(staged)
+        return _WarcCommit(None, 0)
+    return _WarcCommit(staged, n)
+
+
+def _staged_paths(messages) -> list[str]:
+    return sorted(
+        m.staged for m in messages if m is not None and m.staged is not None
+    )
+
+
+class WarcWriter(DataSourceWriter):
+    """Batch WARC sink with a real two-phase commit: tasks stage
+    (write), the driver publishes (commit) or discards (abort).
+    Overwrite clears pre-existing crawl files AT COMMIT TIME — a failed
+    job leaves the old data fully intact, the FileOutputCommitter-v1
+    guarantee. Final names carry a job-unique token so append mode
+    can never collide with an earlier job's parts.
+
+    Scale honesty: rename-as-publish assumes a filesystem with cheap
+    atomic rename (local/HDFS). On S3-class object stores rename is
+    copy+delete and this committer — like Hadoop's v1 — would need a
+    manifest-based variant; that trade is documented, not hidden."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options["path"]
+        self._overwrite = overwrite
+        self._token = uuid.uuid4().hex[:12]
+        self._staging = os.path.join(self._path, f"_staging-{self._token}")
+
+    def write(self, iterator) -> _WarcCommit:
+        return _stage_records(self._staging, iterator)
+
+    def commit(self, messages) -> None:
+        staged = _staged_paths(messages)
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._path, "*.warc")):
+                os.remove(old)
+        for i, s in enumerate(staged):
+            os.replace(
+                s, os.path.join(self._path, f"part-{i:05d}-{self._token}.warc")
+            )
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+class WarcStreamWriter(DataSourceStreamWriter):
+    """Streaming WARC sink. Exactly-once per microbatch: final names
+    are keyed by zero-padded batchId, and commit deletes any files the
+    batch left from a previous attempt before renaming — so an engine
+    retry of batch N replaces rather than duplicates it. Zero-padding
+    also keeps names lexicographically increasing across batches, which
+    means this sink's output directory is itself a valid drop folder
+    for WarcStreamReader — the source and sink compose into a relay."""
+
+    def __init__(self, options: dict):
+        self._path = options["path"]
+        self._staging = os.path.join(self._path, "_staging-stream")
+
+    def write(self, iterator) -> _WarcCommit:
+        return _stage_records(self._staging, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = _staged_paths(messages)
+        for old in glob.glob(
+            os.path.join(self._path, f"batch-{batchId:09d}-*.warc")
+        ):
+            os.remove(old)  # retry idempotency: replace, never duplicate
+        for i, s in enumerate(staged):
+            os.replace(
+                s,
+                os.path.join(self._path, f"batch-{batchId:09d}-{i:05d}.warc"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for s in _staged_paths(messages):
+            try:
+                os.remove(s)
+            except OSError:
+                pass
+
+
 class WarcDataSource(DataSource):
     """`spark.read.format("pdp_warc").load(dir)` (batch) or
     `spark.readStream.format("pdp_warc").load(dir)` (drop-folder
-    stream) after `spark.dataSource.register(WarcDataSource)`."""
+    stream) after `spark.dataSource.register(WarcDataSource)`; the
+    write side mirrors both (`df.write.format("pdp_warc")` and
+    `df.writeStream.format("pdp_warc")`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -284,6 +458,16 @@ class WarcDataSource(DataSource):
 
     def streamReader(self, schema) -> WarcStreamReader:
         return WarcStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> WarcWriter:
+        _check_sink_schema(schema)
+        os.makedirs(self.options["path"], exist_ok=True)
+        return WarcWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> WarcStreamWriter:
+        _check_sink_schema(schema)
+        os.makedirs(self.options["path"], exist_ok=True)
+        return WarcStreamWriter(self.options)
 
 
 _PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
@@ -311,6 +495,15 @@ def warc_to_parquet(spark: SparkSession, warc_dir: str, parquet_dir: str) -> Non
     """The intended 100 TB pattern: pay the Python parse ONCE, land
     columnar, and every downstream query scans parquet."""
     read_warc(spark, warc_dir).write.mode("overwrite").parquet(parquet_dir)
+
+
+def write_warc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Register (idempotent) + write a DataFrame as WARC/1.0 files.
+    Input contract: ``target_uri`` and ``payload`` columns required;
+    ``record_id``/``warc_type``/``warc_date`` honored when present,
+    defaulted when absent. One output file per non-empty task."""
+    df.sparkSession.dataSource.register(WarcDataSource)
+    df.write.format("pdp_warc").mode(mode).save(path)
 
 
 @query(
@@ -408,3 +601,94 @@ def stream_exec_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
         assert not q.isActive, "warc stream drain did not terminate"
     return spark.read.parquet(sink)
+
+
+@query(
+    "sink_warc",
+    registered=False,  # registered window full; pytest oracle-parity covers it
+    oracle=f"""
+    SELECT doc_id,
+           'response' AS warc_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_WARC_CAP}
+    """,
+)
+def sink_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-tier crawl EGRESS: the documents slice written as WARC through
+    the Python DataSourceWriter (distributed two-phase commit — tasks
+    stage, driver publishes), then read back through the source and
+    reduced to the deterministic record columns. The oracle recomputes
+    id/byte-length/md5 from the base table, so the full write path —
+    row→record serialization, Content-Length framing, staging rename —
+    must be byte-lossless; idempotence of the overwrite commit is free
+    re-run safety (the query re-runs in parity sweeps)."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_warc_sink_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    src = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WARC_CAP)
+        .select(
+            F.concat(F.lit("urn:uuid:pdp-doc-"), F.col("doc_id")).alias("record_id"),
+            F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias(
+                "target_uri"
+            ),
+            F.col("text").alias("payload"),
+        )
+        .repartition(4)  # >1 task → >1 staged file → a real multi-task commit
+    )
+    write_warc(src, out, mode="overwrite")
+    return _warc_projection(read_warc(spark, out))
+
+
+@query(
+    "stream_warc_relay",
+    registered=False,  # registered window full; pytest oracle-parity covers it
+    oracle=f"""
+    SELECT doc_id,
+           'response' AS warc_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_WARC_CAP}
+    """,
+)
+def stream_warc_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source and sink composed: a WARC drop folder consumed by the
+    streaming engine through DataSourceStreamReader and re-emitted as
+    WARC through DataSourceStreamWriter — a crawl relay/mirror. Three
+    arrival waves, one checkpoint; the relay output (batch-NNNNNNNNN
+    names, lexicographically increasing) is then read back through the
+    BATCH reader and checked against the full documents slice. The hash
+    proves exactly-once across BOTH sides: a re-consumed wave or a
+    non-idempotent batch commit doubles rows, a missed wave drops them."""
+    from ..cdc.streaming import _fresh_staging_dir
+
+    base = _fresh_staging_dir(spark, sf_dir, "warc_relay")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    docs = [
+        (r.doc_id, r.text)
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WARC_CAP)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    spark.dataSource.register(WarcDataSource)
+    os.makedirs(src, exist_ok=True)
+    for wave in range(3):
+        wave_rows = [(d, t) for d, t in docs if d % 3 == wave]
+        write_warc_files(wave_rows, src, n_files=2, prefix=f"crawl-w{wave}")
+        relay = spark.readStream.format("pdp_warc").load(src)
+        q = (
+            relay.writeStream.format("pdp_warc")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive, "warc relay drain did not terminate"
+    return _warc_projection(read_warc(spark, out))

@@ -163,3 +163,158 @@ def test_pushed_filter_results_match_unfiltered_scan(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         filtered.explain("formatted")
     assert "PushedFilters: [GreaterThan(content_length,5)]" in buf.getvalue()
+
+
+# ---- writer side ----------------------------------------------------
+
+
+def _sink_df(spark, rows):
+    """(id, payload) rows in the sink's input contract."""
+    return spark.createDataFrame(
+        [
+            (f"urn:uuid:t-{i}", f"https://example.org/doc/{i}", p)
+            for i, p in rows
+        ],
+        "record_id string, target_uri string, payload string",
+    )
+
+
+def test_write_roundtrip_hostile_payloads(spark, tmp_path):
+    """df → pdp_warc sink → source → same rows, including payloads that
+    embed the record separator, header lookalikes, and multi-byte
+    UTF-8 (Content-Length counts BYTES, not chars)."""
+    from promptly_data_pipelines_spark.operators.warcsource import write_warc
+
+    rows = [
+        (1, "plain"),
+        (2, "sep\r\n\r\nWARC/1.0\r\ninside"),
+        (3, "Content-Length: 999\r\n\r\nfake header"),
+        (4, "emojis \U0001f600\U0001f680 and accents éü"),
+        (5, ""),
+    ]
+    out = str(tmp_path / "sink")
+    write_warc(_sink_df(spark, rows).repartition(3), out)
+    got = {
+        (r["record_id"], r["payload"], r["content_length"])
+        for r in read_warc(spark, out).collect()
+    }
+    want = {
+        (f"urn:uuid:t-{i}", p, len(p.encode("utf-8"))) for i, p in rows
+    }
+    assert got == want
+    # no staging residue, no empty-task files
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+
+
+def test_write_modes_overwrite_and_append(spark, tmp_path):
+    from promptly_data_pipelines_spark.operators.warcsource import write_warc
+
+    out = str(tmp_path / "sink")
+    write_warc(_sink_df(spark, [(1, "a")]), out)
+    write_warc(_sink_df(spark, [(2, "b")]), out, mode="append")
+    assert {r["payload"] for r in read_warc(spark, out).collect()} == {"a", "b"}
+    write_warc(_sink_df(spark, [(3, "c")]), out, mode="overwrite")
+    assert {r["payload"] for r in read_warc(spark, out).collect()} == {"c"}
+
+
+def test_writer_schema_validated_on_driver(spark, tmp_path):
+    """A missing required column must fail at plan time (driver-side
+    ValueError), not as a thousand executor task failures."""
+    import pytest
+
+    from promptly_data_pipelines_spark.operators.warcsource import write_warc
+
+    df = spark.createDataFrame([("x",)], "payload string")  # no target_uri
+    with pytest.raises(Exception, match="target_uri"):
+        write_warc(df, str(tmp_path / "sink"))
+
+
+def test_failed_write_leaves_old_data_intact(spark, tmp_path):
+    """Two-phase commit's point: overwrite clears the old files at
+    COMMIT time, so a job that fails mid-write leaves the previous
+    crawl fully readable and no staging residue behind."""
+    import pytest
+
+    from promptly_data_pipelines_spark.operators.warcsource import write_warc
+
+    out = str(tmp_path / "sink")
+    write_warc(_sink_df(spark, [(1, "keep-me")]), out)
+    bad = spark.createDataFrame(
+        [("urn:uuid:t-2", "https://example.org/2", None)],
+        "record_id string, target_uri string, payload string",
+    )
+    with pytest.raises(Exception):
+        write_warc(bad, out, mode="overwrite")  # NULL payload → task error
+    assert [r["payload"] for r in read_warc(spark, out).collect()] == ["keep-me"]
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+
+
+def test_stream_commit_is_retry_idempotent(tmp_path):
+    """Unit-level: committing the SAME batchId twice (an engine retry)
+    replaces the batch's files instead of duplicating them."""
+    from promptly_data_pipelines_spark.operators.warcsource import (
+        WarcStreamWriter,
+        _parse_warc_stream,
+    )
+    from pyspark.sql import Row
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    w = WarcStreamWriter({"path": out})
+
+    def attempt(payload):
+        msg = w.write(
+            iter(
+                [
+                    Row(
+                        record_id="urn:uuid:r-1",
+                        target_uri="https://example.org/1",
+                        payload=payload,
+                    )
+                ]
+            )
+        )
+        w.commit([msg], batchId=7)
+
+    attempt("first-attempt")
+    attempt("second-attempt")
+    files = [f for f in os.listdir(out) if f.endswith(".warc")]
+    assert files == ["batch-000000007-00000.warc"]
+    with open(os.path.join(out, files[0]), "rb") as fh:
+        recs = list(_parse_warc_stream(fh))
+    assert [r[5] for r in recs] == ["second-attempt"]
+
+
+def test_stream_relay_sink_dir_is_valid_drop_folder(spark, tmp_path):
+    """End-to-end stream write: WARC source → streaming engine →
+    pdp_warc stream sink, two waves, one checkpoint — no duplication
+    across drains, and the sink's batch-NNNNNNNNN names sort after one
+    another (the drop-folder contract, so a downstream WarcStreamReader
+    could tail THIS directory)."""
+    from promptly_data_pipelines_spark.operators.warcsource import WarcDataSource
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(WarcDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("pdp_warc")
+            .load(src)
+            .writeStream.format("pdp_warc")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(r["target_uri"] for r in read_warc(spark, out).collect())
+
+    write_warc_files([(1, "one"), (2, "two")], src, n_files=1, prefix="a")
+    assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2)]
+    write_warc_files([(3, "three")], src, n_files=1, prefix="b")
+    assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2, 3)]
+    names = sorted(f for f in os.listdir(out) if f.endswith(".warc"))
+    assert names == sorted(set(names)) and all(f.startswith("batch-") for f in names)
