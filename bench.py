@@ -143,6 +143,12 @@ SECONDARY = [
     # (mapInPandas sketch + broadcast recount over orders)
     "join_bucketed",
     "agg_heavy_hitters",
+    # r9 (session 4), tracked from introduction: the BLAS form of the
+    # exact top-k (one GEMM per Arrow block for candidates + exact
+    # re-score of the bounded candidate set) — within noise of the HOF
+    # form at the sf corpus (2k vectors, overhead-dominated); the
+    # crossover is measured in tools/probe_gemm.py / BASELINE.md
+    "similarity_topk_gemm",
 ]
 
 
