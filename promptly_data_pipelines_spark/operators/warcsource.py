@@ -412,7 +412,21 @@ class WarcStreamWriter(DataSourceStreamWriter):
 
     def __init__(self, options: dict):
         self._path = options["path"]
-        self._staging = os.path.join(self._path, "_staging-stream")
+        # per-WRITER-INSTANCE token (built once per streaming query run
+        # on the driver, then pickled to executors each batch — stable
+        # across this run's batches, fresh on every restart). It scopes
+        # the staging dir (a crashed run's leftover staging can never be
+        # confused with ours, and its sweep can never remove our
+        # in-flight files) and makes final names globally unique. The
+        # retry delete below is deliberately NOT token-scoped: a query
+        # restarted from its checkpoint re-runs the crashed batch under
+        # a NEW token and must REPLACE the old attempt's partial
+        # publishes, or a mid-commit crash turns into duplicates. The
+        # flip side is the standard Spark file-sink contract: ONE
+        # active query per output directory (concurrent writers would
+        # clobber each other's same-batchId files).
+        self._token = uuid.uuid4().hex[:12]
+        self._staging = os.path.join(self._path, f"_staging-stream-{self._token}")
 
     def write(self, iterator) -> _WarcCommit:
         return _stage_records(self._staging, iterator)
@@ -422,12 +436,23 @@ class WarcStreamWriter(DataSourceStreamWriter):
         for old in glob.glob(
             os.path.join(self._path, f"batch-{batchId:09d}-*.warc")
         ):
-            os.remove(old)  # retry idempotency: replace, never duplicate
+            os.remove(old)  # retry/restart idempotency: replace, never duplicate
         for i, s in enumerate(staged):
             os.replace(
                 s,
-                os.path.join(self._path, f"batch-{batchId:09d}-{i:05d}.warc"),
+                os.path.join(
+                    self._path, f"batch-{batchId:09d}-{self._token}-{i:05d}.warc"
+                ),
             )
+        # speculative/lost-task losers: files staged by attempts whose
+        # commit message never reached the driver. Safe to sweep HERE —
+        # commit is the microbatch barrier (no writes for another batch
+        # of this query are in flight) and the staging dir is ours alone
+        for orphan in glob.glob(os.path.join(self._staging, "*.warctmp")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
 
     def abort(self, messages, batchId: int) -> None:
         for s in _staged_paths(messages):

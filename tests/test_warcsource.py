@@ -279,7 +279,7 @@ def test_stream_commit_is_retry_idempotent(tmp_path):
     attempt("first-attempt")
     attempt("second-attempt")
     files = [f for f in os.listdir(out) if f.endswith(".warc")]
-    assert files == ["batch-000000007-00000.warc"]
+    assert len(files) == 1 and files[0].startswith("batch-000000007-")
     with open(os.path.join(out, files[0]), "rb") as fh:
         recs = list(_parse_warc_stream(fh))
     assert [r[5] for r in recs] == ["second-attempt"]
@@ -318,3 +318,88 @@ def test_stream_relay_sink_dir_is_valid_drop_folder(spark, tmp_path):
     assert drain() == [f"https://example.org/doc/{i}" for i in (1, 2, 3)]
     names = sorted(f for f in os.listdir(out) if f.endswith(".warc"))
     assert names == sorted(set(names)) and all(f.startswith("batch-") for f in names)
+
+
+def test_speculative_loser_never_publishes(tmp_path):
+    """Two attempts of the same logical task (speculation / retry after
+    a lost result): only the attempt whose commit message reached the
+    driver publishes; the loser's staged bytes are swept, batch side
+    by the staging rmtree, stream side by the commit-barrier sweep."""
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.operators.warcsource import (
+        WarcStreamWriter,
+        WarcWriter,
+        _parse_warc_stream,
+    )
+
+    def row(p):
+        return Row(
+            record_id="urn:uuid:r-1",
+            target_uri="https://example.org/1",
+            payload=p,
+        )
+
+    out_b = str(tmp_path / "batch")
+    os.makedirs(out_b)
+    wb = WarcWriter({"path": out_b}, overwrite=True)
+    _loser = wb.write(iter([row("loser-attempt")]))
+    winner = wb.write(iter([row("winner-attempt")]))
+    wb.commit([winner])  # only the winner's message arrives
+    files = [f for f in os.listdir(out_b) if f.endswith(".warc")]
+    assert len(files) == 1
+    with open(os.path.join(out_b, files[0]), "rb") as fh:
+        assert [r[5] for r in _parse_warc_stream(fh)] == ["winner-attempt"]
+    assert not [d for d in os.listdir(out_b) if d.startswith("_staging")]
+
+    out_s = str(tmp_path / "stream")
+    os.makedirs(out_s)
+    ws = WarcStreamWriter({"path": out_s})
+    _loser = ws.write(iter([row("loser-attempt")]))
+    winner = ws.write(iter([row("winner-attempt")]))
+    ws.commit([winner], batchId=0)
+    files = [f for f in os.listdir(out_s) if f.endswith(".warc")]
+    assert len(files) == 1 and files[0].startswith("batch-000000000-")
+    with open(os.path.join(out_s, files[0]), "rb") as fh:
+        assert [r[5] for r in _parse_warc_stream(fh)] == ["winner-attempt"]
+    # loser swept at the commit barrier — staging holds nothing
+    assert not any(os.scandir(ws._staging))
+
+
+def test_restarted_query_replaces_crashed_batch(tmp_path):
+    """Exactly-once across a query RESTART: the crashed run published
+    batch 0 (its token is gone with the process); the restarted run —
+    NEW writer instance, new token — re-runs batch 0 from the
+    checkpoint and must REPLACE the old attempt's files, not add to
+    them. Also pins staging isolation: the old run's leftover staged
+    file is not confused with the new run's, and stays for its own
+    lifecycle (the restart writes to a different staging dir)."""
+    from pyspark.sql import Row
+
+    from promptly_data_pipelines_spark.operators.warcsource import (
+        WarcStreamWriter,
+        _parse_warc_stream,
+    )
+
+    def row(p):
+        return Row(
+            record_id="urn:uuid:r-1",
+            target_uri="https://example.org/1",
+            payload=p,
+        )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    crashed = WarcStreamWriter({"path": out})
+    crashed.commit([crashed.write(iter([row("crashed-attempt")]))], batchId=0)
+    orphan = crashed.write(iter([row("crashed-in-flight")]))  # never committed
+
+    restarted = WarcStreamWriter({"path": out})
+    assert restarted._staging != crashed._staging
+    restarted.commit([restarted.write(iter([row("replayed")]))], batchId=0)
+    files = [f for f in os.listdir(out) if f.endswith(".warc")]
+    assert len(files) == 1 and restarted._token in files[0]
+    with open(os.path.join(out, files[0]), "rb") as fh:
+        assert [r[5] for r in _parse_warc_stream(fh)] == ["replayed"]
+    # the new run's sweep is scoped to its OWN staging dir
+    assert os.path.exists(orphan.staged)
