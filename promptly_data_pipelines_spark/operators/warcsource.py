@@ -329,13 +329,21 @@ def _row_record_bytes(row) -> bytes:
     if uri is None or payload is None:
         raise ValueError(f"pdp_warc sink: NULL target_uri/payload in row {d!r}")
     rid = d.get("record_id") or f"urn:uuid:{uuid.uuid4()}"
-    return _warc_record_bytes(
-        rid,
-        d.get("warc_type") or _SINK_DEFAULTS["warc_type"],
-        uri,
-        d.get("warc_date") or _SINK_DEFAULTS["warc_date"],
-        payload,
-    )
+    wtype = d.get("warc_type") or _SINK_DEFAULTS["warc_type"]
+    wdate = d.get("warc_date") or _SINK_DEFAULTS["warc_date"]
+    for field, val in (
+        ("record_id", rid),
+        ("warc_type", wtype),
+        ("target_uri", uri),
+        ("warc_date", wdate),
+    ):
+        # header smuggling guard: a CR/LF inside a header VALUE would
+        # terminate the header line early and let payload-controlled
+        # data forge headers / break record framing. The payload needs
+        # no such check — Content-Length frames it byte-exactly.
+        if "\r" in val or "\n" in val:
+            raise ValueError(f"pdp_warc sink: CR/LF in header field {field}: {val!r}")
+    return _warc_record_bytes(rid, wtype, uri, wdate, payload)
 
 
 def _stage_records(staging: str, iterator) -> _WarcCommit:
@@ -412,21 +420,18 @@ class WarcStreamWriter(DataSourceStreamWriter):
 
     def __init__(self, options: dict):
         self._path = options["path"]
-        # per-WRITER-INSTANCE token (built once per streaming query run
-        # on the driver, then pickled to executors each batch — stable
-        # across this run's batches, fresh on every restart). It scopes
-        # the staging dir (a crashed run's leftover staging can never be
-        # confused with ours, and its sweep can never remove our
-        # in-flight files) and makes final names globally unique. The
-        # retry delete below is deliberately NOT token-scoped: a query
-        # restarted from its checkpoint re-runs the crashed batch under
-        # a NEW token and must REPLACE the old attempt's partial
-        # publishes, or a mid-commit crash turns into duplicates. The
-        # flip side is the standard Spark file-sink contract: ONE
-        # active query per output directory (concurrent writers would
-        # clobber each other's same-batchId files).
-        self._token = uuid.uuid4().hex[:12]
-        self._staging = os.path.join(self._path, f"_staging-stream-{self._token}")
+        # DETERMINISTIC staging dir — measured protocol fact (r9): the
+        # streaming path re-instantiates the writer per role (the
+        # executor-side write and the driver-side commit do NOT share
+        # one pickled instance, unlike the batch path), so any
+        # per-instance token diverges between the path write() staged
+        # to and the path commit() renames from. Fixed names keep every
+        # instantiation pointing at the same files; isolation instead
+        # comes from the sink contract (one active query per output
+        # directory — the standard Spark file-sink rule), and a crashed
+        # run's leftovers self-heal because the restart shares this dir
+        # and the commit-barrier sweep below collects them.
+        self._staging = os.path.join(self._path, "_staging-stream")
 
     def write(self, iterator) -> _WarcCommit:
         return _stage_records(self._staging, iterator)
@@ -440,14 +445,13 @@ class WarcStreamWriter(DataSourceStreamWriter):
         for i, s in enumerate(staged):
             os.replace(
                 s,
-                os.path.join(
-                    self._path, f"batch-{batchId:09d}-{self._token}-{i:05d}.warc"
-                ),
+                os.path.join(self._path, f"batch-{batchId:09d}-{i:05d}.warc"),
             )
-        # speculative/lost-task losers: files staged by attempts whose
-        # commit message never reached the driver. Safe to sweep HERE —
-        # commit is the microbatch barrier (no writes for another batch
-        # of this query are in flight) and the staging dir is ours alone
+        # orphan sweep: files staged by attempts whose commit message
+        # never reached the driver (speculative losers, failed tasks,
+        # or a previous CRASHED run — same dir by design). Safe HERE:
+        # commit is the microbatch barrier, so nothing in-flight for
+        # this query is staging, and the contract admits no other query
         for orphan in glob.glob(os.path.join(self._staging, "*.warctmp")):
             try:
                 os.remove(orphan)
@@ -490,6 +494,10 @@ class WarcDataSource(DataSource):
         return WarcWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> WarcStreamWriter:
+        # NOTE: re-invoked per role by the streaming protocol (write
+        # side and commit side are separate instantiations — see the
+        # WarcStreamWriter docstring), so nothing here may generate
+        # per-call state or sweep shared paths.
         _check_sink_schema(schema)
         os.makedirs(self.options["path"], exist_ok=True)
         return WarcStreamWriter(self.options)

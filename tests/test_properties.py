@@ -851,3 +851,48 @@ def test_heavy_hitters_match_exact_counter(spark, keys, support):
     n = len(keys)
     want = {k: c for k, c in Counter(keys).items() if c > n * support}
     assert got == want
+
+
+# --- WARC record serialization: write → parse identity ----------------
+
+# header VALUES: no CR/LF (writer rejects those — smuggling guard) and
+# no leading/trailing whitespace (the parser strips per RFC-style
+# header semantics); payloads are arbitrary unicode including
+# separators and header lookalikes — Content-Length framing must not
+# care what's inside
+_hdr_text = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=30,
+).map(lambda s: "h" + s.strip() + "h")
+_payload_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+_warc_rows = st.lists(
+    st.tuples(_hdr_text, _hdr_text, _hdr_text, _hdr_text, _payload_text),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(rows=_warc_rows)
+def test_warc_record_roundtrip_property(rows):
+    """Pure-Python (no Spark): any header-legal field values and ANY
+    payload — including embedded record separators and header
+    lookalikes — must survive serialize→parse bit-exactly, with
+    content_length equal to the payload's UTF-8 byte length."""
+    import io
+
+    from promptly_data_pipelines_spark.operators.warcsource import (
+        _parse_warc_stream,
+        _warc_record_bytes,
+    )
+
+    blob = b"".join(
+        _warc_record_bytes(rid, wt, uri, wd, p) for rid, wt, uri, wd, p in rows
+    )
+    parsed = list(_parse_warc_stream(io.BytesIO(blob)))
+    assert len(parsed) == len(rows)
+    for (rid, wt, uri, wd, p), got in zip(rows, parsed):
+        assert got == (rid, wt, uri, wd, len(p.encode("utf-8")), p)

@@ -368,12 +368,11 @@ def test_speculative_loser_never_publishes(tmp_path):
 
 def test_restarted_query_replaces_crashed_batch(tmp_path):
     """Exactly-once across a query RESTART: the crashed run published
-    batch 0 (its token is gone with the process); the restarted run —
-    NEW writer instance, new token — re-runs batch 0 from the
-    checkpoint and must REPLACE the old attempt's files, not add to
-    them. Also pins staging isolation: the old run's leftover staged
-    file is not confused with the new run's, and stays for its own
-    lifecycle (the restart writes to a different staging dir)."""
+    batch 0 and left an uncommitted staged file; the restarted run —
+    a fresh writer instance, same deterministic staging dir — re-runs
+    batch 0 from the checkpoint, REPLACES the old attempt's files
+    (never adds to them), and its commit-barrier sweep collects the
+    crashed run's orphan."""
     from pyspark.sql import Row
 
     from promptly_data_pipelines_spark.operators.warcsource import (
@@ -395,11 +394,56 @@ def test_restarted_query_replaces_crashed_batch(tmp_path):
     orphan = crashed.write(iter([row("crashed-in-flight")]))  # never committed
 
     restarted = WarcStreamWriter({"path": out})
-    assert restarted._staging != crashed._staging
     restarted.commit([restarted.write(iter([row("replayed")]))], batchId=0)
     files = [f for f in os.listdir(out) if f.endswith(".warc")]
-    assert len(files) == 1 and restarted._token in files[0]
+    assert files == ["batch-000000000-00000.warc"]
     with open(os.path.join(out, files[0]), "rb") as fh:
         assert [r[5] for r in _parse_warc_stream(fh)] == ["replayed"]
-    # the new run's sweep is scoped to its OWN staging dir
-    assert os.path.exists(orphan.staged)
+    # crashed-run residue self-heals at the restart's first commit
+    assert not os.path.exists(orphan.staged)
+
+
+def test_header_smuggling_rejected(spark, tmp_path):
+    """A CR/LF inside a header field would let one row forge headers or
+    break the NEXT record's framing — the writer must refuse it."""
+    import pytest
+
+    from promptly_data_pipelines_spark.operators.warcsource import write_warc
+
+    df = spark.createDataFrame(
+        [("urn:uuid:x", "https://example.org/a\r\nWARC-Type: forged", "p")],
+        "record_id string, target_uri string, payload string",
+    )
+    with pytest.raises(Exception, match="CR/LF"):
+        write_warc(df, str(tmp_path / "sink"))
+
+
+def test_stale_staging_swept_at_first_commit(spark, tmp_path):
+    """A hard-killed run's staged leftovers (no abort ever fired) must
+    not accumulate: the staging dir is deterministic, so the next run
+    shares it and its first commit barrier sweeps the orphans — pinned
+    END TO END through the real engine."""
+    from promptly_data_pipelines_spark.operators.warcsource import WarcDataSource
+
+    out = str(tmp_path / "sink")
+    stale_dir = os.path.join(out, "_staging-stream")
+    os.makedirs(stale_dir)
+    orphan = os.path.join(stale_dir, "task-deadbeef.warctmp")
+    with open(orphan, "wb") as fh:
+        fh.write(b"orphaned bytes")
+    src = str(tmp_path / "src")
+    write_warc_files([(1, "one")], src, n_files=1)
+    spark.dataSource.register(WarcDataSource)
+    q = (
+        spark.readStream.format("pdp_warc")
+        .load(src)
+        .writeStream.format("pdp_warc")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert not os.path.exists(orphan)
+    assert len(read_warc(spark, out).collect()) == 1
