@@ -149,6 +149,10 @@ SECONDARY = [
     # form at the sf corpus (2k vectors, overhead-dominated); the
     # crossover is measured in tools/probe_gemm.py / BASELINE.md
     "similarity_topk_gemm",
+    # r9 (session 4): winnowing, tracked since its O(n²)→O(n·w) rewrite
+    # (the r6 form re-evaluated every gram md5 per window — 24.5 s for
+    # 500 docs; the fold form is 26× faster and this line keeps it so)
+    "doc_winnowing",
 ]
 
 

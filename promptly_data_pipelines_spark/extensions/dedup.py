@@ -541,15 +541,31 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     by the sf0.001 pairs test across the r5 rewrite).
 
     r5 form: a per-ROW higher-order ``F.aggregate`` over the hashed
-    token array with a 17-field struct accumulator — no explode, no
-    token-row shuffle, no groupBy. The r1→r4 history of this operator
-    is shuffle-shedding: r1 exploded tokens into 64 per-bit
-    ``sum(when(...))`` aggregates, r2 cut that to 16 SWAR sums (still
-    explode + hash-agg over ~45× the corpus row count), r5 makes the
-    signature a pure map-side expression — the ONLY shuffle left in
-    dedup_simhash is the band join itself. Local wall-time is flat
-    (the explode form was codegen'd; HOFs are not) but at cluster
-    scale this removes the full token-stream network pass."""
+    token array — no explode, no token-row shuffle, no groupBy. The
+    r1→r4 history of this operator is shuffle-shedding: r1 exploded
+    tokens into 64 per-bit ``sum(when(...))`` aggregates, r2 cut that
+    to 16 SWAR sums (still explode + hash-agg over ~45× the corpus
+    row count), r5 makes the signature a pure map-side expression —
+    the ONLY shuffle left in dedup_simhash is the band join itself.
+
+    r9 form: ARRAY accumulator instead of r5's 17-field struct, with
+    the 63-bit reassembly as ONE ``aggregate`` over ``sequence(0,62)``
+    using runtime-index lane decode (``call_function('shiftright',
+    lane, i - i%16)`` — the pyspark wrapper only takes literal shift
+    amounts, the SQL function takes a column). Same bits (pinned
+    bit-for-bit across the rewrite at every sf tier, plus against the
+    independent numpy twin simhash_signatures_np): what changed is
+    PLAN size. The r5 form's 63 unrolled reassembly terms each
+    referenced the full 17-lane aggregate and CollapseProject inlined
+    it into every term — ~1.5 s of DRIVER-side analysis per plan
+    construction, constant in data size (measured: same-plan re-runs
+    at 50k docs took 0.15 s; fresh plans 1.6 s). The array form's
+    tree references the accumulator O(1) times: fresh-plan 0.25 s,
+    and execution is slightly FASTER too (a primitive long array
+    beats building a 17-field struct per token). At 100 TB plan
+    analysis amortizes away — but on any interactive/per-batch use
+    (streaming micro-batches, bench, the driver's 50-query sweep) it
+    is pure per-invocation tax."""
     # enforce the lane-width precondition instead of documenting it:
     # votes beyond 65535 tokens would carry into the adjacent 16-bit
     # lane and corrupt two bit positions. Truncation (not rejection)
@@ -558,47 +574,105 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     hashes = F.transform(
         F.slice(words("text"), 1, 65535), lambda w: md5h63(w)
     )
-    zero = F.struct(
-        F.lit(0).cast("long").alias("n"),
-        *[F.lit(0).cast("long").alias(f"l{i}") for i in range(16)],
+    # accumulator slots: [0] = n_tokens, [1..16] = SWAR lanes l0..l15
+    # (lane i packs popcounts of bit positions i, i+16, i+32, i+48 in
+    # four 16-bit counter fields)
+    lane_idx = F.array(*[F.lit(i) for i in range(-1, 16)])  # -1 = the n slot
+    zero = F.array_repeat(F.lit(0).cast("long"), 17)
+    acc = F.aggregate(
+        hashes,
+        zero,
+        lambda a, h: F.zip_with(
+            a,
+            lane_idx,
+            lambda x, i: F.when(i == -1, x + 1).otherwise(
+                x
+                + F.call_function("shiftright", h, i).bitwiseAND(F.lit(_LANE_MASK))
+            ),
+        ),
     )
 
-    def merge(acc: F.Column, h: F.Column) -> F.Column:
-        return F.struct(
-            (acc["n"] + 1).alias("n"),
-            *[
-                (acc[f"l{i}"] + F.shiftright(h, i).bitwiseAND(F.lit(_LANE_MASK))).alias(
-                    f"l{i}"
-                )
-                for i in range(16)
-            ],
-        )
+    # decode from the column reference (NOT the aggregate expression):
+    # popcount of bit i lives in lane (i%16)'s (i//16)-th 16-bit field
+    accc = F.col("acc")
+    n = F.element_at(accc, 1)
 
-    # decode: popcount of bit position (i + 16*k) = lane_i's k-th 16-bit field
-    def _cnt(acc: F.Column, i: int) -> F.Column:
-        return F.shiftright(acc[f"l{i % 16}"], (i // 16) * 16).bitwiseAND(F.lit(0xFFFF))
+    def _cnt(i: F.Column) -> F.Column:
+        lane = F.element_at(accc, F.pmod(i, F.lit(16)) + F.lit(2))
+        return F.call_function(
+            "shiftright", lane, i - F.pmod(i, F.lit(16))
+        ).bitwiseAND(F.lit(0xFFFF))
 
-    acc = F.aggregate(hashes, zero, merge)
+    sig = F.aggregate(
+        F.sequence(F.lit(0), F.lit(62)),  # 63 bits: stay within signed long
+        F.lit(0).cast("long"),
+        lambda s, i: s
+        + F.when(
+            _cnt(i) * 2 > n,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
     # Zero-token (empty/null) docs must drop out, as the explode
     # form's filter did — an all-zero signature would band-join every
     # empty doc against every other. The predicate is deliberately on
     # the RAW text (trim != ''), equivalent to size(words)==0 under
-    # the space-only split: filtering on acc["n"] instead makes
-    # Catalyst substitute the whole 17-lane aggregate into the Filter
-    # node and evaluate it twice (caught by
+    # the space-only split: filtering on the accumulator instead makes
+    # Catalyst substitute the whole aggregate into the Filter node and
+    # evaluate it twice (caught by
     # test_explode_heavy_exprs_not_recomputed_below_exchange).
     packed = d.filter(F.trim(F.col("text")) != "").select("doc_id", acc.alias("acc"))
-    return packed.select(
-        "doc_id",
-        sum(
-            (
-                F.when(_cnt(F.col("acc"), i) * 2 > F.col("acc")["n"], F.lit(1).cast("bigint"))
-                .otherwise(0)
-                * F.lit(2**i).cast("bigint")
-            )
-            for i in range(63)  # 63 bits: stay within signed long
-        ).alias("simhash"),
-    )
+    return packed.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_kernel(batches):
+    """Vectorized twin of simhash_signatures' expression tree, same
+    math in numpy: per doc, tokenize exactly like words() (split on
+    single space, drop empties, cap 65535), hash each DISTINCT token
+    once per batch (md5 low-8-bytes & MASK63 — byte-identical to
+    md5h63; the memo exploits Zipf: the batch vocabulary is ~10×
+    smaller than its token stream, and the expression form re-hashes
+    every occurrence), then take per-bit majority votes with one
+    (tokens × 63) bit matrix per doc. Integer-only arithmetic, so the
+    output is bit-identical to the expression form — pinned by
+    test_simhash_np_bit_identical across every sf tier."""
+    from hashlib import md5
+
+    import numpy as np
+    import pandas as pd
+
+    mask63 = (1 << 63) - 1
+    shifts = np.arange(63, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+    for pdf in batches:
+        memo: dict[str, int] = {}
+        sigs = np.zeros(len(pdf), dtype=np.int64)
+        for r, t in enumerate(pdf["text"].tolist()):
+            toks = [w for w in t.split(" ") if w][:65535]
+            n = len(toks)
+            if n == 0:
+                continue  # all-zero signature, same as the empty fold
+            hs = np.empty(n, dtype=np.uint64)
+            for j, w in enumerate(toks):
+                h = memo.get(w)
+                if h is None:
+                    h = int.from_bytes(md5(w.encode()).digest()[8:16], "big") & mask63
+                    memo[w] = h
+                hs[j] = h
+            cnt = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            sigs[r] = int(weights[2 * cnt > n].sum())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
+
+
+def simhash_signatures_np(d: DataFrame) -> DataFrame:
+    """The kernel form of simhash_signatures: same filter, same
+    signature bits, built in an Arrow-batched numpy kernel instead of
+    the 17-lane SWAR HOF fold. Adopted into dedup_simhash after the
+    r9 A/B (see BASELINE.md): the expression form's per-row fold is
+    the measured 60% of dedup_simhash's cost, and two independent
+    implementations agreeing bit-for-bit is itself a correctness
+    check the single-implementation form can't give."""
+    src = d.filter(F.trim(F.col("text")) != "").select("doc_id", "text")
+    return src.mapInPandas(_simhash_kernel, "doc_id bigint, simhash bigint")
 
 
 # DuckDB mirror of simhash_signatures → pigeonhole block join →

