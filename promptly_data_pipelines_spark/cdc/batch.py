@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions import ts_str
 from ..registry import query
-from .envelope import decode_envelopes, synthesize_envelopes
+from .envelope import (
+    decode_envelopes,
+    decode_envelopes_variant,
+    synthesize_envelopes,
+)
 
 # Shared op-derivation CASE used by every oracle below (must mirror
 # envelope.op_from_event_id exactly).
@@ -281,6 +285,48 @@ def cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after.event_type").alias("event_type"),
         F.col("after.value").alias("value"),
         F.col("source.table").alias("src_table"),
+    )
+
+
+@query(
+    "cdc_parse_variant",
+    registered=False,
+    oracle=f"""
+    SELECT {_OP_SQL} AS op,
+           epoch_ms(ts) AS ts_ms,
+           event_id, event_type, value,
+           CAST(props::JSON->>'k' AS BIGINT) AS props_k,
+           'events' AS src_table
+    FROM events
+    WHERE event_id % 10 <> 0
+    """,
+)
+def cdc_parse_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 on the Spark 4 VARIANT path (schema-on-read twin of
+    ``cdc_parse``): ``try_parse_json`` once per message, then
+    ``try_variant_get`` walks the pre-parsed tree — including a
+    SECOND-level parse of the ``props`` field, which Debezium ships
+    as a JSON *string inside* the JSON envelope (the reference's
+    Trino model reads the envelope the same lax way,
+    raw_provider_postgres.sql:22). The struct-schema decode
+    (``cdc_parse``) nulls fields the schema literal doesn't declare;
+    this form keeps evolving payloads queryable with no redeploy.
+    Equivalence with the struct decode is pinned by
+    tests/test_cdc_variant.py on the full frame."""
+    ev = table(spark, sf_dir, "events")
+    dec = decode_envelopes_variant(synthesize_envelopes(ev))
+    after = F.col("after")
+    props_json = F.try_parse_json(
+        F.try_variant_get(after, "$.props", "string")
+    )
+    return dec.filter(after.isNotNull()).select(
+        "op",
+        "ts_ms",
+        F.try_variant_get(after, "$.event_id", "bigint").alias("event_id"),
+        F.try_variant_get(after, "$.event_type", "string").alias("event_type"),
+        F.try_variant_get(after, "$.value", "double").alias("value"),
+        F.try_variant_get(props_json, "$.k", "bigint").alias("props_k"),
+        "src_table",
     )
 
 

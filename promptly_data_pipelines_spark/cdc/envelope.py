@@ -165,6 +165,36 @@ def from_kafka_source_frame(kafka: DataFrame) -> DataFrame:
     )
 
 
+def decode_envelopes_variant(kafka_like: DataFrame) -> DataFrame:
+    """Schema-on-read decode of the same envelope via Spark 4 VARIANT
+    (``try_parse_json`` → ``try_variant_get``) — the path for topics
+    whose payload EVOLVES: ``from_json`` with a declared schema
+    silently nulls any field added upstream until the schema literal
+    is redeployed, while a variant keeps every field queryable the
+    moment it appears (Trino's ``json_query(_message, 'lax $...')``
+    in raw_provider_postgres.sql:22 is exactly this posture). Cost
+    model at 100 TB: the JSON text is parsed ONCE per row into the
+    binary variant encoding; each ``variant_get`` then walks the
+    pre-parsed tree (no re-tokenizing per field, unlike repeated
+    ``get_json_object`` calls). All accessors are the try_ forms so
+    one malformed message nulls out instead of failing the job
+    (PERMISSIVE posture, same as operators/badrecords.py).
+
+    Returns the same top-level columns as :func:`decode_envelopes`
+    but with ``before``/``after`` as VariantType (callers project
+    fields with ``try_variant_get``)."""
+    v = F.try_parse_json("raw_message")
+    pay = "$.payload"
+    return kafka_like.select(
+        F.try_variant_get(v, f"{pay}.op", "string").alias("op"),
+        F.try_variant_get(v, f"{pay}.ts_ms", "bigint").alias("ts_ms"),
+        F.try_variant_get(v, f"{pay}.before", "variant").alias("before"),
+        F.try_variant_get(v, f"{pay}.after", "variant").alias("after"),
+        F.try_variant_get(v, f"{pay}.source.table", "string").alias("src_table"),
+        "kafka_timestamp",
+    )
+
+
 def decode_envelopes(kafka_like: DataFrame) -> DataFrame:
     """raw JSON messages → typed columns. ``from_json`` with the declared
     envelope schema (never schema inference); works identically on a
