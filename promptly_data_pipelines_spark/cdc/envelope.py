@@ -180,16 +180,32 @@ def decode_envelopes_variant(kafka_like: DataFrame) -> DataFrame:
     one malformed message nulls out instead of failing the job
     (PERMISSIVE posture, same as operators/badrecords.py).
 
+    One wire-format subtlety matters for deletes: Debezium's JSON
+    converter serializes ``"after": null`` EXPLICITLY on delete
+    envelopes (it does not omit the key), and ``try_variant_get(...,
+    'variant')`` on an explicit JSON null yields a *variant-null* —
+    a non-NULL variant value — so a plain ``after.isNotNull()``
+    tombstone filter would keep delete rows with all-null projected
+    fields. ``_variant_or_null`` collapses variant-null to SQL null
+    here, once, so every downstream filter behaves identically
+    whether the producer omitted the key or wrote an explicit null
+    (pinned by tests/test_cdc_variant.py's explicit-null case).
+
     Returns the same top-level columns as :func:`decode_envelopes`
     but with ``before``/``after`` as VariantType (callers project
     fields with ``try_variant_get``)."""
+
+    def _variant_or_null(path: str):
+        x = F.try_variant_get(F.try_parse_json("raw_message"), path, "variant")
+        return F.when(~F.is_variant_null(x), x)
+
     v = F.try_parse_json("raw_message")
     pay = "$.payload"
     return kafka_like.select(
         F.try_variant_get(v, f"{pay}.op", "string").alias("op"),
         F.try_variant_get(v, f"{pay}.ts_ms", "bigint").alias("ts_ms"),
-        F.try_variant_get(v, f"{pay}.before", "variant").alias("before"),
-        F.try_variant_get(v, f"{pay}.after", "variant").alias("after"),
+        _variant_or_null(f"{pay}.before").alias("before"),
+        _variant_or_null(f"{pay}.after").alias("after"),
         F.try_variant_get(v, f"{pay}.source.table", "string").alias("src_table"),
         "kafka_timestamp",
     )

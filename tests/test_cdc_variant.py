@@ -55,9 +55,12 @@ def test_variant_decode_matches_struct_decode(spark):
 
 
 def test_variant_null_after_on_deletes(spark):
-    """Debezium delete semantics survive the variant path: op='d' rows
-    carry a null after-image (is_variant_null distinguishes JSON null
-    from SQL null — Debezium omits the key, so SQL null here)."""
+    """op='d' rows carry a SQL-null after-image on the variant path.
+    Note the synthesizer's ``to_json`` (ignoreNullFields) OMITS the
+    ``after`` key on deletes, so this case exercises the absent-key
+    form; real Debezium serializes ``"after": null`` explicitly —
+    that form is pinned separately by
+    test_variant_explicit_null_after_is_sql_null below."""
     _, var_dec = _decoded_pair(spark)
     counts = (
         var_dec.groupBy("op")
@@ -71,6 +74,85 @@ def test_variant_null_after_on_deletes(spark):
     assert by_op["d"]["n"] == by_op["d"]["null_after"] > 0
     assert by_op["c"]["null_after"] == 0
     assert by_op["u"]["null_after"] == 0
+
+
+def test_variant_explicit_null_after_is_sql_null(spark):
+    """Real Debezium JSON-converter deletes serialize ``"after": null``
+    EXPLICITLY (the key is present, the value is JSON null). A naive
+    ``try_variant_get(..., 'variant')`` returns a variant-null — a
+    non-NULL value — for that form, so a tombstone filter
+    ``after.isNotNull()`` would leak delete rows with all-null
+    projected fields. decode_envelopes_variant must normalize
+    variant-null to SQL null so both wire forms behave identically,
+    and identically to the struct decode."""
+    import json
+
+    rows = [
+        # explicit-null delete — the real Debezium wire form
+        (
+            json.dumps(
+                {
+                    "payload": {
+                        "op": "d",
+                        "ts_ms": 1700000000000,
+                        "before": {"event_id": 1},
+                        "after": None,
+                        "source": {"table": "events"},
+                    }
+                }
+            ),
+        ),
+        # absent-key delete — what lax producers / the synthesizer emit
+        (
+            json.dumps(
+                {
+                    "payload": {
+                        "op": "d",
+                        "ts_ms": 1700000000001,
+                        "before": {"event_id": 2},
+                        "source": {"table": "events"},
+                    }
+                }
+            ),
+        ),
+        # a live row for contrast
+        (
+            json.dumps(
+                {
+                    "payload": {
+                        "op": "c",
+                        "ts_ms": 1700000000002,
+                        "after": {"event_id": 3, "event_type": "x"},
+                        "source": {"table": "events"},
+                    }
+                }
+            ),
+        ),
+    ]
+    env = (
+        spark.createDataFrame(rows, "raw_message string")
+        .withColumn("kafka_timestamp", F.current_timestamp())
+    )
+    var_dec = decode_envelopes_variant(env)
+    got = {
+        r["ts_ms"]: (r["op"], r["after_is_null"], r["before_is_null"])
+        for r in var_dec.select(
+            "op",
+            "ts_ms",
+            F.col("after").isNull().alias("after_is_null"),
+            F.col("before").isNull().alias("before_is_null"),
+        ).collect()
+    }
+    # explicit-null delete AND absent-key delete: SQL-null after, live before
+    assert got[1700000000000] == ("d", True, False)
+    assert got[1700000000001] == ("d", True, False)
+    # create: non-null after, null before
+    assert got[1700000000002] == ("c", False, True)
+    # the tombstone filter the batch decode uses drops BOTH delete forms
+    assert var_dec.filter(F.col("after").isNotNull()).count() == 1
+    # and the struct decode agrees row-for-row on the filter outcome
+    struct_dec = decode_envelopes(env)
+    assert struct_dec.filter(F.col("after").isNotNull()).count() == 1
 
 
 def test_variant_reads_evolved_field_struct_cannot(spark):
