@@ -56,6 +56,21 @@ Rotations so far:
   other driver rows) rotated out for `dedup_cluster_cc` (transitive
   near-dup clustering) and `text_repetition` (Gopher repetition
   filters).
+- **r10**: round 9's flagship operators earned driver rows —
+  `scan_warc` + `stream_exec_warc` (Python DataSource crawl ingest,
+  batch + exactly-once streaming), `join_bucketed` (zero-Exchange
+  bucketed fact join), `agg_heavy_hitters` (exact Misra–Gries+recount
+  census), `similarity_topk_gemm` (BLAS exact top-k), `dq_quantiles`
+  (exact per-group p50/p95/p99), `corpus_diff` (snapshot diff).
+  Rotated down, each leaving its family ≥1 driver row and keeping
+  its local oracle: `dedup_subset` (A4; dedup family keeps
+  `dedup_latest` + the near-dup suite), `dq_unique`/`dq_not_null`
+  (Q1/Q2 stay driver-checked inside the `dq_suite` composite),
+  `json_props_struct` (X7 keeps `multimodal_pipeline`),
+  `join_case_agg` (joins keep equi/anti-semi/star/bucketed),
+  `similarity_topk_ivf` (X5 keeps exact + GEMM rows; IVF recall
+  contract still pinned in pytest + bench), `text_repetition`
+  (X6 keeps token-counts/doc-profile/TF-IDF rows).
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

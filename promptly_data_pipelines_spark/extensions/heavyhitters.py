@@ -120,7 +120,6 @@ def heavy_hitters(
 
 @query(
     "agg_heavy_hitters",
-    registered=False,  # registered window full; pytest oracle-parity covers it
     oracle="""
     SELECT CAST(o_custkey AS BIGINT) AS key,
            CAST(count(*) AS BIGINT) AS n_occurrences

@@ -372,6 +372,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_props_struct",
+    registered=False,  # r10 rotation: demoted to local tier (family keeps a driver row); pytest oracle-parity still covers it
     oracle="""
     SELECT event_id,
            CAST(props->>'$.k' AS INTEGER) AS k,

@@ -148,6 +148,7 @@ def learned_centroids(e: DataFrame, iters: int = 3) -> DataFrame:
 
 @query(
     "similarity_topk_ivf",
+    registered=False,  # r10 rotation: demoted to local tier (family keeps a driver row); pytest oracle-parity still covers it
     # r6 verdict item #2: the IVF search is approximate, so its rows
     # can't be value-hashed directly — instead the registered query
     # emits the EXACT top-k rows (fully deterministic, mirrored below)
@@ -1291,7 +1292,6 @@ def _gemm_candidates(qids, qmat, take_k: int):
 
 @query(
     "similarity_topk_gemm",
-    registered=False,  # registered window full; pytest oracle-parity covers it
     oracle=_EXACT_TOPK_CTE + "\n    SELECT query_id, vec_id, cos_sim, rk FROM exact",
 )
 def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,7 +97,7 @@ def _diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_id", status.alias("status"), "old_hash", "new_hash")
 
 
-@query("corpus_diff", registered=False, oracle=_DIFF_SQL)
+@query("corpus_diff", oracle=_DIFF_SQL)
 def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document snapshot diff: full-outer join of the two
     (doc_id, md5(text)) projections, status from side presence + hash

@@ -534,6 +534,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition",
+    registered=False,  # r10 rotation: demoted to local tier (family keeps a driver row); pytest oracle-parity still covers it
     oracle="""
     WITH w0 AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w

@@ -104,6 +104,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_subset",
+    registered=False,  # r10 rotation: demoted to local tier (family keeps a driver row); pytest oracle-parity still covers it
     oracle="""
     SELECT lang, source, doc_id, n_chars
     FROM (

@@ -120,7 +120,6 @@ def bucketed_order_join(spark: SparkSession, li_name: str, o_name: str) -> DataF
 
 @query(
     "join_bucketed",
-    registered=False,  # registered window full; pytest oracle-parity covers it
     oracle="""
     WITH rev AS (
       SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,

@@ -170,6 +170,7 @@ def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_case_agg",
+    registered=False,  # r10 rotation: demoted to local tier (family keeps a driver row); pytest oracle-parity still covers it
     oracle="""
     SELECT p.p_brand,
            round(sum(CASE WHEN p.p_type LIKE 'PROMO%'

@@ -38,8 +38,11 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import sys as _sys
 import tempfile
 import uuid
+
+from pyspark import cloudpickle as _pyspark_cloudpickle
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -466,6 +469,21 @@ class WarcStreamWriter(DataSourceStreamWriter):
                 pass
 
 
+# The DataSource class travels to worker processes as a cloudpickle
+# payload (batch read planning, and the long-lived
+# python_streaming_source_runner that manages stream offsets). Those
+# workers do NOT have this package on sys.path unless the deployment
+# shipped it (pytest only passed because CWD=repo-root leaked onto the
+# path; a plain driver session from any other directory failed —
+# caught by tools/driver_sim.py). Registering the module for
+# pickle-by-value makes the payload self-contained: every in-module
+# helper the protocol classes touch is serialized into the pickle, so
+# the source works on a bare 1000-executor cluster with no --py-files.
+# The protocol classes deliberately reference ONLY this module +
+# stdlib + pyspark (importable everywhere); keep it that way.
+_pyspark_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
 class WarcDataSource(DataSource):
     """`spark.read.format("pdp_warc").load(dir)` (batch) or
     `spark.readStream.format("pdp_warc").load(dir)` (drop-folder
@@ -541,7 +559,6 @@ def write_warc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 @query(
     "scan_warc",
-    registered=False,  # registered window full; pytest oracle-parity covers it
     oracle=f"""
     SELECT doc_id,
            'response' AS warc_type,
@@ -586,7 +603,6 @@ def _warc_projection(raw: DataFrame) -> DataFrame:
 
 @query(
     "stream_exec_warc",
-    registered=False,  # registered window full; pytest oracle-parity covers it
     oracle=f"""
     SELECT doc_id,
            'response' AS warc_type,

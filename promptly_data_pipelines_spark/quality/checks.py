@@ -116,6 +116,7 @@ def run_suite(checks: dict[str, DataFrame]) -> DataFrame:
 
 @query(
     "dq_unique",
+    registered=False,  # r10 rotation: demoted to local tier (family keeps a driver row); pytest oracle-parity still covers it
     oracle="""
     SELECT lang, source, CAST(count(*) AS BIGINT) AS n_dups
     FROM documents
@@ -131,6 +132,7 @@ def dq_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_not_null",
+    registered=False,  # r10 rotation: demoted to local tier (family keeps a driver row); pytest oracle-parity still covers it
     oracle="""
     WITH agg AS (
       SELECT CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_event_type,

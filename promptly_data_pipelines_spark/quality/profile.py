@@ -89,7 +89,6 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_quantiles",
-    registered=False,
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,

@@ -53,34 +53,33 @@ _ORDER: tuple[str, ...] = (
     "dedup_decontaminate",
     "dedup_cluster_cc",
     "similarity_topk",
-    "similarity_topk_ivf",
+    "similarity_topk_gemm",
     "text_token_counts",
     "text_doc_profile",
     "text_tfidf_topk",
-    "text_repetition",
     "udf_pandas_scalar",
     "udf_grouped_map",
-    "dq_unique",
-    "dq_not_null",
     "dq_relationships",
     "dq_suite",
+    "dq_quantiles",
     "dataset_split",
     "sample_stratified_cap",
     "multimodal_pipeline",
-    "json_props_struct",
+    "corpus_diff",
     # §2 operator core
     "agg_group",
     "agg_having",
     "agg_count_distinct",
-    "dedup_subset",
+    "agg_heavy_hitters",
     "dedup_latest",
     "join_equi",
     "join_anti_semi",
-    "join_case_agg",
     "join_star",
+    "join_bucketed",
     "project_strings",
     "project_events_clean",
     "scan_csv",
+    "scan_warc",
     "sink_partitioned",
     "union_sources",
     "setop_diff",
@@ -97,6 +96,7 @@ _ORDER: tuple[str, ...] = (
     # rows run through the actual Structured Streaming engine.
     "stream_exec_tumbling",
     "stream_exec_session",
+    "stream_exec_warc",
     "stream_exec_late_drop",
     "agg_group_salted",
 )
