@@ -36,6 +36,8 @@ parquet columns.
 from __future__ import annotations
 
 import glob
+import gzip
+import io
 import os
 import shutil
 import sys as _sys
@@ -85,14 +87,21 @@ WARC_SCHEMA = (
 
 
 def write_warc_files(
-    rows: list[tuple[int, str]], out_dir: str, n_files: int, prefix: str = "crawl"
+    rows: list[tuple[int, str]],
+    out_dir: str,
+    n_files: int,
+    prefix: str = "crawl",
+    gzip_members: bool = False,
 ) -> None:
     """Stage (doc_id, text) rows as valid WARC/1.0 response records
     across ``n_files`` files (doc_id mod n_files — deterministic).
     ``prefix`` lets arrival waves land under lexicographically
     increasing names (the append-only drop-folder contract the stream
-    reader tracks offsets by). Harness rigging: a real deployment
-    reads an existing crawl."""
+    reader tracks offsets by). ``gzip_members=True`` writes
+    ``.warc.gz`` in the Common Crawl convention — each record its own
+    gzip member, concatenated (ISO 28500 Annex C 'record-at-time
+    compression'); ``mtime=0`` keeps the bytes deterministic. Harness
+    rigging: a real deployment reads an existing crawl."""
     os.makedirs(out_dir, exist_ok=True)
     shards: dict[int, list[bytes]] = {i: [] for i in range(n_files)}
     for doc_id, text in rows:
@@ -103,9 +112,12 @@ def write_warc_files(
             _WARC_DATE,
             text,
         )
-        shards[doc_id % n_files].append(rec)
+        shards[doc_id % n_files].append(
+            gzip.compress(rec, mtime=0) if gzip_members else rec
+        )
+    ext = ".warc.gz" if gzip_members else ".warc"
     for i, recs in shards.items():
-        with open(os.path.join(out_dir, f"{prefix}-{i:05d}.warc"), "wb") as fh:
+        with open(os.path.join(out_dir, f"{prefix}-{i:05d}{ext}"), "wb") as fh:
             fh.write(b"".join(recs))
 
 
@@ -127,6 +139,27 @@ def _warc_record_bytes(
         + body
         + b"\r\n\r\n"
     )
+
+
+_WARC_EXTS = (".warc", ".warc.gz")
+
+
+def _is_warc_name(name: str) -> bool:
+    return name.endswith(_WARC_EXTS)
+
+
+def _open_warc(path: str):
+    """Open a crawl file as a byte stream the parser can consume.
+    ``.warc.gz`` decompresses through :class:`gzip.GzipFile`, which
+    reads CONCATENATED members transparently — so both real-world gz
+    layouts (one member per record, Common Crawl's random-access
+    convention, and one member per file) parse with the same code; the
+    BufferedReader restores cheap ``readline`` over the decompressor.
+    Decompression is member-streaming: memory holds one zlib window +
+    one record, never the inflated file."""
+    if path.endswith(".gz"):
+        return io.BufferedReader(gzip.open(path, "rb"))
+    return open(path, "rb")
 
 
 def _parse_warc_stream(fh):
@@ -209,16 +242,17 @@ class WarcReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         # one partition per crawl file — WARC's natural split unit
+        # (.warc.gz included: per-member gz keeps file-granular splits)
         return [
             _WarcFilePartition(os.path.join(self._path, f))
             for f in sorted(os.listdir(self._path))
-            if f.endswith(".warc")
+            if _is_warc_name(f)
         ]
 
     def read(self, partition: _WarcFilePartition):
         if partition is None:  # zero crawl files: engine passes None
             return
-        with open(partition.path, "rb") as fh:
+        with _open_warc(partition.path) as fh:
             records = _parse_warc_stream(fh)
             if self._preds:
                 records = (
@@ -269,7 +303,7 @@ class WarcStreamReader(DataSourceStreamReader):
         self._path = options["path"]
 
     def _files(self) -> list[str]:
-        return sorted(f for f in os.listdir(self._path) if f.endswith(".warc"))
+        return sorted(f for f in os.listdir(self._path) if _is_warc_name(f))
 
     def initialOffset(self) -> dict:
         return {"n": 0}
@@ -286,7 +320,7 @@ class WarcStreamReader(DataSourceStreamReader):
     def read(self, partition: _WarcFilePartition):
         if partition is None:  # empty wave: engine passes None
             return
-        with open(partition.path, "rb") as fh:
+        with _open_warc(partition.path) as fh:
             yield from _parse_warc_stream(fh)
 
     def commit(self, end: dict) -> None:
@@ -307,6 +341,19 @@ class _WarcCommit(WriterCommitMessage):
 # sink input contract: these two must exist; the rest are defaultable
 _SINK_REQUIRED = ("target_uri", "payload")
 _SINK_DEFAULTS = {"warc_type": "response", "warc_date": _WARC_DATE}
+
+
+def _gz_option(options: dict) -> bool:
+    """Sink ``compression`` option: 'none' (default) or 'gzip'
+    (record-per-member .warc.gz). Anything else is a loud ValueError
+    on the driver, not a silently-ignored typo."""
+    val = (options.get("compression", "none") or "none").lower()
+    if val not in ("none", "gzip"):
+        raise ValueError(
+            f"pdp_warc sink: unsupported compression {val!r} "
+            "(supported: none, gzip)"
+        )
+    return val == "gzip"
 
 
 def _check_sink_schema(schema) -> None:
@@ -349,19 +396,23 @@ def _row_record_bytes(row) -> bytes:
     return _warc_record_bytes(rid, wtype, uri, wdate, payload)
 
 
-def _stage_records(staging: str, iterator) -> _WarcCommit:
+def _stage_records(staging: str, iterator, gz: bool = False) -> _WarcCommit:
     """Executor half of the two-phase commit, shared by batch and
     stream: records land in a task-private uuid-named file under the
     staging dir, so a speculative/retried task can never interleave
     bytes with another attempt, and nothing is visible to readers until
     the driver's commit renames it into place. Empty tasks stage
-    nothing (no zero-record files in the final layout)."""
+    nothing (no zero-record files in the final layout). ``gz`` writes
+    each record as its own gzip member (record-at-time compression —
+    the layout that preserves record-level random access, ISO 28500
+    Annex C / Common Crawl), deterministic via ``mtime=0``."""
     os.makedirs(staging, exist_ok=True)
     staged = os.path.join(staging, f"task-{uuid.uuid4().hex}.warctmp")
     n = 0
     with open(staged, "wb") as fh:
         for row in iterator:
-            fh.write(_row_record_bytes(row))
+            rec = _row_record_bytes(row)
+            fh.write(gzip.compress(rec, mtime=0) if gz else rec)
             n += 1
     if n == 0:
         os.remove(staged)
@@ -391,20 +442,23 @@ class WarcWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self._path = options["path"]
         self._overwrite = overwrite
+        self._gz = _gz_option(options)
         self._token = uuid.uuid4().hex[:12]
         self._staging = os.path.join(self._path, f"_staging-{self._token}")
 
     def write(self, iterator) -> _WarcCommit:
-        return _stage_records(self._staging, iterator)
+        return _stage_records(self._staging, iterator, gz=self._gz)
 
     def commit(self, messages) -> None:
         staged = _staged_paths(messages)
+        ext = ".warc.gz" if self._gz else ".warc"
         if self._overwrite:
-            for old in glob.glob(os.path.join(self._path, "*.warc")):
-                os.remove(old)
+            for e in _WARC_EXTS:  # clear BOTH layouts, whichever wrote last
+                for old in glob.glob(os.path.join(self._path, f"*{e}")):
+                    os.remove(old)
         for i, s in enumerate(staged):
             os.replace(
-                s, os.path.join(self._path, f"part-{i:05d}-{self._token}.warc")
+                s, os.path.join(self._path, f"part-{i:05d}-{self._token}{ext}")
             )
         shutil.rmtree(self._staging, ignore_errors=True)
 
@@ -435,20 +489,23 @@ class WarcStreamWriter(DataSourceStreamWriter):
         # run's leftovers self-heal because the restart shares this dir
         # and the commit-barrier sweep below collects them.
         self._staging = os.path.join(self._path, "_staging-stream")
+        self._gz = _gz_option(options)
 
     def write(self, iterator) -> _WarcCommit:
-        return _stage_records(self._staging, iterator)
+        return _stage_records(self._staging, iterator, gz=self._gz)
 
     def commit(self, messages, batchId: int) -> None:
         staged = _staged_paths(messages)
-        for old in glob.glob(
-            os.path.join(self._path, f"batch-{batchId:09d}-*.warc")
-        ):
-            os.remove(old)  # retry/restart idempotency: replace, never duplicate
+        ext = ".warc.gz" if self._gz else ".warc"
+        for e in _WARC_EXTS:
+            for old in glob.glob(
+                os.path.join(self._path, f"batch-{batchId:09d}-*{e}")
+            ):
+                os.remove(old)  # retry/restart idempotency: replace, never duplicate
         for i, s in enumerate(staged):
             os.replace(
                 s,
-                os.path.join(self._path, f"batch-{batchId:09d}-{i:05d}.warc"),
+                os.path.join(self._path, f"batch-{batchId:09d}-{i:05d}{ext}"),
             )
         # orphan sweep: files staged by attempts whose commit message
         # never reached the driver (speculative losers, failed tasks,
@@ -548,13 +605,25 @@ def warc_to_parquet(spark: SparkSession, warc_dir: str, parquet_dir: str) -> Non
     read_warc(spark, warc_dir).write.mode("overwrite").parquet(parquet_dir)
 
 
-def write_warc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_warc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "none",
+) -> None:
     """Register (idempotent) + write a DataFrame as WARC/1.0 files.
     Input contract: ``target_uri`` and ``payload`` columns required;
     ``record_id``/``warc_type``/``warc_date`` honored when present,
-    defaulted when absent. One output file per non-empty task."""
+    defaulted when absent. One output file per non-empty task.
+    ``compression='gzip'`` emits ``.warc.gz`` with one gzip member per
+    record (Common Crawl's record-at-time layout)."""
     df.sparkSession.dataSource.register(WarcDataSource)
-    df.write.format("pdp_warc").mode(mode).save(path)
+    (
+        df.write.format("pdp_warc")
+        .mode(mode)
+        .option("compression", compression)
+        .save(path)
+    )
 
 
 @query(
@@ -588,6 +657,40 @@ def scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pdp_warc_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
     )
     write_warc_files(rows, out, _N_FILES)
+    raw = read_warc(spark, out)
+    return _warc_projection(raw)
+
+
+@query(
+    "scan_warc_gz",
+    registered=False,  # gz twin of the driver row scan_warc; parity-checked
+    oracle=f"""
+    SELECT doc_id,
+           'response' AS warc_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_WARC_CAP}
+    """,
+)
+def scan_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan_warc over ``.warc.gz`` staging — the format real crawls
+    actually ship (Common Crawl: one gzip member per record). Same
+    oracle as scan_warc, so the value hash proves decompress → parse →
+    payload is byte-lossless; n_bytes pins Content-Length against the
+    UNCOMPRESSED payload (a parser reading compressed lengths flips
+    the hash)."""
+    rows = [
+        (r.doc_id, r.text)
+        for r in table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WARC_CAP)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_warcgz_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    write_warc_files(rows, out, _N_FILES, gzip_members=True)
     raw = read_warc(spark, out)
     return _warc_projection(raw)
 

@@ -206,6 +206,81 @@ def test_write_roundtrip_hostile_payloads(spark, tmp_path):
     assert not [d for d in os.listdir(out) if d.startswith("_staging")]
 
 
+def test_gzip_member_roundtrip_hostile_payloads(tmp_path):
+    """.warc.gz in the Common Crawl layout (one gzip member per
+    record, concatenated): every hostile payload class survives
+    decompress → parse, and content_length is the UNCOMPRESSED byte
+    count."""
+    import gzip
+
+    from promptly_data_pipelines_spark.operators.warcsource import _open_warc
+
+    rows = [
+        (1, "sep\r\n\r\nWARC/1.0\r\ninside"),
+        (2, "Content-Length: 999\r\n\r\nfake header"),
+        (3, "emojis \U0001f600\U0001f680 and accents éü"),
+        (4, ""),
+    ]
+    write_warc_files(rows, str(tmp_path), n_files=1, gzip_members=True)
+    path = tmp_path / "crawl-00000.warc.gz"
+    # layout pin: N records → N concatenated members (random access)
+    raw = path.read_bytes()
+    assert raw.count(b"\x1f\x8b\x08") >= len(rows)
+    with _open_warc(str(path)) as fh:
+        recs = list(_parse_warc_stream(fh))
+    assert {(r[0], r[5], r[4]) for r in recs} == {
+        (f"urn:uuid:pdp-doc-{i}", p, len(p.encode("utf-8"))) for i, p in rows
+    }
+    # single-member whole-file gz (the other layout in the wild) also parses
+    whole = tmp_path / "whole.warc.gz"
+    with _open_warc(str(path)) as fh:
+        plain = fh.read()
+    whole.write_bytes(gzip.compress(plain, mtime=0))
+    with _open_warc(str(whole)) as fh:
+        assert len(list(_parse_warc_stream(fh))) == len(rows)
+
+
+def test_gzip_and_plain_files_mix_in_one_scan(spark, tmp_path):
+    """A drop folder holding BOTH .warc and .warc.gz (mid-migration
+    crawls do this) reads as one DataFrame, one partition per file."""
+    write_warc_files([(1, "plain-file")], str(tmp_path), n_files=1)
+    write_warc_files(
+        [(2, "gz-file")], str(tmp_path), n_files=1, prefix="crawlgz",
+        gzip_members=True,
+    )
+    df = read_warc(spark, str(tmp_path))
+    assert df.rdd.getNumPartitions() == 2
+    assert {r["payload"] for r in df.collect()} == {"plain-file", "gz-file"}
+
+
+def test_gzip_sink_roundtrip_and_stream_relay_compat(spark, tmp_path):
+    """compression='gzip' on the sink: multi-task two-phase commit
+    publishes .warc.gz parts readable by the source; the stream sink's
+    gz output remains a valid drop folder (relay compat). Unsupported
+    codecs fail loudly on the driver."""
+    import pytest
+
+    from promptly_data_pipelines_spark.operators.warcsource import write_warc
+
+    rows = [(1, "a\r\n\r\nWARC/1.0\r\nb"), (2, "ü☃"), (3, "")]
+    out = str(tmp_path / "sink")
+    write_warc(_sink_df(spark, rows).repartition(3), out, compression="gzip")
+    names = [f for f in os.listdir(out) if not f.startswith("_")]
+    assert names and all(f.endswith(".warc.gz") for f in names)
+    got = {
+        (r["record_id"], r["payload"], r["content_length"])
+        for r in read_warc(spark, out).collect()
+    }
+    assert got == {
+        (f"urn:uuid:t-{i}", p, len(p.encode("utf-8"))) for i, p in rows
+    }
+    # overwrite in the OTHER layout clears gz parts too (no stale mix)
+    write_warc(_sink_df(spark, [(9, "now-plain")]), out, mode="overwrite")
+    assert {r["payload"] for r in read_warc(spark, out).collect()} == {"now-plain"}
+    with pytest.raises(Exception, match="compression"):
+        write_warc(_sink_df(spark, rows), str(tmp_path / "bad"), compression="zstd")
+
+
 def test_write_modes_overwrite_and_append(spark, tmp_path):
     from promptly_data_pipelines_spark.operators.warcsource import write_warc
 
