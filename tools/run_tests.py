@@ -58,6 +58,22 @@ def main() -> int:
     # "main" shard from becoming the wall-clock bottleneck as the
     # module grows (r8: main crept past 10 min with modules inside it)
     launch("modules", base + ["tests/test_modules.py"], {})
+    # streaming/file-IO-heavy modules (r9 verdict item #5): each test
+    # here spends seconds in micro-batch engine startup or sink
+    # write+readback, so together they dominated "main"'s wall. Their
+    # own process halves the critical path; coverage is identical
+    # because main --ignores exactly this list.
+    stream_io = [
+        "tests/test_recovery.py",
+        "tests/test_warcsource.py",
+        "tests/test_kafka_wire.py",
+        "tests/test_incremental.py",
+        "tests/test_cdc_variant.py",
+        "tests/test_compaction.py",
+        "tests/test_stress.py",
+        "tests/test_badrecords.py",
+    ]
+    launch("stream_io", base + stream_io, {})
     launch(
         "main",
         base
@@ -65,6 +81,7 @@ def main() -> int:
             "tests/",
             "--ignore", os.path.join(REPO, "tests/test_oracle_parity.py"),
             "--ignore", os.path.join(REPO, "tests/test_modules.py"),
+            *[a for m in stream_io for a in ("--ignore", os.path.join(REPO, m))],
         ],
         {},
     )
@@ -80,7 +97,7 @@ def main() -> int:
             print(f"    {line}")
         rc = rc or p.returncode
     print(f"total wall-clock: {time.perf_counter() - t0:.0f}s "
-          f"({args.shards} parity shards + modules + main)")
+          f"({args.shards} parity shards + modules + stream_io + main)")
     return rc
 
 
