@@ -19,6 +19,11 @@ Run on a quiet machine and paste the JSON into BASELINE.md:
 
     python tools/probe_scaling.py            # factors 1,10 — ~10 min
     PDP_SCALE_FACTORS=1,3,10 python tools/probe_scaling.py
+    # r10 extra-decade run (verdict item #6): the dedup/join family
+    # only, out to factor 30 (~18M lineitem-equivalent rows):
+    PDP_SCALE_FACTORS=1,10,30 \
+    PDP_SCALE_OPS=agg_group,join_star,topk_group,dedup_exact,dedup_near_text,dedup_simhash,dedup_ngram_jaccard \
+      python tools/probe_scaling.py
 """
 
 from __future__ import annotations
@@ -57,6 +62,19 @@ OPS = (
 )
 
 
+def _ops() -> tuple[str, ...]:
+    """PDP_SCALE_OPS narrows the op set (comma-separated names) so an
+    expensive high-factor run can target one family."""
+    raw = os.environ.get("PDP_SCALE_OPS")
+    if not raw:
+        return OPS
+    chosen = tuple(x.strip() for x in raw.split(",") if x.strip())
+    unknown = [x for x in chosen if x not in OPS]
+    if unknown:
+        raise SystemExit(f"PDP_SCALE_OPS not in probe set: {unknown}")
+    return chosen
+
+
 def one_factor_main() -> None:
     """Subprocess entry (PDP_SCALE_FACTOR set): write the amplified
     slice, time every op min-of-2 (one untimed warmup line first),
@@ -79,7 +97,7 @@ def one_factor_main() -> None:
         queries["agg_group"](spark, dest).write.format("noop").mode(
             "overwrite"
         ).save()
-        for name in OPS:
+        for name in _ops():
             runs = []
             for _ in range(2):
                 spark.catalog.clearCache()
@@ -122,19 +140,29 @@ def main() -> None:
 
     base_f = min(results)
     top_f = max(results)
+    facts = sorted(results)
     rows = []
-    for name in OPS:
+    for name in _ops():
         t1, tn = results[base_f].get(name), results[top_f].get(name)
         if not t1 or not tn:
             continue
         ratio = tn / t1
         expo = math.log(ratio) / math.log(top_f / base_f) if top_f != base_f else 0.0
-        rows.append({
+        row = {
             "op": name,
-            **{f"t{f}": results[f].get(name) for f in sorted(results)},
+            **{f"t{f}": results[f].get(name) for f in facts},
             "ratio": round(ratio, 2),
             "exponent": round(expo, 2),
-        })
+        }
+        # per-adjacent-decade exponents: the low pair is overhead-
+        # dominated, so the HIGH pair is the scale signal that matters
+        for lo, hi in zip(facts, facts[1:]):
+            a, b = results[lo].get(name), results[hi].get(name)
+            if a and b:
+                row[f"exp_{lo}_{hi}"] = round(
+                    math.log(b / a) / math.log(hi / lo), 2
+                )
+        rows.append(row)
     out = {
         "metric": "scaling_probe",
         "sf_dir": SF_DIR,
