@@ -844,3 +844,96 @@ def stream_warc_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
         assert not q.isActive, "warc relay drain did not terminate"
     return _warc_projection(read_warc(spark, out))
+
+
+# The WET-extraction composite's oracle: the same HTML-stage, strip,
+# and PII chains the single-op oracles use (extensions/web.py
+# _HTML_STAGE_SQL, text_html_strip, pii_scrub), composed over the
+# WARC-capped slice. Patterns are RE2/Java-portable by construction.
+_WET_ORACLE = f"""
+    WITH staged AS (
+      SELECT doc_id,
+             '<html><head><title>' || source || '</title>'
+             || '<style>p{{margin:0}}</style>'
+             || '<script type="text/javascript">var a=1 && 2;</script>'
+             || '</head><body data-x="1"><h1>' || upper(lang) || '</h1><p>'
+             || text || ' &amp; tail &lt;b&gt;</p><br/>'
+             || '<div class="ft">&quot;footer&quot;</div></body></html>' AS html
+      FROM documents
+      WHERE doc_id < {_WARC_CAP}
+    ),
+    stripped AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS wet0
+      FROM staged
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(wet0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g') AS wet_text
+      FROM stripped
+    )
+    SELECT doc_id, wet_text,
+           CAST(len(list_filter(string_split(wet_text, ' '), w -> w <> '')) AS INT)
+             AS n_tokens
+    FROM scrubbed
+"""
+
+
+@query("warc_wet_extract", registered=False, oracle=_WET_ORACLE)
+def warc_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl WET story end to end through the REAL custom
+    source: documents staged as HTML pages, archived as ``.warc.gz``
+    through the pdp_warc SINK (two-phase commit, record-per-member
+    gzip), read back through the pdp_warc SOURCE (member-aware
+    decompression, one partition per crawl file), then HTML→text
+    extraction (extensions/web.strip_html), PII scrubbing
+    (extensions/text.scrub_pii), and whitespace token counting — the
+    WET-record equivalent a crawl-derived training corpus starts
+    from. The DuckDB oracle recomputes the whole chain from the base
+    table, so the value hash covers sink framing, gzip members,
+    parse, and every text transform at once. At 100 TB: the archive
+    write is the pay-once ingest; everything after the scan is
+    map-side-only expression work (zero shuffles past the read)."""
+    from ..catalog import table as _table
+    from ..extensions.text import scrub_pii
+    from ..extensions.web import stage_html, strip_html
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < _WARC_CAP)
+    src = stage_html(docs).select(
+        F.concat(F.lit("urn:uuid:pdp-doc-"), F.col("doc_id")).alias("record_id"),
+        F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.col("html").alias("payload"),
+    ).repartition(4)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_wet_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    write_warc(src, out, mode="overwrite", compression="gzip")
+    raw = read_warc(spark, out)
+    wet = raw.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        scrub_pii(strip_html(F.col("payload"))).alias("wet_text"),
+    )
+    return wet.select(
+        "doc_id",
+        "wet_text",
+        F.size(F.filter(F.split("wet_text", " "), lambda x: x != F.lit("")))
+        .cast("int")
+        .alias("n_tokens"),
+    )

@@ -183,6 +183,7 @@ def _load_all() -> None:
         web_corpus,
     )
     from .extensions import (  # noqa: F401
+        audio,
         classify,
         curation,
         dedup,
