@@ -195,11 +195,14 @@ def decode_envelopes_variant(kafka_like: DataFrame) -> DataFrame:
     but with ``before``/``after`` as VariantType (callers project
     fields with ``try_variant_get``)."""
 
-    def _variant_or_null(path: str):
-        x = F.try_variant_get(F.try_parse_json("raw_message"), path, "variant")
-        return F.when(~F.is_variant_null(x), x)
-
     v = F.try_parse_json("raw_message")
+
+    def _variant_or_null(path: str):
+        # reuse the shared parsed variant `v` — re-deriving it here
+        # would parse the JSON text again per column if subexpression
+        # elimination doesn't collapse the duplicates
+        x = F.try_variant_get(v, path, "variant")
+        return F.when(~F.is_variant_null(x), x)
     pay = "$.payload"
     return kafka_like.select(
         F.try_variant_get(v, f"{pay}.op", "string").alias("op"),

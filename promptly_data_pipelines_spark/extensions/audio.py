@@ -71,7 +71,11 @@ def wav_pcm(payload: bytes) -> tuple[dict, np.ndarray]:
             body = payload[off + 8 : off + 8 + size]
             if len(body) != size:
                 raise ValueError("WAV payload has a truncated data chunk")
-            return fmt, np.frombuffer(body[: len(body) - (len(body) % 2)], dtype="<i2")
+            if len(body) % 2:
+                raise ValueError(
+                    "WAV data chunk has odd byte length (corrupt for int16 PCM)"
+                )
+            return fmt, np.frombuffer(body, dtype="<i2")
         off += 8 + size + (size & 1)
     raise ValueError("WAV payload has no data chunk")
 
@@ -109,6 +113,88 @@ def pcm_features(samples: np.ndarray, n_channels: int) -> dict:
         "peak": int(np.max(np.abs(x))),
         "n_zero_crossings": crossings,
     }
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("n_zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def frame_features(samples: np.ndarray, n_channels: int) -> list[dict]:
+    """Per-frame (FRAME mono samples; the tail frame may be short)
+    RMS / peak / zero-crossing rows — the table a speech-gating
+    pipeline actually filters on (e.g. keep docs whose voiced-frame
+    fraction clears a threshold). Vectorized: one ``reduceat`` per
+    feature over the frame boundaries; crossings use the same
+    zero-holds-previous-sign convention as :func:`pcm_features`,
+    counted only between sample pairs INSIDE a frame (a boundary pair
+    belongs to neither frame, so frame counts sum to ≤ the full-signal
+    count — pinned in tests)."""
+    mono = samples[::n_channels] if n_channels > 1 else samples
+    n = int(mono.shape[0])
+    if n == 0:
+        return []
+    x = mono.astype(np.float64)
+    starts = np.arange(0, n, FRAME)
+    lens = np.minimum(starts + FRAME, n) - starts
+    sq_sums = np.add.reduceat(x * x, starts)
+    peaks = np.maximum.reduceat(np.abs(x), starts)
+    # held sign over the whole signal (zero holds previous), then a
+    # crossing at pair i counts toward frame i//FRAME unless the pair
+    # straddles a boundary ((i+1) % FRAME == 0 means i+1 starts the
+    # next frame)
+    s = np.sign(x).astype(np.int8)
+    nz = s != 0
+    idx = np.where(nz, np.arange(n), 0)
+    np.maximum.accumulate(idx, out=idx)
+    held = s[idx]
+    counts = np.zeros(starts.shape[0], dtype=np.int64)
+    if n > 1:
+        i = np.arange(n - 1)
+        cross = (held[:-1] != 0) & (held[1:] != held[:-1]) & ((i + 1) % FRAME != 0)
+        counts = np.bincount(
+            i[cross] // FRAME, minlength=starts.shape[0]
+        ).astype(np.int64)
+    return [
+        {
+            "frame_idx": int(f),
+            "n_samples": int(lens[f]),
+            "rms": float(np.sqrt(sq_sums[f] / lens[f])),
+            "peak": int(peaks[f]),
+            "n_zero_crossings": int(counts[f]),
+        }
+        for f in range(starts.shape[0])
+    ]
+
+
+def extract_audio_frames(media: DataFrame) -> DataFrame:
+    """mapInPandas over WAV payloads → one row per analysis frame.
+    Row count amplifies by n_frames per doc but stays partition-local
+    (no shuffle); at 100 TB the frame table is written partitioned and
+    aggregated map-side before any wide op."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, samples = wav_pcm(p)
+                for feats in frame_features(samples, fmt["n_channels"]):
+                    rows.append({"doc_id": doc_id, **feats})
+            out = pd.DataFrame(rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA])
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["rms"] = out["rms"].astype("float64")
+            for c in ("frame_idx", "n_samples", "peak", "n_zero_crossings"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media.mapInPandas(batches, AUDIO_FRAME_SCHEMA)
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
@@ -190,3 +276,40 @@ def audio_tone_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (n-1)//P). A mis-framed data chunk, an endianness slip,
     or an off-by-one in the frame count flips the hash."""
     return extract_audio_features(media_table_tone(spark, sf_dir))
+
+
+@query(
+    "audio_frame_features",
+    registered=False,
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             500 + (doc_id % 17) * 100 AS a,
+             2 + doc_id % 7 AS p,
+             512 + (doc_id % 5) * 128 AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(t.f AS INT) AS frame_idx,
+           CAST(LEAST({FRAME}, n - {FRAME} * t.f) AS INT) AS n_samples,
+           CAST(a AS DOUBLE) AS rms,
+           CAST(a AS INT) AS peak,
+           CAST((LEAST(n, {FRAME} * t.f + {FRAME}) - 1) // p
+                - ({FRAME} * t.f) // p AS INT) AS n_zero_crossings
+    FROM params
+    CROSS JOIN generate_series(0, 3) AS t(f)  -- max n = 1024 -> <= 4 frames
+    WHERE t.f < (n + {FRAME} - 1) // {FRAME}
+    """,
+)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRAMED feature table (one row per {FRAME}-sample analysis
+    frame) a speech-gating pipeline filters on, value-checked per
+    frame: the square wave's frame RMS/peak are exactly the amplitude
+    regardless of where the frame cuts, and the in-frame crossing
+    count is exactly (e-1)//P - s//P for frame [s, e) (a sign flip at
+    sample t+1 happens iff P divides t+1; pairs straddling a frame
+    boundary belong to neither frame). n = 512 + (doc_id%5)·128 makes
+    2 of 5 docs end in a SHORT tail frame (n % {FRAME} = 128), so the
+    odd-tail path is exercised by the oracle itself, not just unit
+    tests."""
+    return extract_audio_frames(media_table_tone(spark, sf_dir))

@@ -238,8 +238,8 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = (
         priors.join(tot, "lang")
-        .crossJoin(vocab)
-        .crossJoin(n)
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n))
         .select("lang", "n_docs", "tot", "v", "n_train")
     )
     cnt_k = cnt.select(F.col("lang").alias("c_lang"), F.col("word").alias("c_word"), "c")

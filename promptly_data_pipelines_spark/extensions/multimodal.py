@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from ..catalog import table
 from ..registry import query
-from .png import decode_png_header, encode_png, resize_png
+from .png import decode_png, decode_png_header, encode_png, encode_png_palette, resize_png
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -423,6 +423,108 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_media(media_table_png(spark, sf_dir), 8, 6)
     feats = extract_features(resized.select("doc_id", "media_type", "payload"))
     return feats.select("doc_id", "width", "height", "n_channels")
+
+
+_PAL_N = 8  # palette entries in the synthetic type-3 fixtures
+
+
+def media_table_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table of REAL color-type-3 (palette) PNGs — the most
+    common PNG color type on the web. Index plane cycles 0.._PAL_N-1
+    in raster order; palette entry i is ((doc_id·31+i·7)%256,
+    (doc_id·17+i·11)%256, (doc_id·13+i·5)%256); dims are the same
+    doc_id functions as media_table_png. Everything about the decoded
+    image is therefore closed-form in doc_id — which is what lets a
+    SQL oracle value-check the PLTE lookup itself, not just the
+    header."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 29, 3 + i % 17
+                idx = (np.arange(h * w, dtype=np.int64) % _PAL_N).astype(
+                    np.uint8
+                ).reshape(h, w)
+                k = np.arange(_PAL_N, dtype=np.int64)
+                pal = np.stack(
+                    [(i * 31 + k * 7) % 256, (i * 17 + k * 11) % 256,
+                     (i * 13 + k * 5) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                rows.append((doc_id, "png", encode_png_palette(idx, pal)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return d.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+_PALETTE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_png_palette",
+    registered=False,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(4 + doc_id % 29 AS INT) AS width,
+           CAST(3 + doc_id % 17 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST((SELECT SUM((((4 + doc_id % 29) * (3 + doc_id % 17)
+                              + {_PAL_N} - 1 - i) // {_PAL_N})
+                            * ((doc_id * 31 + i * 7) % 256))
+                 FROM generate_series(0, {_PAL_N - 1}) AS t(i)) AS BIGINT) AS r_sum,
+           CAST((SELECT SUM((((4 + doc_id % 29) * (3 + doc_id % 17)
+                              + {_PAL_N} - 1 - i) // {_PAL_N})
+                            * ((doc_id * 17 + i * 11) % 256))
+                 FROM generate_series(0, {_PAL_N - 1}) AS t(i)) AS BIGINT) AS g_sum,
+           CAST((SELECT SUM((((4 + doc_id % 29) * (3 + doc_id % 17)
+                              + {_PAL_N} - 1 - i) // {_PAL_N})
+                            * ((doc_id * 13 + i * 5) % 256))
+                 FROM generate_series(0, {_PAL_N - 1}) AS t(i)) AS BIGINT) AS b_sum
+    FROM documents
+    """,
+)
+def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette-PNG decode value-checked end to end: type-3 encode
+    (bpp=1 filtered index plane + PLTE) → full decode (chunk CRCs,
+    inflate, unfilter, PLTE table lookup → RGB) → per-channel pixel
+    sums. The DuckDB oracle recomputes each channel sum in closed form
+    from doc_id alone: index i appears count_i = (h·w+N-1-i)//N times
+    in the cycling raster, so channel_sum = Σ count_i · pal[i][ch]. A
+    wrong lookup, a swapped channel, an unfilter slip on the index
+    plane, or a mis-parsed PLTE flips the hash."""
+    media = media_table_png_palette(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(p).astype(np.int64)
+                rows.append(
+                    (doc_id, px.shape[1], px.shape[0], px.shape[2],
+                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()))
+                )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in _PALETTE_DECODE_SCHEMA]
+            )
+            for c in ("width", "height", "n_channels"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media.mapInPandas(batches, _PALETTE_DECODE_SCHEMA)
 
 
 @query("multimodal_features_mixed", registered=False)  # binary features: rows-only check

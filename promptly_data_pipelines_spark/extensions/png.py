@@ -11,11 +11,13 @@ a full encode/decode/resize implementation with zero new dependencies:
 an actual compressed codec, not a header parse.
 
 Scope (asserted, not assumed): non-interlaced, bit depth 8, color
-types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Palette (type 3),
-16-bit depth, and Adam7 interlacing raise ValueError with the reason —
-the same loud-refusal posture as the BMP variant checks. Chunk CRCs
-are verified on decode (corrupt payloads fail loudly, never decode to
-garbage); ancillary chunks are skipped per spec.
+types 0 (gray), 2 (RGB), 3 (palette — PLTE-indexed, decoded by table
+lookup to RGB; the most common color type on the real web), 4
+(gray+alpha), 6 (RGBA). 16-bit depth, sub-byte palette depths, Adam7
+interlacing, and palette transparency (tRNS) raise ValueError with
+the reason — the same loud-refusal posture as the BMP variant checks.
+Chunk CRCs are verified on decode (corrupt payloads fail loudly,
+never decode to garbage); ancillary chunks are skipped per spec.
 
 Decode cost model: one ``zlib.decompress`` per image (C speed), then
 unfiltering. Rows filtered with None/Up are vectorized numpy; Sub is
@@ -42,8 +44,11 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
-# color type -> channel count (bit depth 8 only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> DECODED channel count (bit depth 8 only); palette
+# expands to RGB on decode, so its output channels (3) differ from its
+# scanline samples-per-pixel (1, one index byte) — _SCANLINE_SAMPLES
+_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+_SCANLINE_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
 
 
@@ -162,8 +167,11 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
             ftype, best, best_score = 0, None, None
             for t in range(5):
                 cand = _filter_row(recon, prior, bpp, t)
-                # SAD heuristic: bytes as signed deltas, sum of |v|
-                score = int(np.abs(cand.astype(np.int8)).sum())
+                # SAD heuristic: bytes as signed deltas, sum of |v|.
+                # min(v, 256-v) == |signed(v)| without the int8
+                # abs(-128) == -128 overflow (byte 128 scores 128).
+                c16 = cand.astype(np.int16)
+                score = int(np.minimum(c16, 256 - c16).sum())
                 if best_score is None or score < best_score:
                     ftype, best, best_score = t, cand, score
         out.append(ftype)
@@ -172,6 +180,51 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
     idat = zlib.compress(bytes(out), 6)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index array + (n<=256, 3) uint8 palette
+    as a valid color-type-3 PNG (IHDR + PLTE + IDAT + IEND). Scanlines
+    carry one index byte per pixel, filtered with the same min-SAD
+    heuristic as :func:`encode_png` (bpp=1), so palette decode tests
+    exercise every unfilter branch too. Deterministic like the
+    truecolor encoder: pinned zlib level, no ancillary chunks."""
+    idx = np.ascontiguousarray(np.asarray(indices, dtype=np.uint8))
+    pal = np.ascontiguousarray(np.asarray(palette, dtype=np.uint8))
+    if idx.ndim != 2:
+        raise ValueError(f"palette indices must be (h, w), got shape {idx.shape}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError(f"palette must be (1..256, 3), got shape {pal.shape}")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range for {pal.shape[0]} entries"
+        )
+    h, w = idx.shape
+    if h < 1 or w < 1:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    prior = np.zeros(w, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        recon = idx[y]
+        ftype, best, best_score = 0, None, None
+        for t in range(5):
+            cand = _filter_row(recon, prior, 1, t)
+            c16 = cand.astype(np.int16)
+            score = int(np.minimum(c16, 256 - c16).sum())
+            if best_score is None or score < best_score:
+                ftype, best, best_score = t, cand, score
+        out.append(ftype)
+        out.extend(best.tobytes())
+        prior = recon
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    idat = zlib.compress(bytes(out), 6)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
 
 
 def _parse_chunks(payload: bytes):
@@ -194,21 +247,27 @@ def _parse_chunks(payload: bytes):
         off = data_end + 4
 
 
-def decode_png_header(payload: bytes) -> dict:
-    """Header-only decode (width/height/channels) — the cheap metadata
-    path feature extraction uses; validates signature + IHDR CRC but
-    does not inflate the pixel stream."""
+def _parse_ihdr(payload: bytes) -> tuple[int, int, int]:
+    """Validate signature + IHDR (CRC via the chunk walk) and return
+    (width, height, color_type). Shared by the header-only path and
+    the full decode (which also needs the color type for palette)."""
     if payload[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG payload (bad signature)")
     for tag, data in _parse_chunks(payload):
         if tag != b"IHDR":
             raise ValueError("PNG first chunk is not IHDR")
-        w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
-        if depth != 8:
-            raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
-        if ctype not in _CHANNELS:
+        if len(data) != 13:
             raise ValueError(
-                f"unsupported PNG color type {ctype} (palette/invalid)"
+                f"malformed IHDR chunk (length {len(data)}, expected 13)"
+            )
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+        if ctype not in _CHANNELS:
+            raise ValueError(f"unsupported PNG color type {ctype}")
+        if depth != 8:
+            raise ValueError(
+                f"unsupported PNG bit depth {depth} (only 8"
+                + ("; sub-byte palette depths not supported" if ctype == 3 else "")
+                + ")"
             )
         if comp != 0 or filt != 0:
             raise ValueError("invalid PNG compression/filter method")
@@ -216,20 +275,40 @@ def decode_png_header(payload: bytes) -> dict:
             raise ValueError("Adam7-interlaced PNG not supported")
         if w < 1 or h < 1:
             raise ValueError(f"invalid PNG dimensions {w}x{h}")
-        return {"width": w, "height": h, "n_channels": _CHANNELS[ctype]}
+        return w, h, ctype
     raise ValueError("PNG has no IHDR chunk")
+
+
+def decode_png_header(payload: bytes) -> dict:
+    """Header-only decode (width/height/channels) — the cheap metadata
+    path feature extraction uses; validates signature + IHDR CRC but
+    does not inflate the pixel stream. For palette images n_channels
+    is the DECODED channel count (3, post-lookup)."""
+    w, h, ctype = _parse_ihdr(payload)
+    return {"width": w, "height": h, "n_channels": _CHANNELS[ctype]}
 
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Full decode to an (h, w, c) uint8 array: chunk walk (CRCs
-    verified), concatenated-IDAT inflate, per-row unfilter."""
-    hdr = decode_png_header(payload)
-    w, h, c = hdr["width"], hdr["height"], hdr["n_channels"]
+    verified), concatenated-IDAT inflate, per-row unfilter; palette
+    (type 3) images additionally pass through the PLTE table lookup
+    (one vectorized fancy-index) and come back as RGB."""
+    w, h, ctype = _parse_ihdr(payload)
+    spp = _SCANLINE_SAMPLES[ctype]
     idat = bytearray()
+    plte = None
     saw_end = False
     for tag, data in _parse_chunks(payload):
         if tag == b"IDAT":
             idat.extend(data)
+        elif tag == b"PLTE":
+            if plte is not None:
+                raise ValueError("PNG has multiple PLTE chunks")
+            if not data or len(data) % 3 or len(data) > 768:
+                raise ValueError(f"malformed PLTE chunk (length {len(data)})")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            raise ValueError("PNG palette transparency (tRNS) not supported")
         elif tag == b"IEND":
             saw_end = True
             break
@@ -237,11 +316,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG has no IEND chunk")
     if not idat:
         raise ValueError("PNG has no IDAT chunk")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG has no PLTE chunk")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = w * c
+    stride = w * spp
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG pixel stream length {len(raw)} != expected {h * (1 + stride)}"
@@ -250,9 +331,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     out = np.empty((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        prior = _unfilter_row(flat[y, 1:], prior, c, int(flat[y, 0]))
+        prior = _unfilter_row(flat[y, 1:], prior, spp, int(flat[y, 0]))
         out[y] = prior
-    return out.reshape(h, w, c)
+    if ctype == 3:
+        if int(out.max()) >= plte.shape[0]:
+            raise ValueError(
+                f"palette index {int(out.max())} out of range "
+                f"(PLTE has {plte.shape[0]} entries)"
+            )
+        return plte[out.reshape(h, w)]  # (h, w) indices -> (h, w, 3) RGB
+    return out.reshape(h, w, _CHANNELS[ctype])
 
 
 def resize_png(payload: bytes, width: int, height: int) -> bytes:

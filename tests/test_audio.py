@@ -77,3 +77,58 @@ def test_truncated_or_missing_data_chunk_raises():
     no_data = good[: good.index(b"data")]
     with pytest.raises(ValueError, match="no data chunk"):
         wav_pcm(no_data)
+
+
+def test_odd_length_data_chunk_raises():
+    """An odd byte count is corrupt for int16 PCM — loud refusal, not
+    a silent trailing-byte drop (r10 ADVICE)."""
+    good = _wav(np.ones(10, dtype=np.int16))
+    off = good.index(b"data")
+    import struct
+
+    bad = (
+        good[:off]
+        + struct.pack("<4sI", b"data", 19)
+        + good[off + 8 : off + 8 + 19]
+    )
+    with pytest.raises(ValueError, match="odd byte length"):
+        wav_pcm(bad)
+
+
+def test_frame_features_odd_tail_and_boundary_pairs():
+    from promptly_data_pipelines_spark.extensions.audio import (
+        FRAME,
+        frame_features,
+        pcm_features,
+    )
+
+    # 2.5 frames: tail frame has FRAME//2 samples and its own features
+    n = FRAME * 2 + FRAME // 2
+    sig = np.where(np.arange(n) % 2 == 0, 700, -700).astype(np.int16)
+    frames = frame_features(sig, 1)
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2]
+    assert [f["n_samples"] for f in frames] == [FRAME, FRAME, FRAME // 2]
+    assert all(f["rms"] == 700.0 and f["peak"] == 700 for f in frames)
+    # alternating signal: every in-frame pair crosses; boundary pairs
+    # (FRAME-1, FRAME) and (2*FRAME-1, 2*FRAME) belong to NO frame
+    assert [f["n_zero_crossings"] for f in frames] == [
+        FRAME - 1, FRAME - 1, FRAME // 2 - 1,
+    ]
+    # frame counts sum to full-signal count minus the boundary pairs
+    full = pcm_features(sig, 1)["n_zero_crossings"]
+    assert sum(f["n_zero_crossings"] for f in frames) == full - 2
+
+
+def test_frame_features_stereo_and_empty():
+    from promptly_data_pipelines_spark.extensions.audio import frame_features
+
+    # stereo: analyze channel 0 only (same convention as pcm_features)
+    inter = np.zeros(40, dtype=np.int16)
+    inter[0::2] = 300
+    frames = frame_features(inter, 2)
+    assert len(frames) == 1 and frames[0]["n_samples"] == 20
+    assert frames[0]["rms"] == 300.0 and frames[0]["n_zero_crossings"] == 0
+    assert frame_features(np.array([], dtype=np.int16), 1) == []
+    # single sample: one frame, no pairs
+    one = frame_features(np.array([-5], dtype=np.int16), 1)
+    assert one[0]["n_zero_crossings"] == 0 and one[0]["peak"] == 5

@@ -573,3 +573,14 @@ def test_domain_cap_uses_window_group_limit(spark):
     BEFORE the shuffle (same pin as topk_group)."""
     p = _plan(spark, "sample_domain_cap")
     assert "WindowGroupLimit" in p, "rank-filter not pushed to group-limit"
+
+
+def test_classify_model_crossjoins_all_broadcast(spark):
+    """classify_nb_lang's model assembly crossJoins three 1-row frames
+    (vocab, n_train, priors-x-tot) before the broadcast onto the
+    doc-word stream: every one must be a BroadcastNestedLoopJoin, never
+    a CartesianProduct that would shuffle the (already tiny) model —
+    and never a cartesian against the corpus-sized stream."""
+    for name in ("classify_nb_lang", "text_perplexity_buckets"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, f"{name}: unhinted cross join"

@@ -22,6 +22,7 @@ from promptly_data_pipelines_spark.extensions.png import (
     decode_png,
     decode_png_header,
     encode_png,
+    encode_png_palette,
     resize_png,
 )
 
@@ -139,9 +140,23 @@ def test_unsupported_variants_refused_loudly():
     with pytest.raises(ValueError, match="bit depth"):
         decode_png_header(_with_ihdr(depth=16))
     with pytest.raises(ValueError, match="color type"):
-        decode_png_header(_with_ihdr(ctype=3))  # palette
+        decode_png_header(_with_ihdr(ctype=5))  # 5 is not a PNG color type
     with pytest.raises(ValueError, match="interlaced"):
         decode_png_header(_with_ihdr(interlace=1))
+    # sub-byte palette depths (1/2/4-bit indexed) are real-web PNGs we
+    # deliberately refuse — the message must say so
+    with pytest.raises(ValueError, match="sub-byte palette"):
+        decode_png_header(_with_ihdr(depth=4, ctype=3))
+    with pytest.raises(ValueError, match="malformed IHDR"):
+        # valid-CRC IHDR with a 12-byte body: ValueError, never struct.error
+        ihdr = struct.pack(">IIBBBB", 3, 3, 8, 2, 0, 0)
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        decode_png_header(_SIG + chunk)
 
 
 def test_idat_length_mismatch_raises():
@@ -169,3 +184,109 @@ def test_resize_nearest_neighbor_content_and_alpha():
     one = np.array([[[10, 20, 30]]], dtype=np.uint8)
     out = decode_png(resize_png(encode_png(one), 3, 2))
     assert (out == [10, 20, 30]).all()
+
+
+def _palette_fixture(h=9, w=7, n=5, seed=11):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    return idx, pal
+
+
+def test_palette_roundtrip_is_table_lookup():
+    """Type-3 decode: PLTE lookup must reproduce palette[idx] exactly,
+    through the production filter heuristic (bpp=1 scanlines)."""
+    idx, pal = _palette_fixture()
+    b = encode_png_palette(idx, pal)
+    hdr = decode_png_header(b)
+    assert hdr == {"width": 7, "height": 9, "n_channels": 3}
+    out = decode_png(b)
+    assert out.shape == (9, 7, 3)
+    assert np.array_equal(out, pal[idx])
+    # determinism holds for the palette encoder too
+    assert b == encode_png_palette(idx, pal)
+
+
+def test_palette_decode_matches_reference_unfilter():
+    """The index-plane unfilter (bpp=1) agrees with the spec-transcribed
+    reference decoder: compare the looked-up RGB against feeding the
+    same filtered stream through _ref_decode as if it were grayscale."""
+    idx, pal = _palette_fixture(h=16, w=11, n=64, seed=7)
+    b = encode_png_palette(idx, pal)
+    # rewrite IHDR color type 3 -> 0 (gray) and drop PLTE so the
+    # reference decoder sees the raw index plane
+    i = b.index(b"IHDR") + 4
+    ihdr = bytearray(b[i : i + 13])
+    ihdr[9] = 0
+    chunk = (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + bytes(ihdr)
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
+    )
+    plte_off = b.index(b"PLTE") - 4
+    (plte_len,) = struct.unpack_from(">I", b, plte_off)
+    gray = _SIG + chunk + b[plte_off + 8 + plte_len + 4 :]
+    ref_idx = _ref_decode(gray)[:, :, 0]
+    assert np.array_equal(ref_idx, idx)
+    assert np.array_equal(decode_png(b), pal[ref_idx])
+
+
+def test_palette_malformed_cases_raise():
+    idx, pal = _palette_fixture()
+    # index out of palette range: encoder refuses to build it...
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png_palette(np.full((2, 2), 9, dtype=np.uint8), pal[:3])
+    # ...and the decoder refuses to decode one (truncate PLTE in place)
+    b = bytearray(encode_png_palette(idx, pal))
+    plte_off = bytes(b).index(b"PLTE") - 4
+    short = pal[:2].tobytes()
+    rebuilt = (
+        bytes(b[:plte_off])
+        + struct.pack(">I", len(short))
+        + b"PLTE"
+        + short
+        + struct.pack(">I", zlib.crc32(b"PLTE" + short) & 0xFFFFFFFF)
+        + bytes(b[plte_off + 8 + len(pal.tobytes()) + 4 :])
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(rebuilt)
+    # PLTE length not a multiple of 3
+    bad = pal.tobytes()[:-1]
+    rebuilt = (
+        bytes(b[:plte_off])
+        + struct.pack(">I", len(bad))
+        + b"PLTE"
+        + bad
+        + struct.pack(">I", zlib.crc32(b"PLTE" + bad) & 0xFFFFFFFF)
+        + bytes(b[plte_off + 8 + len(pal.tobytes()) + 4 :])
+    )
+    with pytest.raises(ValueError, match="malformed PLTE"):
+        decode_png(rebuilt)
+    # missing PLTE entirely
+    no_plte = bytes(b[:plte_off]) + bytes(b[plte_off + 8 + len(pal.tobytes()) + 4 :])
+    with pytest.raises(ValueError, match="no PLTE"):
+        decode_png(no_plte)
+    # tRNS (palette transparency): loud refusal, not silent alpha-drop
+    trns = b"\x80" * 3
+    with_trns = (
+        bytes(b[: plte_off + 8 + len(pal.tobytes()) + 4])
+        + struct.pack(">I", len(trns))
+        + b"tRNS"
+        + trns
+        + struct.pack(">I", zlib.crc32(b"tRNS" + trns) & 0xFFFFFFFF)
+        + bytes(b[plte_off + 8 + len(pal.tobytes()) + 4 :])
+    )
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(with_trns)
+
+
+def test_resize_palette_png_comes_back_rgb():
+    """resize of a type-3 source: decode expands to RGB, the re-encode
+    is truecolor (our encoder never quantizes back to a palette) — the
+    output must be a valid RGB PNG with NN-gathered palette colors."""
+    idx, pal = _palette_fixture(h=6, w=6, n=4, seed=3)
+    out_bytes = resize_png(encode_png_palette(idx, pal), 3, 3)
+    out = decode_png(out_bytes)
+    assert out.shape == (3, 3, 3)
+    assert np.array_equal(out, pal[idx][::2, ::2])
