@@ -6,6 +6,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Execution is forced with a noop sink (full pipeline runs, nothing
 collected to the driver) so timings measure the plan, not result
 transfer. One tiny warmup query amortizes JVM/codegen startup.
+
+ROUND INVARIANT (r10 verdict #1): a round may not close without a
+QUIET record — loadavg < 2 at start and calibration_start < 0.7 —
+written to BASELINE.md. A loaded record (r10 closed at loadavg 14,
+calibration 2.9× quiet) inflates every line 20-100% and leaves
+regressions unboundable; the calibration probe below makes the
+quiet/loaded verdict arithmetic, so check bench_env.json and re-run
+on a quiet machine before closing the round.
 """
 
 from __future__ import annotations
@@ -121,9 +129,15 @@ SECONDARY = [
     "dedup_semantic_keep_best",
     "text_chunk_windows",
     "split_contamination",
-    # r7: the PQ/ADC + exact-re-rank ANN path (train + encode + search
-    # in one plan; the memory-scale complement to IVF's pruning)
-    "similarity_topk_pq",
+    # r7-r10: similarity_topk_pq (train+encode+search in ONE measured
+    # line) is RETIRED from the timing set (r10 verdict #3, flagged
+    # weak three rounds): at the 2k-vector fixture the number was
+    # build-dominated and read as "PQ costs 10 s" when serving costs
+    # 0.6 s. Its replacements below the extras split: the timed
+    # similarity_pq_build / similarity_ivfpq_build (train+encode+
+    # persist — the amortized once cost) and similarity_*_search_only
+    # (the per-batch serving cost a deployment pays). Recall for the
+    # one-shot composite is still recorded (similarity_pq_recall).
     # r7: the URL-layer curation composite (canonicalize → URL dedup →
     # domain-reputation gate → per-domain cap) — two window shuffles +
     # a broadcast census over the staged crawl
@@ -153,6 +167,16 @@ SECONDARY = [
     # (the r6 form re-evaluated every gram md5 per window — 24.5 s for
     # 500 docs; the fold form is 26× faster and this line keeps it so)
     "doc_winnowing",
+    # r11 (r10 verdict #4): the crawl-ingest surface. scan_warc vs
+    # scan_warc_gz is the measured gzip tax a Common Crawl user asks
+    # about first (member-streaming inflate on the read path); the WET
+    # composite chains html-stage → gz sink → gz source → strip → PII
+    # scrub → token count. All three stage their own fixtures inside
+    # the timed call (≤200 records — harness rigging, same cost every
+    # round, so round-over-round deltas are still code signal).
+    "scan_warc",
+    "scan_warc_gz",
+    "warc_wet_extract",
 ]
 
 
@@ -335,11 +359,12 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         secondary["recall_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # PQ serving split (r8): similarity_topk_pq measures build+search in
-    # one shot — the production pattern builds the index ONCE and serves
-    # many query batches. Record the search-only cost against a
-    # pre-built persisted index (build untimed) so the amortized number
-    # the architecture is for is tracked alongside the one-shot line.
+    # PQ build/serve split (r8 serving line; r11 adds the timed build,
+    # closing the r10 "conflated line" flag): the production pattern
+    # builds the index ONCE (train+encode+persist — *_build, min of 2
+    # into fresh dirs) and serves many query batches against it
+    # (*_search_only). The two names replace the retired one-shot
+    # similarity_topk_pq timing, whose single number conflated them.
     try:
         from promptly_data_pipelines_spark.catalog import table as _table
         from promptly_data_pipelines_spark.extensions.similarity import (
@@ -350,27 +375,45 @@ def main() -> None:
             pq_index_search,
         )
 
-        for label, save_fn, search_fn in (
-            ("similarity_pq_search_only", pq_index_save, pq_index_search),
-            ("similarity_ivfpq_search_only", ivfpq_index_save, ivfpq_index_search),
+        for family, save_fn, search_fn in (
+            ("pq", pq_index_save, pq_index_search),
+            ("ivfpq", ivfpq_index_save, ivfpq_index_search),
         ):
-            idx_dir = tempfile.mkdtemp(prefix="pdp_ann_index_")
+            e_pq = _doubled(_table(spark, SF_DIR, "embeddings"))
+            build_label = f"similarity_{family}_build"
+            line_load[build_label] = round(os.getloadavg()[0], 2)
+            build_runs = []
+            keep_dir = None
             try:
-                e_pq = _doubled(_table(spark, SF_DIR, "embeddings"))
-                save_fn(spark, e_pq, idx_dir)  # untimed: the amortized cost
+                for _ in range(2):
+                    idx_dir = tempfile.mkdtemp(prefix="pdp_ann_index_")
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    save_fn(spark, e_pq, idx_dir)
+                    build_runs.append(time.perf_counter() - t0)
+                    if keep_dir is None:
+                        keep_dir = idx_dir
+                    else:
+                        shutil.rmtree(idx_dir, ignore_errors=True)
+                secondary[build_label] = round(min(build_runs), 3)
+                spread[build_label] = [
+                    round(min(build_runs), 3), round(max(build_runs), 3),
+                ]
+                label = f"similarity_{family}_search_only"
                 line_load[label] = round(os.getloadavg()[0], 2)
                 runs = []
                 for _ in range(2):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
-                    search_fn(spark, idx_dir, e_pq).write.format("noop").mode(
+                    search_fn(spark, keep_dir, e_pq).write.format("noop").mode(
                         "overwrite"
                     ).save()
                     runs.append(time.perf_counter() - t0)
                 secondary[label] = round(min(runs), 3)
                 spread[label] = [round(min(runs), 3), round(max(runs), 3)]
             finally:
-                shutil.rmtree(idx_dir, ignore_errors=True)
+                if keep_dir is not None:
+                    shutil.rmtree(keep_dir, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         secondary["pq_serve_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -9,16 +9,21 @@ The codec boundary ``decode_media`` has three tiers:
 
 - REAL stdlib codecs: ``bmp`` (BITMAPFILEHEADER + BITMAPINFOHEADER →
   true width/height/bpp) and ``wav`` (RIFF chunk walk → true
-  sample_rate/n_channels) parsed with ``struct.unpack``; and — since
-  r10 — ``png``, a full COMPRESSED codec (DEFLATE via stdlib zlib +
-  the five scanline filters over numpy, extensions/png.py): decode,
-  encode, and real nearest-neighbor resize, with chunk CRCs verified.
-  ``encode_bmp``/``encode_wav``/``encode_png`` build valid payloads
-  for synthesis and round-trip tests.
+  sample_rate/n_channels) parsed with ``struct.unpack``; since r10
+  ``png`` — a full COMPRESSED codec (DEFLATE via stdlib zlib + the
+  five scanline filters + r11 palette lookup, extensions/png.py);
+  and since r11 ``jpeg`` — a full baseline-sequential LOSSY codec
+  (vectorized 8×8 DCT + Annex K quant/Huffman tables, grayscale /
+  4:4:4 / 4:2:2 / 4:2:0, restart markers — extensions/jpeg.py).
+  ``encode_bmp``/``encode_wav``/``encode_png``/``encode_jpeg`` build
+  valid payloads for synthesis and round-trip tests.
 - a deterministic fake ("bytestats") exercising the Arrow round-trip.
-- entropy-coded codecs (JPEG/MP3/H.264 ...) raise NotImplementedError —
-  those genuinely need the absent image/audio libraries (PIL/libjpeg
-  re-probed absent r10); plugging them in changes only this function.
+- the remaining entropy-coded codecs (MP3/H.264 ...) raise
+  NotImplementedError — audio/video transform stacks (MDCT + psycho-
+  acoustic bit allocation, inter-frame motion compensation) genuinely
+  need the absent codec libraries; plugging one in changes only this
+  function. Progressive/arithmetic JPEG variants raise ValueError
+  from the jpeg module itself (loud refusal with the reason).
 
 The harness has no binary fixture, so media bytes are synthesized
 deterministically from ``documents.text`` (utf-8 encode, or packed
@@ -39,6 +44,7 @@ from pyspark.sql import types as T
 
 from ..catalog import table
 from ..registry import query
+from .jpeg import decode_jpeg, decode_jpeg_header, encode_jpeg, resize_jpeg
 from .png import decode_png, decode_png_header, encode_png, encode_png_palette, resize_png
 
 MEDIA_SCHEMA = T.StructType(
@@ -141,6 +147,10 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         # CRC-verified header decode — width/height/channels without
         # inflating the pixel stream (the cheap metadata path)
         feats.update(decode_png_header(payload))
+    elif media_type == "jpeg":
+        # real lossy codec (extensions/jpeg.py): marker walk through
+        # SOF0 — width/height/channels without entropy decoding
+        feats.update(decode_jpeg_header(payload))
     else:
         raise NotImplementedError(
             f"codec for media_type={media_type!r} not available in this environment "
@@ -265,6 +275,9 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 elif mt == "png":
                     # full decode → NN gather → re-encode (valid PNG out)
                     out_payloads.append(resize_png(p, width, height))
+                elif mt == "jpeg":
+                    # full lossy decode → NN gather → re-encode
+                    out_payloads.append(resize_jpeg(p, width, height))
                 elif mt == "bytestats":
                     # TRUE nearest-neighbor resample across the whole
                     # payload to exactly width*height bytes (same index
@@ -525,6 +538,108 @@ def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, _PALETTE_DECODE_SCHEMA)
+
+
+def media_table_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table of REAL baseline JPEGs with a closed-form decode:
+    every image is (1+doc_id%3)×(1+doc_id%4) FLAT 8×8 blocks, block k
+    (raster order) holding value 128 + 2·((doc_id·7 + k·5) % 61 − 30).
+    A flat block is DC-only under the DCT, and with quality 50's
+    Q₀₀ = 16 an even offset quantizes exactly (S₀₀ = 8·(v−128), step
+    16) — so the LOSSY codec round-trips these pixels bit-exactly,
+    which is what lets a SQL oracle value-check the full decode."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                bw, bh = 1 + i % 4, 1 + i % 3
+                k = np.arange(bh * bw, dtype=np.int64)
+                v = (128 + 2 * ((i * 7 + k * 5) % 61 - 30)).astype(np.uint8)
+                img = np.repeat(np.repeat(v.reshape(bh, bw), 8, axis=0), 8, axis=1)
+                rows.append((doc_id, "jpeg", encode_jpeg(img, quality=50)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return d.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+_JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_jpeg_decode",
+    registered=False,
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(64 * (SELECT SUM(128 + 2 * ((doc_id * 7 + k * 5) % 61 - 30))
+                      FROM generate_series(0, 11) AS t(k)
+                      WHERE k < (1 + doc_id % 4) * (1 + doc_id % 3))
+                AS BIGINT) AS px_sum
+    FROM documents
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY codec value-checked end to end: flat-block synthesis
+    → baseline JPEG encode (DCT, quantize, zigzag, DPCM+RLE Huffman,
+    byte stuffing) → full decode (marker walk, Huffman, dequantize,
+    IDCT) → pixel sum, against a DuckDB oracle that recomputes the sum
+    in closed form from doc_id (the DC-only construction makes the
+    round trip exact — see media_table_jpeg). A wrong quant table, a
+    Huffman slip, a zigzag transposition, or an IDCT scaling error
+    flips the hash."""
+    media = media_table_jpeg(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg(p).astype(np.int64)
+                rows.append(
+                    (doc_id, px.shape[1], px.shape[0], 1, int(px.sum()))
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in _JPEG_DECODE_SCHEMA])
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["px_sum"] = out["px_sum"].astype("int64")
+            for c in ("width", "height", "n_channels"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media.mapInPandas(batches, _JPEG_DECODE_SCHEMA)
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    registered=False,
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels
+    FROM documents
+    """,
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lossy-raster loop: encode → resize_media (decode, NN
+    gather, re-encode) → SECOND decode of the re-encoded bytes.
+    Getting (16, 8, 1) back requires every stage to emit a spec-valid
+    baseline JPEG — a corrupt re-encode fails the second decode
+    loudly rather than hashing wrong."""
+    resized = resize_media(media_table_jpeg(spark, sf_dir), 16, 8)
+    feats = extract_features(resized.select("doc_id", "media_type", "payload"))
+    return feats.select("doc_id", "width", "height", "n_channels")
 
 
 @query("multimodal_features_mixed", registered=False)  # binary features: rows-only check

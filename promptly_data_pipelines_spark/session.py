@@ -83,6 +83,15 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # r11 (r10 verdict #3): the accept() window for a freshly
+        # forked Python worker to connect back to the JVM defaults to
+        # 15 s; under the test runner's 7 concurrent local JVMs a
+        # worker fork can exceed that on a loaded box, failing a
+        # streaming test with "Timed out while waiting for the Python
+        # worker to connect back" (passes alone). Generous here is
+        # free: the wait only materializes when a worker is genuinely
+        # that slow to start.
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
