@@ -151,6 +151,14 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         # real lossy codec (extensions/jpeg.py): marker walk through
         # SOF0 — width/height/channels without entropy decoding
         feats.update(decode_jpeg_header(payload))
+    elif media_type == "avi":
+        # real video container (extensions/video.py): RIFF walk to
+        # avih — dims without touching frame data; frame-level decode
+        # lives in extract_video_frames (row-exploding, separate op)
+        from .video import decode_avi_header
+
+        hdr = decode_avi_header(payload)
+        feats.update(width=hdr["width"], height=hdr["height"])
     else:
         raise NotImplementedError(
             f"codec for media_type={media_type!r} not available in this environment "

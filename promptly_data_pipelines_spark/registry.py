@@ -197,6 +197,7 @@ def _load_all() -> None:
         snapshot,
         text,
         udfs,
+        video,
         web,
     )
 
