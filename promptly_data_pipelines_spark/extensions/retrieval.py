@@ -1,0 +1,271 @@
+"""Corpus retrieval: inverted index build, positional phrase search,
+and BM25 ranking — the index-side operators a training-data pipeline
+runs right after curation (decontamination lookups, targeted corpus
+search, retrieval-augmented filtering all sit on exactly this).
+
+The reference has no retrieval surface at all (its Trino SQL stops at
+LIKE — SURVEY.md §2); this family is part of the north-star
+"training-data pipeline at 100 TB" tier the build brief adds, next to
+dedup (extensions/dedup.py) and similarity (extensions/similarity.py):
+where similarity answers "what is NEAR this embedding", retrieval
+answers "which documents CONTAIN these terms", and the two share the
+decontamination use case (exact-term and near-duplicate leakage).
+
+Tokenization is the repo-wide convention (text.py:42): split on a
+single space, drop empties — mirrored in every oracle as
+``list_filter(string_split(text,' '), w -> w <> '')``.
+
+Scale design, per operator:
+
+- **index_inverted_build** — the classic two-level agg: one shuffle to
+  (doc_id, term) for tf, one vocabulary-sized shuffle to term for
+  df/cf. Posting lists are the scale hazard (a stopword's postings at
+  100 TB exceed any row), so the materialized column is a BOUNDED
+  head (first ``POSTINGS_HEAD`` doc_ids): rank-per-term is filtered
+  BEFORE collect_list, which Spark 3.5+ executes as WindowGroupLimit
+  — a partial per-partition top-k, never a full per-term sort buffer.
+  df/cf stay exact from the unbounded agg; a production index writes
+  full postings sharded by (term, doc_id range) instead of one row.
+- **index_phrase_search** — ZERO-shuffle positional matching: the
+  match positions fall out of a higher-order-function expression over
+  the token array (sequence → filter with element_at probes), so the
+  scan emits one already-final row per matching document. No explode,
+  no self-join on (doc_id, pos), nothing moves; Catalyst keeps the
+  whole thing inside one WholeStageCodegen over the parquet scan.
+  This is the form a 100 TB phrase grep wants: cost = one pass over
+  text bytes, output = matches only.
+- **text_bm25_topk** — BM25 with every constant dyadic (k1=1.25,
+  b=0.75, so k1+1=2.25 and 1-b=0.25 are exact doubles) and the IDF
+  left as the exact rational (2N-2df+1)/(2df+1) instead of its log:
+  libm last-ulp differences between engines would break exact-double
+  parity, and for per-(term,doc) scoring the transform is monotone so
+  every rank is identical (same discipline as text_tfidf_topk's
+  rational score, text.py:187). Per-doc length and tf shuffle once;
+  term stats and the 5-term query set are vocabulary-sized and
+  broadcast; the final top-k window runs over 5 term partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+POSTINGS_HEAD = 32  # doc_ids materialized per term; df/cf stay exact
+BM25_K1 = 1.25  # dyadic on purpose: exactly representable, so k1+1 is too
+BM25_B = 0.75  # dyadic: 1-b = 0.25 exact
+N_QUERY_TERMS = 5
+TOPK = 3
+
+
+def _words(c):
+    """The repo-wide tokenizer (text.py:42): single-space split, drop
+    empties. Oracles mirror it with list_filter(string_split(...))."""
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def _doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) — the shared first shuffle of the family."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@query(
+    "index_inverted_build",
+    registered=False,
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id))[1:32], ',') AS postings_head
+    FROM tf GROUP BY term
+    """,
+)
+def index_inverted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: per term, exact document
+    frequency (df), exact corpus frequency (cf), and the first
+    POSTINGS_HEAD sorted doc_ids. The head is rank-filtered BEFORE
+    collect_list so the plan is a WindowGroupLimit partial top-k plus
+    a vocabulary-sized join — no unbounded per-term sort buffer (the
+    difference between "works" and "hot term OOMs the executor" at
+    100 TB)."""
+    tf = _doc_tf(spark, sf_dir)
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    head = (
+        tf.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .where(F.col("rn") <= POSTINGS_HEAD)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings_head"
+            )
+        )
+    )
+    # both sides are vocabulary-sized after their aggs; the join is tiny
+    return stats.join(head, "term")
+
+
+@query(
+    "index_phrase_search",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_transform(ws, (x, i) -> struct_pack(pos := i - 1, token := x)),
+                    recursive := true)
+      FROM w
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS INT) AS first_pos
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'table' AND b.token = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("table scan") with ZERO shuffles: the
+    1-based positions where ws[i]='table' and ws[i+1]='scan' are a
+    filter over sequence(1, size-1) probing the token array with
+    element_at — a pure expression tree, evaluated in the same
+    codegen stage as the parquet scan. Emits (doc_id, n_matches,
+    first_pos) for matching docs only. The oracle cross-checks with
+    the classical exploded self-join form — two independent
+    formulations of phrase adjacency."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    # sequence(start > stop) generates a DESCENDING sequence in Spark,
+    # so docs with <2 tokens must short-circuit to the empty array.
+    positions = F.when(
+        F.size(ws) >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: (F.element_at(ws, i) == "table")
+            & (F.element_at(ws, i + 1) == "scan"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("doc_id", positions.alias("pos1"))
+        .where(F.size("pos1") > 0)
+        .select(
+            "doc_id",
+            F.size("pos1").cast("long").alias("n_matches"),
+            (F.element_at("pos1", 1) - F.lit(1)).cast("int").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), stats AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM w
+    ), qt AS (
+      SELECT term, df FROM stats ORDER BY df DESC, term LIMIT 5
+    ), scored AS (
+      SELECT tf.term, tf.doc_id,
+             (CAST(2 * n - 2 * qt.df + 1 AS DOUBLE) / CAST(2 * qt.df + 1 AS DOUBLE))
+             * ((CAST(tf.tf AS DOUBLE) * 2.25)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.25 * (0.25 + 0.75 * (CAST(w.dl AS DOUBLE) / avgdl)))) AS score
+      FROM tf
+      JOIN qt ON tf.term = qt.term
+      JOIN w ON tf.doc_id = w.doc_id
+      CROSS JOIN consts
+    )
+    SELECT term, doc_id, score, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT term, doc_id, score,
+             row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-3 documents for the corpus's 5 highest-df terms.
+    Exact-double parity by construction: k1/b dyadic, IDF the exact
+    rational (2N-2df+1)/(2df+1) (monotone in the log form — identical
+    ranks, no libm), and both engines evaluate the identically-
+    parenthesized expression over identical integer inputs. Plan: ONE
+    corpus shuffle — doc length rides the tf groupBy as a dependent
+    key — then term stats, the 5-term query set, and (n, avgdl) all
+    join back broadcast; the final window is a WindowGroupLimit
+    partial top-k over 5 term partitions."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    # dl rides along as a grouping key, so tf and doc length come out
+    # of ONE corpus shuffle — no second (doc_id)-keyed join at scale
+    # (dl is functionally dependent on doc_id; the extra key is free).
+    tf = (
+        d.select("doc_id", F.size(ws).alias("dl"), F.explode(ws).alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    consts = d.select(F.size(ws).alias("dl")).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    qt = stats.orderBy(F.col("df").desc(), F.col("term").asc()).limit(N_QUERY_TERMS)
+    idf = (2 * F.col("n") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            "doc_id",
+            (idf * ((tf_d * F.lit(1.0 + BM25_K1)) / denom)).alias("score"),
+        )
+    )
+    win = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= TOPK)
+        .select("term", "doc_id", "score", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -584,3 +584,33 @@ def test_classify_model_crossjoins_all_broadcast(spark):
     for name in ("classify_nb_lang", "text_perplexity_buckets"):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, f"{name}: unhinted cross join"
+
+
+def test_phrase_search_is_shuffle_free(spark):
+    """index_phrase_search's whole match is a higher-order-function
+    expression over the token array: the executed plan must contain NO
+    Exchange at all — positional phrase matching as a single codegen
+    stage over the parquet scan (the 100 TB phrase-grep shape)."""
+    p = _plan(spark, "index_phrase_search")
+    assert "Exchange" not in p, "phrase search grew a shuffle"
+    assert "EvalPython" not in p, "phrase search fell back to Python"
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """text_bm25_topk: the query-term set and (n, avgdl) constants are
+    broadcast; doc length rides the tf groupBy as a dependent key so
+    there is no second corpus-sized (doc_id)-keyed join; the rank<=K
+    filter compiles to WindowGroupLimit."""
+    p = _plan(spark, "text_bm25_topk")
+    assert "BroadcastExchange" in p, "query-term/const sides lost broadcast"
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p, "top-k filter not pushed to group-limit"
+    assert "SortMergeJoin" not in p, "corpus-sized join crept back in"
+
+
+def test_inverted_build_bounds_postings(spark):
+    """index_inverted_build's postings head is rank-filtered BEFORE
+    collect_list: WindowGroupLimit must appear (partial per-partition
+    top-k), so no unbounded per-term posting buffer ever materializes."""
+    p = _plan(spark, "index_inverted_build")
+    assert "WindowGroupLimit" in p, "postings head lost its group-limit"

@@ -1,0 +1,113 @@
+"""Unit tests for the retrieval family (extensions/retrieval.py):
+positional phrase-match edge cases, the bounded postings head, and a
+numpy recompute of the BM25 score — the corpus-level oracle parity
+lives in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from promptly_data_pipelines_spark.extensions.retrieval import (
+    BM25_B,
+    BM25_K1,
+    POSTINGS_HEAD,
+    index_inverted_build,
+    index_phrase_search,
+    text_bm25_topk,
+)
+
+
+def _write_docs(tmp_path, texts: list[str]) -> str:
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_phrase_edges(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            "table scan",  # exact doc == phrase
+            "a table scan b table scan",  # two matches
+            "scan table",  # reversed — no match
+            "table",  # <2 tokens — the sequence() guard path
+            "x table scan",  # match at doc end
+            "table table scan",  # overlapping prefix: match at pos 1
+        ],
+    )
+    out = {r.doc_id: r for r in index_phrase_search(spark, sf).collect()}
+    assert set(out) == {0, 1, 4, 5}
+    assert (out[0].n_matches, out[0].first_pos) == (1, 0)
+    assert (out[1].n_matches, out[1].first_pos) == (2, 1)
+    assert (out[4].n_matches, out[4].first_pos) == (1, 1)
+    assert (out[5].n_matches, out[5].first_pos) == (1, 1)
+
+
+def test_postings_head_bounded(spark, tmp_path):
+    # 40 docs all containing 'hot' -> df=40 but postings head capped;
+    # doc 7 additionally holds 'rare' twice -> df=1, cf=2
+    texts = ["hot common" if i != 7 else "hot rare rare" for i in range(40)]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.term: r for r in index_inverted_build(spark, sf).collect()}
+    hot = rows["hot"]
+    assert (hot.df, hot.cf) == (40, 40)
+    head = [int(x) for x in hot.postings_head.split(",")]
+    assert head == list(range(POSTINGS_HEAD))  # first 32 sorted, capped
+    assert (rows["rare"].df, rows["rare"].cf) == (1, 2)
+    assert rows["rare"].postings_head == "7"
+
+
+def test_bm25_matches_numpy_recompute(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    vocab = ["w%d" % i for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(50)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = text_bm25_topk(spark, sf).collect()
+    # exhaustive numpy recompute
+    toks = [t.split() for t in texts]
+    dl = np.array([len(t) for t in toks], dtype=float)
+    n = float(len(toks))
+    avgdl = dl.sum() / n
+    df: dict[str, int] = {}
+    tf: dict[tuple[int, str], int] = {}
+    for i, t in enumerate(toks):
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+        for w in t:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    qterms = sorted(df, key=lambda w: (-df[w], w))[:5]
+
+    def score(i, w):
+        idf = (2 * n - 2 * df[w] + 1) / (2 * df[w] + 1)
+        f = float(tf.get((i, w), 0))
+        return idf * (f * (1 + BM25_K1)) / (
+            f + BM25_K1 * ((1 - BM25_B) + BM25_B * (dl[i] / avgdl))
+        )
+
+    assert {r.term for r in out} <= set(qterms)
+    for r in out:
+        assert r.score == pytest.approx(score(r.doc_id, r.term), rel=1e-12)
+        assert 1 <= r.rnk <= 3
+    # per term: the returned docs are the true top-3 (score desc, id asc)
+    for w in {r.term for r in out}:
+        cand = sorted(
+            ((i, score(i, w)) for i in range(len(toks)) if (i, w) in tf),
+            key=lambda p: (-p[1], p[0]),
+        )[:3]
+        got = sorted(
+            ((r.doc_id, r.rnk) for r in out if r.term == w), key=lambda p: p[1]
+        )
+        assert [i for i, _ in cand] == [i for i, _ in got]
