@@ -71,6 +71,23 @@ Rotations so far:
   `similarity_topk_ivf` (X5 keeps exact + GEMM rows; IVF recall
   contract still pinned in pytest + bench), `text_repetition`
   (X6 keeps token-counts/doc-profile/TF-IDF rows).
+- **r11**: the round-10/11 flagship surface earned driver rows —
+  `text_bm25_topk` + `index_phrase_search` (the new retrieval family:
+  exact-rational BM25 ranking and zero-shuffle positional phrase
+  match; `index_inverted_build` stays local), `multimodal_jpeg_roundtrip`
+  (the real lossy codec end to end), `multimodal_png_palette` (type-3
+  indexed decode), `multimodal_video_frames` (MJPEG-AVI container walk
+  + per-frame decode), `audio_frame_features` (framed PCM DSP).
+  Rotated down, each leaving its family ≥1 driver row and keeping its
+  local oracle: `join_equi` (joins keep anti-semi/star/bucketed;
+  equi-join still driver-exercised inside `join_star` and
+  `flagship_curated`), `agg_having` (aggs keep group/count-distinct/
+  salted/heavy-hitters), `sql_subqueries` (SQL surface keeps
+  `sql_surface_q3`), `udf_pandas_scalar` (X1 keeps `udf_grouped_map`;
+  the Arrow-only pin stays in pytest), `dq_relationships` (Q3 stays
+  driver-checked inside the `dq_suite` composite), `project_strings`
+  (projections keep `project_events_clean` +
+  `reference_curated_provider`).
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

@@ -280,7 +280,6 @@ def audio_tone_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "audio_frame_features",
-    registered=False,
     oracle=f"""
     WITH params AS (
       SELECT doc_id,

@@ -496,7 +496,6 @@ _PALETTE_DECODE_SCHEMA = T.StructType(
 
 @query(
     "multimodal_png_palette",
-    registered=False,
     oracle=f"""
     SELECT doc_id,
            CAST(4 + doc_id % 29 AS INT) AS width,
@@ -630,7 +629,6 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_jpeg_roundtrip",
-    registered=False,
     oracle="""
     SELECT doc_id,
            CAST(16 AS INT) AS width,

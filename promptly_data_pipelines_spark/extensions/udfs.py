@@ -40,6 +40,7 @@ def clip_scale():
 
 @query(
     "udf_pandas_scalar",
+    registered=False,
     oracle="""
     SELECT event_id,
            least(greatest(value, 10.0), 90.0) * 0.01 AS value_scaled

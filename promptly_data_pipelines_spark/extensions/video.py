@@ -239,7 +239,6 @@ def media_table_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_video_frames",
-    registered=False,
     oracle="""
     WITH params AS (
       SELECT doc_id,

@@ -80,6 +80,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_having",
+    registered=False,
     oracle="""
     SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
            round(sum(o_totalprice), 2) AS total_spend

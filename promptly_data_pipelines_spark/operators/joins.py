@@ -104,6 +104,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_equi",
+    registered=False,
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment,
            n.n_name AS nation_name, r.r_name AS region_name

@@ -264,6 +264,7 @@ def epoch_to_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "project_strings",
+    registered=False,
     oracle="""
     SELECT c_custkey AS customer_id,
            c_name AS customer_name,

@@ -206,6 +206,7 @@ def pipeline_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_subqueries",
+    registered=False,
     oracle="""
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS order_count,

@@ -156,6 +156,7 @@ def dq_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_relationships",
+    registered=False,
     oracle="""
     SELECT o_custkey AS orphan_key, CAST(count(*) AS BIGINT) AS n_rows
     FROM orders o

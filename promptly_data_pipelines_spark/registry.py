@@ -57,26 +57,29 @@ _ORDER: tuple[str, ...] = (
     "text_token_counts",
     "text_doc_profile",
     "text_tfidf_topk",
-    "udf_pandas_scalar",
+    # r11 rotation: retrieval family (BM25 ranking + zero-shuffle
+    # positional phrase search) and the real-codec multimodal tier
+    "text_bm25_topk",
+    "index_phrase_search",
     "udf_grouped_map",
-    "dq_relationships",
     "dq_suite",
     "dq_quantiles",
     "dataset_split",
     "sample_stratified_cap",
     "multimodal_pipeline",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_png_palette",
+    "multimodal_video_frames",
+    "audio_frame_features",
     "corpus_diff",
     # §2 operator core
     "agg_group",
-    "agg_having",
     "agg_count_distinct",
     "agg_heavy_hitters",
     "dedup_latest",
-    "join_equi",
     "join_anti_semi",
     "join_star",
     "join_bucketed",
-    "project_strings",
     "project_events_clean",
     "scan_csv",
     "scan_warc",
@@ -86,7 +89,6 @@ _ORDER: tuple[str, ...] = (
     "topk_group",
     "window_suite",
     "sql_surface_q3",
-    "sql_subqueries",
     "reference_curated_provider",
     "cdc_parse",
     "merge_upsert",
@@ -192,6 +194,7 @@ def _load_all() -> None:
         lines,
         multimodal,
         packing,
+        retrieval,
         sampling,
         similarity,
         snapshot,
