@@ -269,3 +269,122 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOPK)
         .select("term", "doc_id", "score", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def _build_index(d: DataFrame) -> DataFrame:
+    """index_inverted_build's core over an arbitrary documents frame:
+    exact df/cf per term + the bounded sorted postings head."""
+    ws = _words(F.col("text"))
+    tf = (
+        d.select("doc_id", F.explode(ws).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    head = (
+        tf.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .where(F.col("rn") <= POSTINGS_HEAD)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("head"))
+    )
+    return stats.join(head, "term")
+
+
+@query(
+    "index_delta_merge",
+    registered=False,
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id))[1:32], ',') AS postings_head
+    FROM tf GROUP BY term
+    """,
+)
+def index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build the index on the base
+    corpus (doc_id % 5 != 0) and a DELTA index on the rest, then merge
+    index-to-index — df/cf add (delta doc sets are disjoint by
+    construction), and the merged postings head is the first
+    POSTINGS_HEAD of the concatenated heads. That head merge is EXACT,
+    not approximate: any doc among the first K of the union is among
+    the first K of whichever side it came from, so head_K(A ∪ B) ⊆
+    head_K(A) ∪ head_K(B). The oracle recomputes the FULL corpus index
+    from scratch — asserting merge(base, delta) == full rebuild, the
+    contract that lets a 100 TB deployment index only the new crawl
+    slice instead of re-shuffling the whole corpus. Merge cost is
+    vocabulary-sized (two index frames), independent of corpus bytes."""
+    d = table(spark, sf_dir, "documents")
+    base = _build_index(d.where(F.col("doc_id") % 5 != 0))
+    delta = _build_index(d.where(F.col("doc_id") % 5 == 0))
+    merged = base.unionByName(delta)
+    return merged.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.array_join(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("head"))),
+                1,
+                POSTINGS_HEAD,
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+@query(
+    "index_boolean_and",
+    registered=False,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ws, x -> x = 'table')) AS BIGINT) AS tf_table,
+           CAST(len(list_filter(ws, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+           CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf_merge
+    FROM w
+    WHERE len(list_filter(ws, x -> x = 'table')) > 0
+      AND len(list_filter(ws, x -> x = 'scan')) > 0
+      AND len(list_filter(ws, x -> x = 'merge')) > 0
+    """,
+)
+def index_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval for ['table','scan','merge'] with
+    per-term frequencies — like index_phrase_search, a pure expression
+    tree over the token array: no explode, no postings join, zero
+    shuffles. At 100 TB this is one codegen'd pass over text bytes
+    emitting only matching docs; the postings-intersection formulation
+    (the oracle-side classic) would shuffle three posting lists
+    instead."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+
+    def tf_of(term: str):
+        return F.size(F.filter(ws, lambda x: x == term)).cast("long")
+
+    out = d.select(
+        "doc_id",
+        tf_of("table").alias("tf_table"),
+        tf_of("scan").alias("tf_scan"),
+        tf_of("merge").alias("tf_merge"),
+    )
+    return out.where(
+        (F.col("tf_table") > 0) & (F.col("tf_scan") > 0) & (F.col("tf_merge") > 0)
+    )

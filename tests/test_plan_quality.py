@@ -614,3 +614,12 @@ def test_inverted_build_bounds_postings(spark):
     top-k), so no unbounded per-term posting buffer ever materializes."""
     p = _plan(spark, "index_inverted_build")
     assert "WindowGroupLimit" in p, "postings head lost its group-limit"
+
+
+def test_boolean_and_is_shuffle_free(spark):
+    """index_boolean_and is the same expression-only shape as phrase
+    search: NO Exchange, no Python fallback — conjunctive retrieval as
+    one codegen stage over the scan."""
+    p = _plan(spark, "index_boolean_and")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p

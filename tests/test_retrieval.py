@@ -111,3 +111,24 @@ def test_bm25_matches_numpy_recompute(spark, tmp_path):
             ((r.doc_id, r.rnk) for r in out if r.term == w), key=lambda p: p[1]
         )
         assert [i for i, _ in cand] == [i for i, _ in got]
+
+
+def test_delta_merge_head_cap_across_sides(spark, tmp_path):
+    """Base side's head is already capped at POSTINGS_HEAD; a delta
+    whose doc_ids interleave BELOW the base's must still produce the
+    exact union head (head_K(A∪B) ⊆ head_K(A)∪head_K(B))."""
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        index_delta_merge,
+        index_inverted_build,
+    )
+
+    # doc_id i holds 'hot' for i in 0..59: base = ids not divisible by
+    # 5 (48 docs, head capped at 32), delta = multiples of 5 (12 docs,
+    # several below the base head's max) — the merge must interleave.
+    sf = _write_docs(tmp_path, ["hot"] * 60)
+    merged = {r.term: r for r in index_delta_merge(spark, sf).collect()}
+    full = {r.term: r for r in index_inverted_build(spark, sf).collect()}
+    assert merged["hot"].df == full["hot"].df == 60
+    assert merged["hot"].cf == full["hot"].cf == 60
+    assert merged["hot"].postings_head == full["hot"].postings_head
+    assert merged["hot"].postings_head == ",".join(str(i) for i in range(32))

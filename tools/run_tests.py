@@ -74,6 +74,21 @@ def main() -> int:
         "tests/test_badrecords.py",
     ]
     launch("stream_io", base + stream_io, {})
+    # r11 (r10 verdict #3): "main" had become the 6-7 min critical
+    # path; the sweep-style modules (every-query-over-empty-tables,
+    # every-plan-built, hypothesis suites, scaling probes) get their
+    # own process, roughly halving main's wall.
+    sweeps = [
+        "tests/test_plan_quality.py",
+        "tests/test_properties.py",
+        "tests/test_scaling.py",
+    ]
+    launch("sweeps", base + sweeps, {})
+    # every-query-over-empty-tables is a full registry sweep on its
+    # own (r11 second split: sweeps+empty together measured 6:30 and
+    # became the new critical path)
+    empties = ["tests/test_empty_inputs.py"]
+    launch("empties", base + empties, {})
     launch(
         "main",
         base
@@ -81,7 +96,8 @@ def main() -> int:
             "tests/",
             "--ignore", os.path.join(REPO, "tests/test_oracle_parity.py"),
             "--ignore", os.path.join(REPO, "tests/test_modules.py"),
-            *[a for m in stream_io for a in ("--ignore", os.path.join(REPO, m))],
+            *[a for m in stream_io + sweeps + empties
+              for a in ("--ignore", os.path.join(REPO, m))],
         ],
         {},
     )
@@ -97,7 +113,7 @@ def main() -> int:
             print(f"    {line}")
         rc = rc or p.returncode
     print(f"total wall-clock: {time.perf_counter() - t0:.0f}s "
-          f"({args.shards} parity shards + modules + stream_io + main)")
+          f"({args.shards} parity shards + modules + stream_io + sweeps + empties + main)")
     return rc
 
 
