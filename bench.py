@@ -177,6 +177,16 @@ SECONDARY = [
     "scan_warc",
     "scan_warc_gz",
     "warc_wet_extract",
+    # r11, tracked from introduction: the retrieval family — BM25
+    # (one corpus shuffle + broadcast stats + WindowGroupLimit top-k),
+    # the inverted-index build (two-level agg + bounded postings head),
+    # the incremental merge (two sub-corpus indexes + vocab-sized
+    # merge; its oracle asserts == full rebuild), and the zero-shuffle
+    # expression-only phrase grep (one codegen pass over text bytes)
+    "text_bm25_topk",
+    "index_inverted_build",
+    "index_delta_merge",
+    "index_phrase_search",
 ]
 
 

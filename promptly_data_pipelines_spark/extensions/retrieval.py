@@ -148,32 +148,42 @@ def index_inverted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase search ("table scan") with ZERO shuffles: the
-    1-based positions where ws[i]='table' and ws[i+1]='scan' are a
-    filter over sequence(1, size-1) probing the token array with
-    element_at — a pure expression tree, evaluated in the same
-    codegen stage as the parquet scan. Emits (doc_id, n_matches,
-    first_pos) for matching docs only. The oracle cross-checks with
-    the classical exploded self-join form — two independent
-    formulations of phrase adjacency."""
+    token array is zipped with its own 1-shifted slice, the adjacency
+    flags map to match positions, and the whole thing stays one
+    expression tree in the scan's codegen stage. Emits (doc_id,
+    n_matches, first_pos) for matching docs only. The oracle
+    cross-checks with the classical exploded self-join form — two
+    independent formulations of phrase adjacency.
+
+    Expression-shape note (the r11 bench caught this): the obvious
+    form — filter(sequence(1, n-1), i -> element_at(ws, i) = ...) —
+    re-evaluates the OUTER ``ws`` subexpression on every lambda call
+    (interpreted higher-order functions do no common-subexpression
+    elimination, same finding as doc_winnowing's r9 O(n²) fix), which
+    re-tokenizes the document per position: O(n²) per doc, measured
+    2.0 s at sf0.1. In this form every lambda touches only its own
+    element arguments, so ``ws`` is evaluated O(1) times per row —
+    0.2 s for the same scan."""
     d = table(spark, sf_dir, "documents")
     ws = _words(F.col("text"))
-    # sequence(start > stop) generates a DESCENDING sequence in Spark,
-    # so docs with <2 tokens must short-circuit to the empty array.
-    positions = F.when(
-        F.size(ws) >= 2,
-        F.filter(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: (F.element_at(ws, i) == "table")
-            & (F.element_at(ws, i + 1) == "scan"),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))  # pair count; 0 for <2 tokens
+    # flags[i] = (ws[i] == 'table' AND ws[i+1] == 'scan'), 0-based
+    flags = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda x, y: (x == "table") & (y == "scan"),
+    )
+    positions = F.filter(
+        F.transform(flags, lambda b, i: F.when(b, i).otherwise(F.lit(-1))),
+        lambda v: v >= 0,
+    )
     return (
-        d.select("doc_id", positions.alias("pos1"))
-        .where(F.size("pos1") > 0)
+        d.select("doc_id", positions.alias("pos0"))
+        .where(F.size("pos0") > 0)
         .select(
             "doc_id",
-            F.size("pos1").cast("long").alias("n_matches"),
-            (F.element_at("pos1", 1) - F.lit(1)).cast("int").alias("first_pos"),
+            F.size("pos0").cast("long").alias("n_matches"),
+            F.element_at("pos0", 1).cast("int").alias("first_pos"),
         )
     )
 

@@ -59,6 +59,12 @@ OPS = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "similarity_topk",
+    # r11: retrieval family — bm25's one corpus shuffle, the index
+    # build's two-level agg + bounded head, and the expression-only
+    # phrase grep (expected near-IO-bound, the row-linear floor)
+    "text_bm25_topk",
+    "index_inverted_build",
+    "index_phrase_search",
 )
 
 
