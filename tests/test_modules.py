@@ -2120,3 +2120,34 @@ def test_simhash_plan_stays_compact(spark):
     d = table(spark, "/root/testdata/sf0.001", "documents")
     plan = simhash_signatures(d)._jdf.queryExecution().analyzed().toString()
     assert len(plan) < 100_000, f"simhash analyzed plan blew up: {len(plan)} chars"
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """text_compression_ratio's value contract (no SQL oracle is
+    possible for DEFLATE): every row must equal a direct zlib
+    recompute on the same text — same library, exact equality — and
+    the keep-gate must be the dyadic-bound comparison on the exact
+    ratio."""
+    import zlib
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.text import (
+        COMPRESS_RATIO_HIGH,
+        COMPRESS_RATIO_LOW,
+        text_compression_ratio,
+    )
+
+    from conftest import SF_DIR
+
+    texts = {
+        r.doc_id: r.text for r in table(spark, SF_DIR, "documents").collect()
+    }
+    out = text_compression_ratio(spark, SF_DIR).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        raw = texts[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(raw)
+        assert r.n_compressed == len(zlib.compress(raw, 6))
+        ratio = r.n_compressed / r.n_bytes
+        assert r.compression_ratio == ratio
+        assert r.keep == (COMPRESS_RATIO_LOW <= ratio <= COMPRESS_RATIO_HIGH)
