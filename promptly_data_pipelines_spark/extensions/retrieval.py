@@ -408,3 +408,115 @@ def index_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         (F.col("tf_table") > 0) & (F.col("tf_scan") > 0) & (F.col("tf_merge") > 0)
     )
+
+
+@query(
+    "text_bm25_search",
+    registered=False,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tfs AS (
+      SELECT doc_id,
+             CAST(len(list_filter(ws, x -> x = 'table')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(ws, x -> x = 'scan'))  AS BIGINT) AS tf2,
+             CAST(len(list_filter(ws, x -> x = 'merge')) AS BIGINT) AS tf3,
+             CAST(len(ws) AS BIGINT) AS dl
+      FROM w
+    ), consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+      FROM tfs
+    )
+    SELECT doc_id,
+           ((CAST(2 * n - 2 * df1 + 1 AS DOUBLE) / CAST(2 * df1 + 1 AS DOUBLE))
+              * ((CAST(tf1 AS DOUBLE) * 2.25)
+                 / (CAST(tf1 AS DOUBLE)
+                    + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+            + (CAST(2 * n - 2 * df2 + 1 AS DOUBLE) / CAST(2 * df2 + 1 AS DOUBLE))
+              * ((CAST(tf2 AS DOUBLE) * 2.25)
+                 / (CAST(tf2 AS DOUBLE)
+                    + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))
+            + (CAST(2 * n - 2 * df3 + 1 AS DOUBLE) / CAST(2 * df3 + 1 AS DOUBLE))
+              * ((CAST(tf3 AS DOUBLE) * 2.25)
+                 / (CAST(tf3 AS DOUBLE)
+                    + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS score,
+           CAST((CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS INT) AS n_terms
+    FROM tfs CROSS JOIN consts
+    WHERE tf1 + tf2 + tf3 > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-at-a-time BM25 for the fixed query ['table', 'scan',
+    'merge']: top-10 documents by SUMMED score — the shape an actual
+    retrieval call has, vs text_bm25_topk's per-term census.
+
+    The whole query runs with ZERO wide shuffles: per-doc term
+    frequencies come from size(filter(ws, =term)) expressions (no
+    explode, no (doc,term) shuffle), the corpus statistics (N, avgdl,
+    df per query term) collapse to ONE map-side-combined 1-row
+    aggregate that broadcasts back, and the final top-10 is a
+    TakeOrdered (per-partition top-k, never a global sort). Two scans
+    of text bytes total.
+
+    Float parity is by construction, extending the text_bm25_topk
+    discipline to SUMS: with a fixed term list the score is the
+    explicit left-associated s_table + s_scan + s_merge in BOTH
+    engines — no collect_list/fold ordering to trust — and each s_i
+    is exactly 0.0 when tf_i = 0 (zero numerator), so absent terms
+    contribute nothing without a conditional. Ties at the LIMIT
+    boundary break on doc_id in both engines."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+
+    def tf_of(term: str):
+        return F.size(F.filter(ws, lambda x: x == term)).cast("long")
+
+    tfs = d.select(
+        "doc_id",
+        tf_of("table").alias("tf1"),
+        tf_of("scan").alias("tf2"),
+        tf_of("merge").alias("tf3"),
+        F.size(ws).cast("long").alias("dl"),
+    )
+    consts = tfs.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        F.sum((F.col("tf1") > 0).cast("long")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("long")).alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("long")).alias("df3"),
+    )
+
+    def s_of(tf_col: str, df_col: str):
+        idf = (2 * F.col("n") - 2 * F.col(df_col) + 1).cast("double") / (
+            2 * F.col(df_col) + 1
+        ).cast("double")
+        tf_d = F.col(tf_col).cast("double")
+        denom = tf_d + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return idf * ((tf_d * F.lit(1.0 + BM25_K1)) / denom)
+
+    score = (s_of("tf1", "df1") + s_of("tf2", "df2")) + s_of("tf3", "df3")
+    n_terms = (
+        (F.col("tf1") > 0).cast("int")
+        + (F.col("tf2") > 0).cast("int")
+        + (F.col("tf3") > 0).cast("int")
+    )
+    return (
+        tfs.crossJoin(F.broadcast(consts))
+        .where(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select("doc_id", score.alias("score"), n_terms.alias("n_terms"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

@@ -623,3 +623,14 @@ def test_boolean_and_is_shuffle_free(spark):
     p = _plan(spark, "index_boolean_and")
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_bm25_search_no_wide_shuffle(spark):
+    """text_bm25_search (document-at-a-time BM25): per-doc tfs are
+    expression-only, corpus stats are ONE single-partition agg that
+    broadcasts back, and the top-10 is TakeOrdered — the plan must
+    contain no hash-partitioned exchange at all."""
+    p = _plan(spark, "text_bm25_search")
+    assert "TakeOrderedAndProject" in p, "top-k lost its TakeOrdered form"
+    assert "hashpartitioning" not in p, "a wide shuffle crept in"
+    assert "CartesianProduct" not in p
