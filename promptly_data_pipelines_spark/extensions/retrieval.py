@@ -520,3 +520,65 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+def stage_index_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> str:
+    """Persist the inverted index as an external parquet table bucketed
+    (and sorted) on ``term`` — the retrieval analogue of the ANN
+    family's build/serve split (similarity.py: build once, serve
+    many). Idempotent per session+sf; returns the table name."""
+    import os
+    import tempfile
+
+    from ..operators.bucketing import _safe_name, sink_bucketed
+    from ..operators.scans import _session_tag
+
+    tag = _safe_name(
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}"
+    )
+    name = f"pdp_bkt_index_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"pdp_bkt_index_{tag}")
+    sink_bucketed(
+        index_inverted_build(spark, sf_dir), name, path, n_buckets, "term"
+    )
+    return name
+
+
+@query(
+    "index_term_lookup",
+    registered=False,
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           array_to_string(list_sort(list(doc_id))[1:32], ',') AS postings_head
+    FROM tf
+    WHERE term IN ('table', 'scan', 'merge')
+    GROUP BY term
+    """,
+)
+def index_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-side term lookup against the PERSISTED bucketed index:
+    the equality-set filter on the bucket column prunes the scan to
+    ≤3 of 16 buckets (SelectedBucketsCount — pinned in
+    tests/test_retrieval.py with autoBucketedScan off, the same conf
+    dance as tests/test_bucketing.py: the planner reverts scans that
+    avoid no exchange to plain reads, where the sortBy(term)
+    row-group stats still skip) — the bucketed analogue of partition
+    pruning, and the reason a served index answers term queries
+    reading ~1/n of the index bytes instead of all of them. The
+    oracle recomputes the same three postings rows from the raw
+    corpus, so staleness or a mis-bucketed write flips the hash.
+    Build cost is paid once in stage_index_bucketed (the timed serve
+    path is the point-read)."""
+    name = stage_index_bucketed(spark, sf_dir)
+    return spark.table(name).where(F.col("term").isin("table", "scan", "merge"))

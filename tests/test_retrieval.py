@@ -132,3 +132,36 @@ def test_delta_merge_head_cap_across_sides(spark, tmp_path):
     assert merged["hot"].cf == full["hot"].cf == 60
     assert merged["hot"].postings_head == full["hot"].postings_head
     assert merged["hot"].postings_head == ",".join(str(i) for i in range(32))
+
+
+def test_index_term_lookup_bucket_pruned(spark):
+    """The served index's term filter must prune to <=3 of 16 buckets
+    (with autoBucketedScan off, per the tests/test_bucketing.py
+    precedent — the planner otherwise reverts exchange-free scans to
+    plain reads)."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        stage_index_bucketed,
+    )
+    from conftest import SF_DIR
+
+    name = stage_index_bucketed(spark, SF_DIR)
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spark.table(name).where(
+                F.col("term").isin("table", "scan", "merge")
+            ).explain("formatted")
+        m = re.search(r"SelectedBucketsCount: (\d+) out of 16", buf.getvalue())
+        assert m, "bucket pruning did not fire on the term lookup"
+        assert int(m.group(1)) <= 3
+    finally:
+        spark.conf.set(key, prev)
