@@ -187,6 +187,12 @@ SECONDARY = [
     "index_inverted_build",
     "index_delta_merge",
     "index_phrase_search",
+    # r11 (late): the document-at-a-time BM25 (zero wide shuffles -
+    # the per-request serving shape) and the bucketed-index term
+    # lookup (staging write included in the timed call, same contract
+    # as join_bucketed: the build IS the amortized cost)
+    "text_bm25_search",
+    "index_term_lookup",
 ]
 
 

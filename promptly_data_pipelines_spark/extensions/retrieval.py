@@ -27,13 +27,15 @@ Scale design, per operator:
   df/cf stay exact from the unbounded agg; a production index writes
   full postings sharded by (term, doc_id range) instead of one row.
 - **index_phrase_search** — ZERO-shuffle positional matching: the
-  match positions fall out of a higher-order-function expression over
-  the token array (sequence → filter with element_at probes), so the
-  scan emits one already-final row per matching document. No explode,
-  no self-join on (doc_id, pos), nothing moves; Catalyst keeps the
-  whole thing inside one WholeStageCodegen over the parquet scan.
-  This is the form a 100 TB phrase grep wants: cost = one pass over
-  text bytes, output = matches only.
+  token array zips with its own 1-shifted slice and the adjacency
+  flags map to match positions (lambdas touch only their element
+  args — see the function docstring for why the element_at-probe
+  form was O(n²)), so the scan emits one already-final row per
+  matching document. No explode, no self-join on (doc_id, pos),
+  nothing moves; Catalyst keeps the whole thing inside one
+  WholeStageCodegen over the parquet scan. This is the form a 100 TB
+  phrase grep wants: cost = one pass over text bytes, output =
+  matches only.
 - **text_bm25_topk** — BM25 with every constant dyadic (k1=1.25,
   b=0.75, so k1+1=2.25 and 1-b=0.25 are exact doubles) and the IDF
   left as the exact rational (2N-2df+1)/(2df+1) instead of its log:
