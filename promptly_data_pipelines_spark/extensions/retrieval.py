@@ -353,6 +353,14 @@ def index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     base = _build_index(d.where(F.col("doc_id") % 5 != 0))
     delta = _build_index(d.where(F.col("doc_id") % 5 == 0))
+    return merge_indexes(base, delta)
+
+
+def merge_indexes(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two disjoint-corpus indexes built by _build_index: df/cf
+    add; heads concatenate, sort, and re-cap (exact — see
+    index_delta_merge). Property-tested for ARBITRARY disjoint splits
+    in tests/test_properties.py, not just the %5 example."""
     merged = base.unionByName(delta)
     return merged.groupBy("term").agg(
         F.sum("df").alias("df"),

@@ -896,3 +896,99 @@ def test_warc_record_roundtrip_property(rows):
     assert len(parsed) == len(rows)
     for (rid, wt, uri, wd, p), got in zip(rows, parsed):
         assert got == (rid, wt, uri, wd, len(p.encode("utf-8")), p)
+
+
+# ------------------------------------------------ retrieval properties
+
+retrieval_doc = st.lists(
+    st.sampled_from(["table", "scan", "merge", "x", "table scan"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@SETTINGS
+@given(corpus=st.lists(retrieval_doc, min_size=1, max_size=10))
+def test_phrase_search_matches_python_mirror(spark, corpus):
+    """index_phrase_search vs a direct token-list scan: same matching
+    docs, same counts, same first positions — hypothesis supplies the
+    adversarial shapes (phrase at doc edges, overlapping 'table table
+    scan', empty docs, docs shorter than the phrase)."""
+    import pandas as pd
+
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        index_phrase_search,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pdp_phrase_prop_")
+    try:
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(corpus)),
+                "text": corpus,
+                "lang": "en",
+                "source": "web",
+            }
+        )
+        df["doc_id"] = df["doc_id"].astype("int64")
+        df["n_chars"] = df["text"].str.len().astype("int64")
+        df.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_matches, r.first_pos)
+            for r in index_phrase_search(spark, tmp).collect()
+        }
+        want = {}
+        for i, text in enumerate(corpus):
+            toks = [w for w in text.split(" ") if w]
+            hits = [
+                p
+                for p in range(len(toks) - 1)
+                if toks[p] == "table" and toks[p + 1] == "scan"
+            ]
+            if hits:
+                want[i] = (len(hits), hits[0])
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@SETTINGS
+@given(
+    corpus=st.lists(retrieval_doc, min_size=1, max_size=10),
+    split_bits=st.lists(st.booleans(), min_size=10, max_size=10),
+)
+def test_index_delta_merge_equals_full_rebuild_any_split(spark, corpus, split_bits):
+    """The merge theorem for ARBITRARY disjoint splits (the registered
+    query only exercises doc_id % 5): for every hypothesis-chosen
+    base/delta partition, merge_indexes(build(A), build(B)) must equal
+    build(A ∪ B) row-for-row — df, cf, and the capped postings head."""
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        _build_index,
+        merge_indexes,
+    )
+
+    docs = [
+        (i, text, "en", "web")
+        for i, text in enumerate(corpus)
+        if text.split()  # empty docs index nothing on either side
+    ]
+    if not docs:
+        return
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    ids = [i for i, *_ in docs if split_bits[i % 10]]
+    base = df.where(F.col("doc_id").isin(ids)) if ids else df.limit(0)
+    delta = df.subtract(base)
+    full = {
+        r.term: (r.df, r.cf, r.postings_head)
+        for r in _build_index(df)
+        .withColumn("postings_head", F.array_join("head", ","))
+        .drop("head")
+        .collect()
+    }
+    merged = {
+        r.term: (r.df, r.cf, r.postings_head)
+        for r in merge_indexes(_build_index(base), _build_index(delta)).collect()
+    }
+    assert merged == full
