@@ -1,0 +1,151 @@
+"""Entity resolution (record linkage): blocking → bounded fuzzy
+match → transitive clustering → canonical records.
+
+The reference has no ER surface (its dbt models dedup on exact keys
+only); this composes the repo's existing scale-grade parts into the
+classic Fellegi-Sunter-shaped pipeline every master-data/curation
+system runs: a deterministic BLOCKING key bounds the candidate space
+(never all-pairs), an edit-distance match rule scores candidates
+inside each block, and connected components (extensions/dedup.py's
+large-star/small-star — O(log n) rounds, no transitive closure
+explosion) folds pairwise matches into entities with one canonical
+survivor each.
+
+Fixture dirt is planted deterministically from key arithmetic (the
+join_fuzzy precedent, operators/joins.py:496): every 3rd customer
+gains a 'Custmer' variant (distance 1), every 6th additionally a
+'Kustomer' variant (distance 2 from the original AND distance 2 from
+the 'Custmer' variant — so 3-node clusters only form transitively),
+and every 5th an 'Xstomr' variant at distance 3 that enters the block
+but must FAIL the ≤2 match rule and resolve as its own entity — the
+false-positive control.
+
+Scale design: the block key (the 9-digit id suffix, untouched by the
+planted prefix typos) keys the only corpus-sized shuffle; per-block
+candidate pairs are |block|² with small blocks — the universal ER
+trade (recall lives in the blocking key, cost in the block size).
+levenshtein runs JVM-side (codegen'd binary expression), the star
+rounds are groupBy+join keyed by node id, and the canonical pick is
+min-id — all partial-agg-safe. The DuckDB oracle mirrors the whole
+pipeline with a recursive min-label closure (safe at oracle SF; the
+Spark side keeps the closure-free star algorithm that survives
+100 TB-scale cliques).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .dedup import connected_components
+
+ER_MAX_DIST = 2  # match rule: levenshtein(name_a, name_b) <= 2
+
+
+def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer + planted typo variants, one frame of (rec_id, name,
+    block): variants offset the key by 1/2/3 million per typo class so
+    provenance is readable off the id."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def variant(offset: int, typo: str, modulus: int):
+        return c.where(F.col("c_custkey") % modulus == 0).select(
+            (F.col("c_custkey") + offset).alias("rec_id"),
+            F.regexp_replace("c_name", "Customer", typo).alias("name"),
+        )
+
+    records = (
+        c.select(F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name"))
+        .unionByName(variant(1_000_000, "Custmer", 3))
+        .unionByName(variant(2_000_000, "Kustomer", 6))
+        .unionByName(variant(3_000_000, "Xstomr", 5))
+    )
+    # the 9-digit id suffix survives every planted prefix typo — the
+    # blocking key a real pipeline mines from the stable field
+    return records.withColumn("block", F.substring("name", -9, 9))
+
+
+@query(
+    "er_resolve_customers",
+    registered=False,
+    oracle="""
+    WITH RECURSIVE records AS (
+      SELECT c_custkey AS rec_id, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, replace(c_name, 'Customer', 'Custmer')
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, replace(c_name, 'Customer', 'Kustomer')
+      FROM customer WHERE c_custkey % 6 = 0
+      UNION ALL
+      SELECT c_custkey + 3000000, replace(c_name, 'Customer', 'Xstomr')
+      FROM customer WHERE c_custkey % 5 = 0
+    ), blocked AS (
+      SELECT rec_id, name, right(name, 9) AS block FROM records
+    ), pairs AS (
+      SELECT a.rec_id AS u, b.rec_id AS v
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS rec_id, min(v) AS entity_id FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT b.rec_id, b.name,
+             coalesce(c.entity_id, b.rec_id) AS entity_id
+      FROM blocked b LEFT JOIN comp c USING (rec_id)
+    ), sized AS (
+      SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size
+      FROM labeled GROUP BY entity_id
+    )
+    SELECT l.rec_id, l.name, l.entity_id, s.entity_size,
+           (l.rec_id = l.entity_id) AS is_canonical
+    FROM labeled l JOIN sized s USING (entity_id)
+    """,
+)
+def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ER composite: blocked candidate pairs under the ≤2
+    edit-distance rule → star-algorithm components → entity ids (min
+    rec_id per component; unmatched records are their own entity) →
+    size + canonical flag per record. The distance-3 'Xstomr' plants
+    must come back as singleton entities (the match rule's
+    false-positive control), and every 6th customer's 3-node cluster
+    must assemble even when one of its three pairwise edges is
+    missing — A~B, B~C with A~C absent is exactly what the transitive
+    clustering supplies."""
+    records = _er_records(spark, sf_dir)
+    a, b = records.alias("a"), records.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= ER_MAX_DIST)
+        .select(
+            F.col("a.rec_id").alias("doc_a"), F.col("b.rec_id").alias("doc_b")
+        )
+    )
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"doc_id": "rec_id", "cluster_rep": "entity_id"}
+    )
+    labeled = records.join(comp, "rec_id", "left").select(
+        "rec_id",
+        "name",
+        F.coalesce("entity_id", "rec_id").alias("entity_id"),
+    )
+    sizes = labeled.groupBy("entity_id").agg(F.count("*").alias("entity_size"))
+    return labeled.join(sizes, "entity_id").select(
+        "rec_id",
+        "name",
+        "entity_id",
+        "entity_size",
+        (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
+    )

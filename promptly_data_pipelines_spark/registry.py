@@ -189,6 +189,7 @@ def _load_all() -> None:
         classify,
         curation,
         dedup,
+        entity,
         graph,
         heavyhitters,
         lines,

@@ -1,0 +1,39 @@
+"""Entity-resolution composite (extensions/entity.py): the designed
+cluster shapes, beyond the corpus-level DuckDB parity in
+tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from promptly_data_pipelines_spark.extensions.entity import er_resolve_customers
+
+from conftest import SF_DIR
+
+
+def test_er_cluster_shapes(spark):
+    out = er_resolve_customers(spark, SF_DIR).collect()
+    by_rec = {r.rec_id: r for r in out}
+    ents: dict[int, list] = {}
+    for r in out:
+        ents.setdefault(r.entity_id, []).append(r.rec_id)
+
+    # key 6: original + Custmer + Kustomer = a 3-node transitive
+    # cluster canonicalized at the original key
+    assert sorted(ents[6]) == [6, 1_000_006, 2_000_006]
+    assert by_rec[6].is_canonical and by_rec[6].entity_size == 3
+    assert not by_rec[1_000_006].is_canonical
+
+    # key 3 (not %6, not %5): original + Custmer pair
+    assert sorted(ents[3]) == [3, 1_000_003]
+
+    # Xstomr plants (distance 3) never match: singleton entities
+    xst = [r for r in out if r.name.startswith("Xstomr")]
+    assert xst, "no Xstomr plants in fixture"
+    for r in xst:
+        assert r.entity_id == r.rec_id and r.entity_size == 1 and r.is_canonical
+
+    # untouched customers (e.g. key 1: not %3/%5) are singletons too
+    assert ents[1] == [1]
+
+    # global sanity: every entity's canonical row is its min rec_id
+    for eid, members in ents.items():
+        assert eid == min(members)
