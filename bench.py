@@ -193,6 +193,10 @@ SECONDARY = [
     # as join_bucketed: the build IS the amortized cost)
     "text_bm25_search",
     "index_term_lookup",
+    # r11 (late): the ER composite - blocked fuzzy pairs + star-round
+    # clustering + canonical pick; tracks the CC iteration cost on a
+    # planted-cluster workload smaller than graph_pagerank's
+    "er_resolve_customers",
 ]
 
 

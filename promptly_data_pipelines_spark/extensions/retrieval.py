@@ -166,19 +166,41 @@ def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.0 s at sf0.1. In this form every lambda touches only its own
     element arguments, so ``ws`` is evaluated O(1) times per row —
     0.2 s for the same scan."""
-    d = table(spark, sf_dir, "documents")
-    ws = _words(F.col("text"))
-    n1 = F.greatest(F.size(ws) - 1, F.lit(0))  # pair count; 0 for <2 tokens
-    # flags[i] = (ws[i] == 'table' AND ws[i+1] == 'scan'), 0-based
-    flags = F.zip_with(
-        F.slice(ws, 1, n1),
-        F.slice(ws, 2, n1),
-        lambda x, y: (x == "table") & (y == "scan"),
-    )
-    positions = F.filter(
+    return _phrase_query(spark, sf_dir, ("table", "scan"))
+
+
+def phrase_match_positions(ws, terms):
+    """0-based start positions where ``terms`` occurs contiguously in
+    the token-array column ``ws`` — a pure expression for ANY phrase
+    length k: the j-th shifted slice of ws compares against terms[j]
+    and the k boolean arrays AND together via zip_with (every lambda
+    touches only its element args — never the outer ws; see
+    index_phrase_search's O(n²) note)."""
+    k = len(terms)
+    if k < 1:
+        raise ValueError("phrase needs at least one term")
+    npos = F.greatest(F.size(ws) - (k - 1), F.lit(0))
+    flags = F.transform(F.slice(ws, 1, npos), lambda x: x == terms[0])
+
+    def _and_term(term):
+        # closure factory, NOT a default arg: PySpark derives the
+        # lambda-variable count from the function signature, and a
+        # `t=t` default would read as a 3-arg lambda to zip_with
+        return lambda f, x: f & (x == term)
+
+    for j, t in enumerate(terms[1:], start=1):
+        flags = F.zip_with(flags, F.slice(ws, 1 + j, npos), _and_term(t))
+    return F.filter(
         F.transform(flags, lambda b, i: F.when(b, i).otherwise(F.lit(-1))),
         lambda v: v >= 0,
     )
+
+
+def _phrase_query(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...]
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    positions = phrase_match_positions(_words(F.col("text")), terms)
     return (
         d.select("doc_id", positions.alias("pos0"))
         .where(F.size("pos0") > 0)
@@ -188,6 +210,39 @@ def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("pos0", 1).cast("int").alias("first_pos"),
         )
     )
+
+
+@query(
+    "index_phrase3_search",
+    registered=False,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_transform(ws, (x, i) -> struct_pack(pos := i - 1, token := x)),
+                    recursive := true)
+      FROM w
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS INT) AS first_pos
+    FROM tok a
+    JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    WHERE a.token = 'table' AND b.token = 'scan' AND c.token = 'merge'
+    GROUP BY a.doc_id
+    """,
+)
+def index_phrase3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=3 instantiation of phrase_match_positions ("table scan
+    merge") — pins that the generalized slice-AND construction is
+    correct beyond bigrams, against the triple-self-join oracle. Still
+    zero Exchanges; cost is k slice comparisons per row, linear in
+    both document length and phrase length."""
+    return _phrase_query(spark, sf_dir, ("table", "scan", "merge"))
 
 
 @query(

@@ -587,13 +587,15 @@ def test_classify_model_crossjoins_all_broadcast(spark):
 
 
 def test_phrase_search_is_shuffle_free(spark):
-    """index_phrase_search's whole match is a higher-order-function
-    expression over the token array: the executed plan must contain NO
-    Exchange at all — positional phrase matching as a single codegen
-    stage over the parquet scan (the 100 TB phrase-grep shape)."""
-    p = _plan(spark, "index_phrase_search")
-    assert "Exchange" not in p, "phrase search grew a shuffle"
-    assert "EvalPython" not in p, "phrase search fell back to Python"
+    """Phrase search (k=2 and the generalized k=3 form) is a
+    higher-order-function expression over the token array: the
+    executed plan must contain NO Exchange at all — positional phrase
+    matching as a single codegen stage over the parquet scan (the
+    100 TB phrase-grep shape)."""
+    for name in ("index_phrase_search", "index_phrase3_search"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, f"{name} grew a shuffle"
+        assert "EvalPython" not in p, f"{name} fell back to Python"
 
 
 def test_bm25_small_sides_broadcast(spark):
