@@ -536,6 +536,11 @@ def stress_tier_main() -> None:
                 # table on one customer) — O(k*P) passes regardless of
                 # how hot the key is
                 "agg_heavy_hitters",
+                # r11: BM25 over the densified slice — the explode →
+                # (doc,term) agg under template-cluster term skew; the
+                # query-term broadcast and WindowGroupLimit top-k are
+                # the skew-immunity being measured
+                "text_bm25_topk",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the
