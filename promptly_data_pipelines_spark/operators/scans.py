@@ -385,3 +385,43 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    registered=False,
+    oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-tier format coverage: the NATIVE XML source (Spark 4 absorbed
+    spark-xml — write with rowTag, read back schema-declared). XML is
+    the format enterprise feed drops still arrive in (and what WARC
+    response bodies often contain); the round-trip supplier → XML →
+    back uses the source table as oracle, so any escaping, type, or
+    rowTag damage in writer/reader shows as a parity break. Same
+    at-scale caveat as JSONL: edge-interchange only — no pushdown, no
+    pruning; convert to parquet at ingest.
+
+    Avro, the remaining interchange format, stays a documented gap:
+    spark-avro is an EXTERNAL module (not on this build's classpath)
+    and both Maven hosts are DNS-dead in this environment — the same
+    re-probed infeasibility as Iceberg/Delta (operators/lakehouse.py,
+    re-stamped 2026-08-15)."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pdp_xml_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    (
+        s.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(out)
+    )
+    return (
+        spark.read.schema(s.schema)
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
