@@ -404,17 +404,18 @@ def main() -> None:
             line_load[build_label] = round(os.getloadavg()[0], 2)
             build_runs = []
             keep_dir = None
+            made_dirs: list[str] = []  # every mkdtemp, so a mid-loop
+            # failure can't leak an index dir (r11 review finding)
             try:
                 for _ in range(2):
                     idx_dir = tempfile.mkdtemp(prefix="pdp_ann_index_")
+                    made_dirs.append(idx_dir)
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     save_fn(spark, e_pq, idx_dir)
                     build_runs.append(time.perf_counter() - t0)
                     if keep_dir is None:
                         keep_dir = idx_dir
-                    else:
-                        shutil.rmtree(idx_dir, ignore_errors=True)
                 secondary[build_label] = round(min(build_runs), 3)
                 spread[build_label] = [
                     round(min(build_runs), 3), round(max(build_runs), 3),
@@ -432,8 +433,8 @@ def main() -> None:
                 secondary[label] = round(min(runs), 3)
                 spread[label] = [round(min(runs), 3), round(max(runs), 3)]
             finally:
-                if keep_dir is not None:
-                    shutil.rmtree(keep_dir, ignore_errors=True)
+                for d in made_dirs:
+                    shutil.rmtree(d, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         secondary["pq_serve_error"] = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -14,11 +14,13 @@ survivor each.
 Fixture dirt is planted deterministically from key arithmetic (the
 join_fuzzy precedent, operators/joins.py:496): every 3rd customer
 gains a 'Custmer' variant (distance 1), every 6th additionally a
-'Kustomer' variant (distance 2 from the original AND distance 2 from
-the 'Custmer' variant — so 3-node clusters only form transitively),
-and every 5th an 'Xstomr' variant at distance 3 that enters the block
-but must FAIL the ≤2 match rule and resolve as its own entity — the
-false-positive control.
+'Kustomr' variant (distance 2 from the original but distance THREE
+from the 'Custmer' sibling — no direct variant-variant edge, so
+3-node clusters only form transitively through the original),
+and every 5th an 'Xstmr' variant at distance ≥3 from the original
+AND from both planted variants (keys divisible by 30 carry all three)
+— it enters the block but must FAIL the ≤2 rule against every
+sibling and resolve as its own entity: the false-positive control.
 
 Scale design: the block key (the 9-digit id suffix, untouched by the
 planted prefix typos) keys the only corpus-sized shuffle; per-block
@@ -59,8 +61,8 @@ def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = (
         c.select(F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name"))
         .unionByName(variant(1_000_000, "Custmer", 3))
-        .unionByName(variant(2_000_000, "Kustomer", 6))
-        .unionByName(variant(3_000_000, "Xstomr", 5))
+        .unionByName(variant(2_000_000, "Kustomr", 6))
+        .unionByName(variant(3_000_000, "Xstmr", 5))
     )
     # the 9-digit id suffix survives every planted prefix typo — the
     # blocking key a real pipeline mines from the stable field
@@ -77,10 +79,10 @@ def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey + 1000000, replace(c_name, 'Customer', 'Custmer')
       FROM customer WHERE c_custkey % 3 = 0
       UNION ALL
-      SELECT c_custkey + 2000000, replace(c_name, 'Customer', 'Kustomer')
+      SELECT c_custkey + 2000000, replace(c_name, 'Customer', 'Kustomr')
       FROM customer WHERE c_custkey % 6 = 0
       UNION ALL
-      SELECT c_custkey + 3000000, replace(c_name, 'Customer', 'Xstomr')
+      SELECT c_custkey + 3000000, replace(c_name, 'Customer', 'Xstmr')
       FROM customer WHERE c_custkey % 5 = 0
     ), blocked AS (
       SELECT rec_id, name, right(name, 9) AS block FROM records
@@ -114,7 +116,7 @@ def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ER composite: blocked candidate pairs under the ≤2
     edit-distance rule → star-algorithm components → entity ids (min
     rec_id per component; unmatched records are their own entity) →
-    size + canonical flag per record. The distance-3 'Xstomr' plants
+    size + canonical flag per record. The distance-≥3 'Xstmr' plants
     must come back as singleton entities (the match rule's
     false-positive control), and every 6th customer's 3-node cluster
     must assemble even when one of its three pairwise edges is

@@ -375,7 +375,6 @@ def _encode_block_stream(
         amp = diff if diff > 0 else diff + (1 << size) - 1
         writer.write(amp, size)
     run = 0
-    last_nz = 0
     nz = np.nonzero(zz[1:])[0]
     last_nz = (nz[-1] + 1) if nz.size else 0
     for k in range(1, last_nz + 1):
@@ -652,6 +651,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"unsupported JPEG sampling factors {hi}x{vi} (only 1-2)"
                     )
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            if ncomp == 1:
+                # T.81 A.2: a scan with ONE component is non-interleaved
+                # — MCU = one data unit in plain raster order, sampling
+                # factors ignored. Real-world grayscale files (libjpeg
+                # gray output derived from 4:2:0 sources) declare 2x2
+                # here; honoring it would block-permute the image
+                # silently (r11 review finding). Forcing 1x1 makes the
+                # layout math below collapse to exactly the
+                # non-interleaved grid ceil(w/8) x ceil(h/8).
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"unsupported JPEG mode: {_SOF_UNSUPPORTED[marker]}")

@@ -139,6 +139,22 @@ def _unfilter_row(filt: np.ndarray, prior: np.ndarray, bpp: int, ftype: int) -> 
     raise ValueError(f"invalid PNG filter type {ftype}")
 
 
+def _choose_filter(recon: np.ndarray, prior: np.ndarray, bpp: int):
+    """Try all 5 scanline filters, return (ftype, filtered_row) with
+    the minimum signed-SAD score — THE single definition (truecolor
+    and palette encoders both call it; the int8 abs(-128) overflow fix
+    lives only here). SAD: bytes as signed deltas, min(v, 256-v) ==
+    |signed(v)| without the overflow (byte 128 scores 128)."""
+    ftype, best, best_score = 0, None, None
+    for t in range(5):
+        cand = _filter_row(recon, prior, bpp, t)
+        c16 = cand.astype(np.int16)
+        score = int(np.minimum(c16, 256 - c16).sum())
+        if best_score is None or score < best_score:
+            ftype, best, best_score = t, cand, score
+    return ftype, best
+
+
 def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     """Encode an (h, w) or (h, w, c) uint8 array as a valid PNG.
     ``filters`` pins one filter type per row (tests use this to build
@@ -164,16 +180,7 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
             ftype = filters[y % len(filters)]
             best = _filter_row(recon, prior, bpp, ftype)
         else:
-            ftype, best, best_score = 0, None, None
-            for t in range(5):
-                cand = _filter_row(recon, prior, bpp, t)
-                # SAD heuristic: bytes as signed deltas, sum of |v|.
-                # min(v, 256-v) == |signed(v)| without the int8
-                # abs(-128) == -128 overflow (byte 128 scores 128).
-                c16 = cand.astype(np.int16)
-                score = int(np.minimum(c16, 256 - c16).sum())
-                if best_score is None or score < best_score:
-                    ftype, best, best_score = t, cand, score
+            ftype, best = _choose_filter(recon, prior, bpp)
         out.append(ftype)
         out.extend(best.tobytes())
         prior = recon
@@ -206,13 +213,7 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
     out = bytearray()
     for y in range(h):
         recon = idx[y]
-        ftype, best, best_score = 0, None, None
-        for t in range(5):
-            cand = _filter_row(recon, prior, 1, t)
-            c16 = cand.astype(np.int16)
-            score = int(np.minimum(c16, 256 - c16).sum())
-            if best_score is None or score < best_score:
-                ftype, best, best_score = t, cand, score
+        ftype, best = _choose_filter(recon, prior, 1)
         out.append(ftype)
         out.extend(best.tobytes())
         prior = recon

@@ -68,16 +68,6 @@ def _words(c):
     return F.filter(F.split(c, " "), lambda w: w != "")
 
 
-def _doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, tf) — the shared first shuffle of the family."""
-    d = table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-
-
 @query(
     "index_inverted_build",
     registered=False,
@@ -103,28 +93,15 @@ def index_inverted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list so the plan is a WindowGroupLimit partial top-k plus
     a vocabulary-sized join — no unbounded per-term sort buffer (the
     difference between "works" and "hot term OOMs the executor" at
-    100 TB)."""
-    tf = _doc_tf(spark, sf_dir)
-    stats = tf.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    100 TB). One pipeline, one definition: _build_index is the single
+    implementation (index_delta_merge and the bucketed serving path
+    reuse it), this query just renders the head array as the string
+    the driver hashes — so a cap/ordering/tokenizer change cannot
+    silently diverge between the full build and the merge contract
+    (r11 review finding)."""
+    return _build_index(table(spark, sf_dir, "documents")).select(
+        "term", "df", "cf", F.array_join("head", ",").alias("postings_head")
     )
-    head = (
-        tf.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("term").orderBy(F.col("doc_id").asc())
-            ),
-        )
-        .where(F.col("rn") <= POSTINGS_HEAD)
-        .groupBy("term")
-        .agg(
-            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
-                "postings_head"
-            )
-        )
-    )
-    # both sides are vocabulary-sized after their aggs; the join is tiny
-    return stats.join(head, "term")
 
 
 @query(

@@ -148,13 +148,37 @@ def decode_avi_header(payload: bytes) -> dict:
     raise ValueError("AVI has no hdrl LIST")
 
 
+def _check_stream_codec(payload: bytes, end: int) -> None:
+    """Walk hdrl/strl/strh and refuse non-MJPG video streams BY NAME —
+    an H.264 AVI must fail as 'unsupported AVI codec', not trickle
+    down to a per-frame 'not a JPEG payload' that reads as corruption
+    (r11 review finding; same loud-refusal posture as the image
+    codecs)."""
+    for tag, p, size in _riff_chunks(payload, 12, end):
+        if tag == b"LIST" and payload[p : p + 4] == b"hdrl":
+            for t2, p2, s2 in _riff_chunks(payload, p + 4, p + size):
+                if t2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    for t3, p3, s3 in _riff_chunks(payload, p2 + 4, p2 + s2):
+                        if t3 == b"strh" and s3 >= 8:
+                            fcc_type = payload[p3 : p3 + 4]
+                            handler = payload[p3 + 4 : p3 + 8]
+                            if fcc_type == b"vids" and handler != b"MJPG":
+                                raise ValueError(
+                                    "unsupported AVI codec "
+                                    f"{handler.decode('ascii', 'replace').strip()!r}"
+                                    " (only MJPG; H.264/VP9 need absent codec libraries)"
+                                )
+
+
 def iter_avi_frames(payload: bytes):
     """Yield each video frame's bytes ('00dc'/'00db' chunks inside the
-    movi LIST) in stream order."""
+    movi LIST) in stream order; non-MJPG streams are refused by name
+    before any frame bytes are touched."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload (bad RIFF/AVI signature)")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     end = min(8 + riff_size, len(payload))
+    _check_stream_codec(payload, end)
     saw_movi = False
     for tag, p, size in _riff_chunks(payload, 12, end):
         if tag == b"LIST" and payload[p : p + 4] == b"movi":

@@ -25,11 +25,28 @@ def test_er_cluster_shapes(spark):
     # key 3 (not %6, not %5): original + Custmer pair
     assert sorted(ents[3]) == [3, 1_000_003]
 
-    # Xstomr plants (distance 3) never match: singleton entities
-    xst = [r for r in out if r.name.startswith("Xstomr")]
-    assert xst, "no Xstomr plants in fixture"
+    # Xstmr plants (distance >=3 from original AND both variants,
+    # incl. keys divisible by 30 that carry all three) never match
+    xst = [r for r in out if r.name.startswith("Xstmr")]
+    assert xst, "no Xstmr plants in fixture"
     for r in xst:
         assert r.entity_id == r.rec_id and r.entity_size == 1 and r.is_canonical
+
+    # the two variants of key 6 share NO direct edge under the <=2
+    # rule (their mutual distance is 3), so the 3-node entity above
+    # necessarily assembled TRANSITIVELY through the original
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    assert _lev(by_rec[1_000_006].name, by_rec[2_000_006].name) > 2
 
     # untouched customers (e.g. key 1: not %3/%5) are singletons too
     assert ents[1] == [1]

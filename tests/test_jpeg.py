@@ -212,3 +212,23 @@ def test_resize_and_odd_dims():
     rz = resize_jpeg(encode_jpeg(smooth, 95), 6, 4)
     assert decode_jpeg_header(rz) == {"width": 6, "height": 4, "n_channels": 1}
     assert decode_jpeg(rz).shape == (4, 6)
+
+
+def test_grayscale_ignores_declared_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved — sampling
+    factors in SOF0 are ignored. Real grayscale files often declare
+    2x2 (libjpeg gray from 4:2:0 sources); decode must be identical,
+    not silently block-permuted."""
+    rng = np.random.default_rng(7)
+    img = (128 + 2 * rng.integers(-30, 31, size=(4, 6))).astype(np.uint8)
+    img = np.repeat(np.repeat(img, 8, axis=0), 8, axis=1)  # 32x48, mult of 16
+    data = bytearray(encode_jpeg(img, quality=50))
+    # locate SOF0 and its first (only) component's h/v byte
+    i = 2
+    while not (data[i] == 0xFF and data[i + 1] == 0xC0):
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        i += 2 + seg_len
+    hv_pos = i + 4 + 1 + 2 + 2 + 1 + 1  # marker+len, prec, h, w, ncomp, cid
+    assert data[hv_pos] == 0x11
+    data[hv_pos] = 0x22  # declare 2x2 sampling on the grayscale component
+    assert np.array_equal(decode_jpeg(bytes(data)), decode_jpeg(encode_jpeg(img, quality=50)))

@@ -72,3 +72,16 @@ def test_loud_refusals():
         trimmed = bytearray(avi[:hdr_only_end])
         struct.pack_into("<I", trimmed, 4, hdr_only_end - 8)
         list(iter_avi_frames(bytes(trimmed)))
+
+
+def test_non_mjpeg_codec_refused_by_name():
+    """An H.264-in-AVI payload must fail as 'unsupported AVI codec',
+    not as a per-frame 'not a JPEG payload' that reads as corruption."""
+    from promptly_data_pipelines_spark.extensions.video import iter_avi_frames
+
+    avi = bytearray(encode_avi_mjpeg([b"\x01\x02"], 8, 8))
+    pos = bytes(avi).index(b"strh") + 8  # strh data: fccType + handler
+    assert bytes(avi)[pos : pos + 8] == b"vidsMJPG"
+    avi[pos + 4 : pos + 8] = b"H264"
+    with pytest.raises(ValueError, match="unsupported AVI codec 'H264'"):
+        list(iter_avi_frames(bytes(avi)))
