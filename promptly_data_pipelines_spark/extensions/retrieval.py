@@ -624,3 +624,60 @@ def index_term_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is the point-read)."""
     name = stage_index_bucketed(spark, sf_dir)
     return spark.table(name).where(F.col("term").isin("table", "scan", "merge"))
+
+
+KWIC_CTX = 3  # context tokens either side of the match
+
+
+@query(
+    "text_kwic",
+    registered=False,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, ws,
+             unnest(list_transform(ws, (x, i) -> struct_pack(pos := i - 1, token := x)),
+                    recursive := true)
+      FROM w
+    )
+    -- coalesce: a degenerate slice (ws[1:0]) is NULL in DuckDB but an
+    -- empty array in Spark; both must render as ''
+    SELECT doc_id, CAST(pos AS INT) AS pos,
+           coalesce(array_to_string(ws[greatest(pos - 2, 1) : pos], ' '), '') AS left_ctx,
+           coalesce(array_to_string(ws[pos + 2 : pos + 4], ' '), '') AS right_ctx
+    FROM tok WHERE token = 'table'
+    """,
+)
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for 'table': every occurrence
+    with up to KWIC_CTX tokens of context either side — the corpus
+    inspection tool a curation engineer reaches for right after a
+    phrase grep ("show me HOW this term is used"). Match positions
+    come from phrase_match_positions with k=1 (exercising the
+    generalized matcher's single-term path); the context slices run on
+    a MATERIALIZED ws column after the per-match explode — ordinary
+    slice expressions on an attribute, never an outer-column probe
+    inside a lambda (the O(n²) trap this module documents). Row
+    expansion is partition-local; zero wide shuffles."""
+    d = table(spark, sf_dir, "documents")
+    ws = _words(F.col("text"))
+    staged = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.explode(phrase_match_positions(ws, ("table",))).alias("pos"),
+    )
+    p = F.col("pos")  # 0-based match position; slices below are 1-based
+    left_start = F.greatest(p - 2, F.lit(1))
+    return staged.select(
+        "doc_id",
+        p.cast("int").alias("pos"),
+        F.array_join(
+            F.slice(F.col("ws"), left_start, p - left_start + 1), " "
+        ).alias("left_ctx"),
+        F.array_join(F.slice(F.col("ws"), p + 2, F.lit(KWIC_CTX)), " ").alias(
+            "right_ctx"
+        ),
+    )

@@ -636,3 +636,12 @@ def test_bm25_search_no_wide_shuffle(spark):
     assert "TakeOrderedAndProject" in p, "top-k lost its TakeOrdered form"
     assert "hashpartitioning" not in p, "a wide shuffle crept in"
     assert "CartesianProduct" not in p
+
+
+def test_kwic_is_shuffle_free(spark):
+    """text_kwic: match positions + context slices are expressions on
+    a materialized token array; the explode is a narrow Generate — no
+    Exchange anywhere."""
+    p = _plan(spark, "text_kwic")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
