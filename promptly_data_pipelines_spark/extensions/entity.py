@@ -123,19 +123,35 @@ def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing — A~B, B~C with A~C absent is exactly what the transitive
     clustering supplies."""
     records = _er_records(spark, sf_dir)
-    a, b = records.alias("a"), records.alias("b")
-    pairs = (
+    return _label(records, _er_pairs(records, records))
+
+
+def _er_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Blocked candidate pairs under the match rule, canonically
+    ordered (doc_a < doc_b) and deduplicated — ``left`` may be a
+    subset of ``right`` (the incremental path matches only the NEW
+    batch against everything)."""
+    a, b = left.alias("a"), right.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.rec_id") < F.col("b.rec_id")),
+            & (F.col("a.rec_id") != F.col("b.rec_id")),
         )
         .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= ER_MAX_DIST)
         .select(
-            F.col("a.rec_id").alias("doc_a"), F.col("b.rec_id").alias("doc_b")
+            F.least("a.rec_id", "b.rec_id").alias("doc_a"),
+            F.greatest("a.rec_id", "b.rec_id").alias("doc_b"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    comp = connected_components(pairs).withColumnsRenamed(
+
+
+def _label(records: DataFrame, edges: DataFrame) -> DataFrame:
+    """Components over ``edges`` → (rec_id, name, entity_id,
+    entity_size, is_canonical); records absent from the edge list are
+    their own entity."""
+    comp = connected_components(edges).withColumnsRenamed(
         {"doc_id": "rec_id", "cluster_rep": "entity_id"}
     )
     labeled = records.join(comp, "rec_id", "left").select(
@@ -151,3 +167,73 @@ def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_size",
         (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
     )
+
+
+@query(
+    "er_resolve_incremental",
+    registered=False,
+    oracle="""
+    WITH RECURSIVE records AS (
+      SELECT c_custkey AS rec_id, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, replace(c_name, 'Customer', 'Custmer')
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, replace(c_name, 'Customer', 'Kustomr')
+      FROM customer WHERE c_custkey % 6 = 0
+      UNION ALL
+      SELECT c_custkey + 3000000, replace(c_name, 'Customer', 'Xstmr')
+      FROM customer WHERE c_custkey % 5 = 0
+    ), blocked AS (
+      SELECT rec_id, name, right(name, 9) AS block FROM records
+    ), pairs AS (
+      SELECT a.rec_id AS u, b.rec_id AS v
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS rec_id, min(v) AS entity_id FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT b.rec_id, b.name,
+             coalesce(c.entity_id, b.rec_id) AS entity_id
+      FROM blocked b LEFT JOIN comp c USING (rec_id)
+    ), sized AS (
+      SELECT entity_id, CAST(count(*) AS BIGINT) AS entity_size
+      FROM labeled GROUP BY entity_id
+    )
+    SELECT l.rec_id, l.name, l.entity_id, s.entity_size,
+           (l.rec_id = l.entity_id) AS is_canonical
+    FROM labeled l JOIN sized s USING (entity_id)
+    """,
+)
+def er_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity resolution == full re-resolution, proven by
+    oracle: the ORIGINAL records resolve first (all singletons — no
+    two originals share a block), then the typo variants arrive as a
+    later batch. The incremental step matches ONLY the new batch
+    against (base ∪ new) — cost bounded by the delta, the property
+    that makes nightly MDM runs affordable — and feeds the star
+    rounds the union of (a) the prior assignment rendered as
+    rep→member edges and (b) the new candidate pairs. Prior-membership
+    edges reproduce exactly the base components' connectivity, so
+    components of (prior edges ∪ new edges) equal components of the
+    full pair graph — the oracle is literally er_resolve_customers',
+    a from-scratch resolution over everything. Exercises the
+    singleton→cluster transition (base records get absorbed into
+    entities they could not have known about) and keeps entity ids
+    stable (min rec_id is batch-order-independent)."""
+    records = _er_records(spark, sf_dir)
+    base = records.where(F.col("rec_id") < 1_000_000)
+    new = records.where(F.col("rec_id") >= 1_000_000)
+    prior = _label(base, _er_pairs(base, base))
+    prior_edges = prior.where(F.col("rec_id") != F.col("entity_id")).select(
+        F.col("entity_id").alias("doc_a"), F.col("rec_id").alias("doc_b")
+    )
+    new_edges = _er_pairs(new, records)
+    return _label(records, prior_edges.unionByName(new_edges))
