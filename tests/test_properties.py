@@ -992,3 +992,38 @@ def test_index_delta_merge_equals_full_rebuild_any_split(spark, corpus, split_bi
         for r in merge_indexes(_build_index(base), _build_index(delta)).collect()
     }
     assert merged == full
+
+
+@SETTINGS
+@given(bits=st.lists(st.booleans(), min_size=7, max_size=7))
+def test_er_incremental_equals_full_any_split(spark, bits):
+    """The incremental-ER theorem for ARBITRARY record splits (the
+    registered query only exercises originals-then-variants): for any
+    base/new partition of the record set — including ones that cut an
+    entity across batches — prior assignments re-entered as
+    rep→member edges plus delta-only candidate pairs must resolve to
+    EXACTLY the from-scratch entities. Split keys use rec_id % 7
+    (1e6 % 7 == 1, so each typo class lands one bucket over from its
+    original — entities genuinely straddle the split)."""
+    from promptly_data_pipelines_spark.extensions.entity import (
+        _er_pairs,
+        _er_records,
+        _label,
+    )
+    from conftest import SF_DIR
+
+    records = _er_records(spark, SF_DIR)
+    sel = [i for i in range(7) if bits[i]]
+    base = records.where(F.col("rec_id") % 7 == -1) if not sel else records.where(
+        (F.col("rec_id") % 7).isin(sel)
+    )
+    new = records.subtract(base)
+    prior = _label(base, _er_pairs(base, base))
+    prior_edges = prior.where(F.col("rec_id") != F.col("entity_id")).select(
+        F.col("entity_id").alias("doc_a"), F.col("rec_id").alias("doc_b")
+    )
+    inc = _label(records, prior_edges.unionByName(_er_pairs(new, records)))
+    full = _label(records, _er_pairs(records, records))
+    got = {(r.rec_id, r.entity_id, r.entity_size) for r in inc.collect()}
+    want = {(r.rec_id, r.entity_id, r.entity_size) for r in full.collect()}
+    assert got == want
