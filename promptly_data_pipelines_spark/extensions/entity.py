@@ -237,3 +237,108 @@ def er_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_edges = _er_pairs(new, records)
     return _label(records, prior_edges.unionByName(new_edges))
+
+
+@query(
+    "er_blocking_metrics",
+    registered=False,
+    oracle="""
+    WITH records AS (
+      SELECT c_custkey AS rec_id, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, replace(c_name, 'Customer', 'Custmer')
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, replace(c_name, 'Customer', 'Kustomr')
+      FROM customer WHERE c_custkey % 6 = 0
+      UNION ALL
+      SELECT c_custkey + 3000000, replace(c_name, 'Customer', 'Xstmr')
+      FROM customer WHERE c_custkey % 5 = 0
+    ), blocked AS (
+      SELECT rec_id, name, right(name, 9) AS block FROM records
+    ), counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM blocked
+    ), truth AS (
+      -- ground truth: records sharing an original key are one entity
+      SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS n_true_pairs
+      FROM (SELECT rec_id % 1000000 AS k, COUNT(*) AS m FROM blocked GROUP BY k)
+    ), cand AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.rec_id < b.rec_id
+    ), matched AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    )
+    SELECT n_records, n_true_pairs, n_candidates, n_matched,
+           CAST(n_matched AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+             AS pairs_completeness,
+           1.0 - CAST(n_candidates AS DOUBLE)
+             / (CAST(n_records AS DOUBLE) * CAST(n_records - 1 AS DOUBLE) / 2.0)
+             AS reduction_ratio
+    FROM counts CROSS JOIN truth CROSS JOIN cand CROSS JOIN matched
+    """,
+)
+def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard ER evaluation pair: REDUCTION RATIO (how much of
+    the n·(n−1)/2 comparison space the blocking key eliminated) and
+    PAIRS COMPLETENESS (what fraction of ground-truth pairs the
+    blocking+match rule recovered — the fixture's provenance makes
+    truth exact: records sharing an original key are one entity, so
+    the unrecoverable distance-≥3 'Xstmr' plants show up here as the
+    honest completeness shortfall, not a silent 1.0). One row of
+    counts plus two exact-double ratios (divisions of exact integers,
+    identically associated in both engines). Plan: three independent
+    1-row aggregates crossJoined broadcast — the block-keyed candidate
+    join is the only non-trivial shuffle, same shape as the resolver
+    itself."""
+    records = _er_records(spark, sf_dir)
+    counts = records.agg(F.count("*").cast("long").alias("n_records"))
+    truth = (
+        records.groupBy((F.col("rec_id") % 1_000_000).alias("k"))
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.sum((F.col("m") * (F.col("m") - 1) / 2).cast("long"))
+            .cast("long")
+            .alias("n_true_pairs")
+        )
+    )
+    a, b = records.alias("a"), records.alias("b")
+    blocked = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.rec_id") < F.col("b.rec_id")),
+    )
+    cand = blocked.agg(F.count("*").cast("long").alias("n_candidates"))
+    matched = blocked.where(
+        F.levenshtein(F.col("a.name"), F.col("b.name")) <= ER_MAX_DIST
+    ).agg(F.count("*").cast("long").alias("n_matched"))
+    out = (
+        counts.crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(matched))
+    )
+    n_d = F.col("n_records").cast("double")
+    # ANSI mode makes / throw on a zero divisor (even for doubles), so
+    # the degenerate corpora the empty-tables sweep feeds get explicit
+    # NULL ratios; real corpora never hit either guard
+    completeness = F.when(
+        F.col("n_true_pairs") > 0,
+        F.col("n_matched").cast("double") / F.col("n_true_pairs").cast("double"),
+    )
+    reduction = F.when(
+        F.col("n_records") >= 2,
+        F.lit(1.0)
+        - F.col("n_candidates").cast("double")
+        / (n_d * (F.col("n_records") - 1).cast("double") / F.lit(2.0)),
+    )
+    return out.select(
+        "n_records",
+        "n_true_pairs",
+        "n_candidates",
+        "n_matched",
+        completeness.alias("pairs_completeness"),
+        reduction.alias("reduction_ratio"),
+    )
