@@ -49,8 +49,30 @@ ER_MAX_DIST = 2  # match rule: levenshtein(name_a, name_b) <= 2
 def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer + planted typo variants, one frame of (rec_id, name,
     block): variants offset the key by 1/2/3 million per typo class so
-    provenance is readable off the id."""
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    provenance is readable off the id.
+
+    The offsets (and the ``rec_id % 1_000_000`` ground-truth grouping
+    downstream) require every real custkey to sit below 1,000,000 —
+    customer has 150k·SF rows, so SF ≥ ~6.7 would collide variant
+    rec_ids with real keys and silently misattribute entities. The
+    guard below makes that failure LOUD: it rides inside the name
+    expression (so column pruning can't drop it) and raises per-row
+    the moment an out-of-range key is scanned (r11 advice)."""
+    guarded_name = F.when(
+        F.col("c_custkey") >= 1_000_000,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ER fixture requires c_custkey < 1000000 "
+                    "(variant rec_id offsets would collide); got "
+                ),
+                F.col("c_custkey").cast("string"),
+            )
+        ),
+    ).otherwise(F.col("c_name"))
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", guarded_name.alias("c_name")
+    )
 
     def variant(offset: int, typo: str, modulus: int):
         return c.where(F.col("c_custkey") % modulus == 0).select(
@@ -267,13 +289,15 @@ def er_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM blocked a JOIN blocked b
         ON a.block = b.block AND a.rec_id < b.rec_id
     ), matched AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN a.rec_id % 1000000 = b.rec_id % 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_true_matched
       FROM blocked a JOIN blocked b
         ON a.block = b.block AND a.rec_id < b.rec_id
       WHERE levenshtein(a.name, b.name) <= 2
     )
-    SELECT n_records, n_true_pairs, n_candidates, n_matched,
-           CAST(n_matched AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+    SELECT n_records, n_true_pairs, n_candidates, n_matched, n_true_matched,
+           CAST(n_true_matched AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
              AS pairs_completeness,
            1.0 - CAST(n_candidates AS DOUBLE)
              / (CAST(n_records AS DOUBLE) * CAST(n_records - 1 AS DOUBLE) / 2.0)
@@ -288,7 +312,9 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking+match rule recovered — the fixture's provenance makes
     truth exact: records sharing an original key are one entity, so
     the unrecoverable distance-≥3 'Xstmr' plants show up here as the
-    honest completeness shortfall, not a silent 1.0). One row of
+    honest completeness shortfall, not a silent 1.0). Completeness
+    counts matched∩true — n_true_matched, not n_matched — so a
+    false-positive match can never inflate it (r11 advice). One row of
     counts plus two exact-double ratios (divisions of exact integers,
     identically associated in both engines). Plan: three independent
     1-row aggregates crossJoined broadcast — the block-keyed candidate
@@ -312,9 +338,19 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.rec_id") < F.col("b.rec_id")),
     )
     cand = blocked.agg(F.count("*").cast("long").alias("n_candidates"))
+    # completeness must count matched ∩ TRUE pairs, not all matched
+    # pairs: a false-positive match would otherwise inflate the metric
+    # past its real value (r11 advice — exact before only because this
+    # fixture's block key is unique per origin key)
+    is_true_pair = (F.col("a.rec_id") % 1_000_000) == (F.col("b.rec_id") % 1_000_000)
     matched = blocked.where(
         F.levenshtein(F.col("a.name"), F.col("b.name")) <= ER_MAX_DIST
-    ).agg(F.count("*").cast("long").alias("n_matched"))
+    ).agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.sum(F.when(is_true_pair, 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_matched"),
+    )
     out = (
         counts.crossJoin(F.broadcast(truth))
         .crossJoin(F.broadcast(cand))
@@ -326,7 +362,7 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL ratios; real corpora never hit either guard
     completeness = F.when(
         F.col("n_true_pairs") > 0,
-        F.col("n_matched").cast("double") / F.col("n_true_pairs").cast("double"),
+        F.col("n_true_matched").cast("double") / F.col("n_true_pairs").cast("double"),
     )
     reduction = F.when(
         F.col("n_records") >= 2,
@@ -339,6 +375,7 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_pairs",
         "n_candidates",
         "n_matched",
+        "n_true_matched",
         completeness.alias("pairs_completeness"),
         reduction.alias("reduction_ratio"),
     )

@@ -67,9 +67,6 @@ ZIGZAG = np.array(
     ],
     dtype=np.int64,
 )
-# inverse permutation: natural index -> zigzag position
-UNZIGZAG = np.argsort(ZIGZAG)
-
 QUANT_LUMA = np.array(
     [
         [16, 11, 10, 16, 24, 40, 51, 61],

@@ -4,7 +4,12 @@ tests/test_oracle_parity.py."""
 
 from __future__ import annotations
 
-from promptly_data_pipelines_spark.extensions.entity import er_resolve_customers
+import pytest
+
+from promptly_data_pipelines_spark.extensions.entity import (
+    er_blocking_metrics,
+    er_resolve_customers,
+)
 
 from conftest import SF_DIR
 
@@ -54,3 +59,33 @@ def test_er_cluster_shapes(spark):
     # global sanity: every entity's canonical row is its min rec_id
     for eid, members in ents.items():
         assert eid == min(members)
+
+
+def test_er_fixture_rejects_large_custkeys(spark, tmp_path):
+    """r11 advice: the +1M/2M/3M variant offsets (and the rec_id %
+    1_000_000 ground truth) silently collide once c_custkey ≥ 1e6
+    (SF ≥ ~6.7). The guard must turn that into a LOUD per-row error,
+    not wrong clusters — and it must survive column pruning (it rides
+    inside the name expression)."""
+    big = spark.createDataFrame(
+        [(1_000_000, "Customer#001000000", 1, 0.0, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    big.write.parquet(str(tmp_path / "customer.parquet"))
+    with pytest.raises(Exception, match="requires c_custkey < 1000000"):
+        er_resolve_customers(spark, str(tmp_path)).collect()
+
+
+def test_er_blocking_completeness_counts_true_matches_only(spark):
+    """r11 advice: pairs_completeness = |matched ∩ true| / |true|.
+    In this fixture the block key is unique per origin key, so every
+    matched pair IS a true pair (n_true_matched == n_matched), and
+    the distance-≥3 Xstmr plants keep completeness strictly < 1."""
+    row = er_blocking_metrics(spark, SF_DIR).collect()[0]
+    assert row.n_true_matched == row.n_matched
+    assert row.n_true_matched <= row.n_true_pairs
+    assert row.pairs_completeness == pytest.approx(
+        row.n_true_matched / row.n_true_pairs
+    )
+    assert 0.0 < row.pairs_completeness < 1.0
