@@ -14,6 +14,12 @@ calibration 2.9× quiet) inflates every line 20-100% and leaves
 regressions unboundable; the calibration probe below makes the
 quiet/loaded verdict arithmetic, so check bench_env.json and re-run
 on a quiet machine before closing the round.
+
+FLOOR INVARIANT (r11 verdict #2): bench_floors.json carries the best
+quiet reading per line; every run WARNs on stderr (and in
+env_detail.floor_warnings) when a line exceeds 2x its floor, and
+quiet runs ratchet the floors down. A WARN means "A/B quiet before
+trusting this number", not "regression".
 """
 
 from __future__ import annotations
@@ -30,6 +36,68 @@ from promptly_data_pipelines_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Machine-readable quiet floors (r11 verdict #2): BASELINE.md held
+# per-line quiet floors only as prose, so the r11 driver run's 2.9×
+# skew10_dedup_near_text_exact reading shipped without a self-flag.
+# bench_floors.json carries {name: best_quiet_sec}; every run WARNs
+# (stderr + env_detail.floor_warnings) on any line exceeding
+# FLOOR_WARN_RATIO × its floor, and QUIET runs (both start gates
+# green) ratchet the floors down with their own readings — floors
+# only ever decrease, so a loaded/contaminated run can never corrupt
+# them. A WARN is a flag to A/B on a quiet machine, not a failure:
+# the r12 quiet A/B showed exactly this pattern (13.4 s loaded vs
+# 4.3 s quiet on an unchanged operator).
+FLOORS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_floors.json"
+)
+FLOOR_WARN_RATIO = 2.0
+
+
+def _load_floors() -> dict[str, float]:
+    try:
+        with open(FLOORS_PATH) as fh:
+            return {k: float(v) for k, v in json.load(fh)["floors"].items()}
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+def _is_timing_line(name: str, value: object) -> bool:
+    """Floors apply to TIMING lines only: accuracy companions
+    (*_recall) and error markers must never be ratcheted or flagged."""
+    return (
+        isinstance(value, (int, float))
+        and not name.endswith("_recall")
+        and "error" not in name
+    )
+
+
+def check_floors(
+    timings: dict[str, object],
+    floors: dict[str, float],
+    ratio: float = FLOOR_WARN_RATIO,
+) -> dict[str, list[float]]:
+    """{name: [value, floor, value/floor]} for every timing line that
+    exceeds ratio × its recorded quiet floor. Pure, unit-tested."""
+    out: dict[str, list[float]] = {}
+    for name, value in timings.items():
+        floor = floors.get(name)
+        if floor and floor > 0 and _is_timing_line(name, value) and value > ratio * floor:
+            out[name] = [round(float(value), 3), floor, round(float(value) / floor, 2)]
+    return out
+
+
+def update_floors(
+    timings: dict[str, object], floors: dict[str, float]
+) -> dict[str, float]:
+    """min-merge a QUIET run's timings into the floor table (callers
+    gate on quietness; floors only ratchet down)."""
+    merged = dict(floors)
+    for name, value in timings.items():
+        if _is_timing_line(name, value):
+            v = round(float(value), 3)
+            merged[name] = min(merged.get(name, v), v)
+    return merged
 
 # Headline set: the flagship pipeline + the operators that dominate a
 # real workload (big shuffles, windows, joins, dedup, similarity).
@@ -455,6 +523,41 @@ def main() -> None:
         calibration_end = _calibrate()
     except Exception:  # noqa: BLE001 — diagnostics must not kill the record
         calibration_end = None
+
+    # Quiet-floor check + ratchet (r11 verdict #2). Warnings compare
+    # against the PRE-update floors; only a run that passed BOTH start
+    # gates may lower them (and floors never rise, so a loaded run —
+    # whose readings are inflated — cannot corrupt the table).
+    all_lines: dict[str, object] = {**timings, **secondary}
+    floors = _load_floors()
+    floor_warnings = check_floors(all_lines, floors)
+    for name, (val, floor, r) in sorted(floor_warnings.items()):
+        print(
+            f"WARN: {name} = {val}s exceeds {FLOOR_WARN_RATIO}x its quiet "
+            f"floor {floor}s ({r}x) — A/B on a quiet machine before "
+            "reading this as a regression",
+            file=sys.stderr,
+        )
+    quiet_run = load_start[0] < 2.0 and calibration_start < 0.7
+    if quiet_run:
+        try:
+            with open(FLOORS_PATH, "w") as fh:
+                json.dump(
+                    {
+                        "note": "best quiet-run seconds per bench line "
+                        "(loadavg<2 + calibration<0.7 runs only; "
+                        "min-merged, never rises). Consumed by "
+                        "check_floors — any line > "
+                        f"{FLOOR_WARN_RATIO}x floor WARNs.",
+                        "floors": update_floors(all_lines, floors),
+                    },
+                    fh,
+                    indent=1,
+                    sort_keys=True,
+                )
+        except OSError:
+            pass
+
     env_detail = {
         "metric": "bench_env_detail",
         "loadavg_start": [round(x, 2) for x in load_start],
@@ -464,6 +567,7 @@ def main() -> None:
         "cpus": CPUS,
         "spread": spread,
         "line_load": line_load,
+        "floor_warnings": floor_warnings,
         "testdata": _testdata_fingerprint(),
     }
     headline = {

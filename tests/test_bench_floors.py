@@ -1,0 +1,51 @@
+"""Quiet-floor regression flagging (bench.py, r11 verdict #2): the
+machine-readable floor table + WARN that would have self-flagged the
+r11 driver run's 2.9x skew10_dedup_near_text_exact reading."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+
+def test_check_floors_flags_only_true_timing_regressions():
+    floors = {"a": 1.0, "b": 1.0, "similarity_ivf_recall": 0.92, "c": 0.5}
+    timings = {
+        "a": 2.5,  # 2.5x floor -> flagged
+        "b": 1.9,  # under the 2x ratio -> clean
+        "similarity_ivf_recall": 1.0,  # recall lines are never flagged
+        "skew10_error": "OOM",  # error markers are never flagged
+        "c": 1.001,  # 2.0x exactly is NOT flagged (strict >)
+        "new_line": 99.0,  # no floor recorded yet -> clean
+    }
+    warns = bench.check_floors(timings, floors)
+    assert set(warns) == {"a", "c"}
+    val, floor, ratio = warns["a"]
+    assert (val, floor) == (2.5, 1.0) and ratio == 2.5
+
+
+def test_update_floors_only_ratchets_down():
+    floors = {"a": 1.0, "b": 2.0}
+    merged = bench.update_floors(
+        {"a": 1.5, "b": 0.8, "new": 3.0, "x_recall": 0.9, "e_error": "x"},
+        floors,
+    )
+    assert merged == {"a": 1.0, "b": 0.8, "new": 3.0}
+    # input tables are never mutated
+    assert floors == {"a": 1.0, "b": 2.0}
+
+
+def test_committed_floors_file_parses_and_covers_the_r11_flag():
+    floors = bench._load_floors()
+    assert floors, "bench_floors.json must ship with seeded floors"
+    assert all(isinstance(v, float) and v > 0 for v in floors.values())
+    # the exact line the r11 verdict flagged must now self-flag: the
+    # 13.4s loaded driver reading against the quiet floor
+    warns = bench.check_floors({"skew10_dedup_near_text_exact": 13.4}, floors)
+    assert "skew10_dedup_near_text_exact" in warns
+    assert os.path.exists(bench.FLOORS_PATH)
+    with open(bench.FLOORS_PATH) as fh:
+        raw = json.load(fh)
+    assert set(raw) == {"note", "floors"}
