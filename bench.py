@@ -646,6 +646,13 @@ def stress_tier_main() -> None:
                 # query-term broadcast and WindowGroupLimit top-k are
                 # the skew-immunity being measured
                 "text_bm25_topk",
+                # r12: the large-large hot-key join pair (r11 verdict
+                # #5) — the naive single-hot-reducer shuffle_hash join
+                # vs the salted form (salt-replicate-N spreads the
+                # viral orderkey over SALT_N reducers); the DELTA
+                # between these two lines is the mitigation measured
+                "join_skew_unsalted",
+                "join_salted_skew",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the

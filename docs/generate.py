@@ -88,6 +88,20 @@ Rotations so far:
   driver-checked inside the `dq_suite` composite), `project_strings`
   (projections keep `project_events_clean` +
   `reference_curated_provider`).
+- **r12** (r11 verdict #4): the r11 ER + retrieval-serve work earned
+  driver rows — `er_resolve_customers` + `er_resolve_incremental`
+  (blocked fuzzy linkage and the incremental==full proof),
+  `text_bm25_search` (document-at-a-time serving, zero wide
+  shuffles), `index_term_lookup` (bucket-pruned index serving) — plus
+  the new `join_salted_skew` (large-large hot-key join,
+  salt-replicate-N; oracle = the plain join it must be transparent
+  to). Rotated down, each leaving its family ≥1 driver row and
+  keeping its local oracle: `dedup_decontaminate` + `dedup_cluster_cc`
+  (dedup keeps exact/ngram/embedding/near-text/simhash rows),
+  `similarity_topk_gemm` (bit-identical twin of the still-registered
+  `similarity_topk`), `dq_quantiles` (Q4 stays driver-checked via
+  `dq_suite`), `sample_stratified_cap` (sampling keeps
+  `dataset_split`).
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

@@ -17,6 +17,7 @@ from ..catalog import table
 from ..functions import ts_str
 from ..registry import query
 from .envelope import (
+    ENVELOPE_V2_SCHEMA,
     decode_envelopes,
     decode_envelopes_variant,
     synthesize_envelopes,
@@ -327,6 +328,59 @@ def cdc_parse_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(after, "$.value", "double").alias("value"),
         F.try_variant_get(props_json, "$.k", "bigint").alias("props_k"),
         "src_table",
+    )
+
+
+@query(
+    "cdc_schema_evolution",
+    registered=False,
+    oracle=f"""
+    SELECT {_OP_SQL} AS op,
+           epoch_ms(ts) AS ts_ms,
+           event_id, user_id, event_type, value,
+           CASE WHEN event_id % 2 = 1 THEN
+             CASE WHEN event_id % 4 = 1 THEN 'web' ELSE 'mobile' END
+           END AS channel,
+           (event_id % 2 = 1) AS is_post_ddl
+    FROM events
+    WHERE event_id % 10 <> 0
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common CDC operational event (r11 verdict #6): the
+    upstream table gains a column mid-topic (ALTER TABLE ... ADD
+    channel), so LATER envelopes carry an extra ``after.channel``
+    field and earlier ones lack the key entirely (Debezium serializes
+    what the table has at commit time). The consumer's move is the
+    declared-target-schema read — decode the WHOLE topic under the
+    widened ENVELOPE_V2_SCHEMA: ``from_json`` NULL-fills ``channel``
+    on every pre-DDL message and surfaces it on post-DDL ones, no
+    topic rewind, no dual decode path (the same posture as
+    operators/evolution.read_with_target_schema for files; the wire
+    shape itself — key absent vs key present — is pinned by
+    tests/test_kafka_wire.py).
+
+    Fixture determinism: odd event_ids are "post-DDL" rows carrying
+    channel web/mobile by id arithmetic; evens are pre-DDL rows whose
+    serialized envelopes omit the key (to_json ignoreNullFields).
+    Tombstones filtered as in cdc_parse."""
+    ev = table(spark, sf_dir, "events")
+    post_ddl = F.col("event_id") % 2 == 1
+    channel = F.when(
+        post_ddl,
+        F.when(F.col("event_id") % 4 == 1, F.lit("web")).otherwise(F.lit("mobile")),
+    )
+    wire = synthesize_envelopes(ev, image_extra={"channel": channel})
+    decoded = decode_envelopes(wire, schema=ENVELOPE_V2_SCHEMA)
+    return decoded.filter(F.col("after").isNotNull()).select(
+        "op",
+        "ts_ms",
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+        F.col("after.channel").alias("channel"),
+        F.col("after.channel").isNotNull().alias("is_post_ddl"),
     )
 
 

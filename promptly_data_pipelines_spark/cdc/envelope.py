@@ -41,22 +41,40 @@ SOURCE_SCHEMA = T.StructType(
     ]
 )
 
-ENVELOPE_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            "payload",
-            T.StructType(
-                [
-                    T.StructField("op", T.StringType()),
-                    T.StructField("ts_ms", T.LongType()),
-                    T.StructField("before", ROW_IMAGE_SCHEMA),
-                    T.StructField("after", ROW_IMAGE_SCHEMA),
-                    T.StructField("source", SOURCE_SCHEMA),
-                ]
-            ),
-        )
-    ]
+
+def envelope_schema_for(row_image: T.StructType) -> T.StructType:
+    """Debezium envelope schema around a given row-image schema — the
+    declared-schema-read discipline applied to CDC: when the upstream
+    table gains a column (Debezium starts emitting it mid-topic after
+    the DDL), the consumer re-declares the WIDENED image here and
+    ``from_json`` NULL-fills it on every pre-DDL message. Same posture
+    as operators/evolution.read_with_target_schema for files."""
+    return T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("op", T.StringType()),
+                        T.StructField("ts_ms", T.LongType()),
+                        T.StructField("before", row_image),
+                        T.StructField("after", row_image),
+                        T.StructField("source", SOURCE_SCHEMA),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+ENVELOPE_SCHEMA = envelope_schema_for(ROW_IMAGE_SCHEMA)
+
+# The post-DDL row image: events + an additive 'channel' column (the
+# most common CDC operational event — see cdc/batch.cdc_schema_evolution)
+ROW_IMAGE_V2_SCHEMA = T.StructType(
+    ROW_IMAGE_SCHEMA.fields + [T.StructField("channel", T.StringType())]
 )
+ENVELOPE_V2_SCHEMA = envelope_schema_for(ROW_IMAGE_V2_SCHEMA)
 
 
 def op_from_event_id(event_id: Column) -> Column:
@@ -67,20 +85,40 @@ def op_from_event_id(event_id: Column) -> Column:
     )
 
 
-def synthesize_envelopes(events: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+def synthesize_envelopes(
+    events: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+    image_extra: dict[str, Column] | None = None,
+) -> DataFrame:
     """events fixture → Kafka-shaped frame: (raw_message string JSON,
     kafka_timestamp). Deletes carry the row in ``before`` with null
     ``after``, matching Debezium semantics (provider.json:13-20).
     ``extra_cols`` are passed through untouched (e.g. a staging
-    batch id that a file-sink partitionBy will strip again)."""
-    row_image = F.struct(
+    batch id that a file-sink partitionBy will strip again).
+
+    ``image_extra`` appends named columns to the row image — the
+    schema-evolution wire shape: to_json's default ignoreNullFields
+    OMITS a null field from the serialized message, so an extra column
+    that is NULL for pre-DDL rows produces envelopes byte-shaped like
+    a real topic across an additive ALTER TABLE (old messages lack the
+    key entirely; new ones carry it) — asserted in
+    tests/test_kafka_wire.py."""
+    image_fields = [
         F.col("event_id"),
         F.col("user_id"),
         F.col("event_type"),
         F.col("value"),
         F.col("props"),
-    )
-    null_image = F.lit(None).cast(ROW_IMAGE_SCHEMA)
+    ]
+    image_schema = ROW_IMAGE_SCHEMA
+    if image_extra:
+        image_fields += [col.alias(name) for name, col in image_extra.items()]
+        image_schema = T.StructType(
+            ROW_IMAGE_SCHEMA.fields
+            + [T.StructField(name, T.StringType()) for name in image_extra]
+        )
+    row_image = F.struct(*image_fields)
+    null_image = F.lit(None).cast(image_schema)
     op = op_from_event_id(F.col("event_id"))
     payload = F.struct(
         op.alias("op"),
@@ -214,12 +252,16 @@ def decode_envelopes_variant(kafka_like: DataFrame) -> DataFrame:
     )
 
 
-def decode_envelopes(kafka_like: DataFrame) -> DataFrame:
+def decode_envelopes(
+    kafka_like: DataFrame, schema: T.StructType = ENVELOPE_SCHEMA
+) -> DataFrame:
     """raw JSON messages → typed columns. ``from_json`` with the declared
     envelope schema (never schema inference); works identically on a
     batch frame and a readStream frame — this is the single decode used
-    by both paths."""
-    p = F.from_json("raw_message", ENVELOPE_SCHEMA).getField("payload")
+    by both paths. Pass ``schema=ENVELOPE_V2_SCHEMA`` (or any
+    envelope_schema_for product) to read a topic across an additive
+    upstream DDL: pre-DDL messages NULL-fill the new field."""
+    p = F.from_json("raw_message", schema).getField("payload")
     return kafka_like.select(
         p.getField("op").alias("op"),
         p.getField("ts_ms").alias("ts_ms"),

@@ -1067,6 +1067,7 @@ def decontaminate_near(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:
 
 @query(
     "dedup_decontaminate",
+    registered=False,  # r12 rotation: demoted (dedup family keeps 5 driver rows)
     oracle="""
     WITH normed AS (
       SELECT doc_id, lang, source,
@@ -1210,6 +1211,7 @@ def connected_components(
 
 @query(
     "dedup_cluster_cc",
+    registered=False,  # r12 rotation: demoted (dedup family keeps 5 driver rows)
     oracle=f"""
     WITH RECURSIVE {_JACCARD_PAIR_CTES},
     edges AS (

@@ -92,8 +92,7 @@ def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "er_resolve_customers",
-    registered=False,
+    "er_resolve_customers",  # r12 rotation: promoted to the driver tier
     oracle="""
     WITH RECURSIVE records AS (
       SELECT c_custkey AS rec_id, c_name AS name FROM customer
@@ -192,8 +191,7 @@ def _label(records: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 @query(
-    "er_resolve_incremental",
-    registered=False,
+    "er_resolve_incremental",  # r12 rotation: promoted to the driver tier
     oracle="""
     WITH RECURSIVE records AS (
       SELECT c_custkey AS rec_id, c_name AS name FROM customer

@@ -453,8 +453,7 @@ def index_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_bm25_search",
-    registered=False,
+    "text_bm25_search",  # r12 rotation: promoted (retrieval serve path)
     oracle="""
     WITH w AS (
       SELECT doc_id,
@@ -589,8 +588,7 @@ def stage_index_bucketed(
 
 
 @query(
-    "index_term_lookup",
-    registered=False,
+    "index_term_lookup",  # r12 rotation: promoted (bucketed index serving)
     oracle="""
     WITH tok AS (
       SELECT doc_id,

@@ -97,6 +97,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_stratified_cap",
+    registered=False,  # r12 rotation: demoted (sampling family keeps dataset_split)
     oracle="""
     SELECT label, vec_id FROM (
       SELECT label, vec_id,

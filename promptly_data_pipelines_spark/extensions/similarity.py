@@ -1292,6 +1292,7 @@ def _gemm_candidates(qids, qmat, take_k: int):
 
 @query(
     "similarity_topk_gemm",
+    registered=False,  # r12 rotation: demoted (bit-identical twin of similarity_topk)
     oracle=_EXACT_TOPK_CTE + "\n    SELECT query_id, vec_id, cos_sim, rk FROM exact",
 )
 def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,7 @@ HOT_LANG = "en"
 HOT_PCT = 70  # % of rows forced onto the hot lang key
 TEMPLATE_MOD = 5  # every TEMPLATE_MOD-th base doc becomes a near-dup cluster
 HOT_CUSTKEY = 1  # the one customer 70% of skewed orders collapse onto
+HOT_ORDERKEY_BASE = 1  # base orderkey the viral-order lineitems collapse onto
 
 
 def skewed_documents(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFrame:
@@ -114,6 +115,49 @@ def skewed_orders(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFra
     )
 
 
+def skewed_lineitem(spark: SparkSession, sf_dir: str, factor: int = 10) -> DataFrame:
+    """``factor``× amplified lineitem with a HOT ORDER key: 70% of all
+    rows collapse onto l_orderkey = HOT_ORDERKEY_BASE·factor — the
+    amplified key of base order 1, which skewed_orders always emits
+    (testdata orderkeys are dense 0..N−1), so the hot lines JOIN. This
+    is the viral-listing shape (one entity owns most of an activity
+    fact) that makes a fact-fact join straggle: a shuffle keyed by
+    l_orderkey sends 70% of this table to ONE reduce task. The
+    intervener under test is operators/joins.salted_inner_join —
+    join_salted_skew vs join_skew_unsalted on this slice is the
+    measured difference. Same determinism contract as the other
+    amplifiers: pure key arithmetic, no RNG; cold rows keep their
+    per-order line structure on the amplified keys."""
+    li = table(spark, sf_dir, "lineitem")
+    rep = li.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    )
+    assert HOT_PCT * factor % 100 == 0, (
+        f"factor={factor} cannot realize exactly {HOT_PCT}% hot rows "
+        f"(need HOT_PCT*factor % 100 == 0); use a multiple of "
+        f"{100 // math.gcd(HOT_PCT, 100)}"
+    )
+    hot = F.col("rep") * 100 < F.lit(HOT_PCT * factor)
+    new_key = F.when(hot, F.lit(HOT_ORDERKEY_BASE * factor)).otherwise(
+        F.col("l_orderkey") * factor + F.col("rep")
+    )
+    return rep.select(
+        new_key.alias("l_orderkey"),
+        "l_partkey",
+        "l_suppkey",
+        # perturb per copy so hot rows stay distinct (salting hashes
+        # non-key columns for its deterministic spread)
+        (F.col("l_linenumber") + F.col("rep") * 10).alias("l_linenumber"),
+        "l_quantity",
+        (F.col("l_extendedprice") + F.col("rep")).alias("l_extendedprice"),
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+
+
 def write_skewed_sf(
     spark: SparkSession, src_sf_dir: str, dest_dir: str, factor: int = 10
 ) -> str:
@@ -138,6 +182,9 @@ def write_skewed_sf(
     skewed_orders(spark, src_sf_dir, factor).repartition(par).write.mode(
         "overwrite"
     ).parquet(os.path.join(dest_dir, "orders.parquet"))
+    skewed_lineitem(spark, src_sf_dir, factor).repartition(par).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest_dir, "lineitem.parquet"))
     for dim in ("customer", "nation", "region"):
         table(spark, src_sf_dir, dim).write.mode("overwrite").parquet(
             os.path.join(dest_dir, f"{dim}.parquet")

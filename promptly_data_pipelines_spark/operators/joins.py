@@ -602,3 +602,140 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("asof_value")).alias("last_purchase_value"),
         in_window.alias("has_recent_purchase"),
     )
+
+
+SALT_N = 16  # hot-key fanout: each hot key spreads over SALT_N reducers
+SALT_HOT_MIN_ROWS = 100_000  # census threshold: keys above this are hot
+
+
+def salted_inner_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n: int = SALT_N,
+    hot_min_rows: int = SALT_HOT_MIN_ROWS,
+) -> DataFrame:
+    """Large-large inner equi-join that survives a hot key — the one
+    100 TB skew shape broadcast can't fix (BOTH sides too big to
+    broadcast: a dim join is skew-immune via ``F.broadcast``, a
+    fact-fact join is not — 70% of the probe side lands on ONE reduce
+    task and the job runs at the speed of that straggler).
+
+    Salt-replicate-N on the hot keys only:
+
+    1. CENSUS: count probe rows per key (map-side combinable — the
+       shuffle carries one row per (partition × key)), keep keys with
+       > ``hot_min_rows`` rows. By construction this set is tiny
+       (≤ total/hot_min_rows keys), so it broadcasts.
+    2. PROBE side: hot rows get a deterministic salt in [0, n) hashed
+       from their non-key columns (no ``rand()`` — retries and the
+       DuckDB oracle need value-stable plans); cold rows salt 0.
+    3. BUILD side: hot keys replicate n× (one row per salt — bounded:
+       |hot| · n extra rows); cold keys carry the single salt 0.
+    4. Inner join on (key, salt) — the hot key's rows now spread over
+       n reducers instead of one.
+
+    Results are EXACTLY the plain inner join's (salting is a physical
+    rewrite; the oracle for every query built on this is the plain
+    join). A threshold that misclassifies costs only performance,
+    never correctness. ``hot_min_rows`` is deployment-sized (rows a
+    single reduce task comfortably owns); the census costs one extra
+    probe-side scan+agg — the same price agg_heavy_hitters pays, and
+    the sketch form there is the drop-in when even that scan is too
+    dear. Complements AQE skew-join (session default, pinned in
+    tests/test_stress.py), which only splits at mapper boundaries and
+    only past spark.sql.adaptive.skewJoin thresholds: explicit salting
+    is the form that also works under streaming, bucketed inputs, and
+    pre-AQE engines — and the form a 1000-executor job reaches for
+    when the hot partition is one giant mapper block."""
+    hot = (
+        probe.groupBy(F.col(probe_key).alias("_hot_key"))
+        .agg(F.count("*").alias("_key_rows"))
+        .where(F.col("_key_rows") > hot_min_rows)
+        .select("_hot_key", F.lit(True).alias("_is_hot"))
+    )
+    non_key = [c for c in probe.columns if c != probe_key]
+    salted_probe = (
+        probe.join(F.broadcast(hot), probe[probe_key] == hot["_hot_key"], "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hot"),
+                F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot_key", "_is_hot")
+    )
+    salted_build = (
+        build.join(F.broadcast(hot), build[build_key] == hot["_hot_key"], "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_is_hot"), F.sequence(F.lit(0), F.lit(n - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hot_key", "_is_hot")
+    )
+    return salted_probe.hint("shuffle_hash").join(
+        salted_build,
+        (salted_probe[probe_key] == salted_build[build_key])
+        & (salted_probe["_salt"] == salted_build["_salt"]),
+        "inner",
+    ).drop("_salt")
+
+
+_SKEW_JOIN_ORACLE = """
+    SELECT o_orderpriority, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+"""
+
+
+@query("join_salted_skew", oracle=_SKEW_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (orders ⋈ lineitem on orderkey) through
+    :func:`salted_inner_join`, then the rollup a reporting query wants.
+    On the driver fixtures no key crosses the census threshold, so the
+    plan degenerates to the plain (key, salt=0) join and the DuckDB
+    oracle is the plain join verbatim; on the skew10 slice (70% of
+    lineitem rows on ONE viral orderkey — extensions/stress.py) the
+    hot key spreads over SALT_N reducers while join_skew_unsalted
+    feeds them to one. Transparency is the contract: identical output
+    either way, benchmarked side by side as skew10_join_salted_skew vs
+    skew10_join_skew_unsalted."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    joined = salted_inner_join(
+        probe=li, build=o, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query("join_skew_unsalted", registered=False, oracle=_SKEW_JOIN_ORACLE)
+def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive form of join_salted_skew: same shuffle_hash fact-fact
+    join keyed on the raw orderkey (same hint, so the ONLY difference
+    under skew is the salt). This is the straggler baseline the salted
+    form is benchmarked against on the skew10 slice — at 100 TB this
+    plan runs at the speed of the one reducer holding the hot key."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    joined = li.hint("shuffle_hash").join(
+        o, li["l_orderkey"] == o["o_orderkey"], "inner"
+    )
+    return joined.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

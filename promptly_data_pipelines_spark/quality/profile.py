@@ -89,6 +89,7 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_quantiles",
+    registered=False,  # r12 rotation: demoted (DQ family keeps dq_suite)
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,

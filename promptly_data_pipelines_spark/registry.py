@@ -50,10 +50,12 @@ _ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_near_text",
     "dedup_simhash",
-    "dedup_decontaminate",
-    "dedup_cluster_cc",
+    # r12 rotation: dedup_decontaminate / dedup_cluster_cc demoted to
+    # local tier (family keeps 5 rows); entity-resolution family gets
+    # its first driver rows (r11 verdict #4)
+    "er_resolve_customers",
+    "er_resolve_incremental",
     "similarity_topk",
-    "similarity_topk_gemm",
     "text_token_counts",
     "text_doc_profile",
     "text_tfidf_topk",
@@ -61,11 +63,14 @@ _ORDER: tuple[str, ...] = (
     # positional phrase search) and the real-codec multimodal tier
     "text_bm25_topk",
     "index_phrase_search",
+    # r12 rotation: the retrieval SERVE paths (document-at-a-time BM25 +
+    # bucket-pruned term lookup) replace similarity_topk_gemm (bit-identical
+    # twin) and dq_quantiles / sample_stratified_cap (families keep a row)
+    "text_bm25_search",
+    "index_term_lookup",
     "udf_grouped_map",
     "dq_suite",
-    "dq_quantiles",
     "dataset_split",
-    "sample_stratified_cap",
     "multimodal_pipeline",
     "multimodal_jpeg_roundtrip",
     "multimodal_png_palette",
@@ -80,6 +85,9 @@ _ORDER: tuple[str, ...] = (
     "join_anti_semi",
     "join_star",
     "join_bucketed",
+    # r12: the large-large hot-key join (salt-replicate-N, oracle = the
+    # plain join it must be transparent to)
+    "join_salted_skew",
     "project_events_clean",
     "scan_csv",
     "scan_warc",

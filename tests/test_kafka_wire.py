@@ -183,3 +183,47 @@ def test_kafka_stream_path_availablenow(spark, tmp_path):
         for r in live_rows(from_kafka_source_frame(frames)).select("event_id", "op").collect()
     }
     assert got == want and got
+
+
+def test_schema_evolution_wire_shape_and_declared_decode(spark):
+    """Additive-DDL wire fidelity (r11 verdict #6), next to the
+    tombstone case above: pre-DDL envelopes must LACK the new key
+    entirely (Debezium serializes what the table has at commit time —
+    modeled by to_json's ignoreNullFields dropping the null), post-DDL
+    envelopes must carry it, and ONE declared-schema decode
+    (ENVELOPE_V2_SCHEMA) must read the mixed topic: NULL-filled
+    channel on old rows, populated on new."""
+    from promptly_data_pipelines_spark.cdc.envelope import ENVELOPE_V2_SCHEMA
+
+    ev = table(spark, SF_DIR, "events")
+    post_ddl = F.col("event_id") % 2 == 1
+    channel = F.when(
+        post_ddl,
+        F.when(F.col("event_id") % 4 == 1, F.lit("web")).otherwise(F.lit("mobile")),
+    )
+    wire = synthesize_envelopes(
+        ev, extra_cols=("event_id",), image_extra={"channel": channel}
+    )
+    # wire-level: the raw JSON text itself omits/carries the key
+    shape = wire.select(
+        (F.col("event_id") % 2 == 1).alias("is_post_ddl"),
+        F.col("raw_message").contains('"channel"').alias("has_key"),
+        (F.col("event_id") % 10 == 0).alias("is_delete"),
+    )
+    # delete envelopes carry the image in `before` — same rule applies
+    assert shape.filter(F.col("is_post_ddl") != F.col("has_key")).count() == 0
+    # declared-schema decode over the MIXED topic: one pass, no rewind
+    dec = decode_envelopes(wire.drop("event_id"), schema=ENVELOPE_V2_SCHEMA)
+    live = dec.filter(F.col("after").isNotNull()).select(
+        "after.event_id", "after.channel"
+    )
+    bad_old = live.filter(
+        (F.col("event_id") % 2 == 0) & F.col("channel").isNotNull()
+    )
+    bad_new = live.filter((F.col("event_id") % 2 == 1) & F.col("channel").isNull())
+    assert bad_old.count() == 0 and bad_new.count() == 0
+    # v1 declared decode still reads the mixed topic too (consumers
+    # that have not redeployed keep working; they just don't see the
+    # new column) — count parity with the widened decode
+    v1 = decode_envelopes(wire.drop("event_id"))
+    assert v1.filter(F.col("after").isNotNull()).count() == live.count()

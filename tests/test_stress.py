@@ -187,3 +187,84 @@ def test_census_finds_planted_hot_key(spark, skew_dir):
     hot_true = sk.filter(sk.o_custkey == HOT_CUSTKEY).count()
     assert got.get(HOT_CUSTKEY) == hot_true
     assert set(got) == {HOT_CUSTKEY}
+
+
+def test_skewed_lineitem_shape(spark, skew_dir):
+    """skewed_lineitem: 10× rows, ≥HOT_PCT% on the viral orderkey, and
+    the hot key JOINS (it is an amplified key skewed_orders emits)."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.stress import HOT_ORDERKEY_BASE
+
+    base = table(spark, SF_DIR, "lineitem")
+    sk = table(spark, skew_dir, "lineitem")
+    assert sk.count() == FACTOR * base.count()
+    hot_key = HOT_ORDERKEY_BASE * FACTOR
+    hot = sk.filter(sk.l_orderkey == hot_key).count()
+    assert hot / sk.count() >= HOT_PCT / 100.0
+    o = table(spark, skew_dir, "orders")
+    assert o.filter(o.o_orderkey == hot_key).count() == 1
+    assert [(f.name, f.dataType) for f in sk.schema.fields] == [
+        (f.name, f.dataType) for f in base.schema.fields
+    ]
+
+
+def test_salted_join_transparent_under_skew(spark, skew_dir):
+    """join_salted_skew == join_skew_unsalted on the skew slice, WITH
+    the hot path actually engaged: at the test slice's volume the
+    query-level census threshold (sized for bench/cluster row counts)
+    may not trip, so the equality is asserted twice — once through the
+    registered pair, once through salted_inner_join with a threshold
+    that provably classifies the viral orderkey as hot."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.operators.joins import salted_inner_join
+
+    a = run("join_salted_skew", spark, skew_dir)
+    b = run("join_skew_unsalted", spark, skew_dir)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    li = table(spark, skew_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # threshold 1000: the viral key (70% of a 10× slice) is hot, every
+    # cold key (≤ ~7 lines/order, keys disjoint per rep) is not
+    salted = salted_inner_join(
+        li, o, "l_orderkey", "o_orderkey", hot_min_rows=1000
+    )
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "o_orderpriority"]
+    assert salted.select(*cols).exceptAll(plain.select(*cols)).isEmpty()
+    assert plain.select(*cols).exceptAll(salted.select(*cols)).isEmpty()
+    # the hot key's output cardinality is exactly hot_lines × 1 order —
+    # salting must neither drop nor duplicate hot rows
+    hot_key = salted.groupBy("l_orderkey").count()
+    hot_true = li.groupBy("l_orderkey").count()
+    mismatch = hot_key.join(hot_true, "l_orderkey").where(
+        hot_key["count"] != hot_true["count"]
+    )
+    assert mismatch.count() == 0
+
+
+def test_salted_join_plan_shape(spark, skew_dir):
+    """Plan pins for the salted form (it must BE the skew mitigation it
+    claims): the final join carries the salt in its keys, the build
+    side replicates via explode, the hot-key census broadcasts, and
+    neither FACT side is broadcast."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.operators.joins import salted_inner_join
+
+    li = table(spark, skew_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_inner_join(li, o, "l_orderkey", "o_orderkey", hot_min_rows=1000)
+    plan = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan, plan[:2000]
+    physical = j._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in physical or "explode" in physical.lower()
+    # the last join (probe ⋈ build) must be a shuffled hash join on
+    # (key, salt) — not a broadcast of either fact side
+    assert "ShuffledHashJoin" in physical, physical[:3000]
+    assert "_salt" in physical
