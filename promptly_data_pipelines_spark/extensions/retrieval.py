@@ -679,3 +679,99 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_ctx"
         ),
     )
+
+
+def build_positional_index(docs: DataFrame) -> DataFrame:
+    """Positional postings (r11 verdict #7): ``(term, doc_id,
+    positions sorted array<int>, tf)`` — one row per (term, doc), NOT
+    one row per term: a hot term's postings stay distributed across
+    rows/partitions instead of accreting into a single unbounded
+    per-term buffer (the OOM the ranking index's bounded HEADS exist
+    to avoid; positional matching needs full postings for the QUERIED
+    terms, so the bound moves from truncation to row granularity).
+    Build cost: posexplode (one scan) + ONE (term, doc)-keyed shuffle
+    with map-side combine; collect_list is per-(term, doc) — bounded
+    by a document's tf — and sort_array makes the arrival order
+    deterministic. Serving persists/buckets this table exactly like
+    stage_index_bucketed does the ranking index."""
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "term")
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"),
+        F.count("*").cast("long").alias("tf"),
+    )
+
+
+def positional_phrase_match(index: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """Index-only phrase matching over positional postings: for phrase
+    terms t0..tk, a match starts at s iff every tj's postings contain
+    s+j — so intersect t0's positions with each tj's positions shifted
+    by −j. Pure array expressions (array_intersect on attributes;
+    lambdas touch only their element args — the module's O(n²) rule),
+    k−1 doc_id equi-joins of term-filtered postings, NO text rescan.
+    Emits the scan-based contract: (doc_id, n_matches, first_pos)."""
+    if len(terms) < 1:
+        raise ValueError("phrase needs at least one term")
+    joined = index.where(F.col("term") == terms[0]).select(
+        "doc_id", F.col("positions").alias("common")
+    )
+
+    def _shift(offset: int):
+        # closure factory, NOT a `j=j` default arg: PySpark derives the
+        # lambda-variable count from the Python signature, so a default
+        # arg turns this into transform's 2-arg (element, index) form
+        # and the shift silently binds to the array index (the exact
+        # arity pitfall this module documents)
+        return lambda x: x - offset
+
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = index.where(F.col("term") == t).select(
+            "doc_id",
+            F.transform("positions", _shift(j)).alias(f"_p{j}"),
+        )
+        joined = joined.join(nxt, "doc_id").select(
+            "doc_id",
+            F.array_intersect("common", f"_p{j}").alias("common"),
+        )
+    return joined.where(F.size("common") > 0).select(
+        "doc_id",
+        F.size("common").cast("long").alias("n_matches"),
+        F.array_min("common").cast("int").alias("first_pos"),
+    )
+
+
+@query(
+    "index_positional_phrase",
+    registered=False,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_transform(ws, (x, i) -> struct_pack(pos := i - 1, token := x)),
+                    recursive := true)
+      FROM w
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS INT) AS first_pos
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'table' AND b.token = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def index_positional_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search ("table scan") answered ENTIRELY from the
+    positional index — the build/serve symmetry the BM25 family
+    already has (r11 verdict #7): index_phrase_search rescans text
+    (right when the corpus is at hand), this form is what a deployment
+    runs against the persisted postings — term-filtered postings
+    joined by doc_id, positions intersected after a shift, zero
+    contact with the text column. Oracles twice over: the DuckDB
+    adjacency self-join here, and bit-equality with the scan-based
+    index_phrase_search pinned in tests/test_retrieval.py."""
+    idx = build_positional_index(table(spark, sf_dir, "documents"))
+    return positional_phrase_match(idx, ("table", "scan"))
