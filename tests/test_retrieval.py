@@ -220,3 +220,41 @@ def test_positional_phrase_edges(spark, tmp_path):
     assert (single[3].n_matches, single[3].first_pos) == (1, 0)
     with pytest.raises(ValueError, match="at least one term"):
         positional_phrase_match(idx, ())
+
+
+def test_positional_serve_bucket_pruned_and_equal(spark):
+    """The served phrase query must (a) equal the in-query form and
+    (b) prune each term's postings scan to <=1 of 16 buckets (single
+    term equality per branch; autoBucketedScan off per the
+    test_bucketing.py precedent)."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        index_positional_phrase,
+        index_positional_serve,
+        stage_positional_index_bucketed,
+    )
+    from conftest import SF_DIR
+
+    served = index_positional_serve(spark, SF_DIR)
+    inline = index_positional_phrase(spark, SF_DIR)
+    assert served.exceptAll(inline).isEmpty()
+    assert inline.exceptAll(served).isEmpty()
+
+    name = stage_positional_index_bucketed(spark, SF_DIR)
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spark.table(name).where(F.col("term") == "table").explain("formatted")
+        m = re.search(r"SelectedBucketsCount: (\d+) out of 16", buf.getvalue())
+        assert m, "bucket pruning did not fire on the positional postings"
+        assert int(m.group(1)) == 1
+    finally:
+        spark.conf.set(key, prev)
