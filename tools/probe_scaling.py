@@ -65,6 +65,13 @@ OPS = (
     "text_bm25_topk",
     "index_inverted_build",
     "index_phrase_search",
+    # r12: the salted fact-fact join under UNIFORM amplification (no
+    # hot key ⇒ the census classifies nothing hot — this measures the
+    # mitigation's standing overhead scaling, the skew win itself is
+    # the skew10 bench pair) and the positional-index phrase serve
+    # (build + term-filtered join; the scan-based twin is above)
+    "join_salted_skew",
+    "index_positional_phrase",
 )
 
 
