@@ -236,3 +236,85 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pdp_udtf_docs, LATERAL chunk_windows_udtf(text) c
         """
     )
+
+
+@query(
+    "cogroup_order_reconcile",
+    registered=False,
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_orders,
+             max(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_orderkey
+    ), l AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             round(sum(l_extendedprice), 2) AS sum_lines_price
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_lines, 0) AS n_lines,
+           o_totalprice,
+           sum_lines_price,
+           round(o_totalprice - sum_lines_price, 2) AS price_gap
+    FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2's two-sided sibling: ``GroupedData.cogroup(...).applyInPandas``
+    — per-key PANDAS FRAMES FROM BOTH TABLES in one function call, the
+    API for cross-source reconciliation / per-entity feature assembly
+    where each side needs its own rows (not a pre-aggregated join).
+    Here: orders vs their lineitems by orderkey, emitting the per-order
+    billing reconciliation every warehouse runs (order total vs summed
+    line prices). The fixture makes the empty-side paths REAL: lineitem
+    carries orderkeys with no orders row (and orders rows can lack
+    lines), so the function sees genuinely empty pandas frames on
+    either side — the case a hand-rolled join-then-groupBy silently
+    reshapes and cogroup preserves.
+
+    Scale: both sides shuffle ONCE by the key (same exchange shape as
+    the join form), Arrow-batched into per-key frames
+    (FlatMapCoGroupsInPandas — plan-pinned in tests); per-key work is
+    O(rows in key). Float discipline: the UDF returns RAW pandas sums
+    and all rounding happens JVM-side with F.round (one rounding
+    algorithm repo-wide — a Python round() here would introduce a
+    third engine's banker's rounding into the parity contract)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def reconcile(key: tuple, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderkey": key[0],
+                    "n_orders": len(odf),
+                    "n_lines": len(ldf),
+                    "o_totalprice": (
+                        float(odf["o_totalprice"].iloc[0]) if len(odf) else None
+                    ),
+                    "raw_lines_sum": (
+                        float(ldf["l_extendedprice"].sum()) if len(ldf) else None
+                    ),
+                }
+            ]
+        )
+
+    out = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderkey bigint, n_orders bigint, n_lines bigint, "
+            "o_totalprice double, raw_lines_sum double",
+        )
+    )
+    sum_rounded = F.round("raw_lines_sum", 2)
+    return out.select(
+        "o_orderkey",
+        "n_orders",
+        "n_lines",
+        "o_totalprice",
+        sum_rounded.alias("sum_lines_price"),
+        F.round(F.col("o_totalprice") - sum_rounded, 2).alias("price_gap"),
+    )

@@ -645,3 +645,25 @@ def test_kwic_is_shuffle_free(spark):
     p = _plan(spark, "text_kwic")
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_cogroup_reconcile_plan(spark):
+    """The two-sided grouped map must be the Arrow cogroup operator
+    (FlatMapCoGroupsInPandas) fed by exactly one hash exchange per
+    side — no row-pickling Python, no extra shuffle after the UDF."""
+    import re
+
+    p = _plan(spark, "cogroup_order_reconcile")
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p[:3000]
+
+
+def test_salted_skew_join_query_plan(spark):
+    """join_salted_skew at driver SFs (no hot keys): still the salted
+    shape — shuffle_hash join carrying _salt in its keys, census
+    broadcast, no broadcast of either fact side (the skew-engaged
+    twin of this pin runs on the skew slice in test_stress.py)."""
+    p = _plan(spark, "join_salted_skew")
+    assert "ShuffledHashJoin" in p
+    assert "_salt" in p
