@@ -203,6 +203,7 @@ def _load_all() -> None:
         lines,
         multimodal,
         packing,
+        quantiles,
         retrieval,
         sampling,
         similarity,

