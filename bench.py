@@ -265,6 +265,17 @@ SECONDARY = [
     # clustering + canonical pick; tracks the CC iteration cost on a
     # planted-cluster workload smaller than graph_pagerank's
     "er_resolve_customers",
+    # r12, tracked from introduction: the salted fact-fact join at the
+    # UNSKEWED bench SF (census overhead + degenerate salt-0 path; the
+    # skew win is the skew10 pair), the index-only positional phrase
+    # serve (build + term-filtered join, no text rescan), the cogroup
+    # reconciliation (two exchanges + Arrow two-sided grouped map over
+    # ~150k keys), and the quantile-sketch rollup (mapInPandas
+    # partials + sketch-only merge — the whole reduce moves KBs)
+    "join_salted_skew",
+    "index_positional_phrase",
+    "cogroup_order_reconcile",
+    "dq_quantile_sketch",
 ]
 
 
