@@ -170,6 +170,17 @@ class MRLSketch:
         return sk
 
 
+
+def _group_schema(df: DataFrame, group_cols: list[str]) -> str:
+    """Group columns keep their SOURCE types in every output schema
+    (a hardcoded string type would corrupt int/date group keys)."""
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in group_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"group columns not in frame: {missing}")
+    return ", ".join(f"{c} {by_name[c]}" for c in group_cols)
+
+
 def sketch_partials(
     df: DataFrame, value_col: str, group_cols: list[str], k: int = SKETCH_K
 ) -> DataFrame:
@@ -177,7 +188,7 @@ def sketch_partials(
     combine: a single pass over each partition, no shuffle, output
     rows carry k·log(n/k) floats each. NULL values are skipped (SQL
     aggregate semantics)."""
-    out_schema = ", ".join(f"{c} string" for c in group_cols) + ", sketch binary"
+    out_schema = _group_schema(df, group_cols) + ", sketch binary"
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict[tuple, MRLSketch] = {}
@@ -205,7 +216,7 @@ def sketch_rollup(
     Partials are folded in canonical (serialized-bytes) order so the
     result is independent of shuffle arrival order — determinism is
     part of the contract, not luck."""
-    out_schema = ", ".join(f"{c} string" for c in group_cols) + ", sketch binary"
+    out_schema = _group_schema(partials, group_cols) + ", sketch binary"
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         acc = MRLSketch(k)
@@ -224,14 +235,18 @@ def sketch_quantiles(
     """Render merged sketches as (group, q, estimate, n, max_rank_err)
     — the certified bound rides along with every estimate."""
     out_schema = (
-        ", ".join(f"{c} string" for c in group_cols)
+        _group_schema(sketches, group_cols)
         + ", q double, estimate double, n bigint, max_rank_err bigint"
     )
 
     def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = MRLSketch.from_bytes(pdf["sketch"].iloc[0])
-        for payload in sorted(pdf["sketch"].iloc[1:]):
-            acc.merge(MRLSketch.from_bytes(payload))
+        # fold ALL payloads in canonical byte order (an iloc[0] seed
+        # would follow shuffle arrival order when a group holds more
+        # than one sketch row — r12 self-review finding)
+        acc = None
+        for payload in sorted(pdf["sketch"]):
+            sk = MRLSketch.from_bytes(payload)
+            acc = sk if acc is None else acc.merge(sk)
         return pd.DataFrame(
             [
                 dict(zip(group_cols, key))

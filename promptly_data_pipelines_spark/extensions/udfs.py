@@ -290,8 +290,12 @@ def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_orderkey": key[0],
                     "n_orders": len(odf),
                     "n_lines": len(ldf),
+                    # max(), not iloc[0]: pandas row order inside a
+                    # cogroup key follows shuffle arrival — with a
+                    # duplicated key iloc[0] would be nondeterministic
+                    # (and the oracle's max() is the declared semantic)
                     "o_totalprice": (
-                        float(odf["o_totalprice"].iloc[0]) if len(odf) else None
+                        float(odf["o_totalprice"].max()) if len(odf) else None
                     ),
                     "raw_lines_sum": (
                         float(ldf["l_extendedprice"].sum()) if len(ldf) else None

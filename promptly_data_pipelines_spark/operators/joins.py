@@ -656,15 +656,17 @@ def salted_inner_join(
         .select("_hot_key", F.lit(True).alias("_is_hot"))
     )
     non_key = [c for c in probe.columns if c != probe_key]
+    # deterministic spread needs SOMETHING beyond the key to hash; a
+    # bare key list has no such column and every hot row is identical
+    # anyway, so salt 0 (single reducer) is the honest degenerate case
+    spread = (
+        F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n))
+        if non_key
+        else F.lit(0)
+    )
     salted_probe = (
         probe.join(F.broadcast(hot), probe[probe_key] == hot["_hot_key"], "left")
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_is_hot"),
-                F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n)),
-            ).otherwise(F.lit(0)),
-        )
+        .withColumn("_salt", F.when(F.col("_is_hot"), spread).otherwise(F.lit(0)))
         .drop("_hot_key", "_is_hot")
     )
     salted_build = (
