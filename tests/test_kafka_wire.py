@@ -227,3 +227,52 @@ def test_schema_evolution_wire_shape_and_declared_decode(spark):
     # new column) — count parity with the widened decode
     v1 = decode_envelopes(wire.drop("event_id"))
     assert v1.filter(F.col("after").isNotNull()).count() == live.count()
+
+
+def test_schema_evolution_streaming_decode(spark, tmp_path):
+    """The same additive-DDL decode through the REAL streaming engine:
+    a topic-directory of mixed-shape envelopes read with readStream
+    and decoded under ENVELOPE_V2_SCHEMA (decode_envelopes is the
+    single decode both paths share) must NULL-fill channel on pre-DDL
+    rows and surface it on post-DDL rows — batch/stream parity on the
+    schema-evolution path, availableNow-drained."""
+    from promptly_data_pipelines_spark.cdc.envelope import ENVELOPE_V2_SCHEMA
+    from promptly_data_pipelines_spark.cdc.streaming import RAW_STREAM_SCHEMA
+
+    ev = table(spark, SF_DIR, "events").limit(400)
+    post_ddl = F.col("event_id") % 2 == 1
+    channel = F.when(
+        post_ddl,
+        F.when(F.col("event_id") % 4 == 1, F.lit("web")).otherwise(F.lit("mobile")),
+    )
+    wire = synthesize_envelopes(ev, image_extra={"channel": channel})
+    src = os.path.join(str(tmp_path), "topic")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    wire.write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema(RAW_STREAM_SCHEMA).json(src)
+    decoded = decode_envelopes(stream, schema=ENVELOPE_V2_SCHEMA)
+    live = decoded.filter(F.col("after").isNotNull()).select(
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.channel").alias("channel"),
+    )
+    q = (
+        live.writeStream.format("memory")
+        .queryName("evolution_stream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish within 120s"
+    rows = spark.table("evolution_stream").collect()
+    assert rows
+    for r in rows:
+        if r.event_id % 2 == 1:
+            assert r.channel == ("web" if r.event_id % 4 == 1 else "mobile")
+        else:
+            assert r.channel is None
+    # exact parity with the batch decode over the same directory
+    batch = decode_envelopes(
+        spark.read.schema(RAW_STREAM_SCHEMA).json(src), schema=ENVELOPE_V2_SCHEMA
+    ).filter(F.col("after").isNotNull())
+    assert batch.count() == len(rows)
