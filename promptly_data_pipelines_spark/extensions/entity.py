@@ -36,7 +36,7 @@ Spark side keeps the closure-free star algorithm that survives
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -376,4 +376,88 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_matched",
         completeness.alias("pairs_completeness"),
         reduction.alias("reduction_ratio"),
+    )
+
+
+@query(
+    "er_golden_records",
+    registered=False,
+    oracle="""
+    WITH RECURSIVE records AS (
+      SELECT c_custkey AS rec_id, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, replace(c_name, 'Customer', 'Custmer')
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, replace(c_name, 'Customer', 'Kustomr')
+      FROM customer WHERE c_custkey % 6 = 0
+      UNION ALL
+      SELECT c_custkey + 3000000, replace(c_name, 'Customer', 'Xstmr')
+      FROM customer WHERE c_custkey % 5 = 0
+    ), blocked AS (
+      SELECT rec_id, name, right(name, 9) AS block FROM records
+    ), pairs AS (
+      SELECT a.rec_id AS u, b.rec_id AS v
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS rec_id, min(v) AS entity_id FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT b.rec_id, b.name,
+             coalesce(c.entity_id, b.rec_id) AS entity_id
+      FROM blocked b LEFT JOIN comp c USING (rec_id)
+    ), ranked AS (
+      SELECT entity_id, rec_id, name,
+             row_number() OVER (
+               PARTITION BY entity_id
+               ORDER BY len(name) DESC, name ASC, rec_id ASC
+             ) AS rk
+      FROM labeled
+    )
+    SELECT l.entity_id,
+           max(CASE WHEN r.rk = 1 THEN r.name END) AS golden_name,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT l.name) AS BIGINT) AS n_distinct_names,
+           string_agg(l.name, '|' ORDER BY l.name) AS member_names
+    FROM labeled l JOIN ranked r ON l.entity_id = r.entity_id AND r.rk = 1
+    GROUP BY l.entity_id
+    """,
+)
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the step after resolution in every MDM pipeline:
+    ONE golden record per entity, its fields chosen by a declared,
+    deterministic rule rather than arrival luck. Rule here: longest
+    name wins, ties break lexicographically then by rec_id (on the
+    fixture that surfaces the untruncated original over its typo
+    variants, and each Xstmr singleton survives as itself — both
+    asserted in tests/test_entity.py). Emits per entity: golden_name,
+    member count, distinct-name count, and the sorted member-name
+    roster (deterministic string_agg/array_join).
+
+    Scale: rides the resolver's output — one row_number window and one
+    agg, both keyed by entity_id (cluster-sized groups, the same key
+    the components step already shuffled by)."""
+    labeled = er_resolve_customers(spark, sf_dir).select("entity_id", "rec_id", "name")
+    w = Window.partitionBy("entity_id").orderBy(
+        F.length("name").desc(), F.col("name").asc(), F.col("rec_id").asc()
+    )
+    golden = (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("entity_id", F.col("name").alias("golden_name"))
+    )
+    rollup = labeled.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.count_distinct("name").cast("long").alias("n_distinct_names"),
+        F.array_join(F.array_sort(F.collect_list("name")), "|").alias("member_names"),
+    )
+    return golden.join(rollup, "entity_id").select(
+        "entity_id", "golden_name", "n_members", "n_distinct_names", "member_names"
     )

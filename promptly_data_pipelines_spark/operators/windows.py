@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import ts_str
 from ..registry import query
 
 
@@ -865,4 +866,85 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_revenue",
         (F.col("cum_revenue") / F.col("total")).alias("cum_share"),
         (F.col("rk").cast("double") / F.col("n_cust")).alias("cust_share"),
+    )
+
+
+@query(
+    "window_resample_locf",
+    registered=False,
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(value) AS bucket_max
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT g.user_id,
+           strftime(g.hour, '%Y-%m-%d %H:%M:%S.%f') AS hour_ts,
+           coalesce(h.n_events, 0) AS n_events,
+           h.bucket_max,
+           last_value(h.bucket_max IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf,
+           (h.n_events IS NULL) AS gap_filled
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+)
+def window_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill — the feature-table shape every
+    metrics/training pipeline builds from irregular event streams:
+    per user, a DENSE hourly grid from first to last observation
+    (sequence + explode: the grid is generated per key, partition-
+    local, never a driver loop), per-bucket aggregates where events
+    exist, and last-observation-carried-forward (``F.last`` with
+    ignorenulls over an ordered per-user window — Spark's LOCF idiom)
+    across the gaps, with the fill flagged rather than silent.
+
+    Scale: two grouped aggregates + one (user, hour) equi-join + one
+    per-user window — every shuffle is keyed by user_id (or its
+    (user, hour) refinement); grid fan-out is span-bounded (~720
+    rows/user-month) and generated where the key already lives. The
+    leading bucket always holds the user's first event, so value_locf
+    is total (no leading-null branch to special-case). Determinism:
+    max() per bucket (never avg — float sum order), timestamps
+    rendered through ts_str for the hash."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("hour")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("value").alias("bucket_max"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        ts_str("hour").alias("hour_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "bucket_max",
+        F.last("bucket_max", ignorenulls=True).over(w).alias("value_locf"),
+        F.col("n_events").isNull().alias("gap_filled"),
     )

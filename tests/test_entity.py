@@ -89,3 +89,24 @@ def test_er_blocking_completeness_counts_true_matches_only(spark):
         row.n_true_matched / row.n_true_pairs
     )
     assert 0.0 < row.pairs_completeness < 1.0
+
+
+def test_golden_record_survivorship_rule(spark):
+    """Longest-name-wins survivorship: multi-member entities must
+    surface the untruncated ORIGINAL name (planted variants are all
+    shorter or equal-length-later), singletons survive as themselves,
+    and the member roster is the sorted pipe-joined name set."""
+    from promptly_data_pipelines_spark.extensions.entity import er_golden_records
+
+    out = {r.entity_id: r for r in er_golden_records(spark, SF_DIR).collect()}
+    # key 6 carries original + Custmer + Kustomr
+    g6 = out[6]
+    assert g6.golden_name.startswith("Customer")
+    assert g6.n_members == 3 and g6.n_distinct_names == 3
+    assert g6.member_names == "|".join(sorted(g6.member_names.split("|")))
+    assert g6.golden_name in g6.member_names.split("|")
+    # Xstmr singletons are their own golden record
+    xst = [r for r in out.values() if r.golden_name.startswith("Xstmr")]
+    assert xst and all(r.n_members == 1 for r in xst)
+    # every entity has exactly one golden row
+    assert len(out) == len(set(out))
