@@ -279,3 +279,52 @@ def dq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = sketch_partials(ev, "value", ["event_type"])
     merged = sketch_rollup(partials, ["event_type"])
     return sketch_quantiles(merged, ["event_type"]).orderBy("event_type", "q")
+
+
+@query("stream_exec_quantile_sketch", registered=False)
+def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch store fed by the REAL streaming engine — the
+    deployment shape end to end: events arrive as micro-batches
+    (file-source stand-in, maxFilesPerTrigger=4 forces a genuinely
+    multi-batch drain), ``foreachBatch`` appends each batch's partial
+    sketches to a parquet SKETCH STORE (KBs per batch — the raw rows
+    are never retained), and the answer is a rollup+quantile over the
+    store. Because merging folds in canonical byte order, the final
+    result is a pure function of the partial SET: however the engine
+    batched the input, re-running the rollup over the store gives the
+    same answer, and the certified bound + exact n hold against the
+    batch pipeline (pinned in tests/test_quantile_sketch.py).
+    Rows-only by necessity, like dq_quantile_sketch."""
+    import os
+
+    from ..cdc.streaming import _fresh_staging_dir
+
+    base = _fresh_staging_dir(spark, sf_dir, "stream_sketch")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    store = os.path.join(base, "store")
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ev.write.json(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 4)
+        .json(src)
+    )
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_partials(batch_df, "value", ["event_type"]).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("sketch ingest stream did not drain within 300s")
+    merged = sketch_rollup(spark.read.parquet(store), ["event_type"])
+    return sketch_quantiles(merged, ["event_type"]).orderBy("event_type", "q")

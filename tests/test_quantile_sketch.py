@@ -213,3 +213,30 @@ def test_group_schema_keeps_source_types(spark):
     merged = sketch_rollup(partials, ["user_id"])
     assert dict(merged.dtypes)["user_id"] == "bigint"
     assert merged.count() == ev.select("user_id").distinct().count()
+
+
+def test_stream_fed_sketch_store_bound_and_exact_n(spark):
+    """The streaming ingest (foreachBatch → sketch store → rollup)
+    must report EXACT n per group (sketches never lose count) and
+    estimates inside their certified bound against the raw data —
+    however the engine happened to batch the files."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.quantiles import (
+        stream_exec_quantile_sketch,
+    )
+
+    out = stream_exec_quantile_sketch(spark, SF_DIR).collect()
+    assert out
+    ev = table(spark, SF_DIR, "events")
+    truth = {
+        r.event_type: np.sort(np.asarray(r.vals, dtype=np.float64))
+        for r in ev.groupBy("event_type").agg(F_collect("value").alias("vals")).collect()
+    }
+    assert {r.event_type for r in out} == set(truth)
+    for r in out:
+        vals = truth[r.event_type]
+        assert r.n == len(vals)
+        target = max(1, int(np.ceil(r.q * r.n)))
+        lo = int(np.searchsorted(vals, r.estimate, side="left")) + 1
+        hi = max(lo, int(np.searchsorted(vals, r.estimate, side="right")))
+        assert lo - r.max_rank_err <= target <= hi + r.max_rank_err
