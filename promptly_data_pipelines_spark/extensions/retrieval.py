@@ -841,3 +841,23 @@ def index_positional_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched."""
     name = stage_positional_index_bucketed(spark, sf_dir)
     return positional_phrase_match(spark.table(name), ("table", "scan"))
+
+
+def merge_positional_delta(base_index: DataFrame, delta_docs: DataFrame) -> DataFrame:
+    """Incremental maintenance for the positional index, latest-wins at
+    DOC granularity (the re-crawl contract: a document that reappears
+    in the delta REPLACES its old postings wholesale — concatenating
+    positions would corrupt phrase adjacency): drop the base rows of
+    every doc present in the delta (broadcast-able doc-id anti join —
+    the delta's doc list is delta-sized), index the delta, union.
+    Merge == full rebuild EXACTLY (proven in tests/test_retrieval.py
+    for overlapping and disjoint deltas), the same contract the
+    ranking index's merge_indexes carries — cost is bounded by the
+    delta plus one anti-join pass over the base index rows."""
+    delta_ids = delta_docs.select("doc_id").distinct()
+    kept = base_index.join(F.broadcast(delta_ids), "doc_id", "left_anti")
+    # canonical column order: the USING-join moves doc_id first, and a
+    # positional consumer (exceptAll, writers) must see the build's shape
+    return kept.select("term", "doc_id", "positions", "tf").unionByName(
+        build_positional_index(delta_docs)
+    )

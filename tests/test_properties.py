@@ -1027,3 +1027,52 @@ def test_er_incremental_equals_full_any_split(spark, bits):
     got = {(r.rec_id, r.entity_id, r.entity_size) for r in inc.collect()}
     want = {(r.rec_id, r.entity_id, r.entity_size) for r in full.collect()}
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # join key (few → collisions)
+            st.integers(min_value=0, max_value=999),  # payload
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    dim=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.text(alphabet="abc", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    hot_min=st.integers(min_value=1, max_value=20),
+    n_salts=st.integers(min_value=2, max_value=8),
+)
+def test_salted_join_transparent_any_input(spark, rows, dim, hot_min, n_salts):
+    """salted_inner_join == plain inner join for ARBITRARY inputs and
+    thresholds: duplicate keys on both sides, keys hot by any margin,
+    empty frames — salting is a physical rewrite, never a semantic
+    one."""
+    from promptly_data_pipelines_spark.operators.joins import salted_inner_join
+
+    probe = spark.createDataFrame(
+        [(k, v) for k, v in rows], "k bigint, payload bigint"
+    )
+    build = spark.createDataFrame(
+        [(k, s) for k, s in dim], "bk bigint, tag string"
+    )
+    salted = salted_inner_join(
+        probe, build, "k", "bk", n=n_salts, hot_min_rows=hot_min
+    ).select("k", "payload", "tag")
+    plain = probe.join(build, probe["k"] == build["bk"], "inner").select(
+        "k", "payload", "tag"
+    )
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+    assert salted.count() == plain.count()  # multiset equality both ways

@@ -258,3 +258,49 @@ def test_positional_serve_bucket_pruned_and_equal(spark):
         assert int(m.group(1)) == 1
     finally:
         spark.conf.set(key, prev)
+
+
+def test_positional_delta_merge_equals_rebuild(spark, tmp_path):
+    """merge_positional_delta == full rebuild, for a delta that BOTH
+    re-crawls existing docs (changed text must replace postings, not
+    append) and adds new ones."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        build_positional_index,
+        merge_positional_delta,
+        positional_phrase_match,
+    )
+
+    base_dir = tmp_path / "base"
+    base_dir.mkdir()
+    base_sf = _write_docs(
+        base_dir,
+        ["table scan wins", "merge join loses", "a table b", "scan scan scan"],
+    )
+    base_idx = build_positional_index(table(spark, base_sf, "documents"))
+    # delta: doc 1 re-crawled with NEW text (now contains the phrase),
+    # doc 4 brand new
+    delta = spark.createDataFrame(
+        [
+            (1, "now a table scan appears", "en", "web", 24),
+            (4, "table scan table scan", "en", "web", 21),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    merged = merge_positional_delta(base_idx, delta)
+
+    full_docs = table(spark, base_sf, "documents").where(
+        ~F.col("doc_id").isin(1)
+    ).unionByName(delta)
+    rebuilt = build_positional_index(full_docs)
+    assert merged.exceptAll(rebuilt).isEmpty()
+    assert rebuilt.exceptAll(merged).isEmpty()
+
+    # and phrase search over the merged index sees the NEW postings
+    hits = {
+        r.doc_id: r.n_matches
+        for r in positional_phrase_match(merged, ("table", "scan")).collect()
+    }
+    assert hits == {0: 1, 1: 1, 4: 2}
