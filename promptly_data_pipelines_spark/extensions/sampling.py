@@ -308,3 +308,53 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", F.col("__idx").cast("bigint").alias("replica_idx"))
     )
+
+
+SAMPLE_EST_BUCKETS = 26  # ~10.16% of 256 — the shared in_sample10 slice
+
+
+@query(
+    "sample_estimate_totals",
+    registered=False,
+    oracle=f"""
+    WITH sampled AS (
+      SELECT event_type, value
+      FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 256 < {SAMPLE_EST_BUCKETS}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           (count(*) * 256) // {SAMPLE_EST_BUCKETS} AS est_n_events,
+           round(sum(value), 2) AS sampled_sum,
+           round(round(sum(value), 2) * 256 / {SAMPLE_EST_BUCKETS}, 2) AS est_sum_value
+    FROM sampled
+    GROUP BY event_type
+    """,
+)
+def sample_estimate_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled estimation — the query a 100 TB deployment runs when
+    the exact census is not worth a full scan: read ONLY the ~10%
+    md5-bucket slice (the SAME deterministic slice dataset_split
+    exposes as in_sample10, so the sample is shared infrastructure,
+    not per-query dice) and scale counts/sums by the inverse sampling
+    fraction. Because the sample is hash-defined, BOTH engines compute
+    the identical slice and the estimates are exact-value oracle-
+    checkable — the estimator's parity is proven, and its ACCURACY is
+    asserted against the true totals in tests/test_scaling.py-style
+    bounds in tests/test_modules.py. At scale the win compounds:
+    the bucket predicate is a pure function of event_id, so a corpus
+    laid out by hash bucket prunes 90% of files before the scan."""
+    ev = table(spark, sf_dir, "events")
+    scale = 256 / SAMPLE_EST_BUCKETS
+    sampled = ev.where(hash_bucket("event_id") < SAMPLE_EST_BUCKETS)
+    sampled_sum = F.round(F.sum("value"), 2)
+    return sampled.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        # integer div on BOTH sides: a double→bigint cast ROUNDS in
+        # DuckDB but TRUNCATES in Spark — the boundary the r12 parity
+        # run caught (147.7 → 147 vs 148)
+        F.expr(f"(count(*) * 256) div {SAMPLE_EST_BUCKETS}").alias("est_n_events"),
+        sampled_sum.alias("sampled_sum"),
+        F.round(sampled_sum * F.lit(scale), 2).alias("est_sum_value"),
+    )

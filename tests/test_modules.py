@@ -2151,3 +2151,37 @@ def test_compression_ratio_matches_direct_zlib(spark):
         ratio = r.n_compressed / r.n_bytes
         assert r.compression_ratio == ratio
         assert r.keep == (COMPRESS_RATIO_LOW <= ratio <= COMPRESS_RATIO_HIGH)
+
+
+def test_sample_estimator_accuracy(spark):
+    """sample_estimate_totals: the scaled estimates must sit near the
+    true totals (deterministic sample + fixed fixture ⇒ constant
+    accuracy — these bounds pin it): aggregate count within 10%,
+    aggregate sum within 20%, every per-type count within 40% (the
+    ~20-row/type sample at sf0.001 is the worst case; at sf0.01 the
+    same code reads ≤6% off — measured r12)."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.sampling import (
+        sample_estimate_totals,
+    )
+
+    est = {
+        r.event_type: r for r in sample_estimate_totals(spark, SF_DIR).collect()
+    }
+    true = {
+        r.event_type: r
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    tot_est_n = sum(r.est_n_events for r in est.values())
+    tot_true_n = sum(r.n for r in true.values())
+    assert abs(tot_est_n - tot_true_n) / tot_true_n < 0.10
+    tot_est_s = sum(r.est_sum_value for r in est.values())
+    tot_true_s = sum(float(r.s) for r in true.values())
+    assert abs(tot_est_s - tot_true_s) / abs(tot_true_s) < 0.20
+    for t, r in true.items():
+        assert abs(est[t].est_n_events - r.n) / r.n < 0.40, t
