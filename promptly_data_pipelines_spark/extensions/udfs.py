@@ -276,7 +276,14 @@ def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both sides shuffle ONCE by the key (same exchange shape as
     the join form), Arrow-batched into per-key frames
     (FlatMapCoGroupsInPandas — plan-pinned in tests); per-key work is
-    O(rows in key). Float discipline: the UDF returns RAW pandas sums
+    O(rows in key). COST HONESTY (measured r12): at sf0.1's 147k
+    orderkeys this fine granularity pays ~60 s of per-call Python
+    overhead — the udf_grouped_map pathology, two-sided. Use cogroup
+    when the per-key logic NEEDS both raw frames; when a join+groupBy
+    can express it (as this reconciliation's oracle proves it can
+    here), the JVM form is orders of magnitude cheaper — which is why
+    this line is oracle+plan-pinned in pytest but not a standing
+    bench line. Float discipline: the UDF returns RAW pandas sums
     and all rounding happens JVM-side with F.round (one rounding
     algorithm repo-wide — a Python round() here would introduce a
     third engine's banker's rounding into the parity contract)."""
