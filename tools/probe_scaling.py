@@ -72,6 +72,10 @@ OPS = (
     # (build + term-filtered join; the scan-based twin is above)
     "join_salted_skew",
     "index_positional_phrase",
+    # r12 (late): the sketch rollup — mapInPandas partials scale with
+    # rows, the merge with (partitions × groups); the exponent should
+    # read row-linear-at-most since the reduce side moves only KBs
+    "dq_quantile_sketch",
 )
 
 
