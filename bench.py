@@ -667,6 +667,11 @@ def stress_tier_main() -> None:
                 # between these two lines is the mitigation measured
                 "join_skew_unsalted",
                 "join_salted_skew",
+                # r12 (late): the strategy rival — hot keys broadcast
+                # + map-side (the hot 70% never shuffles), cold keys
+                # ordinary shuffle join; three-way comparison on the
+                # same slice makes the mitigation choice a measurement
+                "join_hotcold_skew",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the

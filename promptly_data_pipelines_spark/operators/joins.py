@@ -741,3 +741,76 @@ def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+def hotcold_split_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    hot_min_rows: int = SALT_HOT_MIN_ROWS,
+) -> DataFrame:
+    """The OTHER classic hot-key mitigation, complementing
+    :func:`salted_inner_join`: split the join at the hot/cold boundary
+    and give each side the physical strategy its statistics deserve —
+
+    - HOT keys (few by definition): their build rows are a tiny slice
+      (|hot keys| × build rows/key), so BROADCAST them — the hot 70%
+      of the probe side joins map-side and NEVER SHUFFLES;
+    - COLD keys: ordinary shuffle join on the key, no salt overhead.
+
+    versus salting: salting shuffles everything once (spread over n
+    reducers); the split shuffles only the cold minority but reads the
+    probe twice (hot filter + cold anti — both driven by the same
+    broadcast census, so at 100 TB the trade is one full shuffle of
+    the hot mass against one extra columnar scan). Which wins is a
+    statistics question — which is why bench.py's skew tier measures
+    unsalted vs salted vs split side by side on the same slice.
+    Precondition (asserted by the caller's contract, same census as
+    salting): hot BUILD rows must fit a broadcast — true whenever the
+    build side is dimension-like on the hot keys (rows/key bounded).
+    Results are EXACTLY the plain inner join's: hot and cold probe
+    rows partition the probe (inner ∪ anti on the broadcast hot set),
+    and each row meets the same build rows it would in one join."""
+    hot = (
+        probe.groupBy(F.col(probe_key).alias("_hot_key"))
+        .agg(F.count("*").alias("_key_rows"))
+        .where(F.col("_key_rows") > hot_min_rows)
+        .select("_hot_key")
+    )
+    probe_hot = probe.join(
+        F.broadcast(hot), probe[probe_key] == hot["_hot_key"], "inner"
+    ).drop("_hot_key")
+    probe_cold = probe.join(
+        F.broadcast(hot), probe[probe_key] == hot["_hot_key"], "left_anti"
+    )
+    build_hot = build.join(
+        F.broadcast(hot), build[build_key] == hot["_hot_key"], "inner"
+    ).drop("_hot_key")
+    joined_hot = probe_hot.join(
+        F.broadcast(build_hot), probe_hot[probe_key] == build_hot[build_key], "inner"
+    )
+    joined_cold = probe_cold.hint("shuffle_hash").join(
+        build, probe_cold[probe_key] == build[build_key], "inner"
+    )
+    return joined_hot.unionByName(joined_cold)
+
+
+@query("join_hotcold_skew", registered=False, oracle=_SKEW_JOIN_ORACLE)
+def join_hotcold_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_salted_skew's strategy rival on the identical workload and
+    oracle: hot/cold split (hot keys broadcast + map-side, cold keys
+    shuffled). The three-way skew10 bench lines (unsalted / salted /
+    hotcold) make the mitigation choice a measurement, not a
+    doctrine."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    joined = hotcold_split_join(
+        probe=li, build=o, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -268,3 +268,28 @@ def test_salted_join_plan_shape(spark, skew_dir):
     # (key, salt) — not a broadcast of either fact side
     assert "ShuffledHashJoin" in physical, physical[:3000]
     assert "_salt" in physical
+
+
+def test_hotcold_join_transparent_and_plan(spark, skew_dir):
+    """join_hotcold_skew == join_skew_unsalted on the skew slice, and
+    with a threshold that engages the split the hot branch must be a
+    BroadcastHashJoin while the cold branch keeps the shuffle join."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.operators.joins import hotcold_split_join
+
+    a = run("join_hotcold_skew", spark, skew_dir)
+    b = run("join_skew_unsalted", spark, skew_dir)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    li = table(spark, skew_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+    split = hotcold_split_join(li, o, "l_orderkey", "o_orderkey", hot_min_rows=1000)
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "o_orderpriority"]
+    assert split.select(*cols).exceptAll(plain.select(*cols)).isEmpty()
+    assert plain.select(*cols).exceptAll(split.select(*cols)).isEmpty()
+    physical = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical, physical[:3000]
+    assert "ShuffledHashJoin" in physical, physical[:3000]
