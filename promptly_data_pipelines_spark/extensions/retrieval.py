@@ -49,6 +49,9 @@ Scale design, per operator:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified
+# 'pd.Series' type hints against these globals (PEP 563 strings)
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -861,3 +864,110 @@ def merge_positional_delta(base_index: DataFrame, delta_docs: DataFrame) -> Data
     return kept.select("term", "doc_id", "positions", "tf").unionByName(
         build_positional_index(delta_docs)
     )
+
+
+def _varint_delta_encode(positions) -> bytes:
+    """Sorted int positions → delta + LEB128 varint bytes (the classic
+    postings codec: gaps are small, so most gaps fit one byte)."""
+    out = bytearray()
+    prev = 0
+    for p in positions:
+        gap = int(p) - prev
+        if gap < 0:
+            raise ValueError("positions must be sorted for delta coding")
+        prev = int(p)
+        while True:
+            b = gap & 0x7F
+            gap >>= 7
+            if gap:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def _varint_delta_decode(blob: bytes) -> list[int]:
+    out: list[int] = []
+    acc = shift = 0
+    prev = 0
+    for byte in blob:
+        acc |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+            continue
+        prev += acc
+        out.append(prev)
+        acc = shift = 0
+    if shift or acc:
+        raise ValueError("truncated varint in postings blob")
+    return out
+
+
+def compress_postings(index: DataFrame) -> DataFrame:
+    """Positional postings with the positions column delta-varint
+    packed (term, doc_id, tf, postings_z binary) — the storage form a
+    persisted index ships: gaps within a document are small, so the
+    packed column runs ~4-8× under the int-array encoding (ratio
+    measured in tests/test_retrieval.py, never asserted blind).
+    Arrow-batched pandas_udf — the codec crosses the Python boundary
+    once per batch, exactly like the repo's image codecs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(positions: pd.Series) -> pd.Series:
+        return positions.map(_varint_delta_encode)
+
+    return index.select(
+        "term", "doc_id", "tf", pack("positions").alias("postings_z")
+    )
+
+
+def decompress_postings(compressed: DataFrame) -> DataFrame:
+    """Inverse of compress_postings — exact round-trip (property-
+    tested): (term, doc_id, positions array<int>, tf) back out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def unpack(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: _varint_delta_decode(bytes(b)))
+
+    return compressed.select(
+        "term", "doc_id", unpack("postings_z").alias("positions"), "tf"
+    )
+
+
+@query(
+    "index_positional_compressed",
+    registered=False,
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_transform(ws, (x, i) -> struct_pack(pos := i - 1, token := x)),
+                    recursive := true)
+      FROM w
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS INT) AS first_pos
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.token = 'table' AND b.token = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def index_positional_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search through the COMPRESSED postings: build → varint
+    pack → unpack → match, oracle-checked against the same adjacency
+    self-join as the uncompressed forms — the codec's exactness is on
+    the value-hash path, not just unit-tested. A deployment stores
+    postings_z and decodes only the queried terms' rows (the term
+    filter lands before the decode UDF, so the Python hop sees two
+    terms' postings, never the corpus)."""
+    idx = build_positional_index(table(spark, sf_dir, "documents"))
+    packed = compress_postings(idx)
+    queried = packed.where(F.col("term").isin("table", "scan"))
+    return positional_phrase_match(decompress_postings(queried), ("table", "scan"))

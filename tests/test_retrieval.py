@@ -304,3 +304,43 @@ def test_positional_delta_merge_equals_rebuild(spark, tmp_path):
         for r in positional_phrase_match(merged, ("table", "scan")).collect()
     }
     assert hits == {0: 1, 1: 1, 4: 2}
+
+
+def test_compressed_postings_roundtrip_and_ratio(spark):
+    """compress→decompress is EXACT on the real corpus's postings, and
+    the varint-delta bytes measurably undercut the int4-array encoding
+    (ratio printed, floor asserted — gaps in-document are small)."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        _varint_delta_decode,
+        _varint_delta_encode,
+        build_positional_index,
+        compress_postings,
+        decompress_postings,
+    )
+    from conftest import SF_DIR
+
+    idx = build_positional_index(table(spark, SF_DIR, "documents"))
+    packed = compress_postings(idx)
+    back = decompress_postings(packed).select("term", "doc_id", "positions", "tf")
+    orig = idx.select("term", "doc_id", "positions", "tf")
+    assert back.exceptAll(orig).isEmpty() and orig.exceptAll(back).isEmpty()
+
+    sizes = packed.join(idx.select("term", "doc_id", "positions"), ["term", "doc_id"]).select(
+        F.sum(F.length("postings_z")).alias("z"),
+        F.sum(F.size("positions") * 4).alias("raw"),
+    ).collect()[0]
+    ratio = sizes.raw / sizes.z
+    assert ratio > 2.0, f"varint-delta only reached {ratio:.2f}x vs int4"
+
+    # local codec edges: empty, single, dense run, big gaps, refusals
+    for case in ([], [0], [5], list(range(50)), [0, 1, 127, 128, 16384, 10**6]):
+        assert _varint_delta_decode(_varint_delta_encode(case)) == case
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sorted"):
+        _varint_delta_encode([5, 3])
+    with _pytest.raises(ValueError, match="truncated"):
+        _varint_delta_decode(b"\x80")
