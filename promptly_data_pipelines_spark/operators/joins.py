@@ -608,6 +608,47 @@ SALT_N = 16  # hot-key fanout: each hot key spreads over SALT_N reducers
 SALT_HOT_MIN_ROWS = 100_000  # census threshold: keys above this are hot
 
 
+HOT_KEY_CAP = 10_000  # hot keys are FEW by definition; more = misconfigured threshold
+
+
+def hot_key_census(
+    probe: DataFrame, probe_key: str, hot_min_rows: int, cap: int = HOT_KEY_CAP
+) -> list:
+    """Hot-key detection as an EAGER, bounded driver-side list (sorted
+    for plan determinism). Eager on purpose — the r12 composition
+    regression: the lazy form (census subplan joined back into both
+    the probe and build sides) produced SILENTLY DOUBLED rows on
+    Spark 4.1.2 whenever the salted/split join was unioned with
+    another frame sharing the probe lineage and aggregated (exceptAll,
+    manual reconciliation counts) with AQE on — AQE's empty-relation
+    propagation × exchange-reuse rewrote one reused census stage's
+    consumers inconsistently (verified: correct with AQE off, with
+    spark.sql.exchange.reuse=false, or with
+    AQEPropagateEmptyRelation excluded; pinned by
+    tests/test_stress.py::test_skew_join_aqe_composition_regression).
+    A literal isin() predicate leaves AQE nothing to mis-propagate,
+    costs one tiny aggregate collect (|keys| > hot_min_rows ≤
+    total/hot_min_rows by pigeonhole — the same bounded-census price
+    agg_heavy_hitters pays), and makes the hot set partition-prunable.
+    The cap turns a misconfigured threshold (millions of "hot" keys)
+    into a loud error instead of a driver OOM."""
+    rows = (
+        probe.groupBy(probe_key)
+        .agg(F.count("*").alias("_key_rows"))
+        .where(F.col("_key_rows") > hot_min_rows)
+        .select(probe_key)
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"hot-key census found more than {cap} keys above "
+            f"{hot_min_rows} rows — raise hot_min_rows (a 'hot set' this "
+            "large is the shuffle's whole key space, not a skew tail)"
+        )
+    return sorted(r[0] for r in rows)
+
+
 def salted_inner_join(
     probe: DataFrame,
     build: DataFrame,
@@ -627,7 +668,9 @@ def salted_inner_join(
     1. CENSUS: count probe rows per key (map-side combinable — the
        shuffle carries one row per (partition × key)), keep keys with
        > ``hot_min_rows`` rows. By construction this set is tiny
-       (≤ total/hot_min_rows keys), so it broadcasts.
+       (≤ total/hot_min_rows keys) and is collected EAGERLY into
+       literal isin() predicates — see hot_key_census for the AQE
+       wrong-results bug the lazy joined-back form triggered (r12).
     2. PROBE side: hot rows get a deterministic salt in [0, n) hashed
        from their non-key columns (no ``rand()`` — retries and the
        DuckDB oracle need value-stable plans); cold rows salt 0.
@@ -649,12 +692,13 @@ def salted_inner_join(
     is the form that also works under streaming, bucketed inputs, and
     pre-AQE engines — and the form a 1000-executor job reaches for
     when the hot partition is one giant mapper block."""
-    hot = (
-        probe.groupBy(F.col(probe_key).alias("_hot_key"))
-        .agg(F.count("*").alias("_key_rows"))
-        .where(F.col("_key_rows") > hot_min_rows)
-        .select("_hot_key", F.lit(True).alias("_is_hot"))
-    )
+    hot = hot_key_census(probe, probe_key, hot_min_rows)
+    if not hot:
+        # no hot keys: the honest degenerate plan is the plain join —
+        # zero salt machinery in the plan at all
+        return probe.hint("shuffle_hash").join(
+            build, probe[probe_key] == build[build_key], "inner"
+        )
     non_key = [c for c in probe.columns if c != probe_key]
     # deterministic spread needs SOMETHING beyond the key to hash; a
     # bare key list has no such column and every hot row is identical
@@ -664,22 +708,16 @@ def salted_inner_join(
         if non_key
         else F.lit(0)
     )
-    salted_probe = (
-        probe.join(F.broadcast(hot), probe[probe_key] == hot["_hot_key"], "left")
-        .withColumn("_salt", F.when(F.col("_is_hot"), spread).otherwise(F.lit(0)))
-        .drop("_hot_key", "_is_hot")
+    salted_probe = probe.withColumn(
+        "_salt", F.when(probe[probe_key].isin(hot), spread).otherwise(F.lit(0))
     )
-    salted_build = (
-        build.join(F.broadcast(hot), build[build_key] == hot["_hot_key"], "left")
-        .withColumn(
-            "_salt",
-            F.explode(
-                F.when(
-                    F.col("_is_hot"), F.sequence(F.lit(0), F.lit(n - 1))
-                ).otherwise(F.array(F.lit(0)))
-            ),
-        )
-        .drop("_hot_key", "_is_hot")
+    salted_build = build.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                build[build_key].isin(hot), F.sequence(F.lit(0), F.lit(n - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
     )
     return salted_probe.hint("shuffle_hash").join(
         salted_build,
@@ -772,21 +810,16 @@ def hotcold_split_join(
     Results are EXACTLY the plain inner join's: hot and cold probe
     rows partition the probe (inner ∪ anti on the broadcast hot set),
     and each row meets the same build rows it would in one join."""
-    hot = (
-        probe.groupBy(F.col(probe_key).alias("_hot_key"))
-        .agg(F.count("*").alias("_key_rows"))
-        .where(F.col("_key_rows") > hot_min_rows)
-        .select("_hot_key")
-    )
-    probe_hot = probe.join(
-        F.broadcast(hot), probe[probe_key] == hot["_hot_key"], "inner"
-    ).drop("_hot_key")
-    probe_cold = probe.join(
-        F.broadcast(hot), probe[probe_key] == hot["_hot_key"], "left_anti"
-    )
-    build_hot = build.join(
-        F.broadcast(hot), build[build_key] == hot["_hot_key"], "inner"
-    ).drop("_hot_key")
+    hot = hot_key_census(probe, probe_key, hot_min_rows)
+    if not hot:
+        return probe.hint("shuffle_hash").join(
+            build, probe[probe_key] == build[build_key], "inner"
+        )
+    probe_hot = probe.where(probe[probe_key].isin(hot))
+    # inner-join semantics: NULL keys match nothing, so dropping them
+    # with the cold filter changes no output row
+    probe_cold = probe.where(~probe[probe_key].isin(hot))
+    build_hot = build.where(build[build_key].isin(hot))
     joined_hot = probe_hot.join(
         F.broadcast(build_hot), probe_hot[probe_key] == build_hot[build_key], "inner"
     )

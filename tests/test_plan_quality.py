@@ -660,10 +660,12 @@ def test_cogroup_reconcile_plan(spark):
 
 
 def test_salted_skew_join_query_plan(spark):
-    """join_salted_skew at driver SFs (no hot keys): still the salted
-    shape — shuffle_hash join carrying _salt in its keys, census
-    broadcast, no broadcast of either fact side (the skew-engaged
-    twin of this pin runs on the skew slice in test_stress.py)."""
+    """join_salted_skew at driver SFs: the eager census (r12 AQE
+    regression fix) finds NO hot keys, so the plan must degenerate to
+    the PLAIN shuffle_hash join — zero salt machinery paid when no
+    key is hot (the skew-ENGAGED shape, salt keys + explode, is
+    pinned on the skew slice in test_stress.py)."""
     p = _plan(spark, "join_salted_skew")
     assert "ShuffledHashJoin" in p
-    assert "_salt" in p
+    assert "_salt" not in p, "salt machinery must vanish when no key is hot"
+    assert "BroadcastHashJoin" not in p  # neither fact side broadcast

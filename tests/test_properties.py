@@ -1067,12 +1067,40 @@ def test_salted_join_transparent_any_input(spark, rows, dim, hot_min, n_salts):
     build = spark.createDataFrame(
         [(k, s) for k, s in dim], "bk bigint, tag string"
     )
-    salted = salted_inner_join(
-        probe, build, "k", "bk", n=n_salts, hot_min_rows=hot_min
-    ).select("k", "payload", "tag")
     plain = probe.join(build, probe["k"] == build["bk"], "inner").select(
         "k", "payload", "tag"
     )
+    salted = salted_inner_join(
+        probe, build, "k", "bk", n=n_salts, hot_min_rows=hot_min
+    ).select("k", "payload", "tag")
     assert salted.exceptAll(plain).isEmpty()
     assert plain.exceptAll(salted).isEmpty()
     assert salted.count() == plain.count()  # multiset equality both ways
+    # the strategy rival under the identical inputs (r12): hot/cold
+    # split must be transparent too, whatever the threshold classifies
+    from promptly_data_pipelines_spark.operators.joins import hotcold_split_join
+
+    split = hotcold_split_join(
+        probe, build, "k", "bk", hot_min_rows=hot_min
+    ).select("k", "payload", "tag")
+    assert split.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(split).isEmpty()
+    assert split.count() == plain.count()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=300).map(sorted)
+)
+def test_varint_delta_codec_roundtrip(positions):
+    """delta-varint postings codec: exact round-trip for ANY sorted
+    non-negative sequence (dups included — zero gaps are legal), and
+    the encoding never exceeds the naive 8-byte-per-value bound."""
+    from promptly_data_pipelines_spark.extensions.retrieval import (
+        _varint_delta_decode,
+        _varint_delta_encode,
+    )
+
+    blob = _varint_delta_encode(positions)
+    assert _varint_delta_decode(blob) == list(positions)
+    assert len(blob) <= 8 * max(1, len(positions))

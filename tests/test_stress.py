@@ -293,3 +293,57 @@ def test_hotcold_join_transparent_and_plan(spark, skew_dir):
     physical = split._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in physical, physical[:3000]
     assert "ShuffledHashJoin" in physical, physical[:3000]
+
+
+def test_skew_join_aqe_composition_regression(spark):
+    """r12 wrong-results regression (Spark 4.1.2, AQE on — the session
+    default): with the census as a LAZY subplan joined back into both
+    fact sides, unioning the skew join with another probe-derived
+    frame and aggregating (exceptAll, reconciliation counts) returned
+    silently DOUBLED rows — AQE's empty-relation propagation ×
+    exchange-reuse rewrote the reused census stage's consumers
+    inconsistently (correct with AQE off / exchange.reuse=false /
+    AQEPropagateEmptyRelation excluded). The operators now collect
+    the bounded hot set eagerly into literal predicates; this test
+    pins the exact composition that failed, for BOTH mitigations, at
+    an engaged AND an empty hot threshold, plus the census cap."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.operators.joins import (
+        hot_key_census,
+        hotcold_split_join,
+        salted_inner_join,
+    )
+
+    rows = [(k, p) for k in range(7) for p in range(3 + 5 * (k % 3))]
+    dim = [(k, t) for k in range(0, 9) for t in ("a", "b")]
+    probe = spark.createDataFrame(rows, "k bigint, payload bigint")
+    build = spark.createDataFrame(dim, "bk bigint, tag string")
+    plain = probe.join(build, probe["k"] == build["bk"], "inner").select(
+        "k", "payload", "tag"
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    for hot_min in (4, 1000):  # engaged (keys with >4 rows) and empty
+        for op in (salted_inner_join, hotcold_split_join):
+            j = op(probe, build, "k", "bk", hot_min_rows=hot_min).select(
+                "k", "payload", "tag"
+            )
+            # the composition that returned doubled rows: union + agg
+            u = j.withColumn("v", F.lit(1)).unionByName(
+                plain.withColumn("v", F.lit(-1))
+            )
+            bad = (
+                u.groupBy("k", "payload", "tag")
+                .agg(F.sum("v").alias("s"))
+                .where(F.col("s") != 0)
+                .count()
+            )
+            assert bad == 0, (op.__name__, hot_min)
+            assert j.exceptAll(plain).isEmpty(), (op.__name__, hot_min)
+            assert plain.exceptAll(j).isEmpty(), (op.__name__, hot_min)
+    # census: engaged threshold finds exactly the >4-row keys, sorted
+    # (k%3==1 keys carry 8 rows, k%3==2 keys carry 13)
+    assert hot_key_census(probe, "k", 4) == [1, 2, 4, 5]
+    with _pytest.raises(ValueError, match="raise hot_min_rows"):
+        hot_key_census(probe, "k", 0, cap=3)
