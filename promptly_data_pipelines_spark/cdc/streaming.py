@@ -25,6 +25,7 @@ import math
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -315,13 +316,25 @@ def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     dirs left by PREVIOUS app-ids (same tag+sf prefix) are reaped too:
     each harness session otherwise strands its own copies — at scale
     this whole layer is a Kafka topic and the problem doesn't exist.
-    Assumes one session runs a given (query, sf) at a time, which the
-    harness guarantees (stage + consume happen within one call)."""
+
+    Reaping is mtime-guarded (r12): two test shards CAN run the same
+    (query, sf) concurrently in separate JVMs (a parity shard and the
+    module test), and the unguarded reap deleted the OTHER app's LIVE
+    checkpoint mid-stream ("commits/.0....tmp does not exist" — one
+    observed flake). Each app's own dir is unique (prefix + app id);
+    only dirs untouched for ≥1 h — abandoned by construction, test
+    sessions live minutes — are reaped, so leak cleanup survives and
+    live runs can never collide."""
     prefix = f"pdp_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_"
     app = spark.sparkContext.applicationId.replace(":", "_")
     tmp = tempfile.gettempdir()
+    cutoff = time.time() - 3600
     for stale in glob.glob(os.path.join(tmp, prefix + "*")):
-        shutil.rmtree(stale, ignore_errors=True)
+        try:
+            if os.path.getmtime(stale) < cutoff:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # raced with its owner's own cleanup — fine
     base = os.path.join(tmp, prefix + app)
     shutil.rmtree(base, ignore_errors=True)
     return base
