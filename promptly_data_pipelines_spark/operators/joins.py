@@ -633,7 +633,11 @@ def hot_key_census(
     The cap turns a misconfigured threshold (millions of "hot" keys)
     into a loud error instead of a driver OOM."""
     rows = (
-        probe.groupBy(probe_key)
+        # NULL keys never join (inner equi semantics), so a hot NULL is
+        # noise here — and letting it through would make the sorted()
+        # below and the isin() literals ill-typed (r12 self-review)
+        probe.where(F.col(probe_key).isNotNull())
+        .groupBy(probe_key)
         .agg(F.count("*").alias("_key_rows"))
         .where(F.col("_key_rows") > hot_min_rows)
         .select(probe_key)

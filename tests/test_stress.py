@@ -347,3 +347,29 @@ def test_skew_join_aqe_composition_regression(spark):
     assert hot_key_census(probe, "k", 4) == [1, 2, 4, 5]
     with _pytest.raises(ValueError, match="raise hot_min_rows"):
         hot_key_census(probe, "k", 0, cap=3)
+
+
+def test_skew_join_null_hot_key(spark):
+    """A NULL key hot enough to cross the census threshold must not
+    crash the census (sorted()/isin() over mixed None) and both
+    mitigations stay transparent — NULL keys never join under inner
+    equi semantics (r12 self-review)."""
+    from promptly_data_pipelines_spark.operators.joins import (
+        hot_key_census,
+        hotcold_split_join,
+        salted_inner_join,
+    )
+
+    rows = (
+        [(None, i) for i in range(20)]
+        + [(1, i) for i in range(10)]
+        + [(2, 0)]
+    )
+    probe = spark.createDataFrame(rows, "k bigint, payload bigint")
+    build = spark.createDataFrame([(1, "a"), (2, "b")], "bk bigint, tag string")
+    assert hot_key_census(probe, "k", 5) == [1]
+    plain = probe.join(build, probe["k"] == build["bk"]).select("k", "payload", "tag")
+    for op in (salted_inner_join, hotcold_split_join):
+        j = op(probe, build, "k", "bk", hot_min_rows=5).select("k", "payload", "tag")
+        assert j.exceptAll(plain).isEmpty() and plain.exceptAll(j).isEmpty()
+        assert j.count() == plain.count() == 10
