@@ -372,4 +372,4 @@ def test_skew_join_null_hot_key(spark):
     for op in (salted_inner_join, hotcold_split_join):
         j = op(probe, build, "k", "bk", hot_min_rows=5).select("k", "payload", "tag")
         assert j.exceptAll(plain).isEmpty() and plain.exceptAll(j).isEmpty()
-        assert j.count() == plain.count() == 10
+        assert j.count() == plain.count() == 11  # 10 hot k=1 rows + 1 cold k=2
