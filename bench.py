@@ -282,6 +282,29 @@ SECONDARY = [
 ]
 
 
+# Hard budget for the FINAL stdout line (r12 verdict #1): the driver
+# captures only a ~2.2 KB stdout tail and parses the last line as the
+# round's official perf record. Two consecutive rounds shipped with
+# "parsed": null because the last line (headline + ~60-entry secondary
+# dict) outgrew the capture. The headline now carries ONLY
+# {metric, value, unit, queries, sf}; secondary rides the env-detail
+# line + bench_env.json sidecar. test_bench_floors.py pins this budget.
+HEADLINE_LINE_BUDGET = 1024
+
+
+def build_headline(timings: dict[str, float], sf_num: float) -> dict:
+    """The driver-facing final-line payload. Pure, unit-tested:
+    json.dumps(build_headline(...)) must stay <= HEADLINE_LINE_BUDGET
+    so the driver's stdout-tail capture always contains it whole."""
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(float(v), 3) for k, v in timings.items()},
+        "sf": sf_num,
+    }
+
+
 def _testdata_fingerprint() -> dict:
     """Identity of the data actually benchmarked: the driver regenerates
     /root/testdata between rounds, sometimes with different parquet
@@ -583,15 +606,14 @@ def main() -> None:
         "line_load": line_load,
         "floor_warnings": floor_warnings,
         "testdata": _testdata_fingerprint(),
-    }
-    headline = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
+        # r12 verdict #1: secondary moved OFF the final stdout line —
+        # the driver's tail capture (~2.2 KB) is smaller than a final
+        # line carrying ~60 secondary entries, so BENCH_r11/r12.json
+        # lost their headline totals. The full secondary dict lives
+        # here (and in bench_env.json); the LAST line is headline-only.
         "secondary": secondary,
-        "sf": sf_num,
     }
+    headline = build_headline(timings, sf_num)
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_env.json"),

@@ -113,9 +113,19 @@ def synthesize_envelopes(
     image_schema = ROW_IMAGE_SCHEMA
     if image_extra:
         image_fields += [col.alias(name) for name, col in image_extra.items()]
+        # Derive each extra field's REAL type by analyzing (not running)
+        # a probe projection against the input — hardcoding StringType
+        # here made a non-string extra column type-mismatch against the
+        # null_image cast in the when/otherwise branches (ADVICE r12).
+        extra_types = {
+            f.name: f.dataType
+            for f in events.select(
+                *[col.alias(name) for name, col in image_extra.items()]
+            ).schema.fields
+        }
         image_schema = T.StructType(
             ROW_IMAGE_SCHEMA.fields
-            + [T.StructField(name, T.StringType()) for name in image_extra]
+            + [T.StructField(name, extra_types[name]) for name in image_extra]
         )
     row_image = F.struct(*image_fields)
     null_image = F.lit(None).cast(image_schema)

@@ -178,7 +178,9 @@ def _group_schema(df: DataFrame, group_cols: list[str]) -> str:
     missing = [c for c in group_cols if c not in by_name]
     if missing:
         raise ValueError(f"group columns not in frame: {missing}")
-    return ", ".join(f"{c} {by_name[c]}" for c in group_cols)
+    # backtick-quote: a space/dash/reserved-word column name must not
+    # produce an unparseable DDL string (ADVICE r12)
+    return ", ".join(f"`{c}` {by_name[c]}" for c in group_cols)
 
 
 def sketch_partials(
@@ -263,6 +265,26 @@ def sketch_quantiles(
     return sketches.groupBy(*group_cols).applyInPandas(render, out_schema)
 
 
+def append_sketch_batch(
+    store: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    value_col: str,
+    group_cols: list[str],
+) -> None:
+    """Idempotent foreachBatch sink body: one batch's partial sketches
+    land under ``store/batch_id=N`` with overwrite, so the engine's
+    at-least-once redelivery of a batch REPLACES rather than duplicates
+    it (a plain append would silently inflate every merged n on replay
+    — ADVICE r12). Module-level so the replay property is unit-testable
+    without driving a stream (tests/test_quantile_sketch.py)."""
+    import os
+
+    sketch_partials(batch_df, value_col, group_cols).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+
 @query("dq_quantile_sketch", registered=False)
 def dq_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value percentiles from the MERGED sketch rollup
@@ -313,9 +335,7 @@ def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
-        sketch_partials(batch_df, "value", ["event_type"]).write.mode(
-            "append"
-        ).parquet(store)
+        append_sketch_batch(store, batch_df, batch_id, "value", ["event_type"])
 
     q = (
         stream.writeStream.foreachBatch(feed)

@@ -696,6 +696,13 @@ def salted_inner_join(
     is the form that also works under streaming, bucketed inputs, and
     pre-AQE engines — and the form a 1000-executor job reaches for
     when the hot partition is one giant mapper block."""
+    if "_salt" in probe.columns or "_salt" in build.columns:
+        # withColumn would silently overwrite a caller's _salt and the
+        # final drop would eat it — corrupting user data (ADVICE r12).
+        raise ValueError(
+            "salted_inner_join reserves the column name '_salt'; "
+            "rename it on the input before salting"
+        )
     hot = hot_key_census(probe, probe_key, hot_min_rows)
     if not hot:
         # no hot keys: the honest degenerate plan is the plain join —

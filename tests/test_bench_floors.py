@@ -37,6 +37,22 @@ def test_update_floors_only_ratchets_down():
     assert floors == {"a": 1.0, "b": 2.0}
 
 
+def test_headline_line_fits_the_driver_tail_budget():
+    """r12 verdict #1: BENCH_r11/r12.json shipped "parsed": null because
+    the final stdout line (headline + ~60-entry secondary) outgrew the
+    driver's ~2.2 KB tail capture. The final line is now headline-only
+    and must serialize under HEADLINE_LINE_BUDGET even with worst-case
+    float widths on every headline query."""
+    timings = {name: 12345.678 for name in bench.HEADLINE}
+    line = json.dumps(bench.build_headline(timings, 0.1))
+    assert len(line) <= bench.HEADLINE_LINE_BUDGET, (len(line), line)
+    parsed = json.loads(line)
+    # the driver's contract: metric/value/unit/queries/sf — nothing else
+    assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
 def test_committed_floors_file_parses_and_covers_the_r11_flag():
     floors = bench._load_floors()
     assert floors, "bench_floors.json must ship with seeded floors"

@@ -185,6 +185,35 @@ def test_kafka_stream_path_availablenow(spark, tmp_path):
     assert got == want and got
 
 
+def test_image_extra_keeps_nonstring_types(spark):
+    """image_extra columns carry their REAL type into the row-image
+    struct and the null-image cast (ADVICE r12: a hardcoded StringType
+    made a non-string extra column type-mismatch the when/otherwise
+    branches). An int retry_count must survive the wire as a JSON
+    number and decode back as a bigint under a widened schema."""
+    ev = table(spark, SF_DIR, "events").limit(100)
+    retry = F.when(F.col("event_id") % 3 == 0, F.col("event_id") * 2)
+    wire = synthesize_envelopes(ev, image_extra={"retry_count": retry})
+    # wire level: the value serializes as a bare number, not a string
+    assert (
+        wire.filter(F.col("raw_message").rlike('"retry_count":\\d')).count() > 0
+    )
+    assert wire.filter(F.col("raw_message").contains('"retry_count":"')).count() == 0
+    schema = (
+        "payload struct<op string, ts_ms bigint, "
+        "before struct<event_id bigint, retry_count bigint>, "
+        "after struct<event_id bigint, retry_count bigint>>"
+    )
+    dec = wire.select(F.from_json("raw_message", schema).alias("m")).select(
+        "m.payload.after.event_id", "m.payload.after.retry_count"
+    )
+    good = dec.filter(
+        (F.col("event_id") % 3 == 0)
+        & (F.col("retry_count") == F.col("event_id") * 2)
+    )
+    assert good.count() == dec.filter(F.col("event_id") % 3 == 0).count() > 0
+
+
 def test_schema_evolution_wire_shape_and_declared_decode(spark):
     """Additive-DDL wire fidelity (r11 verdict #6), next to the
     tombstone case above: pre-DDL envelopes must LACK the new key

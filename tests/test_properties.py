@@ -1088,6 +1088,24 @@ def test_salted_join_transparent_any_input(spark, rows, dim, hot_min, n_salts):
     assert split.count() == plain.count()
 
 
+def test_salted_join_refuses_reserved_salt_column(spark):
+    """A caller frame that already carries '_salt' must fail LOUDLY —
+    withColumn would silently overwrite it and the output drop would
+    eat the user's column (ADVICE r12)."""
+    import pytest
+
+    from promptly_data_pipelines_spark.operators.joins import salted_inner_join
+
+    probe = spark.createDataFrame([(1, 9)], "k bigint, _salt bigint")
+    build = spark.createDataFrame([(1, "a")], "bk bigint, tag string")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_inner_join(probe, build, "k", "bk")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_inner_join(
+            probe.select("k"), build.withColumn("_salt", F.lit(0)), "k", "bk"
+        )
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=2**40), max_size=300).map(sorted)

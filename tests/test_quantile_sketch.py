@@ -240,3 +240,49 @@ def test_stream_fed_sketch_store_bound_and_exact_n(spark):
         lo = int(np.searchsorted(vals, r.estimate, side="left")) + 1
         hi = max(lo, int(np.searchsorted(vals, r.estimate, side="right")))
         assert lo - r.max_rank_err <= target <= hi + r.max_rank_err
+
+
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering a batch_id must
+    REPLACE its partials, not duplicate them (ADVICE r12 — a plain
+    append over-counted n on replay). Delivering batch 0 twice and
+    batch 1 once must merge to exactly the one-shot pipeline's bytes."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.quantiles import (
+        append_sketch_batch,
+    )
+
+    ev = table(spark, SF_DIR, "events").select("event_type", "value")
+    b0 = ev.where("event_id % 2 = 0")
+    b1 = ev.where("event_id % 2 = 1")
+    store = str(tmp_path / "replay_store")
+    append_sketch_batch(store, b0, 0, "value", ["event_type"])
+    append_sketch_batch(store, b0, 0, "value", ["event_type"])  # replay
+    append_sketch_batch(store, b1, 1, "value", ["event_type"])
+
+    merged = sketch_rollup(spark.read.parquet(store), ["event_type"])
+    direct = sketch_rollup(
+        sketch_partials(ev, "value", ["event_type"]), ["event_type"]
+    )
+    got = {r.event_type: MRLSketch.from_bytes(bytes(r.sketch)).n for r in merged.collect()}
+    want = {r.event_type: MRLSketch.from_bytes(bytes(r.sketch)).n for r in direct.collect()}
+    assert got == want  # a non-idempotent append doubles b0's n
+
+
+def test_group_schema_quotes_awkward_names(spark):
+    """A group column named with a space/dash must survive the
+    generated DDL schema string (ADVICE r12: unquoted names made the
+    mapInPandas schema unparseable)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(100)
+        .select(
+            (F.col("id") % 3).cast("string").alias("group key-1"),
+            F.rand(7).alias("value"),
+        )
+    )
+    partials = sketch_partials(df, "value", ["group key-1"])
+    merged = sketch_rollup(partials, ["group key-1"])
+    assert merged.count() == 3
+    assert merged.columns[0] == "group key-1"
