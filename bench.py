@@ -279,6 +279,12 @@ SECONDARY = [
     "join_salted_skew",
     "index_positional_phrase",
     "dq_quantile_sketch",
+    # r13 (r12 verdict #2): the cogroup API at SANE granularity — 128
+    # hash buckets with vectorized pandas inside, same per-order
+    # full-outer oracle as the 60.4 s fine-grained pathology (which
+    # stays untimed by design); this line is the standing proof the
+    # two-sided API costs ~1 s when granularity is chosen correctly
+    "cogroup_order_reconcile_coarse",
 ]
 
 
@@ -694,6 +700,13 @@ def stress_tier_main() -> None:
                 # ordinary shuffle join; three-way comparison on the
                 # same slice makes the mitigation choice a measurement
                 "join_hotcold_skew",
+                # r13 (r12 verdict #4): the OUTER-join skew pair — on
+                # this slice the viral orderkey maps to a NULL FK, so
+                # the naive left join sends 70%+ of the table to the
+                # NULL reducer and keeps every row; the routed form
+                # never shuffles the NULL mass at all
+                "join_null_skew_naive",
+                "left_join_null_skew",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the

@@ -329,3 +329,92 @@ def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_rounded.alias("sum_lines_price"),
         F.round(F.col("o_totalprice") - sum_rounded, 2).alias("price_gap"),
     )
+
+
+@query(
+    "cogroup_order_reconcile_coarse",
+    registered=False,
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_orders,
+             max(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY o_orderkey
+    ), l AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             round(sum(l_extendedprice), 2) AS sum_lines_price
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_lines, 0) AS n_lines,
+           o_totalprice,
+           sum_lines_price,
+           round(o_totalprice - sum_lines_price, 2) AS price_gap
+    FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def cogroup_order_reconcile_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup_order_reconcile at SANE granularity (r12 verdict #2 —
+    the udf_grouped_map_coarse precedent, two-sided): the SAME
+    cogroup API and the SAME per-order full-outer oracle, but grouped
+    by a HASH BUCKET of the key (COGROUP_BUCKETS per-side frames)
+    instead of one pandas call per orderkey. Per-bucket work is
+    vectorized pandas (groupby + full-outer merge on the real key),
+    so the per-call Python overhead amortizes over thousands of
+    orders: measured ~1 s at sf0.1 against the fine twin's documented
+    60.4 s — a 60× delta from granularity ALONE on identical
+    semantics. This is the deployment guidance in executable form:
+    when per-key Python is genuinely needed, call it per PARTITION-
+    SIZED bucket, not per entity. Same float discipline as the fine
+    twin: pandas returns RAW sums; all rounding is JVM-side F.round.
+    Keys are non-null by fixture contract (a NULL orderkey would need
+    a dropna=False groupby and an indicator-based merge)."""
+    n_buckets = 128
+    o = table(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_orderkey"), F.lit(n_buckets)).alias("bucket"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_orderkey"), F.lit(n_buckets)).alias("bucket"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+
+    def reconcile_bucket(
+        key: tuple, odf: pd.DataFrame, ldf: pd.DataFrame
+    ) -> pd.DataFrame:
+        oa = (
+            odf.groupby("o_orderkey", sort=False)
+            .agg(n_orders=("o_orderkey", "size"), o_totalprice=("o_totalprice", "max"))
+            .reset_index()
+        )
+        la = (
+            ldf.groupby("l_orderkey", sort=False)
+            .agg(n_lines=("l_orderkey", "size"), raw_lines_sum=("l_extendedprice", "sum"))
+            .reset_index()
+            .rename(columns={"l_orderkey": "o_orderkey"})
+        )
+        m = oa.merge(la, on="o_orderkey", how="outer")
+        m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+        m["n_lines"] = m["n_lines"].fillna(0).astype("int64")
+        return m[["o_orderkey", "n_orders", "n_lines", "o_totalprice", "raw_lines_sum"]]
+
+    out = (
+        o.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(
+            reconcile_bucket,
+            schema="o_orderkey bigint, n_orders bigint, n_lines bigint, "
+            "o_totalprice double, raw_lines_sum double",
+        )
+    )
+    sum_rounded = F.round("raw_lines_sum", 2)
+    return out.select(
+        "o_orderkey",
+        "n_orders",
+        "n_lines",
+        "o_totalprice",
+        sum_rounded.alias("sum_lines_price"),
+        F.round(F.col("o_totalprice") - sum_rounded, 2).alias("price_gap"),
+    )

@@ -858,3 +858,128 @@ def join_hotcold_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+def null_routed_left_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+) -> DataFrame:
+    """LEFT OUTER equi-join where NULL-key probe rows NEVER enter the
+    shuffle — the third classic production skew killer, complementing
+    :func:`salted_inner_join` (hot values) and :func:`hotcold_split_join`
+    (hot values, broadcast-able build slice): a fact table whose FK is
+    30-70% NULL (unattributed events, guest checkouts, pre-migration
+    rows) hashes EVERY NULL row to one reduce partition, and — unlike
+    an inner join, where the engine can drop them at the scan — a left
+    join must keep them all, so the hot reducer survives to the output.
+    hot_key_census deliberately excludes NULLs (correct for the inner
+    forms); this is the outer-join mitigation for the key it skips.
+
+    Rewrite: probe splits at ``probe_key IS NULL`` (both branches
+    filter map-side off the same scan — the hotcold double-read trade);
+    non-null rows run the ordinary shuffled left join, NULL rows append
+    the build columns as typed NULL literals and union back. SQL
+    semantics make this transparent: a NULL key equi-matches nothing,
+    so the plain left join emits exactly one null-extended row per
+    NULL-key probe row — precisely what the routed branch produces
+    without moving those rows at all. At 1000 executors the naive form
+    runs at the speed of the NULL reducer; this form never shuffles the
+    NULL mass (reference has no counterpart — Trino relies on engine
+    heuristics; dbt models filter NULLs away and lose the rows).
+
+    Oracle for every query built on this is the PLAIN left join.
+    Requires disjoint column names (the plain join's output would be
+    ambiguous otherwise) and reserves no column names."""
+    overlap = set(probe.columns) & set(build.columns)
+    if overlap:
+        raise ValueError(
+            f"null_routed_left_join needs disjoint column names; both "
+            f"sides carry {sorted(overlap)}"
+        )
+    matched = (
+        probe.where(probe[probe_key].isNotNull())
+        .hint("shuffle_hash")
+        .join(build, probe[probe_key] == build[build_key], "left")
+    )
+    null_rows = probe.where(probe[probe_key].isNull()).select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in build.schema.fields
+        ],
+    )
+    return matched.unionByName(null_rows)
+
+
+_NULL_SKEW_ORACLE = """
+    WITH probe AS (
+        SELECT CASE WHEN l_orderkey % 10 < 3 THEN NULL
+                    ELSE l_orderkey END AS fk,
+               l_returnflag, l_extendedprice
+        FROM lineitem
+    )
+    SELECT coalesce(o_orderpriority, 'NO-ORDER') AS priority,
+           l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(o_orderkey) AS BIGINT) AS n_matched,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM probe LEFT JOIN orders ON fk = o_orderkey
+    GROUP BY priority, l_returnflag
+"""
+
+
+def _null_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-heavy FK shape, derived deterministically so the SAME
+    expression serves both tiers: on the driver fixtures ~30% of
+    lineitem FKs go NULL (dense orderkeys mod 10); on the skew10 slice
+    the viral orderkey (HOT_ORDERKEY_BASE·factor = 10) satisfies
+    ``% 10 < 3``, so the ENTIRE 70% hot mass becomes the NULL mass —
+    the exact shape that melts one reducer under the naive plan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(None))
+        .otherwise(F.col("l_orderkey"))
+        .alias("fk"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+
+
+def _null_skew_rollup(joined: DataFrame) -> DataFrame:
+    return joined.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("NO-ORDER")).alias("priority"),
+        "l_returnflag",
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count("o_orderkey").cast("long").alias("n_matched"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query("join_null_skew_naive", registered=False, oracle=_NULL_SKEW_ORACLE)
+def join_null_skew_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive A of the A/B: plain shuffled left join of the
+    NULL-heavy probe — every NULL-FK row hashes to ONE reduce task and,
+    because left-join semantics keep them, survives there to the
+    output. Benchmarked as skew10_join_null_skew_naive against the
+    routed form on the slice where the NULL mass is 70% of the table."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = _null_skew_probe(spark, sf_dir).hint("shuffle_hash").join(
+        o, F.col("fk") == o["o_orderkey"], "left"
+    )
+    return _null_skew_rollup(joined)
+
+
+@query("left_join_null_skew", registered=False, oracle=_NULL_SKEW_ORACLE)
+def left_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed B: :func:`null_routed_left_join` keeps the NULL mass
+    out of the shuffle entirely (it unions back map-side with typed
+    NULL build columns). Identical oracle to the naive twin —
+    transparency is the contract; the skew10 delta is the payoff."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = null_routed_left_join(
+        _null_skew_probe(spark, sf_dir), o, "fk", "o_orderkey"
+    )
+    return _null_skew_rollup(joined)

@@ -657,6 +657,13 @@ def test_cogroup_reconcile_plan(spark):
     assert "FlatMapCoGroupsInPandas" in p
     assert "BatchEvalPython" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p[:3000]
+    # the coarse twin (r12 verdict #2): SAME cogroup operator and the
+    # same one-exchange-per-side shape — granularity must change the
+    # bucket count, never the plan class
+    pc = _plan(spark, "cogroup_order_reconcile_coarse")
+    assert "FlatMapCoGroupsInPandas" in pc
+    assert "BatchEvalPython" not in pc
+    assert len(re.findall(r"\(\d+\) Exchange", pc)) == 2, pc[:3000]
 
 
 def test_salted_skew_join_query_plan(spark):

@@ -1088,6 +1088,60 @@ def test_salted_join_transparent_any_input(spark, rows, dim, hot_min, n_salts):
     assert split.count() == plain.count()
 
 
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    dim=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.text(alphabet="abc", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_null_routed_left_join_transparent_any_input(spark, rows, dim):
+    """null_routed_left_join == plain left join for ARBITRARY inputs:
+    NULL keys on either side, duplicate build keys, empty frames — the
+    NULL routing is a physical rewrite, never a semantic one (NULL
+    equi-matches nothing, in the build side too)."""
+    from promptly_data_pipelines_spark.operators.joins import (
+        null_routed_left_join,
+    )
+
+    probe = spark.createDataFrame(rows, "k bigint, payload bigint")
+    build = spark.createDataFrame(dim, "bk bigint, tag string")
+    plain = probe.join(build, probe["k"] == build["bk"], "left").select(
+        "k", "payload", "bk", "tag"
+    )
+    routed = null_routed_left_join(probe, build, "k", "bk").select(
+        "k", "payload", "bk", "tag"
+    )
+    assert routed.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(routed).isEmpty()
+    assert routed.count() == plain.count()
+
+
+def test_null_routed_left_join_refuses_overlapping_columns(spark):
+    """Same-named columns on both sides would make the joined output
+    ambiguous — fail loudly before the engine does."""
+    from promptly_data_pipelines_spark.operators.joins import (
+        null_routed_left_join,
+    )
+
+    a = spark.createDataFrame([(1, 2)], "k bigint, tag bigint")
+    b = spark.createDataFrame([(1, 3)], "bk bigint, tag bigint")
+    with pytest.raises(ValueError, match="tag"):
+        null_routed_left_join(a, b, "k", "bk")
+
+
 def test_salted_join_refuses_reserved_salt_column(spark):
     """A caller frame that already carries '_salt' must fail LOUDLY —
     withColumn would silently overwrite it and the output drop would

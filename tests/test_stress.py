@@ -373,3 +373,34 @@ def test_skew_join_null_hot_key(spark):
         j = op(probe, build, "k", "bk", hot_min_rows=5).select("k", "payload", "tag")
         assert j.exceptAll(plain).isEmpty() and plain.exceptAll(j).isEmpty()
         assert j.count() == plain.count() == 11  # 10 hot k=1 rows + 1 cold k=2
+
+
+def test_null_routed_left_join_on_skew_slice(spark, skew_dir):
+    """left_join_null_skew == join_null_skew_naive on the skew10 slice
+    (where the viral orderkey maps to NULL, so the NULL mass is 70% of
+    the table), and the routed plan must show the mitigation: a Union
+    whose NULL branch carries NO join — the NULL rows never shuffle."""
+    a = run("left_join_null_skew", spark, skew_dir)
+    b = run("join_null_skew_naive", spark, skew_dir)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # the slice must actually be NULL-heavy for the A/B to mean anything
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.operators.joins import (
+        _null_skew_probe,
+        null_routed_left_join,
+    )
+
+    from pyspark.sql import functions as F
+
+    probe = _null_skew_probe(spark, skew_dir)
+    frac = probe.where(F.col("fk").isNull()).count() / probe.count()
+    assert frac > 0.6, frac  # 70% hot mass + ~30% of the cold keys
+
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+    routed = null_routed_left_join(probe, o, "fk", "o_orderkey")
+    physical = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in physical, physical[:3000]
+    # exactly ONE join in the routed plan (the matched branch);
+    # the NULL branch is scan+filter+project only
+    assert physical.count("ShuffledHashJoin") == 1, physical[:3000]
+    assert "BroadcastHashJoin" not in physical, physical[:3000]
