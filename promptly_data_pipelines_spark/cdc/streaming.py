@@ -895,3 +895,102 @@ def stream_exec_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_name = f"pdp_stream_enrich_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(agg, sink_name, ckpt, "complete")
     return spark.table(sink_name)
+
+
+# Per-batch hot-key threshold for the streaming skew join: sized so the
+# driver fixtures' micro-batches (no key anywhere near it) take the
+# transparent degenerate path while a skew10-slice batch (70% of its
+# rows on ONE orderkey) engages the salt machinery every trigger.
+STREAM_SKEW_HOT_MIN = 20_000
+
+
+def skew_join_stream(
+    spark: SparkSession, sf_dir: str, hot_min_rows: int = STREAM_SKEW_HOT_MIN
+) -> DataFrame:
+    """Skew-mitigated stream⋈static join through the REAL engine (r12
+    verdict #6): the batch mitigations are useless to a foreachBatch
+    consumer if they can't run per-trigger — a skewed CDC stream
+    joining a fact table hits the same hot reducer EVERY micro-batch,
+    so the fix has to be inside the batch function. Each trigger runs
+    operators.joins.salted_inner_join (its hot-key census is eager and
+    bounded — one tiny collect per batch, the exact property that made
+    it safe under AQE) against the static orders side, reduces to
+    integer-exact partials (counts + price CENTS — bigint sums are
+    associative, so HOWEVER the engine batches the input, re-summing
+    the partials is bit-equal to the one-shot batch join the oracle
+    computes; a double sum would vary with batch boundaries), and
+    lands them idempotently under a batch_id-keyed path (the
+    append_sketch_batch replay rule). The returned frame re-sums the
+    partial store."""
+    from ..operators.joins import salted_inner_join
+
+    base = _fresh_staging_dir(spark, sf_dir, "stream_skew")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    store = os.path.join(base, "store")
+    par = spark.sparkContext.defaultParallelism
+    table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    ).repartition(par).write.json(src)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    stream = (
+        spark.readStream.schema(
+            "l_orderkey bigint, l_returnflag string, l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", max(1, par // 4))
+        .json(src)
+    )
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        joined = salted_inner_join(
+            batch_df, o, "l_orderkey", "o_orderkey", hot_min_rows=hot_min_rows
+        )
+        partial = joined.groupBy("o_orderpriority", "l_returnflag").agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("skew-join stream did not drain within 300s")
+    return (
+        spark.read.parquet(store)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "stream_exec_skew_join",
+    registered=False,
+    oracle="""
+    SELECT o_orderpriority, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    """,
+)
+def stream_exec_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form of :func:`skew_join_stream` at the deployment
+    threshold: transparent (degenerate plain join per batch) on the
+    driver fixtures, salt-engaged per trigger on the skew10 slice —
+    tests/test_stress.py drives the ENGAGED path with a low threshold
+    on the amplified slice and asserts equality with the batch twin."""
+    return skew_join_stream(spark, sf_dir)

@@ -1341,3 +1341,158 @@ def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rk")
     )
+
+
+def pq_index_add_vectors(
+    spark: SparkSession, index_dir: str, new_e: DataFrame
+) -> int:
+    """Grow a persisted PQ index WITHOUT retraining (r12 verdict #3):
+    encode the new vectors with the STORED codebook (a model is a
+    model — daily arrivals don't re-fit it, exactly as the inverted
+    index's delta merge never re-tokenizes the old corpus,
+    retrieval.py), append the codes to the store, bump meta.n_corpus.
+    Returns the number of vectors added.
+
+    Guards: new vec_ids must be DISJOINT from the store's (a replayed
+    batch would otherwise double its vectors into every shortlist) —
+    checked with one column-pruned semi join over the codes store
+    (reads the vec_id column only; at 100 TB that column is the
+    cheapest scan in the index). Recall contract vs a from-scratch
+    rebuild on the grown corpus is pinned in tests and carried
+    in-query by pq_index_delta_add."""
+    import os
+
+    cb = spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
+    codes_path = os.path.join(index_dir, "codes.parquet")
+    existing = spark.read.parquet(codes_path).select("vec_id")
+    n_dup = new_e.join(existing, "vec_id", "left_semi").count()
+    if n_dup:
+        raise ValueError(
+            f"pq_index_add_vectors: {n_dup} incoming vec_ids already in "
+            "the index — delta batches must carry fresh ids (replay?)"
+        )
+    n_new = new_e.count()
+    if not n_new:
+        return 0
+    pq_encode(new_e, cb).write.mode("append").parquet(codes_path)
+    meta_path = os.path.join(index_dir, "meta.parquet")
+    n_old = int(spark.read.parquet(meta_path).head().n_corpus)
+    spark.createDataFrame([(n_old + n_new,)], "n_corpus bigint").write.mode(
+        "overwrite"
+    ).parquet(meta_path)
+    return n_new
+
+
+def ivfpq_index_add_vectors(
+    spark: SparkSession, index_dir: str, new_e: DataFrame
+) -> int:
+    """IVF-PQ twin of :func:`pq_index_add_vectors`: assign new vectors
+    to the STORED coarse centroids (no k-means re-run — cell geometry
+    is the model), append their inverted-list rows and PQ codes, bump
+    meta.n_corpus (nlist unchanged). Same disjoint-id guard."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    cb = spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
+    codes_path = os.path.join(index_dir, "codes.parquet")
+    assign_path = os.path.join(index_dir, "assign.parquet")
+    existing = spark.read.parquet(codes_path).select("vec_id")
+    n_dup = new_e.join(existing, "vec_id", "left_semi").count()
+    if n_dup:
+        raise ValueError(
+            f"ivfpq_index_add_vectors: {n_dup} incoming vec_ids already "
+            "in the index — delta batches must carry fresh ids (replay?)"
+        )
+    n_new = new_e.count()
+    if not n_new:
+        return 0
+    _cell_assign(new_e, cents, N_ASSIGN).select("vec_id", "cell").write.mode(
+        "append"
+    ).parquet(assign_path)
+    pq_encode(new_e, cb).write.mode("append").parquet(codes_path)
+    meta_path = os.path.join(index_dir, "meta.parquet")
+    meta = spark.read.parquet(meta_path).head()
+    spark.createDataFrame(
+        [(int(meta.n_corpus) + n_new, int(meta.nlist))],
+        "n_corpus bigint, nlist int",
+    ).write.mode("overwrite").parquet(meta_path)
+    return n_new
+
+
+@query(
+    "pq_index_delta_add",
+    registered=False,
+    # Contract form in the similarity_topk_ivf family, but the claim is
+    # the r12 verdict's exact wording: recall HOLDS VS A FROM-SCRATCH
+    # REBUILD on the grown corpus. The published rows are the EXACT
+    # top-k on the grown corpus (deterministic, mirrored by the oracle)
+    # plus a per-query boolean — the delta-grown index may lose at most
+    # ONE exact neighbor per query relative to the rebuild (integer
+    # slack for codebook-training noise: the synthetic embeddings are
+    # near-uniform, ANN-hostile, so a codebook fitted without the delta
+    # 20% can legitimately tie-break one boundary neighbor away). If
+    # delta maintenance ever costs more than that anywhere, the boolean
+    # flips and the value hash goes red.
+    oracle=_EXACT_TOPK_CTE
+    + "\n    SELECT query_id, vec_id, cos_sim, rk, TRUE AS delta_recall_ok FROM exact",
+)
+def pq_index_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintenance end to end (r12 verdict #3): build the PQ
+    index on the BASE ~80% of the corpus, delta-add the remaining ~20%
+    with the stored codebook (pq_index_add_vectors — no retraining),
+    build the from-scratch rival on the full corpus, serve the standard
+    queries from BOTH stores, and contract the delta-grown index's
+    per-query overlap with exact against the rebuild's (≥ rebuild − 1).
+    The staging writes are inside the query on purpose (the
+    join_bucketed precedent: the build IS the amortized cost; the
+    measured serve path reads codes only). At 100 TB this is the
+    daily-arrival path — the rebuild rival exists here precisely to
+    show what delta-add avoids re-paying: re-training and re-encoding
+    the entire corpus for a 0.2% arrival."""
+    from ..cdc.streaming import _fresh_staging_dir
+
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    # base keeps the deterministic seed range (pq_train seeds its
+    # codebook from vec_id 0..PQ_K-1); the delta is every 5th id above
+    is_delta = (F.col("vec_id") >= PQ_K) & (F.col("vec_id") % 5 == 3)
+    staging = _fresh_staging_dir(spark, sf_dir, "pq_delta")
+    grown_idx = staging + "/grown"
+    rebuild_idx = staging + "/rebuild"
+    pq_index_save(spark, e.where(~is_delta), grown_idx)
+    pq_index_add_vectors(spark, grown_idx, e.where(is_delta))
+    pq_index_save(spark, e, rebuild_idx)
+
+    exact_plan = similarity_topk(spark, sf_dir)
+    exact = spark.createDataFrame(exact_plan.collect(), schema=exact_plan.schema)
+
+    def per_query_overlap(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(
+                approx.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    ov_grown = per_query_overlap(pq_index_search(spark, grown_idx, e), "n_grown")
+    ov_rebuild = per_query_overlap(
+        pq_index_search(spark, rebuild_idx, e), "n_rebuild"
+    )
+    flags = (
+        exact.select("query_id")
+        .distinct()
+        .join(ov_grown, "query_id", "left")
+        .join(ov_rebuild, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_grown"), F.lit(0)) + F.lit(1)
+                >= F.coalesce(F.col("n_rebuild"), F.lit(0))
+            ).alias("delta_recall_ok"),
+        )
+    )
+    return exact.join(F.broadcast(flags), "query_id").select(
+        "query_id", "vec_id", "cos_sim", "rk", "delta_recall_ok"
+    )

@@ -2185,3 +2185,105 @@ def test_sample_estimator_accuracy(spark):
     assert abs(tot_est_s - tot_true_s) / abs(tot_true_s) < 0.20
     for t, r in true.items():
         assert abs(est[t].est_n_events - r.n) / r.n < 0.40, t
+
+
+def test_pq_index_delta_add_bookkeeping_and_replay_guard(spark, tmp_path):
+    """ANN delta maintenance (the retrieval family's delta-merge
+    contract, ported to the PQ store): adding a batch encodes with the
+    STORED codebook only (no retrain — codebook bytes unchanged),
+    appends PQ_M code rows per vector, bumps meta.n_corpus; a replayed
+    batch (same vec_ids) must refuse loudly instead of double-counting
+    into every shortlist; an empty batch is a no-op returning 0."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        PQ_K,
+        PQ_M,
+        _doubled,
+        pq_index_add_vectors,
+        pq_index_save,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _doubled(table(spark, sf, "embeddings"))
+    is_delta = (F.col("vec_id") >= PQ_K) & (F.col("vec_id") % 5 == 3)
+    base, delta = e.where(~is_delta), e.where(is_delta)
+    n_base, n_delta = base.count(), delta.count()
+    assert n_delta > 0
+    idx = str(tmp_path / "pq_grow")
+    pq_index_save(spark, base, idx)
+    cb_before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/codebook.parquet").collect())
+    )
+
+    assert pq_index_add_vectors(spark, idx, delta) == n_delta
+    codes = spark.read.parquet(f"{idx}/codes.parquet")
+    assert codes.count() == PQ_M * (n_base + n_delta)
+    assert codes.select("vec_id").distinct().count() == n_base + n_delta
+    meta = spark.read.parquet(f"{idx}/meta.parquet").head()
+    assert meta.n_corpus == n_base + n_delta
+    cb_after = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/codebook.parquet").collect())
+    )
+    assert cb_before == cb_after  # the model was NOT re-fit
+
+    with pytest.raises(ValueError, match="already in"):
+        pq_index_add_vectors(spark, idx, delta)
+    assert pq_index_add_vectors(spark, idx, delta.limit(0)) == 0
+    assert spark.read.parquet(f"{idx}/meta.parquet").head().n_corpus == (
+        n_base + n_delta
+    )
+
+
+def test_ivfpq_index_delta_add_grows_lists_and_serves(spark, tmp_path):
+    """IVF-PQ twin: delta vectors join the STORED cell geometry
+    (N_ASSIGN inverted-list rows each, nlist unchanged) and the grown
+    store serves the standard queries losing at most one exact
+    neighbor per query against a from-scratch rebuild on the same
+    grown corpus — the executable form of 'recall holds'."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        N_ASSIGN,
+        PQ_K,
+        _doubled,
+        ivfpq_index_add_vectors,
+        ivfpq_index_save,
+        ivfpq_index_search,
+        similarity_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _doubled(table(spark, sf, "embeddings"))
+    is_delta = (F.col("vec_id") >= PQ_K) & (F.col("vec_id") % 5 == 3)
+    base, delta = e.where(~is_delta), e.where(is_delta)
+    grown = str(tmp_path / "ivfpq_grown")
+    rebuild = str(tmp_path / "ivfpq_rebuild")
+    ivfpq_index_save(spark, base, grown)
+    meta_before = spark.read.parquet(f"{grown}/meta.parquet").head()
+    assert ivfpq_index_add_vectors(spark, grown, delta) == delta.count()
+    meta_after = spark.read.parquet(f"{grown}/meta.parquet").head()
+    assert meta_after.n_corpus == e.count()
+    assert meta_after.nlist == meta_before.nlist  # geometry untouched
+    a = spark.read.parquet(f"{grown}/assign.parquet")
+    counts = a.groupBy("vec_id").count().agg(F.min("count"), F.max("count")).first()
+    assert counts == (N_ASSIGN, N_ASSIGN)
+    assert a.select("vec_id").distinct().count() == e.count()
+
+    ivfpq_index_save(spark, e, rebuild)
+    exact = {
+        (r.query_id, r.vec_id) for r in similarity_topk(spark, sf).collect()
+    }
+    def overlap(idx_dir):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_index_search(spark, idx_dir, e).collect()
+        }
+        per = {}
+        for q, v in exact:
+            per.setdefault(q, 0)
+            per[q] += (q, v) in got
+        return per
+
+    og, orb = overlap(grown), overlap(rebuild)
+    assert set(og) == set(orb)
+    for q in og:
+        assert og[q] + 1 >= orb[q], (q, og[q], orb[q])

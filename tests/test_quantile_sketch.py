@@ -286,3 +286,74 @@ def test_group_schema_quotes_awkward_names(spark):
     merged = sketch_rollup(partials, ["group key-1"])
     assert merged.count() == 3
     assert merged.columns[0] == "group key-1"
+
+
+def test_serving_rollup_hierarchy_bounds_and_store_only_plan(spark):
+    """Day→month→all-time serving (r12 verdict #7): every tier's
+    estimate must sit within ITS OWN certified bound against exact
+    recomputation of that period's raw values, n must be exact at
+    every tier (sketches never lose count), coarser tiers' bounds are
+    additive (a merge's err >= the sum of its children's — plus only
+    its own compactions), and the returned plan must read ONLY the
+    persisted sketch store — the raw events table appears nowhere
+    after the day tier is built."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.quantiles import (
+        dq_sketch_serving_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    out = dq_sketch_serving_rollup(spark, SF_DIR)
+    # store-only serving: the final plan scans the day-sketch parquet,
+    # never the events source
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "day_sketches" in plan, plan[:2000]
+    assert "events.parquet" not in plan
+    rows = out.collect()
+    assert rows
+
+    ev = table(spark, SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    raw = ev.filter(F.col("value").isNotNull()).collect()
+    by_day, by_month, by_all = {}, {}, {}
+    for r in raw:
+        d = str(r.day)
+        by_day.setdefault((r.event_type, d), []).append(r.value)
+        by_month.setdefault((r.event_type, d[:7]), []).append(r.value)
+        by_all.setdefault((r.event_type, "ALL"), []).append(r.value)
+    truth = {"day": by_day, "month": by_month, "all": by_all}
+
+    err_by_tier = {}
+    for r in rows:
+        vals = np.sort(np.asarray(truth[r.level][(r.event_type, r.period)]))
+        assert r.n == len(vals), (r.level, r.event_type, r.period)
+        target = max(1, int(np.ceil(r.q * r.n)))
+        lo = int(np.searchsorted(vals, r.estimate, side="left")) + 1
+        hi = max(lo, int(np.searchsorted(vals, r.estimate, side="right")))
+        assert lo - r.max_rank_err <= target <= hi + r.max_rank_err, (
+            r.level, r.event_type, r.period, r.q,
+        )
+        err_by_tier.setdefault(r.level, {})[
+            (r.event_type, r.period, r.q)
+        ] = r.max_rank_err
+
+    # bound additivity up the hierarchy: each month's err >= sum of its
+    # days' errs (merge adds child errs; only its own compactions add
+    # more), and all-time >= sum of months, per event_type
+    day_err = {}
+    for (etype, period, q), e in err_by_tier["day"].items():
+        if q == 0.5:
+            day_err.setdefault((etype, period[:7]), 0)
+            day_err[(etype, period[:7])] += e
+    for (etype, month, q), e in err_by_tier["month"].items():
+        if q == 0.5:
+            assert e >= day_err[(etype, month)], (etype, month)
+    month_err_sum = {}
+    for (etype, month, q), e in err_by_tier["month"].items():
+        if q == 0.5:
+            month_err_sum.setdefault(etype, 0)
+            month_err_sum[etype] += e
+    for (etype, period, q), e in err_by_tier["all"].items():
+        if q == 0.5:
+            assert e >= month_err_sum[etype], etype

@@ -404,3 +404,35 @@ def test_null_routed_left_join_on_skew_slice(spark, skew_dir):
     # the NULL branch is scan+filter+project only
     assert physical.count("ShuffledHashJoin") == 1, physical[:3000]
     assert "BroadcastHashJoin" not in physical, physical[:3000]
+
+
+def test_stream_skew_join_engaged_equals_batch(spark, skew_dir):
+    """The streaming skew join on the amplified slice, with a
+    threshold low enough that EVERY micro-batch's census finds the
+    viral orderkey and engages the salt path (70% of each batch's
+    rows land on it), must equal the one-shot batch join — batch
+    boundaries and per-trigger salting change nothing (integer-cents
+    partials are associative by construction)."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.cdc.streaming import skew_join_stream
+
+    got = skew_join_stream(spark, skew_dir, hot_min_rows=500)
+    li = table(spark, skew_dir, "lineitem")
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+    want = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the threshold genuinely engages: the slice's hot key clears it
+    # in every expected micro-batch share (70% of table / ~16 batches)
+    hot_rows = li.groupBy("l_orderkey").count().agg(F.max("count")).first()[0]
+    assert hot_rows * 0.7 / 16 > 500 or hot_rows > 500 * 16
