@@ -102,6 +102,21 @@ Rotations so far:
   `similarity_topk`), `dq_quantiles` (Q4 stays driver-checked via
   `dq_suite`), `sample_stratified_cap` (sampling keeps
   `dataset_split`).
+- **r13** (r12 verdict #5): the r12 oracle-checked work earned driver
+  rows — `join_hotcold_skew` (the salted join's strategy rival on the
+  identical oracle: hot build rows broadcast so the hot mass never
+  shuffles; the driver now sees BOTH fact-fact skew mitigations),
+  `window_resample_locf` (W5 resample + gap-fill last-observation-
+  carried-forward), `er_golden_records` (survivorship under the
+  declared deterministic rule), `index_positional_phrase` (index-only
+  phrase search, bit-equal to the scan form it supersedes). Rotated
+  down, each leaving its family ≥1 driver row and keeping its local
+  oracle: `er_resolve_incremental` (ER keeps `er_resolve_customers` +
+  `er_golden_records`), `index_phrase_search` (superseded by its
+  positional superset; retrieval keeps four rows),
+  `multimodal_png_palette` (multimodal keeps pipeline/jpeg/video/
+  audio), `agg_heavy_hitters` (aggs keep group/count-distinct/salted;
+  still a standing skew10 bench line).
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

@@ -191,7 +191,8 @@ def _label(records: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 @query(
-    "er_resolve_incremental",  # r12 rotation: promoted to the driver tier
+    "er_resolve_incremental",
+    registered=False,  # r13 rotation: demoted (ER keeps er_resolve_customers + er_golden_records); pytest oracle parity unchanged
     oracle="""
     WITH RECURSIVE records AS (
       SELECT c_custkey AS rec_id, c_name AS name FROM customer
@@ -380,8 +381,7 @@ def er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "er_golden_records",
-    registered=False,
+    "er_golden_records",  # r13 rotation: promoted (r12 verdict #5)
     oracle="""
     WITH RECURSIVE records AS (
       SELECT c_custkey AS rec_id, c_name AS name FROM customer

@@ -120,6 +120,7 @@ def heavy_hitters(
 
 @query(
     "agg_heavy_hitters",
+    registered=False,  # r13 rotation: demoted (aggs keep group/count-distinct/salted); still a skew10 bench line + pytest oracle parity
     oracle="""
     SELECT CAST(o_custkey AS BIGINT) AS key,
            CAST(count(*) AS BIGINT) AS n_occurrences

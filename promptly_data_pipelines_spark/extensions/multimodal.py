@@ -496,6 +496,7 @@ _PALETTE_DECODE_SCHEMA = T.StructType(
 
 @query(
     "multimodal_png_palette",
+    registered=False,  # r13 rotation: demoted (multimodal keeps pipeline/jpeg/video/audio rows); pytest oracle parity unchanged
     oracle=f"""
     SELECT doc_id,
            CAST(4 + doc_id % 29 AS INT) AS width,

@@ -109,6 +109,7 @@ def index_inverted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "index_phrase_search",
+    registered=False,  # r13 rotation: superseded by index_positional_phrase (bit-equal, index-only); pytest oracle parity unchanged
     oracle="""
     WITH w AS (
       SELECT doc_id,
@@ -745,8 +746,7 @@ def positional_phrase_match(index: DataFrame, terms: tuple[str, ...]) -> DataFra
 
 
 @query(
-    "index_positional_phrase",
-    registered=False,
+    "index_positional_phrase",  # r13 rotation: promoted (r12 verdict #5)
     oracle="""
     WITH w AS (
       SELECT doc_id,

@@ -840,7 +840,7 @@ def hotcold_split_join(
     return joined_hot.unionByName(joined_cold)
 
 
-@query("join_hotcold_skew", registered=False, oracle=_SKEW_JOIN_ORACLE)
+@query("join_hotcold_skew", oracle=_SKEW_JOIN_ORACLE)  # r13 rotation: promoted (r12 verdict #5)
 def join_hotcold_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """join_salted_skew's strategy rival on the identical workload and
     oracle: hot/cold split (hot keys broadcast + map-side, cold keys

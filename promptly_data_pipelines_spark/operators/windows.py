@@ -870,8 +870,7 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_resample_locf",
-    registered=False,
+    "window_resample_locf",  # r13 rotation: promoted (r12 verdict #5)
     oracle="""
     WITH bounds AS (
       SELECT user_id,

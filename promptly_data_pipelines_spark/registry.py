@@ -54,7 +54,9 @@ _ORDER: tuple[str, ...] = (
     # local tier (family keeps 5 rows); entity-resolution family gets
     # its first driver rows (r11 verdict #4)
     "er_resolve_customers",
-    "er_resolve_incremental",
+    # r13 rotation: er_resolve_incremental demoted; the ER family's
+    # second row is now golden-record survivorship
+    "er_golden_records",
     "similarity_topk",
     "text_token_counts",
     "text_doc_profile",
@@ -62,7 +64,9 @@ _ORDER: tuple[str, ...] = (
     # r11 rotation: retrieval family (BM25 ranking + zero-shuffle
     # positional phrase search) and the real-codec multimodal tier
     "text_bm25_topk",
-    "index_phrase_search",
+    # r13 rotation: index_phrase_search demoted for its index-only
+    # superset (bit-equal to the scan form, serves from postings)
+    "index_positional_phrase",
     # r12 rotation: the retrieval SERVE paths (document-at-a-time BM25 +
     # bucket-pruned term lookup) replace similarity_topk_gemm (bit-identical
     # twin) and dq_quantiles / sample_stratified_cap (families keep a row)
@@ -73,21 +77,22 @@ _ORDER: tuple[str, ...] = (
     "dataset_split",
     "multimodal_pipeline",
     "multimodal_jpeg_roundtrip",
-    "multimodal_png_palette",
     "multimodal_video_frames",
     "audio_frame_features",
     "corpus_diff",
     # §2 operator core
     "agg_group",
     "agg_count_distinct",
-    "agg_heavy_hitters",
     "dedup_latest",
     "join_anti_semi",
     "join_star",
     "join_bucketed",
     # r12: the large-large hot-key join (salt-replicate-N, oracle = the
-    # plain join it must be transparent to)
+    # plain join it must be transparent to); r13 adds its strategy
+    # rival (hot build rows broadcast, cold keys shuffled) on the
+    # identical oracle — the driver now sees both mitigations
     "join_salted_skew",
+    "join_hotcold_skew",
     "project_events_clean",
     "scan_csv",
     "scan_warc",
@@ -96,6 +101,9 @@ _ORDER: tuple[str, ...] = (
     "setop_diff",
     "topk_group",
     "window_suite",
+    # r13 rotation: resample + gap-fill LOCF (W5) earns the window
+    # family's second row
+    "window_resample_locf",
     "sql_surface_q3",
     "reference_curated_provider",
     "cdc_parse",
