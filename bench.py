@@ -707,6 +707,12 @@ def stress_tier_main() -> None:
                 # never shuffles the NULL mass at all
                 "join_null_skew_naive",
                 "left_join_null_skew",
+                # r13 (late): the COMPOSED outer-skew pair — ~1/3 NULL
+                # FK and the viral key still hot among the non-nulls;
+                # the mitigated form routes NULLs around the shuffle
+                # AND salt-spreads the hot key, in one operator
+                "join_left_skew_naive",
+                "left_join_skew_salted",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the

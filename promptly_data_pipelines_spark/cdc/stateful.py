@@ -101,6 +101,8 @@ try:  # the API needs pyspark >= 4.0 AND protobuf (its Python<->JVM state
     #   $ python -c "import google.protobuf"   -> ModuleNotFoundError
     #   $ pip download protobuf --no-deps      -> "No matching
     #     distribution found for protobuf" (offline index)
+    # Re-probed in the ROUND 13 session (2026-08-15): google.protobuf
+    # still ModuleNotFoundError; pypi.org still DNS-dead (Errno -2).
     # so the operator is code-complete but executable only where
     # protobuf exists; the test skips with this reason. The legacy
     # applyInPandasWithState path above has no such dependency and IS

@@ -204,9 +204,15 @@ def sketch_partials(
             dict(zip(group_cols, key)) | {"sketch": sk.to_bytes()}
             for key, sk in sketches.items()
         ]
+        # empty branch: object-dtype columns, NOT the pandas default
+        # float64 — Arrow refuses to cast an (empty) float64 column to
+        # date32/string group types (hit by the empty-tables sweep on
+        # a date-grouped sketch); empty object casts to anything
         yield pd.DataFrame(
             rows, columns=[*group_cols, "sketch"]
-        ) if rows else pd.DataFrame({c: [] for c in [*group_cols, "sketch"]})
+        ) if rows else pd.DataFrame(
+            {c: pd.Series([], dtype="object") for c in [*group_cols, "sketch"]}
+        )
 
     return df.select(*group_cols, value_col).mapInPandas(build, out_schema)
 

@@ -983,3 +983,143 @@ def left_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         _null_skew_probe(spark, sf_dir), o, "fk", "o_orderkey"
     )
     return _null_skew_rollup(joined)
+
+
+def salted_left_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n: int = SALT_N,
+    hot_min_rows: int = SALT_HOT_MIN_ROWS,
+) -> DataFrame:
+    """LEFT OUTER twin of :func:`salted_inner_join`, composed with
+    :func:`null_routed_left_join`'s NULL routing — the full production
+    outer-join skew shape handled in ONE transparent operator: a fact
+    table whose FK is partly NULL (every NULL row hashes to one
+    reducer AND survives to the output) and partly concentrated on a
+    viral key (70% of the non-null mass on one value). NULL probe rows
+    never enter the shuffle (typed-NULL extension, map-side union);
+    non-null rows run the salt-replicate-N left join — correctness of
+    salting under LEFT semantics holds because a probe row carries
+    exactly ONE salt and a hot build key replicates to ALL n salts, so
+    a probe row matches iff its key exists in build and is
+    NULL-extended exactly once otherwise, same as the plain join.
+
+    Results are EXACTLY the plain left join's (oracle for every query
+    built on this). Requires disjoint column names (the NULL branch
+    unions build columns by name). Degenerate paths are honest: no
+    hot key ⇒ plain shuffled left join on the non-null branch; no
+    NULLs ⇒ the NULL branch is an empty union arm AQE prunes."""
+    overlap = set(probe.columns) & set(build.columns)
+    if overlap:
+        raise ValueError(
+            f"salted_left_join needs disjoint column names; both sides "
+            f"carry {sorted(overlap)}"
+        )
+    if "_salt" in probe.columns or "_salt" in build.columns:
+        raise ValueError(
+            "salted_left_join reserves the column name '_salt'; "
+            "rename it on the input before salting"
+        )
+    nn = probe.where(probe[probe_key].isNotNull())
+    null_rows = probe.where(probe[probe_key].isNull()).select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in build.schema.fields
+        ],
+    )
+    hot = hot_key_census(nn, probe_key, hot_min_rows)
+    if not hot:
+        matched = nn.hint("shuffle_hash").join(
+            build, nn[probe_key] == build[build_key], "left"
+        )
+        return matched.unionByName(null_rows)
+    non_key = [c for c in nn.columns if c != probe_key]
+    spread = (
+        F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n))
+        if non_key
+        else F.lit(0)
+    )
+    salted_probe = nn.withColumn(
+        "_salt", F.when(nn[probe_key].isin(hot), spread).otherwise(F.lit(0))
+    )
+    salted_build = build.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                build[build_key].isin(hot), F.sequence(F.lit(0), F.lit(n - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    matched = (
+        salted_probe.hint("shuffle_hash")
+        .join(
+            salted_build,
+            (salted_probe[probe_key] == salted_build[build_key])
+            & (salted_probe["_salt"] == salted_build["_salt"]),
+            "left",
+        )
+        .drop("_salt")
+    )
+    return matched.unionByName(null_rows)
+
+
+# The composed outer-skew fixture: NULLs derive from the line number
+# (~1/3 of rows — the unattributed mass), so on the skew10 slice the
+# viral orderkey KEEPS ~2/3 of its 70% hot mass as a genuinely hot
+# NON-NULL key — both outer-join skew killers active at once.
+_LEFT_SKEW_ORACLE = """
+    WITH probe AS (
+        SELECT CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                    ELSE l_orderkey END AS fk,
+               l_returnflag, l_extendedprice
+        FROM lineitem
+    )
+    SELECT coalesce(o_orderpriority, 'NO-ORDER') AS priority,
+           l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(o_orderkey) AS BIGINT) AS n_matched,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM probe LEFT JOIN orders ON fk = o_orderkey
+    GROUP BY priority, l_returnflag
+"""
+
+
+def _left_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_orderkey"))
+        .alias("fk"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+
+
+@query("join_left_skew_naive", registered=False, oracle=_LEFT_SKEW_ORACLE)
+def join_left_skew_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive A of the composed outer-skew A/B: plain shuffled left
+    join where BOTH the NULL mass and the viral non-null key pile onto
+    single reducers — and left semantics keep every row."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = _left_skew_probe(spark, sf_dir).hint("shuffle_hash").join(
+        o, F.col("fk") == o["o_orderkey"], "left"
+    )
+    return _null_skew_rollup(joined)
+
+
+@query("left_join_skew_salted", registered=False, oracle=_LEFT_SKEW_ORACLE)
+def left_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed+salted B: NULLs bypass the shuffle, the viral key spreads
+    over SALT_N reducers. On the driver fixtures neither mitigation
+    engages (no NULL-free key is hot) and the plan degenerates to
+    routed + plain left join; the engaged path is pinned on the skew10
+    slice (tests/test_stress.py) and benchmarked as
+    skew10_left_join_skew_salted vs skew10_join_left_skew_naive."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_left_join(
+        _left_skew_probe(spark, sf_dir), o, "fk", "o_orderkey"
+    )
+    return _null_skew_rollup(joined)

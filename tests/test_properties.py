@@ -1129,6 +1129,47 @@ def test_null_routed_left_join_transparent_any_input(spark, rows, dim):
     assert routed.count() == plain.count()
 
 
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    dim=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.text(alphabet="abc", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    hot_min=st.integers(min_value=1, max_value=20),
+    n_salts=st.integers(min_value=2, max_value=8),
+)
+def test_salted_left_join_transparent_any_input(spark, rows, dim, hot_min, n_salts):
+    """salted_left_join == plain left join for ARBITRARY inputs and
+    thresholds: NULL keys on both sides, duplicate build keys (a probe
+    row must meet every matching build row exactly once through the
+    salt), keys hot by any margin, empty frames."""
+    from promptly_data_pipelines_spark.operators.joins import salted_left_join
+
+    probe = spark.createDataFrame(rows, "k bigint, payload bigint")
+    build = spark.createDataFrame(dim, "bk bigint, tag string")
+    plain = probe.join(build, probe["k"] == build["bk"], "left").select(
+        "k", "payload", "bk", "tag"
+    )
+    salted = salted_left_join(
+        probe, build, "k", "bk", n=n_salts, hot_min_rows=hot_min
+    ).select("k", "payload", "bk", "tag")
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+    assert salted.count() == plain.count()
+
+
 def test_null_routed_left_join_refuses_overlapping_columns(spark):
     """Same-named columns on both sides would make the joined output
     ambiguous — fail loudly before the engine does."""

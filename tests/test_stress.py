@@ -436,3 +436,43 @@ def test_stream_skew_join_engaged_equals_batch(spark, skew_dir):
     # in every expected micro-batch share (70% of table / ~16 batches)
     hot_rows = li.groupBy("l_orderkey").count().agg(F.max("count")).first()[0]
     assert hot_rows * 0.7 / 16 > 500 or hot_rows > 500 * 16
+
+
+def test_salted_left_join_engaged_on_skew_slice(spark, skew_dir):
+    """The composed outer-skew mitigation on the slice where BOTH
+    killers are active (~1/3 NULL FK + the viral orderkey holding
+    ~2/3 of its hot mass as a non-null key): left_join_skew_salted ==
+    join_left_skew_naive, and with an engaging threshold the plan
+    must show the salt machinery AND the shuffle-free NULL branch."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.operators.joins import (
+        _left_skew_probe,
+        salted_left_join,
+    )
+
+    a = run("left_join_skew_salted", spark, skew_dir)
+    b = run("join_left_skew_naive", spark, skew_dir)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    probe = _left_skew_probe(spark, skew_dir)
+    n = probe.count()
+    n_null = probe.where(F.col("fk").isNull()).count()
+    assert 0.25 < n_null / n < 0.45, n_null / n
+    hot_top = (
+        probe.where(F.col("fk").isNotNull())
+        .groupBy("fk").count().agg(F.max("count")).first()[0]
+    )
+    assert hot_top > 0.4 * n, hot_top / n  # the viral key stayed hot
+
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_left_join(probe, o, "fk", "o_orderkey", hot_min_rows=1000)
+    plain = probe.join(o, probe["fk"] == o["o_orderkey"], "left")
+    cols = ["fk", "l_returnflag", "o_orderpriority"]
+    assert j.select(*cols).exceptAll(plain.select(*cols)).isEmpty()
+    assert plain.select(*cols).exceptAll(j.select(*cols)).isEmpty()
+    physical = j._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in physical, physical[:3000]
+    assert "Union" in physical
+    assert physical.count("ShuffledHashJoin") == 1, physical[:3000]
