@@ -713,6 +713,12 @@ def stress_tier_main() -> None:
                 # AND salt-spreads the hot key, in one operator
                 "join_left_skew_naive",
                 "left_join_skew_salted",
+                # r13 (late): the measurement-driven chooser — at this
+                # slice the build side outgrows the broadcast budget,
+                # the census finds the viral key, and the choice lands
+                # on hotcold (the measured winner); this line should
+                # track skew10_join_hotcold_skew plus decision cost
+                "join_adaptive_skew",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the

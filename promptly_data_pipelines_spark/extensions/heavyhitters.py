@@ -138,3 +138,91 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(o, "o_custkey", support=1e-4).select(
         F.col("o_custkey").cast("bigint").alias("key"), "n_occurrences"
     )
+
+
+@query(
+    "stream_exec_heavy_hitters",
+    registered=False,
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS key,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) > 1e-4 * (SELECT count(*) FROM orders)
+    """,
+)
+def stream_exec_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census through the REAL streaming engine — continuous
+    candidate maintenance + periodic exact recount, the deployment
+    shape of agg_heavy_hitters: each micro-batch runs the Misra–Gries
+    candidate pass (k counters per partition, O(k·P) keys out) and
+    lands its survivors under a batch_id-keyed path (overwrite — the
+    idempotent-replay rule every foreachBatch sink here follows); the
+    serving side unions the candidate store and exact-recounts ONLY
+    those keys against the source.
+
+    Why this is still exact under ANY batching (pigeonhole over
+    batches, the same argument the batch form makes over partitions):
+    a key with global frequency > support·n must exceed support·n_b in
+    at least one batch b, and capacity ≥ 1/support − 1 makes the MG
+    bar n_b/(k+1) ≤ support·n_b — so the union of per-batch survivors
+    is a SUPERSET of every global hitter, false candidates fall to the
+    recount's support filter, and the published set is the true-hitter
+    set regardless of how the engine split the input. The candidates
+    evolve per trigger (cheap, bounded); the one recount pass is the
+    per-serving amortized cost, not a per-event one."""
+    import os
+
+    from ..cdc.streaming import _fresh_staging_dir
+
+    support = 1e-4
+    capacity = max(8, ceil(1.0 / support) - 1)
+    base = _fresh_staging_dir(spark, sf_dir, "stream_hh")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    store = os.path.join(base, "cands")
+    par = spark.sparkContext.defaultParallelism
+    table(spark, sf_dir, "orders").select("o_custkey").repartition(par).write.json(
+        src
+    )
+
+    stream = (
+        spark.readStream.schema("o_custkey bigint")
+        .option("maxFilesPerTrigger", max(1, par // 4))
+        .json(src)
+    )
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        pruned = batch_df.filter(F.col("o_custkey").isNotNull())
+        cands = pruned.mapInPandas(
+            _mg_partition_candidates("o_custkey", capacity),
+            schema="o_custkey bigint",
+        ).dropDuplicates(["o_custkey"])
+        cands.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("heavy-hitter stream did not drain within 300s")
+
+    cand_union = (
+        spark.read.parquet(store).select("o_custkey").dropDuplicates(["o_custkey"])
+    )
+    source = spark.read.schema("o_custkey bigint").json(src).filter(
+        F.col("o_custkey").isNotNull()
+    )
+    total = source.count()
+    exact = (
+        source.join(F.broadcast(cand_union), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return exact.filter(
+        F.col("n_occurrences") > F.lit(float(total) * support)
+    ).select(F.col("o_custkey").cast("bigint").alias("key"), "n_occurrences")

@@ -1123,3 +1123,105 @@ def left_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _left_skew_probe(spark, sf_dir), o, "fk", "o_orderkey"
     )
     return _null_skew_rollup(joined)
+
+
+# adaptive_inner_join thresholds. BROADCAST_MAX_ROWS is row-based on
+# purpose: the decision inputs must be cheap (a parquet count() is
+# row-group metadata, no data scan), and rows×schema-width is the
+# operator caller's knowledge, not this function's.
+BROADCAST_MAX_ROWS = 500_000
+
+
+def choose_join_strategy(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    hot_min_rows: int = SALT_HOT_MIN_ROWS,
+) -> str:
+    """The measurement that picks the join physics — the three skew
+    mitigations in this module are alternatives, and the r11→r13 bench
+    history shows which wins is a STATISTICS question; this encodes
+    that standing measurement as the decision procedure a 1000-executor
+    job runs before a fact join:
+
+    1. build fits a broadcast (count() — row-group metadata on
+       parquet, no data scan) → ``broadcast``: skew-immune, zero
+       shuffle of the probe side;
+    2. else census the probe key (eager, bounded — hot_key_census):
+       no hot key → ``plain`` shuffle_hash, zero mitigation overhead;
+    3. hot keys whose BUILD slice fits a broadcast → ``hotcold``:
+       the hot probe mass never shuffles (the measured winner on the
+       skew10 slice: 1.24 vs salted 1.58 s);
+    4. else → ``salted``: both sides too big everywhere, spread the
+       hot keys over SALT_N reducers (the only remaining move).
+
+    Returns one of "broadcast" | "plain" | "hotcold" | "salted".
+    Decision cost: one metadata count, one map-side-combined census,
+    and (only when hot) one count over the censused build slice."""
+    if build.count() <= broadcast_max_rows:
+        return "broadcast"
+    hot = hot_key_census(probe, probe_key, hot_min_rows)
+    if not hot:
+        return "plain"
+    n_hot_build = build.where(build[build_key].isin(hot)).count()
+    if n_hot_build <= broadcast_max_rows:
+        return "hotcold"
+    return "salted"
+
+
+def adaptive_inner_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    hot_min_rows: int = SALT_HOT_MIN_ROWS,
+) -> DataFrame:
+    """Inner equi-join that picks its own physical strategy from
+    :func:`choose_join_strategy`'s measurements. Results are EXACTLY
+    the plain inner join's under every branch (broadcast/plain are the
+    engine's own forms; salted/hotcold are the transparency-contracted
+    rewrites above), so the oracle for anything built on this is the
+    plain join — strategy choice can never be a correctness event."""
+    strategy = choose_join_strategy(
+        probe, build, probe_key, build_key, broadcast_max_rows, hot_min_rows
+    )
+    if strategy == "broadcast":
+        return probe.join(
+            F.broadcast(build), probe[probe_key] == build[build_key], "inner"
+        )
+    if strategy == "plain":
+        return probe.hint("shuffle_hash").join(
+            build, probe[probe_key] == build[build_key], "inner"
+        )
+    if strategy == "hotcold":
+        return hotcold_split_join(
+            probe, build, probe_key, build_key, hot_min_rows=hot_min_rows
+        )
+    return salted_inner_join(
+        probe, build, probe_key, build_key, hot_min_rows=hot_min_rows
+    )
+
+
+@query("join_adaptive_skew", registered=False, oracle=_SKEW_JOIN_ORACLE)
+def join_adaptive_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted/hotcold workload through the ADAPTIVE chooser: on the
+    driver fixtures the orders side fits a broadcast and the plan is
+    the skew-immune broadcast join; on the skew10 slice the build side
+    outgrows the threshold, the census finds the viral key, its build
+    slice is tiny, and the chooser lands on hotcold — the measured
+    winner. Same oracle as join_salted_skew/join_hotcold_skew: the
+    choice is physics, never semantics."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    joined = adaptive_inner_join(
+        probe=li, build=o, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -476,3 +476,88 @@ def test_salted_left_join_engaged_on_skew_slice(spark, skew_dir):
     assert "_salt" in physical, physical[:3000]
     assert "Union" in physical
     assert physical.count("ShuffledHashJoin") == 1, physical[:3000]
+
+
+def test_adaptive_join_chooses_by_measurement(spark, skew_dir):
+    """choose_join_strategy must land on the measured winner per
+    fixture: broadcast-sized build → broadcast (skew-immune); big
+    build + no hot key → plain; big build + hot key with a tiny build
+    slice → hotcold; hot key whose build slice ALSO outgrows the
+    broadcast budget → salted. And the adaptive join's OUTPUT equals
+    the plain join under the engaged branch."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.operators.joins import (
+        adaptive_inner_join,
+        choose_join_strategy,
+    )
+
+    li = table(spark, skew_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    # the skew fixture at test SF: small orders side → broadcast wins
+    assert choose_join_strategy(li, o, "l_orderkey", "o_orderkey") == "broadcast"
+    # force the build side past the budget: census engages → hotcold
+    # (the viral key's build slice is ~1 row)
+    assert (
+        choose_join_strategy(
+            li, o, "l_orderkey", "o_orderkey",
+            broadcast_max_rows=100, hot_min_rows=1000,
+        )
+        == "hotcold"
+    )
+    # no key hot at an absurd threshold → plain
+    assert (
+        choose_join_strategy(
+            li, o, "l_orderkey", "o_orderkey",
+            broadcast_max_rows=100, hot_min_rows=10**9,
+        )
+        == "plain"
+    )
+    # hot build slice bigger than the budget → salted is the only move
+    fat_build = o.join(
+        spark.range(200).select(F.lit(1).alias("one")), how="cross"
+    ).select("o_orderkey", "o_orderpriority")
+    assert (
+        choose_join_strategy(
+            li, fat_build, "l_orderkey", "o_orderkey",
+            broadcast_max_rows=100, hot_min_rows=1000,
+        )
+        == "salted"
+    )
+
+    j = adaptive_inner_join(
+        li, o, "l_orderkey", "o_orderkey",
+        broadcast_max_rows=100, hot_min_rows=1000,
+    )
+    plain = li.join(o, li["l_orderkey"] == o["o_orderkey"], "inner")
+    cols = ["l_orderkey", "l_returnflag", "o_orderpriority"]
+    assert j.select(*cols).exceptAll(plain.select(*cols)).isEmpty()
+    assert plain.select(*cols).exceptAll(j.select(*cols)).isEmpty()
+
+
+def test_stream_heavy_hitters_on_skew_slice(spark, skew_dir):
+    """stream_exec_heavy_hitters on the hot-customer slice must return
+    exactly the batch census's rows (the union-of-batch-candidates
+    superset + exact recount makes the result batching-invariant), and
+    the viral customer must be in it with its exact count."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.stress import HOT_CUSTKEY
+
+    got = run("stream_exec_heavy_hitters", spark, skew_dir)
+    o = table(spark, skew_dir, "orders")
+    total = o.count()
+    want = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > total * 1e-4)
+        .select(F.col("o_custkey").cast("bigint").alias("key"), "n_occurrences")
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    hot = {r.key: r.n_occurrences for r in got.collect()}
+    assert hot[HOT_CUSTKEY] > 0.69 * total
