@@ -1183,6 +1183,56 @@ def test_null_routed_left_join_refuses_overlapping_columns(spark):
         null_routed_left_join(a, b, "k", "bk")
 
 
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    dim=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.text(alphabet="abc", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    bcast_max=st.integers(min_value=0, max_value=15),
+    hot_min=st.integers(min_value=1, max_value=20),
+)
+def test_adaptive_join_transparent_any_thresholds(spark, rows, dim, bcast_max, hot_min):
+    """adaptive_inner_join == plain inner join for ARBITRARY inputs and
+    ANY threshold combination — whichever branch the measurements pick
+    (broadcast/plain/hotcold/salted), strategy is physics, never
+    semantics."""
+    from promptly_data_pipelines_spark.operators.joins import (
+        adaptive_inner_join,
+        choose_join_strategy,
+    )
+
+    probe = spark.createDataFrame(rows, "k bigint, payload bigint")
+    build = spark.createDataFrame(dim, "bk bigint, tag string")
+    plain = probe.join(build, probe["k"] == build["bk"], "inner").select(
+        "k", "payload", "tag"
+    )
+    adaptive = adaptive_inner_join(
+        probe, build, "k", "bk",
+        broadcast_max_rows=bcast_max, hot_min_rows=hot_min,
+    ).select("k", "payload", "tag")
+    assert adaptive.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(adaptive).isEmpty()
+    assert adaptive.count() == plain.count()
+    # the chooser itself is total: it always names a strategy
+    assert choose_join_strategy(
+        probe, build, "k", "bk",
+        broadcast_max_rows=bcast_max, hot_min_rows=hot_min,
+    ) in {"broadcast", "plain", "hotcold", "salted"}
+
+
 def test_salted_join_refuses_reserved_salt_column(spark):
     """A caller frame that already carries '_salt' must fail LOUDLY —
     withColumn would silently overwrite it and the output drop would

@@ -76,6 +76,14 @@ OPS = (
     # rows, the merge with (partitions × groups); the exponent should
     # read row-linear-at-most since the reduce side moves only KBs
     "dq_quantile_sketch",
+    # r13: the outer-skew pair under UNIFORM amplification (~30% NULL
+    # FK at every factor — the NULL branch is map-side, so the routed
+    # form should scale like the scan; the naive twin carries the NULL
+    # reducer) and the adaptive chooser (its decision jobs — metadata
+    # count + census — should amortize toward row-linear)
+    "join_null_skew_naive",
+    "left_join_null_skew",
+    "join_adaptive_skew",
 )
 
 
