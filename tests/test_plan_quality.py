@@ -676,3 +676,32 @@ def test_salted_skew_join_query_plan(spark):
     assert "ShuffledHashJoin" in p
     assert "_salt" not in p, "salt machinery must vanish when no key is hot"
     assert "BroadcastHashJoin" not in p  # neither fact side broadcast
+
+
+def test_orc_scan_pushdown(spark, tmp_path):
+    """ORC must carry the same scan-quality surface as Parquet: a
+    filter + narrow projection over an ORC table lands in the scan as
+    PushedFilters + a pruned ReadSchema (Spark's native vectorized ORC
+    reader) — format parity for the Hive-lineage half of the lake."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+
+    out = str(tmp_path / "events_orc")
+    ev = table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").orc(out)
+    q = (
+        spark.read.schema(ev.schema)
+        .orc(out)
+        .filter(F.col("value") > 50.0)
+        .select("event_id", "value")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    p = buf.getvalue()
+    assert "PushedFilters" in p and "GreaterThan(value,50.0)" in p, p[:2000]
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in p, p[:2000]
