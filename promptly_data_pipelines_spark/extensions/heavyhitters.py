@@ -91,10 +91,16 @@ def heavy_hitters(
     the SET for memory — counts of returned keys stay exact either
     way.
 
-    NULL keys are excluded by contract (filtered up front — pandas
-    ``value_counts`` and the equi-join would each drop them silently
-    half-way otherwise); a hot NULL is a data-quality finding, which
-    is ``dq_not_null``'s job, not a census row."""
+    NULL keys are excluded from the CANDIDATE/count side by contract
+    (filtered up front — pandas ``value_counts`` and the equi-join
+    would each drop them silently half-way otherwise); a hot NULL is
+    a data-quality finding, which is ``dq_not_null``'s job, not a
+    census row. The SUPPORT BASE is the full table row count,
+    NULL-key rows included — the declared semantics ("more than
+    support × all rows") and exactly what the plain GROUP BY/HAVING
+    oracle computes with count(*) (r13 review: thresholding on the
+    null-filtered count would publish extra keys on any table with
+    NULL keys and break oracle parity)."""
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0,1), got {support}")
     if capacity is None:
@@ -109,7 +115,7 @@ def heavy_hitters(
         )
         .dropDuplicates([key])  # ≤ k·P rows: a tiny dedup shuffle
     )
-    total = pruned.count()
+    total = df.count()
     exact = (
         pruned.join(F.broadcast(cands), key)
         .groupBy(key)
@@ -214,10 +220,11 @@ def stream_exec_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_union = (
         spark.read.parquet(store).select("o_custkey").dropDuplicates(["o_custkey"])
     )
-    source = spark.read.schema("o_custkey bigint").json(src).filter(
-        F.col("o_custkey").isNotNull()
-    )
-    total = source.count()
+    # support base = ALL rows (NULL keys included), matching the
+    # count(*) the oracle thresholds on — see heavy_hitters (r13 review)
+    raw = spark.read.schema("o_custkey bigint").json(src)
+    total = raw.count()
+    source = raw.filter(F.col("o_custkey").isNotNull())
     exact = (
         source.join(F.broadcast(cand_union), "o_custkey")
         .groupBy("o_custkey")

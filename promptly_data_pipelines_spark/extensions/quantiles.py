@@ -178,6 +178,18 @@ def _group_schema(df: DataFrame, group_cols: list[str]) -> str:
     missing = [c for c in group_cols if c not in by_name]
     if missing:
         raise ValueError(f"group columns not in frame: {missing}")
+    # Embedded backticks are refused LOUDLY (r13 review follow-up):
+    # the generated DDL could escape them (doubling), but PySpark's
+    # own mapInPandas resolves input columns via df[name] on the RAW
+    # string (pyspark/sql/pandas/map_ops.py), which its attribute
+    # parser rejects — the limitation is upstream, so a clear error
+    # here beats an inscrutable INVALID_ATTRIBUTE_NAME_SYNTAX later.
+    ticked = [c for c in group_cols if "`" in c]
+    if ticked:
+        raise ValueError(
+            f"group column names with backticks are unsupported by "
+            f"Spark's pandas-map column resolution: {ticked}"
+        )
     # backtick-quote: a space/dash/reserved-word column name must not
     # produce an unparseable DDL string (ADVICE r12)
     return ", ".join(f"`{c}` {by_name[c]}" for c in group_cols)

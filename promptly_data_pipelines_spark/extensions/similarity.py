@@ -1343,6 +1343,24 @@ def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assert_delta_ids_disjoint(
+    spark: SparkSession, codes_path: str, new_e: DataFrame, op: str
+) -> None:
+    """Shared replay guard for both index formats (r13 review: two
+    copies risked diverging semantics): incoming vec_ids must be
+    absent from the CODES store — the guard's single source of truth,
+    which is why every grow appends codes FIRST. One column-pruned
+    semi join over the codes ids (at 100 TB the cheapest scan in the
+    index)."""
+    existing = spark.read.parquet(codes_path).select("vec_id")
+    n_dup = new_e.join(existing, "vec_id", "left_semi").count()
+    if n_dup:
+        raise ValueError(
+            f"{op}: {n_dup} incoming vec_ids already in the index — "
+            "delta batches must carry fresh ids (replay?)"
+        )
+
+
 def pq_index_add_vectors(
     spark: SparkSession, index_dir: str, new_e: DataFrame
 ) -> int:
@@ -1364,13 +1382,7 @@ def pq_index_add_vectors(
 
     cb = spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
     codes_path = os.path.join(index_dir, "codes.parquet")
-    existing = spark.read.parquet(codes_path).select("vec_id")
-    n_dup = new_e.join(existing, "vec_id", "left_semi").count()
-    if n_dup:
-        raise ValueError(
-            f"pq_index_add_vectors: {n_dup} incoming vec_ids already in "
-            "the index — delta batches must carry fresh ids (replay?)"
-        )
+    _assert_delta_ids_disjoint(spark, codes_path, new_e, "pq_index_add_vectors")
     n_new = new_e.count()
     if not n_new:
         return 0
@@ -1396,20 +1408,21 @@ def ivfpq_index_add_vectors(
     cb = spark.read.parquet(os.path.join(index_dir, "codebook.parquet"))
     codes_path = os.path.join(index_dir, "codes.parquet")
     assign_path = os.path.join(index_dir, "assign.parquet")
-    existing = spark.read.parquet(codes_path).select("vec_id")
-    n_dup = new_e.join(existing, "vec_id", "left_semi").count()
-    if n_dup:
-        raise ValueError(
-            f"ivfpq_index_add_vectors: {n_dup} incoming vec_ids already "
-            "in the index — delta batches must carry fresh ids (replay?)"
-        )
+    _assert_delta_ids_disjoint(
+        spark, codes_path, new_e, "ivfpq_index_add_vectors"
+    )
     n_new = new_e.count()
     if not n_new:
         return 0
+    # CODES first, ASSIGN second (r13 review): the replay guard reads
+    # codes, so a grow that dies between the two appends and retries
+    # must fail LOUDLY (codes committed ⇒ guard trips) rather than
+    # silently duplicate the batch's inverted-list rows (assign
+    # committed first ⇒ guard passes ⇒ 2×N_ASSIGN rows per vector)
+    pq_encode(new_e, cb).write.mode("append").parquet(codes_path)
     _cell_assign(new_e, cents, N_ASSIGN).select("vec_id", "cell").write.mode(
         "append"
     ).parquet(assign_path)
-    pq_encode(new_e, cb).write.mode("append").parquet(codes_path)
     meta_path = os.path.join(index_dir, "meta.parquet")
     meta = spark.read.parquet(meta_path).head()
     spark.createDataFrame(

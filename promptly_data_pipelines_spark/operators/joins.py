@@ -653,6 +653,76 @@ def hot_key_census(
     return sorted(r[0] for r in rows)
 
 
+def _reserve_salt_column(probe: DataFrame, build: DataFrame, op: str) -> None:
+    """withColumn would silently overwrite a caller's _salt and the
+    final drop would eat it — corrupting user data (ADVICE r12). ONE
+    guard shared by every salting operator (r13 review: three copies
+    of the salt machinery had started to drift)."""
+    if "_salt" in probe.columns or "_salt" in build.columns:
+        raise ValueError(
+            f"{op} reserves the column name '_salt'; "
+            "rename it on the input before salting"
+        )
+
+
+def _salted_sides(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    hot: list,
+    n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The salt machinery, shared by the inner and left forms: hot
+    probe rows take a deterministic hash-spread salt in [0, n) (no
+    rand() — retries and the DuckDB oracle need value-stable plans),
+    cold rows salt 0; hot BUILD keys replicate n× (one row per salt),
+    cold keys carry the single salt 0."""
+    non_key = [c for c in probe.columns if c != probe_key]
+    # deterministic spread needs SOMETHING beyond the key to hash; a
+    # bare key list has no such column and every hot row is identical
+    # anyway, so salt 0 (single reducer) is the honest degenerate case
+    spread = (
+        F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n))
+        if non_key
+        else F.lit(0)
+    )
+    salted_probe = probe.withColumn(
+        "_salt", F.when(probe[probe_key].isin(hot), spread).otherwise(F.lit(0))
+    )
+    salted_build = build.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                build[build_key].isin(hot), F.sequence(F.lit(0), F.lit(n - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return salted_probe, salted_build
+
+
+def _require_disjoint_columns(probe: DataFrame, build: DataFrame, op: str) -> None:
+    overlap = set(probe.columns) & set(build.columns)
+    if overlap:
+        raise ValueError(
+            f"{op} needs disjoint column names; both sides carry "
+            f"{sorted(overlap)}"
+        )
+
+
+def _null_extended(probe: DataFrame, build: DataFrame, probe_key: str) -> DataFrame:
+    """The NULL-routing branch shared by the outer-join skew operators:
+    NULL-key probe rows with the build columns appended as typed NULL
+    literals — produced map-side, never entering any exchange."""
+    return probe.where(probe[probe_key].isNull()).select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in build.schema.fields
+        ],
+    )
+
+
 def salted_inner_join(
     probe: DataFrame,
     build: DataFrame,
@@ -660,6 +730,7 @@ def salted_inner_join(
     build_key: str,
     n: int = SALT_N,
     hot_min_rows: int = SALT_HOT_MIN_ROWS,
+    hot: list | None = None,
 ) -> DataFrame:
     """Large-large inner equi-join that survives a hot key — the one
     100 TB skew shape broadcast can't fix (BOTH sides too big to
@@ -695,40 +766,22 @@ def salted_inner_join(
     only past spark.sql.adaptive.skewJoin thresholds: explicit salting
     is the form that also works under streaming, bucketed inputs, and
     pre-AQE engines — and the form a 1000-executor job reaches for
-    when the hot partition is one giant mapper block."""
-    if "_salt" in probe.columns or "_salt" in build.columns:
-        # withColumn would silently overwrite a caller's _salt and the
-        # final drop would eat it — corrupting user data (ADVICE r12).
-        raise ValueError(
-            "salted_inner_join reserves the column name '_salt'; "
-            "rename it on the input before salting"
-        )
-    hot = hot_key_census(probe, probe_key, hot_min_rows)
+    when the hot partition is one giant mapper block.
+
+    ``hot`` accepts a precomputed census (possibly empty) so a caller
+    that already censused — the adaptive chooser — never pays the
+    probe-side pass twice (r13 review); None runs the census here."""
+    _reserve_salt_column(probe, build, "salted_inner_join")
+    if hot is None:
+        hot = hot_key_census(probe, probe_key, hot_min_rows)
     if not hot:
         # no hot keys: the honest degenerate plan is the plain join —
         # zero salt machinery in the plan at all
         return probe.hint("shuffle_hash").join(
             build, probe[probe_key] == build[build_key], "inner"
         )
-    non_key = [c for c in probe.columns if c != probe_key]
-    # deterministic spread needs SOMETHING beyond the key to hash; a
-    # bare key list has no such column and every hot row is identical
-    # anyway, so salt 0 (single reducer) is the honest degenerate case
-    spread = (
-        F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n))
-        if non_key
-        else F.lit(0)
-    )
-    salted_probe = probe.withColumn(
-        "_salt", F.when(probe[probe_key].isin(hot), spread).otherwise(F.lit(0))
-    )
-    salted_build = build.withColumn(
-        "_salt",
-        F.explode(
-            F.when(
-                build[build_key].isin(hot), F.sequence(F.lit(0), F.lit(n - 1))
-            ).otherwise(F.array(F.lit(0)))
-        ),
+    salted_probe, salted_build = _salted_sides(
+        probe, build, probe_key, build_key, hot, n
     )
     return salted_probe.hint("shuffle_hash").join(
         salted_build,
@@ -798,6 +851,7 @@ def hotcold_split_join(
     probe_key: str,
     build_key: str,
     hot_min_rows: int = SALT_HOT_MIN_ROWS,
+    hot: list | None = None,
 ) -> DataFrame:
     """The OTHER classic hot-key mitigation, complementing
     :func:`salted_inner_join`: split the join at the hot/cold boundary
@@ -820,8 +874,10 @@ def hotcold_split_join(
     build side is dimension-like on the hot keys (rows/key bounded).
     Results are EXACTLY the plain inner join's: hot and cold probe
     rows partition the probe (inner ∪ anti on the broadcast hot set),
-    and each row meets the same build rows it would in one join."""
-    hot = hot_key_census(probe, probe_key, hot_min_rows)
+    and each row meets the same build rows it would in one join.
+    ``hot`` accepts a precomputed census, as in salted_inner_join."""
+    if hot is None:
+        hot = hot_key_census(probe, probe_key, hot_min_rows)
     if not hot:
         return probe.hint("shuffle_hash").join(
             build, probe[probe_key] == build[build_key], "inner"
@@ -892,25 +948,13 @@ def null_routed_left_join(
     Oracle for every query built on this is the PLAIN left join.
     Requires disjoint column names (the plain join's output would be
     ambiguous otherwise) and reserves no column names."""
-    overlap = set(probe.columns) & set(build.columns)
-    if overlap:
-        raise ValueError(
-            f"null_routed_left_join needs disjoint column names; both "
-            f"sides carry {sorted(overlap)}"
-        )
+    _require_disjoint_columns(probe, build, "null_routed_left_join")
     matched = (
         probe.where(probe[probe_key].isNotNull())
         .hint("shuffle_hash")
         .join(build, probe[probe_key] == build[build_key], "left")
     )
-    null_rows = probe.where(probe[probe_key].isNull()).select(
-        "*",
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in build.schema.fields
-        ],
-    )
-    return matched.unionByName(null_rows)
+    return matched.unionByName(_null_extended(probe, build, probe_key))
 
 
 _NULL_SKEW_ORACLE = """
@@ -1011,47 +1055,18 @@ def salted_left_join(
     unions build columns by name). Degenerate paths are honest: no
     hot key ⇒ plain shuffled left join on the non-null branch; no
     NULLs ⇒ the NULL branch is an empty union arm AQE prunes."""
-    overlap = set(probe.columns) & set(build.columns)
-    if overlap:
-        raise ValueError(
-            f"salted_left_join needs disjoint column names; both sides "
-            f"carry {sorted(overlap)}"
-        )
-    if "_salt" in probe.columns or "_salt" in build.columns:
-        raise ValueError(
-            "salted_left_join reserves the column name '_salt'; "
-            "rename it on the input before salting"
-        )
+    _require_disjoint_columns(probe, build, "salted_left_join")
+    _reserve_salt_column(probe, build, "salted_left_join")
     nn = probe.where(probe[probe_key].isNotNull())
-    null_rows = probe.where(probe[probe_key].isNull()).select(
-        "*",
-        *[
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in build.schema.fields
-        ],
-    )
+    null_rows = _null_extended(probe, build, probe_key)
     hot = hot_key_census(nn, probe_key, hot_min_rows)
     if not hot:
         matched = nn.hint("shuffle_hash").join(
             build, nn[probe_key] == build[build_key], "left"
         )
         return matched.unionByName(null_rows)
-    non_key = [c for c in nn.columns if c != probe_key]
-    spread = (
-        F.pmod(F.hash(*[F.col(c) for c in non_key]), F.lit(n))
-        if non_key
-        else F.lit(0)
-    )
-    salted_probe = nn.withColumn(
-        "_salt", F.when(nn[probe_key].isin(hot), spread).otherwise(F.lit(0))
-    )
-    salted_build = build.withColumn(
-        "_salt",
-        F.explode(
-            F.when(
-                build[build_key].isin(hot), F.sequence(F.lit(0), F.lit(n - 1))
-            ).otherwise(F.array(F.lit(0)))
-        ),
+    salted_probe, salted_build = _salted_sides(
+        nn, build, probe_key, build_key, hot, n
     )
     matched = (
         salted_probe.hint("shuffle_hash")
@@ -1160,15 +1175,33 @@ def choose_join_strategy(
     Returns one of "broadcast" | "plain" | "hotcold" | "salted".
     Decision cost: one metadata count, one map-side-combined census,
     and (only when hot) one count over the censused build slice."""
+    return _choose_with_census(
+        probe, build, probe_key, build_key, broadcast_max_rows, hot_min_rows
+    )[0]
+
+
+def _choose_with_census(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    broadcast_max_rows: int,
+    hot_min_rows: int,
+) -> tuple[str, list | None]:
+    """(strategy, hot-key census) — the census rides along so
+    adaptive_inner_join hands it to the chosen operator instead of
+    paying the probe-side pass twice (r13 review: the engaged path was
+    censusing once to DECIDE and once to EXECUTE). hot is None on the
+    broadcast path (never computed), a list otherwise."""
     if build.count() <= broadcast_max_rows:
-        return "broadcast"
+        return "broadcast", None
     hot = hot_key_census(probe, probe_key, hot_min_rows)
     if not hot:
-        return "plain"
+        return "plain", hot
     n_hot_build = build.where(build[build_key].isin(hot)).count()
     if n_hot_build <= broadcast_max_rows:
-        return "hotcold"
-    return "salted"
+        return "hotcold", hot
+    return "salted", hot
 
 
 def adaptive_inner_join(
@@ -1185,7 +1218,7 @@ def adaptive_inner_join(
     engine's own forms; salted/hotcold are the transparency-contracted
     rewrites above), so the oracle for anything built on this is the
     plain join — strategy choice can never be a correctness event."""
-    strategy = choose_join_strategy(
+    strategy, hot = _choose_with_census(
         probe, build, probe_key, build_key, broadcast_max_rows, hot_min_rows
     )
     if strategy == "broadcast":
@@ -1198,10 +1231,12 @@ def adaptive_inner_join(
         )
     if strategy == "hotcold":
         return hotcold_split_join(
-            probe, build, probe_key, build_key, hot_min_rows=hot_min_rows
+            probe, build, probe_key, build_key,
+            hot_min_rows=hot_min_rows, hot=hot,
         )
     return salted_inner_join(
-        probe, build, probe_key, build_key, hot_min_rows=hot_min_rows
+        probe, build, probe_key, build_key,
+        hot_min_rows=hot_min_rows, hot=hot,
     )
 
 

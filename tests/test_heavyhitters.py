@@ -95,13 +95,42 @@ def test_overflow_loops_until_table_fits():
 
 
 def test_null_keys_excluded_by_contract(spark):
-    """A hot NULL is dq_not_null's finding, not a census row — and it
-    must be excluded up front, not half-dropped by value_counts/join."""
+    """A hot NULL is dq_not_null's finding, not a census row — NULLs
+    are excluded from candidates/counts up front, not half-dropped by
+    value_counts/join. The support DENOMINATOR is the full table
+    (r13 review realigned it with the oracle's count(*)): 20 rows at
+    support 0.25 → strict threshold 5 — a(6) publishes, b(4) does
+    not, and NULL never appears however hot it is."""
     rows = [("a",)] * 6 + [(None,)] * 10 + [("b",)] * 4
     df = spark.createDataFrame(rows, "key string").repartition(2)
     got = {
         r["key"]: r["n_occurrences"]
-        for r in heavy_hitters(df, "key", support=0.3).collect()
+        for r in heavy_hitters(df, "key", support=0.25).collect()
     }
-    # denominator = 10 non-null rows; a(6) and b(4) both exceed 3
-    assert got == {"a": 6, "b": 4}
+    assert got == {"a": 6}
+
+
+def test_support_base_counts_null_key_rows(spark):
+    """The support threshold is a fraction of ALL rows — NULL-key rows
+    included — matching the count(*) the GROUP BY/HAVING oracle
+    thresholds on (r13 review: a null-filtered base would publish
+    extra keys on any table with NULL FKs). 100 rows, 30 NULL keys:
+    a key with 8 occurrences clears an 0.05 support of the non-null
+    count (70·0.05=3.5… and of 100 → 5) but a key with 5 must NOT be
+    published at support 0.05 of 100 (needs >5)."""
+    from pyspark.sql import functions as F
+
+    from promptly_data_pipelines_spark.extensions.heavyhitters import (
+        heavy_hitters,
+    )
+
+    rows = (
+        [(None,)] * 30
+        + [(1,)] * 8   # > 5 -> published
+        + [(2,)] * 5   # == 5 -> NOT published (strict >)
+        + [(k,) for k in range(100, 157)]  # 57 singletons
+    )
+    df = spark.createDataFrame(rows, "k bigint")
+    assert df.count() == 100
+    got = {r.k: r.n_occurrences for r in heavy_hitters(df, "k", 0.05).collect()}
+    assert got == {1: 8}

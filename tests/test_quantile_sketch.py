@@ -286,6 +286,13 @@ def test_group_schema_quotes_awkward_names(spark):
     merged = sketch_rollup(partials, ["group key-1"])
     assert merged.count() == 3
     assert merged.columns[0] == "group key-1"
+    # embedded backtick: refused LOUDLY with the reason — PySpark's
+    # own mapInPandas resolves columns via df[raw_name], which its
+    # attribute parser rejects, so silent acceptance would only move
+    # the failure somewhere inscrutable (r13 review follow-up)
+    df2 = df.withColumnRenamed("group key-1", "g`k")
+    with pytest.raises(ValueError, match="backtick"):
+        sketch_partials(df2, "value", ["g`k"])
 
 
 def test_serving_rollup_hierarchy_bounds_and_store_only_plan(spark):

@@ -432,10 +432,38 @@ def test_stream_skew_join_engaged_equals_batch(spark, skew_dir):
         )
     )
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
-    # the threshold genuinely engages: the slice's hot key clears it
-    # in every expected micro-batch share (70% of table / ~16 batches)
-    hot_rows = li.groupBy("l_orderkey").count().agg(F.max("count")).first()[0]
-    assert hot_rows * 0.7 / 16 > 500 or hot_rows > 500 * 16
+    # the ENGAGED path is pinned for real (r13 review: the old
+    # row-count arithmetic was vacuous — it held on the degenerate
+    # plain-join path too): reconstruct ONE micro-batch exactly as the
+    # stream forms it (maxFilesPerTrigger = par//4 staged JSON files),
+    # run the same per-batch join with the same threshold, and assert
+    # the census found the viral key AND the salt machinery is in the
+    # executed plan
+    import glob
+    import os
+
+    from promptly_data_pipelines_spark.operators.joins import (
+        hot_key_census,
+        salted_inner_join,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    src = glob.glob(
+        os.path.join(
+            "/tmp", f"pdp_stream_skew_{os.path.basename(skew_dir)}_*", "src"
+        )
+    )
+    assert src, "staged stream source not found"
+    files = sorted(glob.glob(os.path.join(src[0], "*.json")))[
+        : max(1, par // 4)
+    ]
+    batch = spark.read.schema(
+        "l_orderkey bigint, l_returnflag string, l_extendedprice double"
+    ).json(files)
+    assert hot_key_census(batch, "l_orderkey", 500), "census must engage"
+    j = salted_inner_join(batch, o, "l_orderkey", "o_orderkey", hot_min_rows=500)
+    physical = j._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in physical, physical[:2000]
 
 
 def test_salted_left_join_engaged_on_skew_slice(spark, skew_dir):
