@@ -285,6 +285,12 @@ SECONDARY = [
     # stays untimed by design); this line is the standing proof the
     # two-sided API costs ~1 s when granularity is chosen correctly
     "cogroup_order_reconcile_coarse",
+    # r13: KMV/theta distinct sketches — the per-segment sketch build
+    # (distinct + bounded window) and the sketch-only set algebra
+    # (union/intersect/diff estimated from two 256-entry sketches);
+    # both cheap by design, tracked from introduction
+    "agg_kmv_distinct",
+    "agg_kmv_set_ops",
 ]
 
 

@@ -1,0 +1,396 @@
+"""KMV / theta distinct sketches with SET ALGEBRA (union, intersection,
+difference) — the distinct-count capability HLL cannot provide.
+
+The repo's HLL rollup (operators/aggregates.py, agg_hll_sketch_rollup)
+answers "how many distinct per coarser group" by merging per-fine-group
+HLL sketches — but HLL merge is UNION-ONLY: "how many distinct users did
+BOTH the click and the purchase segment see" has no HLL answer short of
+re-scanning rows. The standard production tool is the theta/KMV sketch
+(Beyer et al., "On Synopses for Distinct-Value Estimation Under Multiset
+Operations", SIGMOD'07; the Apache DataSketches theta family): keep the
+k smallest DISTINCT hash values of the key; the k-th smallest hash
+("theta") estimates density, and because the retained values are an
+actual uniform SAMPLE of the key space, two sketches can be intersected
+or differenced sample-wise and rescaled — set algebra from kilobytes.
+
+Estimator (hash domain = 60-bit md5 slice, theta in hash units):
+
+- |X| >= k:  theta_X = k-th smallest hash;  est = (k-1) * 2^60 / theta
+- |X| <  k:  the sketch holds EVERY distinct hash — exact, theta = 2^60
+- set ops:   theta = min(theta_A, theta_B); S' = sketch entries < theta;
+             est(op) = |S'_A op S'_B| * 2^60 / theta
+
+Everything above is a pure function of md5, so — like the repo's
+md5-slice sampled estimator (sampling.py:sample_estimate_totals) — the
+whole sketch, its theta, and every estimate are DETERMINISTIC and
+cross-engine reproducible: the DuckDB oracles below compute the
+identical sketch in SQL and the driver value-hash-compares estimates
+exactly (floor() of an IEEE double both engines derive from the same
+integer inputs with the same literal constant and operation order).
+That makes this one of the few sketch families in the repo with a FULL
+value oracle rather than a rows-only check; accuracy vs the true
+cardinality is asserted separately in tests/test_kmv.py with the
+1/sqrt(k) relative-error contract.
+
+Spark shapes (the 100 TB posture):
+
+- ``kmv_sketch`` — the declarative form: distinct (group, hash) with
+  map-side combine, then a per-group window keeping the k smallest.
+  Correct, but the window co-locates ALL distinct hashes of a group
+  on one task — a billion-distinct group sorts a billion rows.
+- ``kmv_sketch_partials`` + ``kmv_merge`` — the mergeable form this
+  module exists for (mirrors quantiles.py's partials/rollup): one
+  mapInPandas pass emits a <=k-entry partial per (arrow batch x
+  group); applyInPandas merges partials per group by sorted-unique +
+  truncate. Every intermediate is bounded at k int64s, the merge
+  shuffles SKETCHES (kilobytes) instead of rows, and the result is
+  BIT-EQUAL to the declarative form (asserted in tests/test_kmv.py)
+  because k-smallest-distinct is an associative, order-insensitive
+  reduction.
+
+No counterpart in the reference (its engine delegates distinct counts
+to Trino's approx_distinct, union-only like HLL); this module is part
+of the beyond-reference scale tier alongside the MRL quantile store.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+KMV_K = 256  # retained minima per sketch: ~1/sqrt(k) ≈ 6% relative error
+POW2_60 = float(1 << 60)  # hash-domain size as an EXACT double literal
+_HASH_BITS_HEX = 15  # 15 hex chars = 60 bits < int64, parseable by both engines
+
+
+def kmv_hash(col: Column) -> Column:
+    """Uniform 60-bit hash of a key, identical in Spark and DuckDB:
+    the first 15 hex chars of md5(cast(key as string)) parsed base-16.
+    60 bits keeps the value inside BIGINT on both engines (DuckDB's
+    '0x' || substr(...) cast and Spark's conv(...) agree digit for
+    digit)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, _HASH_BITS_HEX), 16, 10
+    ).cast("bigint")
+
+
+def _user_day(df: DataFrame) -> Column:
+    """The sketch key for the events-table queries: 'user/day' activity
+    grain, built with concat_ws so Spark and the DuckDB || chain render
+    bigint and date identically."""
+    return F.concat_ws(
+        "/",
+        F.col("user_id"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch builders
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: Sequence[str], key: Column, k: int = KMV_K
+) -> DataFrame:
+    """Declarative KMV: k smallest distinct ``kmv_hash(key)`` per group
+    as a sorted array<bigint> column ``hashes``. distinct() gets
+    map-side partial aggregation for free; the row_number window then
+    sorts each group's distinct hashes on a single task — fine when
+    groups have modest distinct counts, the scale path for huge groups
+    is kmv_sketch_partials + kmv_merge (bit-equal result)."""
+    from pyspark.sql.window import Window
+
+    hashes = df.select(*group_cols, kmv_hash(key).alias("hv")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("hv")).alias("hashes"))
+    )
+
+
+def kmv_sketch_partials(
+    df: DataFrame, group_cols: Sequence[str], key: Column, k: int = KMV_K
+) -> DataFrame:
+    """Mergeable form, stage 1: one mapInPandas pass emitting a
+    <=k-entry partial sketch per (arrow batch x group). Bounded output
+    — k int64s per group per batch — regardless of input size; no
+    shuffle happens here at all (narrow dependency)."""
+    gcols = list(group_cols)
+    src = df.select(*gcols, kmv_hash(key).alias("hv"))
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields[:-1]
+    )
+    out_schema = f"{schema_ddl}, hashes array<bigint>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for gkey, grp in pdf.groupby(gcols, dropna=False, sort=True):
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                hv = np.unique(grp["hv"].to_numpy(dtype=np.int64))[:k]
+                rows.append((*gkey, hv.tolist()))
+            yield pd.DataFrame(rows, columns=gcols + ["hashes"])
+
+    return src.mapInPandas(partials, out_schema)
+
+
+def kmv_merge(
+    partials: DataFrame, group_cols: Sequence[str], k: int = KMV_K
+) -> DataFrame:
+    """Mergeable form, stage 2: union partial sketches per group into
+    the final k-smallest-distinct sketch. Shuffles kilobyte arrays
+    keyed by group — never rows. sorted-unique + truncate is
+    associative and order-insensitive, so the result is bit-equal to
+    kmv_sketch regardless of partial arrival order."""
+    gcols = list(group_cols)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = np.unique(np.concatenate([np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]))[:k]
+        head = pdf.iloc[[0]][gcols].reset_index(drop=True)
+        head["hashes"] = [merged.tolist()]
+        return head
+
+    return partials.groupBy(*gcols).applyInPandas(merge, partials.schema)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Attach the KMV estimator columns to a sketch frame:
+    ``sketch_size`` (= min(k, n_distinct)), ``theta`` (k-th smallest
+    hash, or 2^60 when the group is exact), ``est_distinct``. The
+    floor() of a double both engines compute from identical integer
+    inputs in the identical order — the cross-engine-stable way to
+    publish a float-derived count."""
+    size = F.size("hashes")
+    theta = F.when(size >= k, F.element_at("hashes", k)).otherwise(
+        F.lit(1 << 60).cast("bigint")
+    )
+    est = F.when(size >= k, F.floor(F.lit(float(k - 1)) * F.lit(POW2_60) / F.col("theta"))).otherwise(
+        size.cast("bigint")
+    )
+    return sketch.withColumn("sketch_size", size).withColumn("theta", theta).withColumn(
+        "est_distinct", est.cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+_KMV_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '/' || "
+    "strftime(date_trunc('day', ts), '%Y-%m-%d')), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "agg_kmv_distinct",
+    registered=False,
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS INTEGER) AS sketch_size,
+             CASE WHEN count(*) >= {KMV_K} THEN max(hv)
+                  ELSE CAST(1152921504606846976 AS BIGINT) END AS theta
+      FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+    )
+    SELECT event_type, sketch_size, theta,
+           CASE WHEN sketch_size >= {KMV_K}
+                THEN CAST(floor({float(KMV_K - 1)} * {POW2_60!r} / theta) AS BIGINT)
+                ELSE CAST(sketch_size AS BIGINT) END AS est_distinct
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active user-days per event segment, answered by a
+    k=256 KMV sketch instead of an exact COUNT(DISTINCT). The oracle
+    replays the identical deterministic sketch in SQL, so this
+    approximate operator is FULL value-hash checked (estimate bits and
+    all); the estimate-vs-truth accuracy contract lives in
+    tests/test_kmv.py. At 100 TB the win is the mergeable form (see
+    module docstring): per-partition <=k partials, kilobyte merges,
+    and any segment rollup answered without re-touching rows."""
+    ev = table(spark, sf_dir, "events")
+    sketch = kmv_sketch(ev, ["event_type"], _user_day(ev))
+    return (
+        kmv_estimate(sketch)
+        .select("event_type", "sketch_size", "theta", "est_distinct")
+        .orderBy("event_type")
+    )
+
+
+_KMV_SEGMENT_SKETCH_SQL = f"""
+    h AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS hv
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM h
+    ),
+    sk AS (
+      SELECT event_type, hv,
+             CASE WHEN max(n_distinct) OVER (PARTITION BY event_type) >= {KMV_K}
+                  THEN max(CASE WHEN rn = {KMV_K} THEN hv END)
+                       OVER (PARTITION BY event_type)
+                  ELSE CAST(1152921504606846976 AS BIGINT) END AS theta
+      FROM r WHERE rn <= {KMV_K}
+    ),
+    th AS (SELECT min(theta) AS theta FROM sk),
+    a AS (SELECT hv FROM sk, th WHERE event_type = 'click' AND hv < th.theta),
+    b AS (SELECT hv FROM sk, th WHERE event_type = 'purchase' AND hv < th.theta)
+"""
+
+
+@query(
+    "agg_kmv_set_ops",
+    registered=False,
+    oracle=f"""
+    WITH {_KMV_SEGMENT_SKETCH_SQL},
+    counts AS (
+      SELECT
+        (SELECT count(*) FROM a) AS n_a,
+        (SELECT count(*) FROM b) AS n_b,
+        (SELECT count(*) FROM a WHERE hv IN (SELECT hv FROM b)) AS n_inter,
+        (SELECT theta FROM th) AS theta
+    )
+    SELECT
+      CAST(theta AS BIGINT) AS theta,
+      CAST(n_a + n_b - n_inter AS INTEGER) AS union_sample,
+      CAST(n_inter AS INTEGER) AS inter_sample,
+      CAST(n_a - n_inter AS INTEGER) AS diff_sample,
+      CAST(floor((n_a + n_b - n_inter) * {POW2_60!r} / theta) AS BIGINT) AS est_union,
+      CAST(floor(n_inter * {POW2_60!r} / theta) AS BIGINT) AS est_intersection,
+      CAST(floor((n_a - n_inter) * {POW2_60!r} / theta) AS BIGINT) AS est_difference
+    FROM counts
+    """,
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA: distinct user-days in click UNION /
+    INTERSECT / MINUS purchase, estimated from the two 256-entry
+    sketches alone — the question HLL structurally cannot answer and
+    the reason this sketch family exists. Mechanics: clip both
+    sketches to theta = min(theta_a, theta_b); below theta each sketch
+    is a uniform distinct-key sample, so sample-wise set ops rescaled
+    by 2^60/theta estimate the true op cardinalities (SIGMOD'07 KMV
+    multiset estimator). The whole computation after the two k-entry
+    sketches is DRIVER-SIZED (arrays of <=256 int64s), which is the
+    point: at 100 TB the segments never co-shuffle — each builds its
+    kilobyte sketch via the mergeable path and the set algebra runs on
+    sketches. Oracle replays it exactly in SQL; truth-accuracy is
+    contract-tested in tests/test_kmv.py."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sketch = kmv_estimate(kmv_sketch(ev, ["event_type"], _user_day(ev)))
+    # theta-clip: entries strictly below min(theta) are a shared-rate
+    # uniform sample of each segment's key space
+    theta = sketch.agg(F.min("theta").alias("theta_min"))
+    clipped = (
+        sketch.crossJoin(F.broadcast(theta))
+        .select(
+            "event_type",
+            F.col("theta_min").alias("theta"),
+            F.filter("hashes", lambda h: h < F.col("theta_min")).alias("sample"),
+        )
+    )
+    a = clipped.filter(F.col("event_type") == "click").select(
+        F.col("sample").alias("sa"), "theta"
+    )
+    b = clipped.filter(F.col("event_type") == "purchase").select(
+        F.col("sample").alias("sb")
+    )
+    inter_size = F.size(F.array_intersect("sa", "sb"))
+    union_size = F.size(F.array_union("sa", "sb"))
+    diff_size = F.size(F.array_except("sa", "sb"))
+    scale = F.lit(POW2_60) / F.col("theta")
+    return a.crossJoin(b).select(
+        F.col("theta").cast("bigint").alias("theta"),
+        union_size.alias("union_sample"),
+        inter_size.alias("inter_sample"),
+        diff_size.alias("diff_sample"),
+        F.floor(union_size * scale).cast("bigint").alias("est_union"),
+        F.floor(inter_size * scale).cast("bigint").alias("est_intersection"),
+        F.floor(diff_size * scale).cast("bigint").alias("est_difference"),
+    )
+
+
+@query(
+    "agg_kmv_rollup",
+    registered=False,
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    seg AS (SELECT event_type, hv FROM r WHERE rn <= {KMV_K}),
+    roll AS (
+      SELECT DISTINCT hv FROM seg
+      ORDER BY hv LIMIT {KMV_K}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS INTEGER) AS sketch_size,
+             CASE WHEN count(*) >= {KMV_K} THEN max(hv)
+                  ELSE CAST(1152921504606846976 AS BIGINT) END AS theta
+      FROM roll
+    )
+    SELECT '__total__' AS segment, sketch_size, theta,
+           CASE WHEN sketch_size >= {KMV_K}
+                THEN CAST(floor({float(KMV_K - 1)} * {POW2_60!r} / theta) AS BIGINT)
+                ELSE CAST(sketch_size AS BIGINT) END AS est_distinct
+    FROM s
+    """,
+)
+def agg_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only rollup: corpus-wide distinct user-days estimated by
+    MERGING the five per-segment KMV sketches — k smallest of the
+    union of the retained minima IS the KMV sketch of the union of
+    the segments (the mergeability theorem the family rests on) — so
+    the all-segments answer is computed from ~5·k int64s without
+    re-touching a single row. This is the day→month→all-time serving
+    shape dq_sketch_serving_rollup proves for quantiles, now for
+    distinct counts WITH set algebra available at every level; the
+    oracle replays the identical merge in SQL (full value-hash check,
+    estimate bits included), and tests/test_kmv.py separately pins
+    merge == from-scratch-sketch bit-equality."""
+    ev = table(spark, sf_dir, "events")
+    sketch = kmv_sketch(ev, ["event_type"], _user_day(ev))
+    merged = (
+        sketch.select(F.explode("hashes").alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.array_sort(F.collect_list("hv")).alias("hashes"))
+        .select(F.lit("__total__").alias("segment"), "hashes")
+    )
+    return kmv_estimate(merged).select(
+        "segment", "sketch_size", "theta", "est_distinct"
+    )

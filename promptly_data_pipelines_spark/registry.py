@@ -208,6 +208,7 @@ def _load_all() -> None:
         entity,
         graph,
         heavyhitters,
+        kmv,
         lines,
         multimodal,
         packing,
