@@ -705,3 +705,44 @@ def test_orc_scan_pushdown(spark, tmp_path):
     p = buf.getvalue()
     assert "PushedFilters" in p and "GreaterThan(value,50.0)" in p, p[:2000]
     assert "ReadSchema: struct<event_id:bigint,value:double>" in p, p[:2000]
+
+
+def test_cell_assign_is_map_only(spark):
+    """r13: IVF coarse assignment ranks per-row array expressions
+    against the one-row broadcast centroid array — the former
+    crossJoin-explode + row_number window SORT-SHUFFLED k*n candidate
+    rows per pass. The only allowed join is the broadcast nested loop
+    against the 1-row centroid frame; no Sort, no Window, no shuffle
+    Exchange may reappear between the corpus scan and the assignment
+    output."""
+    import io as _io
+    import contextlib as _ctx
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        N_ASSIGN,
+        _cell_assign,
+        _doubled,
+        learned_centroids,
+    )
+
+    e = _doubled(table(spark, SF_DIR, "embeddings"))
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        _cell_assign(e, learned_centroids(e), N_ASSIGN).explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p, "cell assign regressed to the window form"
+    assert "Sort" not in p, "cell assign must not sort"
+    # the single-row centroid aggregate is the only exchange source;
+    # the corpus side itself must not shuffle — no hash exchange at all
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_kmv_sketch_partial_agg_and_pruning(spark):
+    """The KMV distinct query's distinct() must carry map-side partial
+    aggregation (HashAggregate appears above AND below its exchange)
+    and the events scan must prune to exactly the sketch inputs."""
+    p = _plan(spark, "agg_kmv_distinct")
+    assert p.count("HashAggregate") >= 2, "distinct lost partial aggregation"
+    assert "user_id" in p and "event_type" in p
+    assert "props" not in p, "scan reads a column the sketch never uses"
