@@ -394,3 +394,111 @@ def agg_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(merged).select(
         "segment", "sketch_size", "theta", "est_distinct"
     )
+
+
+def append_kmv_batch(
+    store: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key: Column,
+    group_cols: Sequence[str],
+    k: int = KMV_K,
+) -> None:
+    """Idempotent foreachBatch sink body: one batch's partial KMV
+    sketches land under ``store/batch_id=N`` with overwrite, so the
+    engine's at-least-once redelivery of a batch REPLACES rather than
+    duplicates it — the repo's standing replay rule (see
+    quantiles.append_sketch_batch; for KMV a replayed append would be
+    HARMLESS to the merged value — k-smallest-distinct is idempotent
+    under duplicates — but the store should not grow on replays
+    either). Module-level so the replay property is unit-testable
+    without driving a stream."""
+    import os
+
+    kmv_sketch_partials(batch_df, group_cols, key, k).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+
+@query(
+    "stream_exec_kmv_sketch",
+    registered=False,
+    # the SAME oracle as agg_kmv_distinct: the streaming-fed merge is
+    # provably batching-independent, so unlike every other streaming
+    # sketch query this one carries a FULL value-hash oracle
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS INTEGER) AS sketch_size,
+             CASE WHEN count(*) >= {KMV_K} THEN max(hv)
+                  ELSE CAST(1152921504606846976 AS BIGINT) END AS theta
+      FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+    )
+    SELECT event_type, sketch_size, theta,
+           CASE WHEN sketch_size >= {KMV_K}
+                THEN CAST(floor({float(KMV_K - 1)} * {POW2_60!r} / theta) AS BIGINT)
+                ELSE CAST(sketch_size AS BIGINT) END AS est_distinct
+    FROM s ORDER BY event_type
+    """,
+)
+def stream_exec_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch store fed by the REAL streaming engine — and,
+    uniquely among the repo's streaming sketch queries, FULLY
+    value-hash oracle-checked: k-smallest-distinct is an associative,
+    idempotent, duplicate-insensitive reduction over a deterministic
+    hash, so the merged store is bit-equal to the batch sketch NO
+    MATTER how the engine batched the input (the quantile twin can
+    only promise partial-set determinism; KMV's merged VALUE is
+    batching-independent outright). Mechanics mirror
+    stream_exec_quantile_sketch: file-source micro-batches
+    (maxFilesPerTrigger=4 forces a real multi-batch drain),
+    foreachBatch lands per-batch bounded partials under batch_id-keyed
+    overwrite paths (idempotent under at-least-once replay), and the
+    answer is kmv_merge + estimator over the SKETCH STORE — the raw
+    rows are never retained. At 100 TB this is the distinct-count
+    serving loop: ingest writes kilobyte partials per trigger; any
+    segment/rollup/set-algebra question reads sketches only."""
+    import os
+
+    from ..cdc.streaming import _fresh_staging_dir
+
+    base = _fresh_staging_dir(spark, sf_dir, "stream_kmv")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    store = os.path.join(base, "store")
+    ev = table(spark, sf_dir, "events")
+    ev.select("event_type", _user_day(ev).alias("ud")).write.json(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, ud string")
+        .option("maxFilesPerTrigger", 4)
+        .json(src)
+    )
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        append_kmv_batch(store, batch_df, batch_id, F.col("ud"), ["event_type"])
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("kmv ingest stream did not drain within 300s")
+    partials = spark.read.parquet(store).select("event_type", "hashes")
+    return (
+        kmv_estimate(kmv_merge(partials, ["event_type"]))
+        .select("event_type", "sketch_size", "theta", "est_distinct")
+        .orderBy("event_type")
+    )

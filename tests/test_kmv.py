@@ -212,6 +212,33 @@ def test_merge_is_idempotent_and_commutative_numpy():
         assert np.array_equal(merged, single)
 
 
+def test_stream_fed_store_equals_batch(spark):
+    """The streaming-fed merged sketch must be BIT-EQUAL to the batch
+    query — k-smallest-distinct is batching-independent, which is what
+    licenses the streaming query's full value oracle."""
+    from promptly_data_pipelines_spark.registry import run
+
+    streamed = [tuple(r) for r in run("stream_exec_kmv_sketch", spark, SF_DIR).collect()]
+    batch = [tuple(r) for r in run("agg_kmv_distinct", spark, SF_DIR).collect()]
+    assert streamed == batch
+
+
+def test_append_kmv_batch_replay_idempotent(spark, tmp_path, events):
+    """At-least-once replay of a batch_id REPLACES its partials: two
+    appends of the same batch leave one copy in the store and the
+    merged sketch unchanged."""
+    from promptly_data_pipelines_spark.extensions.kmv import append_kmv_batch
+
+    store = str(tmp_path / "store")
+    batch = events.select("event_type", _user_day_col().alias("ud"))
+    append_kmv_batch(store, batch, 7, F.col("ud"), ["event_type"])
+    once = spark.read.parquet(store).select("event_type", "hashes").collect()
+    append_kmv_batch(store, batch, 7, F.col("ud"), ["event_type"])
+    twice = spark.read.parquet(store).select("event_type", "hashes").collect()
+    key = lambda rows: sorted((r["event_type"], tuple(r["hashes"])) for r in rows)
+    assert key(once) == key(twice)
+
+
 def test_kmv_hash_matches_duckdb(spark, oracle_con):
     """The 60-bit md5 slice must agree digit-for-digit across engines
     — the whole oracle strategy rests on it."""
