@@ -340,6 +340,17 @@ def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     return base
 
 
+def drain_stream(q, what: str, timeout_s: int = 300) -> None:
+    """Block until an availableNow query finishes or ``timeout_s``
+    elapses, stopping and raising on timeout. One definition for the
+    drain-and-timeout boilerplate every foreachBatch-store query needs
+    (r13 review: four hand-written copies had already appeared — the
+    same drift risk that motivated extracting the salt machinery)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"{what} stream did not drain within {timeout_s}s")
+
+
 def _run_memory_sink(agg: DataFrame, name: str, ckpt: str, mode: str):
     """Run a bounded streaming aggregation into a memory sink with
     availableNow and return the finished StreamingQuery (its
@@ -962,9 +973,7 @@ def skew_join_stream(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("skew-join stream did not drain within 300s")
+    drain_stream(q, "skew-join")
     return (
         spark.read.parquet(store)
         .groupBy("o_orderpriority", "l_returnflag")

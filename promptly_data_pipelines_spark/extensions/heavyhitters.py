@@ -178,7 +178,7 @@ def stream_exec_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-serving amortized cost, not a per-event one."""
     import os
 
-    from ..cdc.streaming import _fresh_staging_dir
+    from ..cdc.streaming import _fresh_staging_dir, drain_stream
 
     support = 1e-4
     capacity = max(8, ceil(1.0 / support) - 1)
@@ -213,9 +213,7 @@ def stream_exec_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("heavy-hitter stream did not drain within 300s")
+    drain_stream(q, "heavy-hitter")
 
     cand_union = (
         spark.read.parquet(store).select("o_custkey").dropDuplicates(["o_custkey"])

@@ -108,7 +108,16 @@ def kmv_sketch(
     is kmv_sketch_partials + kmv_merge (bit-equal result)."""
     from pyspark.sql.window import Window
 
-    hashes = df.select(*group_cols, kmv_hash(key).alias("hv")).distinct()
+    # NULL keys hash to NULL: without this filter the NULL sorts first
+    # (NULLS FIRST), consumes a top-k slot, and collect_list then drops
+    # it — a silently SHRUNK sketch that can flip the estimator into
+    # its exact branch (r13 review finding). Dropping NULLs is also
+    # the semantics COUNT(DISTINCT key) has in SQL.
+    hashes = (
+        df.select(*group_cols, kmv_hash(key).alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("hv")
     return (
         hashes.withColumn("rn", F.row_number().over(w))
@@ -126,7 +135,13 @@ def kmv_sketch_partials(
     — k int64s per group per batch — regardless of input size; no
     shuffle happens here at all (narrow dependency)."""
     gcols = list(group_cols)
-    src = df.select(*gcols, kmv_hash(key).alias("hv"))
+    # same NULL-key exclusion as kmv_sketch — and load-bearing here:
+    # a NULL hv reaches pandas as NaN in a float64 column and the
+    # int64 cast below raises mid-job (the two forms must agree on
+    # nullable keys, not fail differently)
+    src = df.select(*gcols, kmv_hash(key).alias("hv")).where(
+        F.col("hv").isNotNull()
+    )
     schema_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields[:-1]
     )
@@ -326,15 +341,24 @@ def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter_size = F.size(F.array_intersect("sa", "sb"))
     union_size = F.size(F.array_union("sa", "sb"))
     diff_size = F.size(F.array_except("sa", "sb"))
-    scale = F.lit(POW2_60) / F.col("theta")
+
+    def est(n: Column) -> Column:
+        # multiply-then-divide, EXACTLY the oracle's operation order:
+        # n * 2^60 is exact in a double for n <= 512, so the whole
+        # expression carries ONE rounding. The divide-then-multiply
+        # form ((2^60/theta) first) rounds twice and was numerically
+        # confirmed to disagree with the oracle's floor on thousands
+        # of (n, theta) pairs (r13 review finding).
+        return F.floor(n * F.lit(POW2_60) / F.col("theta")).cast("bigint")
+
     return a.crossJoin(b).select(
         F.col("theta").cast("bigint").alias("theta"),
         union_size.alias("union_sample"),
         inter_size.alias("inter_sample"),
         diff_size.alias("diff_sample"),
-        F.floor(union_size * scale).cast("bigint").alias("est_union"),
-        F.floor(inter_size * scale).cast("bigint").alias("est_intersection"),
-        F.floor(diff_size * scale).cast("bigint").alias("est_difference"),
+        est(union_size).alias("est_union"),
+        est(inter_size).alias("est_intersection"),
+        est(diff_size).alias("est_difference"),
     )
 
 
@@ -469,7 +493,7 @@ def stream_exec_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment/rollup/set-algebra question reads sketches only."""
     import os
 
-    from ..cdc.streaming import _fresh_staging_dir
+    from ..cdc.streaming import _fresh_staging_dir, drain_stream
 
     base = _fresh_staging_dir(spark, sf_dir, "stream_kmv")
     src = os.path.join(base, "src")
@@ -493,9 +517,7 @@ def stream_exec_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("kmv ingest stream did not drain within 300s")
+    drain_stream(q, "kmv ingest")
     partials = spark.read.parquet(store).select("event_type", "hashes")
     return (
         kmv_estimate(kmv_merge(partials, ["event_type"]))

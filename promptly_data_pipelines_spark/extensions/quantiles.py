@@ -337,7 +337,7 @@ def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only by necessity, like dq_quantile_sketch."""
     import os
 
-    from ..cdc.streaming import _fresh_staging_dir
+    from ..cdc.streaming import _fresh_staging_dir, drain_stream
 
     base = _fresh_staging_dir(spark, sf_dir, "stream_sketch")
     src = os.path.join(base, "src")
@@ -361,9 +361,7 @@ def stream_exec_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("sketch ingest stream did not drain within 300s")
+    drain_stream(q, "sketch ingest")
     merged = sketch_rollup(spark.read.parquet(store), ["event_type"])
     return sketch_quantiles(merged, ["event_type"]).orderBy("event_type", "q")
 
@@ -407,7 +405,13 @@ def dq_sketch_serving_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["event_type", "month"],
     )
-    alltime = sketch_rollup(days.select("event_type", "sketch"), ["event_type"])
+    # all-time merges the MONTH tier's sketches (not the day store):
+    # that makes the hierarchy bound STRUCTURAL — merge err = child
+    # errs + own compactions, so all-time err >= sum(month errs) by
+    # construction, which is exactly what the hierarchy-additivity
+    # test asserts (r13 review: merging days directly made that
+    # assertion fixture-dependent)
+    alltime = sketch_rollup(months.select("event_type", "sketch"), ["event_type"])
 
     day_q = sketch_quantiles(days, ["event_type", "day"]).select(
         F.lit("day").alias("level"),

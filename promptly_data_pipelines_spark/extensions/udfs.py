@@ -24,6 +24,10 @@ from ..catalog import table
 from ..registry import query
 from .curation import CHUNK_STRIDE, CHUNK_TOKENS, CHUNK_WINDOWS_ORACLE
 
+# granularity knob for the coarse cogroup demonstration: pandas is
+# called once per hash bucket (per side), never per entity
+COGROUP_BUCKETS = 128
+
 
 def _clip_scale_fn(v: pd.Series) -> pd.Series:
     """Vectorized scalar transform: clip to [10, 90], scale to [0,1]-ish.
@@ -369,7 +373,7 @@ def cogroup_order_reconcile_coarse(spark: SparkSession, sf_dir: str) -> DataFram
     twin: pandas returns RAW sums; all rounding is JVM-side F.round.
     Keys are non-null by fixture contract (a NULL orderkey would need
     a dropna=False groupby and an indicator-based merge)."""
-    n_buckets = 128
+    n_buckets = COGROUP_BUCKETS
     o = table(spark, sf_dir, "orders").select(
         F.pmod(F.col("o_orderkey"), F.lit(n_buckets)).alias("bucket"),
         "o_orderkey",

@@ -239,6 +239,32 @@ def test_append_kmv_batch_replay_idempotent(spark, tmp_path, events):
     assert key(once) == key(twice)
 
 
+def test_null_keys_excluded_and_forms_agree(spark):
+    """NULL keys must not consume sketch slots (COUNT(DISTINCT)
+    semantics) and the declarative and mergeable forms must agree on
+    nullable input — the r13 review found the window form silently
+    SHRANK the sketch (NULLS FIRST ate rank 1, collect_list dropped
+    it) while the partial form crashed on the int64 cast."""
+    k = 4
+    rows = [("a", None)] + [("a", f"k{i}") for i in range(10)] + [("b", None)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    decl = {
+        r["g"]: r["hashes"]
+        for r in kmv_sketch(df, ["g"], F.col("key"), k=k).collect()
+    }
+    assert len(decl["a"]) == k, "NULL consumed a sketch slot"
+    assert "b" not in decl or decl["b"] == []  # all-NULL group: no sketch row
+    merged = {
+        r["g"]: r["hashes"]
+        for r in kmv_merge(
+            kmv_sketch_partials(df.repartition(3), ["g"], F.col("key"), k=k),
+            ["g"],
+            k=k,
+        ).collect()
+    }
+    assert merged == decl
+
+
 def test_kmv_hash_matches_duckdb(spark, oracle_con):
     """The 60-bit md5 slice must agree digit-for-digit across engines
     — the whole oracle strategy rests on it."""
