@@ -725,6 +725,11 @@ def stress_tier_main() -> None:
                 # on hotcold (the measured winner); this line should
                 # track skew10_join_hotcold_skew plus decision cost
                 "join_adaptive_skew",
+                # r13 (session 2): the LEFT chooser on the composed
+                # outer-skew workload — NULL routing composed with the
+                # censused mitigation; compare against the naive and
+                # hand-salted forms above (same oracle, four queries)
+                "left_join_adaptive",
             ):
                 # PAIR_OPS get the same untimed warmup pass the
                 # headline tier gives them (JMH warms within the

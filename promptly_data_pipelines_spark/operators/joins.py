@@ -1036,6 +1036,7 @@ def salted_left_join(
     build_key: str,
     n: int = SALT_N,
     hot_min_rows: int = SALT_HOT_MIN_ROWS,
+    hot: list | None = None,
 ) -> DataFrame:
     """LEFT OUTER twin of :func:`salted_inner_join`, composed with
     :func:`null_routed_left_join`'s NULL routing — the full production
@@ -1054,12 +1055,16 @@ def salted_left_join(
     built on this). Requires disjoint column names (the NULL branch
     unions build columns by name). Degenerate paths are honest: no
     hot key ⇒ plain shuffled left join on the non-null branch; no
-    NULLs ⇒ the NULL branch is an empty union arm AQE prunes."""
+    NULLs ⇒ the NULL branch is an empty union arm AQE prunes.
+    ``hot`` accepts a precomputed census (possibly empty) so the
+    adaptive chooser never pays the probe-side pass twice; None runs
+    the census here."""
     _require_disjoint_columns(probe, build, "salted_left_join")
     _reserve_salt_column(probe, build, "salted_left_join")
     nn = probe.where(probe[probe_key].isNotNull())
     null_rows = _null_extended(probe, build, probe_key)
-    hot = hot_key_census(nn, probe_key, hot_min_rows)
+    if hot is None:
+        hot = hot_key_census(nn, probe_key, hot_min_rows)
     if not hot:
         matched = nn.hint("shuffle_hash").join(
             build, nn[probe_key] == build[build_key], "left"
@@ -1260,3 +1265,84 @@ def join_adaptive_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+def adaptive_left_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    hot_min_rows: int = SALT_HOT_MIN_ROWS,
+) -> DataFrame:
+    """LEFT OUTER twin of :func:`adaptive_inner_join` — the chooser's
+    measurements compose with NULL routing, because an outer join has
+    BOTH skew axes (hot non-null values AND the NULL mass every left
+    join must keep):
+
+    - ``broadcast``: build fits → probe LEFT-joins the broadcast
+      directly. No routing needed — a broadcast join never shuffles
+      the probe, so NULL rows are skew-free by construction.
+    - ``plain``: no hot key → :func:`null_routed_left_join` (NULLs can
+      be this shape's ONLY skew; routing costs an empty union arm when
+      there are none).
+    - ``hotcold``: hot build slice fits a broadcast → NULLs routed,
+      hot non-null probe mass joins the broadcast slice map-side, cold
+      rows take the ordinary shuffled left join. Each branch keeps
+      LEFT semantics independently: branches PARTITION the probe, and
+      every branch sees all build rows its keys can match (hot keys →
+      the full hot slice; cold keys match no hot-slice row).
+    - ``salted``: both sides big everywhere →
+      :func:`salted_left_join` with the census handed through.
+
+    Results are EXACTLY the plain left join's under every branch, so
+    the oracle for anything built on this is the plain join — same
+    transparency contract as the inner chooser, property-tested across
+    arbitrary threshold combinations in tests/test_properties.py.
+    Requires disjoint column names (the NULL-extension unions by
+    name)."""
+    _require_disjoint_columns(probe, build, "adaptive_left_join")
+    strategy, hot = _choose_with_census(
+        probe, build, probe_key, build_key, broadcast_max_rows, hot_min_rows
+    )
+    if strategy == "broadcast":
+        return probe.join(
+            F.broadcast(build), probe[probe_key] == build[build_key], "left"
+        )
+    if strategy == "plain":
+        return null_routed_left_join(probe, build, probe_key, build_key)
+    if strategy == "salted":
+        return salted_left_join(
+            probe, build, probe_key, build_key,
+            hot_min_rows=hot_min_rows, hot=hot,
+        )
+    # hotcold: NULL routing + hot-slice broadcast + cold shuffle
+    nn = probe.where(probe[probe_key].isNotNull())
+    null_rows = _null_extended(probe, build, probe_key)
+    probe_hot = nn.where(nn[probe_key].isin(hot))
+    probe_cold = nn.where(~nn[probe_key].isin(hot))
+    build_hot = build.where(build[build_key].isin(hot))
+    joined_hot = probe_hot.join(
+        F.broadcast(build_hot), probe_hot[probe_key] == build_hot[build_key], "left"
+    )
+    joined_cold = probe_cold.hint("shuffle_hash").join(
+        build, probe_cold[probe_key] == build[build_key], "left"
+    )
+    return joined_hot.unionByName(joined_cold).unionByName(null_rows)
+
+
+@query("left_join_adaptive", registered=False, oracle=_LEFT_SKEW_ORACLE)
+def left_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed outer-skew workload (1/3 NULL FK + viral non-null
+    key) through the ADAPTIVE left chooser: on the driver fixtures
+    orders fits a broadcast and the plan is the skew-free broadcast
+    left join; on the skew10 slice the build outgrows the threshold
+    and the chooser composes NULL routing with the censused
+    mitigation. Same oracle as join_left_skew_naive /
+    left_join_skew_salted — four queries, one semantics, the strategy
+    chosen by measurement."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = adaptive_left_join(
+        _left_skew_probe(spark, sf_dir), o, "fk", "o_orderkey"
+    )
+    return _null_skew_rollup(joined)

@@ -1233,6 +1233,53 @@ def test_adaptive_join_transparent_any_thresholds(spark, rows, dim, bcast_max, h
     ) in {"broadcast", "plain", "hotcold", "salted"}
 
 
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            # ~1/4 NULL keys: the outer chooser must compose NULL
+            # routing with whichever strategy the census picks
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    dim=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.text(alphabet="abc", min_size=1, max_size=3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    bcast_max=st.integers(min_value=0, max_value=15),
+    hot_min=st.integers(min_value=1, max_value=20),
+)
+def test_adaptive_left_join_transparent_any_thresholds(
+    spark, rows, dim, bcast_max, hot_min
+):
+    """adaptive_left_join == plain left join for ARBITRARY inputs —
+    including NULL probe keys, duplicate build keys, and empty sides —
+    under ANY threshold combination: every branch (broadcast / routed
+    plain / routed hotcold / routed salted) is a physical rewrite,
+    never a semantic one."""
+    from promptly_data_pipelines_spark.operators.joins import adaptive_left_join
+
+    probe = spark.createDataFrame(rows, "k bigint, payload bigint")
+    build = spark.createDataFrame(dim, "bk bigint, tag string")
+    plain = probe.join(build, probe["k"] == build["bk"], "left").select(
+        "k", "payload", "tag"
+    )
+    adaptive = adaptive_left_join(
+        probe, build, "k", "bk",
+        broadcast_max_rows=bcast_max, hot_min_rows=hot_min,
+    ).select("k", "payload", "tag")
+    assert adaptive.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(adaptive).isEmpty()
+    assert adaptive.count() == plain.count()
+
+
 def test_salted_join_refuses_reserved_salt_column(spark):
     """A caller frame that already carries '_salt' must fail LOUDLY —
     withColumn would silently overwrite it and the output drop would

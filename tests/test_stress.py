@@ -406,6 +406,39 @@ def test_null_routed_left_join_on_skew_slice(spark, skew_dir):
     assert "BroadcastHashJoin" not in physical, physical[:3000]
 
 
+def test_adaptive_left_join_engages_on_skew_slice(spark, skew_dir):
+    """left_join_adaptive == join_left_skew_naive on the composed
+    outer-skew slice (1/3 NULL FK + the viral key hot among non-nulls),
+    AND the chooser must actually engage there: the build side
+    outgrows the broadcast budget and the census finds the viral key,
+    so the executed plan carries the NULL-routing Union with the
+    non-null branch mitigated (never one monolithic left join)."""
+    a = run("left_join_adaptive", spark, skew_dir)
+    b = run("join_left_skew_naive", spark, skew_dir)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.operators.joins import (
+        _left_skew_probe,
+        adaptive_left_join,
+        choose_join_strategy,
+    )
+
+    probe = _left_skew_probe(spark, skew_dir)
+    o = table(spark, skew_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # pick thresholds the slice genuinely crosses so the engaged path
+    # is pinned regardless of the slice's absolute size
+    strategy = choose_join_strategy(
+        probe, o, "fk", "o_orderkey", broadcast_max_rows=1000, hot_min_rows=1000
+    )
+    assert strategy in {"hotcold", "salted"}, strategy
+    routed = adaptive_left_join(
+        probe, o, "fk", "o_orderkey", broadcast_max_rows=1000, hot_min_rows=1000
+    )
+    physical = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in physical, physical[:3000]  # NULL routing present
+
+
 def test_stream_skew_join_engaged_equals_batch(spark, skew_dir):
     """The streaming skew join on the amplified slice, with a
     threshold low enough that EVERY micro-batch's census finds the
