@@ -558,9 +558,14 @@ def stream_exec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_DROP_BATCHES = 8
 
 
-def stage_arrival_batches(spark: SparkSession, sf_dir: str, base: str) -> str:
+def stage_arrival_batches(
+    spark: SparkSession, sf_dir: str, base: str, inject_late: bool = True
+) -> str:
     """Stage envelopes as one JSON file per arrival micro-batch, mtimes
     ascending so the file source replays them in order.
+    ``inject_late=False`` skips the 35-day late-row injection below —
+    the purely in-order replay the stream-stream outer join needs
+    (its determinism argument REQUIRES that no row be late).
 
     Arrival order is (ts, event_id) — the Kafka-offset stand-in. Every
     37th event in batches >= 2 carries an event time 35 days older than
@@ -587,12 +592,16 @@ def stage_arrival_batches(spark: SparkSession, sf_dir: str, base: str) -> str:
         "batch_id",
         ((F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / size).cast("int"),
     )
-    shifted = ranked.withColumn(
-        "ts",
-        F.when(
-            (F.col("event_id") % 37 == 0) & (F.col("batch_id") >= 2),
-            F.col("ts") - F.expr("INTERVAL 35 DAYS"),
-        ).otherwise(F.col("ts")),
+    shifted = (
+        ranked.withColumn(
+            "ts",
+            F.when(
+                (F.col("event_id") % 37 == 0) & (F.col("batch_id") >= 2),
+                F.col("ts") - F.expr("INTERVAL 35 DAYS"),
+            ).otherwise(F.col("ts")),
+        )
+        if inject_late
+        else ranked
     )
     staged = os.path.join(base, "staged")
     env = synthesize_envelopes(shifted, extra_cols=("batch_id",))
@@ -855,6 +864,107 @@ def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"pdp_stream_ij_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
     _run_memory_sink(joined, name, ckpt, "append")
+    return spark.table(name)
+
+
+@query(
+    "stream_exec_left_join",
+    registered=False,
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, date_trunc('milliseconds', ts) AS ts
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    clicks AS (SELECT * FROM live WHERE event_id % 2 = 0),
+    views  AS (SELECT * FROM live WHERE event_id % 2 = 1),
+    -- the GLOBAL watermark under the default min policy: each side
+    -- advances from ITS OWN max event time, and the engine takes the
+    -- minimum — measured per batch in recentProgress (the clicks side
+    -- ends at the last click, not the corpus max)
+    fw AS (
+      SELECT least((SELECT max(ts) FROM clicks),
+                   (SELECT max(ts) FROM views)) - INTERVAL 10 MINUTE AS w
+    )
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           CAST(c.user_id AS BIGINT) AS user_id,
+           CAST(epoch_ms(c.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+    FROM clicks c LEFT JOIN views v
+      ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+    WHERE v.event_id IS NOT NULL
+       OR c.ts < (SELECT w FROM fw)
+    """,
+)
+def stream_exec_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **LEFT OUTER** interval join under the real
+    engine — the attribution shape where unattributed clicks must
+    SURVIVE (every click emits, matched or NULL-extended), which is a
+    fundamentally harder streaming problem than the inner form: the
+    engine can only emit an unmatched left row once the watermark
+    PROVES no matching view can still arrive.
+
+    Determinism contract (each facet mirrored by the oracle):
+
+    - arrival is strictly event-time-ordered (stage_arrival_batches
+      with inject_late=False), so no row is ever late and no buffered
+      view is evicted before every click it could match has arrived —
+      the MATCHED rows equal the batch interval join exactly;
+    - a click's match window only looks BACKWARD (view_ts <= click_ts),
+      so once the watermark passes click_ts the engine certifies the
+      NULL-extension; availableNow's trailing no-data batch advances
+      the final GLOBAL watermark to min(max click_ts, max view_ts) -
+      10 min — the default multiple-watermark MIN policy, measured in
+      recentProgress: the clicks side's watermark ends at the LAST
+      CLICK's event time, so the last click itself (and any unmatched
+      click above the min) is WITHHELD — the oracle's least(...) fw
+      filter reproduces the withheld set exactly;
+    - both state stores are bounded by the watermark: a view is
+      dropped once the watermark passes view_ts + 10 min, a click once
+      it passes click_ts — at scale this runs unbounded on
+      format("kafka") with per-key state that never exceeds the
+      10-minute window, the property that makes outer stream-stream
+      joins deployable at all."""
+    base = _fresh_staging_dir(spark, sf_dir, "stream_loj")
+    src = stage_arrival_batches(spark, sf_dir, base, inject_late=False)
+    stream = (
+        spark.readStream.schema(RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    rows = live_rows(stream)
+    clicks = (
+        rows.filter(F.col("event_id") % 2 == 0)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        rows.filter(F.col("event_id") % 2 == 1)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "user_id = view_user AND "
+            "view_ts BETWEEN click_ts - INTERVAL 10 MINUTES AND click_ts"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
+    )
+    name = f"pdp_stream_loj_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
+    _run_memory_sink(joined, name, os.path.join(base, "ckpt"), "append")
     return spark.table(name)
 
 
