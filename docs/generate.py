@@ -117,6 +117,14 @@ Rotations so far:
   `multimodal_png_palette` (multimodal keeps pipeline/jpeg/video/
   audio), `agg_heavy_hitters` (aggs keep group/count-distinct/salted;
   still a standing skew10 bench line).
+- **r13 session 2**: `agg_kmv_set_ops` (KMV/theta sketch set algebra
+  — distinct-count union/intersect/minus answered from two 256-entry
+  sketches with a FULL value oracle, the capability HLL merge cannot
+  provide) took the distinct-count family's driver row from
+  `agg_count_distinct`, the exact form it strictly supersedes in
+  demonstration value (the exact COUNT(DISTINCT) semantics stay
+  driver-visible inside `dq_suite`'s uniqueness checks and the
+  local-tier oracle). Aggs keep group/salted + the sketch row.
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

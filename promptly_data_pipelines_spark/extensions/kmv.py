@@ -282,7 +282,8 @@ _KMV_SEGMENT_SKETCH_SQL = f"""
 
 @query(
     "agg_kmv_set_ops",
-    registered=False,
+    # r13 session 2: promoted to the driver tier (took the
+    # distinct-count family row from exact agg_count_distinct)
     oracle=f"""
     WITH {_KMV_SEGMENT_SKETCH_SQL},
     counts AS (

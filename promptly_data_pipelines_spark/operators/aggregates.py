@@ -163,6 +163,7 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_count_distinct",
+    registered=False,  # r13 session 2: demoted for agg_kmv_set_ops (the sketch set-algebra form); oracle kept, exact semantics driver-visible via dq_suite
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -82,7 +82,9 @@ _ORDER: tuple[str, ...] = (
     "corpus_diff",
     # §2 operator core
     "agg_group",
-    "agg_count_distinct",
+    # r13 session 2: the KMV set-algebra sketch took the distinct-count
+    # family's row from exact agg_count_distinct (demoted, oracle kept)
+    "agg_kmv_set_ops",
     "dedup_latest",
     "join_anti_semi",
     "join_star",
