@@ -291,6 +291,11 @@ SECONDARY = [
     # both cheap by design, tracked from introduction
     "agg_kmv_distinct",
     "agg_kmv_set_ops",
+    # r13 (session 2): the stream-stream LEFT OUTER interval join —
+    # ordered replay + two watermarked state stores + NULL-extension
+    # on watermark proof; tracked next to stream_exec_join so outer
+    # state-store regressions surface
+    "stream_exec_left_join",
 ]
 
 
