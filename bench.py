@@ -291,11 +291,15 @@ SECONDARY = [
     # both cheap by design, tracked from introduction
     "agg_kmv_distinct",
     "agg_kmv_set_ops",
-    # r13 (session 2): the stream-stream LEFT OUTER interval join —
-    # ordered replay + two watermarked state stores + NULL-extension
-    # on watermark proof; tracked next to stream_exec_join so outer
-    # state-store regressions surface
-    "stream_exec_left_join",
+    # r13 (session 2): stream_exec_left_join was measured ONCE at its
+    # introduction (quiet: 26.4-28.9 s — 8 sequential micro-batches
+    # each committing two watermarked state stores across 32
+    # partitions, vs 3.2 s for the single-batch inner form) and then
+    # RETIRED from the timing set, the cogroup-pathology precedent:
+    # the number is the honest cost of outer stream-stream state at
+    # this batching, not a regression channel worth a minute per
+    # bench run. Correctness stays pinned by full oracle parity at
+    # three SFs in pytest.
 ]
 
 
