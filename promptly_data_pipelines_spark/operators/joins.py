@@ -852,6 +852,7 @@ def hotcold_split_join(
     build_key: str,
     hot_min_rows: int = SALT_HOT_MIN_ROWS,
     hot: list | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """The OTHER classic hot-key mitigation, complementing
     :func:`salted_inner_join`: split the join at the hot/cold boundary
@@ -875,23 +876,35 @@ def hotcold_split_join(
     Results are EXACTLY the plain inner join's: hot and cold probe
     rows partition the probe (inner ∪ anti on the broadcast hot set),
     and each row meets the same build rows it would in one join.
-    ``hot`` accepts a precomputed census, as in salted_inner_join."""
+    ``hot`` accepts a precomputed census, as in salted_inner_join.
+    ``how`` supports "inner" and "left" (r13 review: the adaptive LEFT
+    chooser had copied this body inline — the drift risk the salt
+    extraction exists to prevent); under "left", NULL-key probe rows
+    ride the cold branch so they NULL-extend exactly once (callers
+    that pre-route NULLs, like adaptive_left_join, simply send
+    none)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hotcold_split_join supports inner/left, got {how!r}")
     if hot is None:
         hot = hot_key_census(probe, probe_key, hot_min_rows)
     if not hot:
         return probe.hint("shuffle_hash").join(
-            build, probe[probe_key] == build[build_key], "inner"
+            build, probe[probe_key] == build[build_key], how
         )
     probe_hot = probe.where(probe[probe_key].isin(hot))
     # inner-join semantics: NULL keys match nothing, so dropping them
-    # with the cold filter changes no output row
-    probe_cold = probe.where(~probe[probe_key].isin(hot))
+    # with the cold filter changes no output row (a free optimization);
+    # LEFT semantics must KEEP them — they join-miss and NULL-extend
+    cold_pred = ~probe[probe_key].isin(hot)
+    if how == "left":
+        cold_pred = cold_pred | probe[probe_key].isNull()
+    probe_cold = probe.where(cold_pred)
     build_hot = build.where(build[build_key].isin(hot))
     joined_hot = probe_hot.join(
-        F.broadcast(build_hot), probe_hot[probe_key] == build_hot[build_key], "inner"
+        F.broadcast(build_hot), probe_hot[probe_key] == build_hot[build_key], how
     )
     joined_cold = probe_cold.hint("shuffle_hash").join(
-        build, probe_cold[probe_key] == build[build_key], "inner"
+        build, probe_cold[probe_key] == build[build_key], how
     )
     return joined_hot.unionByName(joined_cold)
 
@@ -1316,19 +1329,13 @@ def adaptive_left_join(
             probe, build, probe_key, build_key,
             hot_min_rows=hot_min_rows, hot=hot,
         )
-    # hotcold: NULL routing + hot-slice broadcast + cold shuffle
+    # hotcold: NULL routing + the shared split operator in LEFT mode
+    # (nn carries no NULLs, so its cold branch is the pure cold mass)
     nn = probe.where(probe[probe_key].isNotNull())
     null_rows = _null_extended(probe, build, probe_key)
-    probe_hot = nn.where(nn[probe_key].isin(hot))
-    probe_cold = nn.where(~nn[probe_key].isin(hot))
-    build_hot = build.where(build[build_key].isin(hot))
-    joined_hot = probe_hot.join(
-        F.broadcast(build_hot), probe_hot[probe_key] == build_hot[build_key], "left"
-    )
-    joined_cold = probe_cold.hint("shuffle_hash").join(
-        build, probe_cold[probe_key] == build[build_key], "left"
-    )
-    return joined_hot.unionByName(joined_cold).unionByName(null_rows)
+    return hotcold_split_join(
+        nn, build, probe_key, build_key, hot=hot, how="left"
+    ).unionByName(null_rows)
 
 
 @query("left_join_adaptive", registered=False, oracle=_LEFT_SKEW_ORACLE)
