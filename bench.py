@@ -342,6 +342,96 @@ def _testdata_fingerprint() -> dict:
     return out
 
 
+# The skew-tier line list (module-level so tests can reference it).
+# Comments on WHY each line is in the suite live with the list.
+STRESS_LINES = (
+    "dedup_near_text",
+    "dedup_simhash",
+    "dedup_near_text_exact",
+    "topk_group",
+    "join_equi",
+    # r9 session 2: the hot-key census pointed at the slice whose hot
+    # key it exists to find (70% of a 10x fact table on one customer)
+    # — O(k*P) passes regardless of how hot the key is
+    "agg_heavy_hitters",
+    # r11: BM25 over the densified slice — the explode → (doc,term)
+    # agg under template-cluster term skew; the query-term broadcast
+    # and WindowGroupLimit top-k are the skew-immunity being measured
+    "text_bm25_topk",
+    # r12: the large-large hot-key join pair (r11 verdict #5) — the
+    # naive single-hot-reducer shuffle_hash join vs the salted form;
+    # the DELTA between these two lines is the mitigation measured
+    "join_skew_unsalted",
+    "join_salted_skew",
+    # r12 (late): the strategy rival — hot keys broadcast + map-side,
+    # cold keys ordinary shuffle join
+    "join_hotcold_skew",
+    # r13 (r12 verdict #4): the OUTER-join skew pair — the naive left
+    # join sends 70%+ of the table to the NULL reducer; the routed
+    # form never shuffles the NULL mass at all
+    "join_null_skew_naive",
+    "left_join_null_skew",
+    # r13 (late): the COMPOSED outer-skew pair — ~1/3 NULL FK and the
+    # viral key still hot among the non-nulls
+    "join_left_skew_naive",
+    "left_join_skew_salted",
+    # r13 (late): the measurement-driven choosers
+    "join_adaptive_skew",
+    "left_join_adaptive",
+)
+
+
+def run_stress_lines(
+    spark,
+    queries,
+    skew_dir: str,
+    names,
+    secondary: dict[str, object],
+    spread: dict[str, list[float]],
+    line_load: dict[str, float],
+    tracebacks: dict[str, str],
+) -> None:
+    """Time each skew line with PER-LINE failure isolation (r13
+    verdict #1): the r13 driver record lost ALL six r13-new skew
+    lines because the whole 17-line loop shared one try/except and
+    the deliberately-pathological `join_null_skew_naive` lost a task
+    mid-tier. Now one line's failure records
+    `skew10_<name>_error` (200-char stdout stub), its FULL traceback
+    in `tracebacks` (merged into the bench_env.json sidecar, which
+    has no size budget), and the loadavg AT the failure — then
+    CONTINUES to the next line. Unit-tested with a forced single-line
+    failure in tests/test_bench_floors.py."""
+    import traceback
+
+    for name in names:
+        key = f"skew10_{name}"
+        line_load[key] = round(os.getloadavg()[0], 2)
+        try:
+            # PAIR_OPS get the same untimed warmup pass the headline
+            # tier gives them (JMH warms within the fork): the r9
+            # true-fork measurement showed the expression-heavy
+            # simhash plan pays ~5-8 s of cold JIT that min-of-2
+            # alone doesn't amortize (BASELINE.md round 9)
+            if name in PAIR_OPS:
+                queries[name](spark, skew_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            runs: list[float] = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                queries[name](spark, skew_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            secondary[key] = round(min(runs), 3)
+            spread[key] = [round(min(runs), 3), round(max(runs), 3)]
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            secondary[f"{key}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            tracebacks[key] = traceback.format_exc()
+            line_load[f"{key}_at_failure"] = round(os.getloadavg()[0], 2)
+
+
 def main() -> None:
     # machine-state capture (r5 verdict #6): cross-round totals proved
     # noise-dominated by host drift; record enough in the JSON itself
@@ -448,6 +538,7 @@ def main() -> None:
     # A failure here must degrade to an error marker, never kill the
     # record the driver is capturing (the r6 lesson, inverted).
     spark.stop()
+    stress_tracebacks: dict[str, str] = {}
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -460,10 +551,26 @@ def main() -> None:
         secondary.update(tier.get("secondary", {}))
         spread.update(tier.get("spread", {}))
         line_load.update(tier.get("line_load", {}))
+        # full per-line tracebacks (r13 verdict #1): 200 chars could
+        # not attribute OOM vs disk vs interference on the r13 abort;
+        # these go to the bench_env.json SIDECAR only (no size
+        # budget), never the stdout env line
+        stress_tracebacks.update(tier.get("tracebacks", {}))
         if "skew10_error" in tier:
             secondary["skew10_error"] = tier["skew10_error"]
+        if proc.returncode != 0 and "tier" not in stress_tracebacks:
+            # fork died without emitting a marker (e.g. JVM SIGKILL):
+            # keep the tail of its stderr so the record is attributable
+            stress_tracebacks["fork_stderr_tail"] = proc.stderr[-8000:]
+            if not any(k.startswith("skew10_") for k in tier.get("secondary", {})):
+                secondary["skew10_error"] = (
+                    f"stress fork exited {proc.returncode} with no lines"
+                )
     except Exception as exc:  # noqa: BLE001 — marker instead of a dead record
+        import traceback as _tb
+
         secondary["skew10_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        stress_tracebacks["parent"] = _tb.format_exc()
 
     # Post-headline extras (recall + ANN serving split) get a fresh
     # SparkContext: cached blocks, listeners, and shuffle state from
@@ -640,7 +747,10 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_env.json"),
             "w",
         ) as fh:
-            json.dump(env_detail, fh, indent=1)
+            # sidecar = env line + the full stress tracebacks (r13
+            # verdict #1: the sidecar has no size budget; the stdout
+            # env line stays small so the driver's capture parses)
+            json.dump({**env_detail, "stress_tracebacks": stress_tracebacks}, fh, indent=1)
     except OSError:
         pass
     print(json.dumps(env_detail))
@@ -670,13 +780,20 @@ def stress_tier_main() -> None:
     join_equi (broadcast dims are skew-immune)."""
     import shutil
     import tempfile
+    import traceback
 
     from promptly_data_pipelines_spark.extensions.stress import write_skewed_sf
 
     secondary: dict[str, object] = {}
     spread: dict[str, list[float]] = {}
     line_load: dict[str, float] = {}
-    out = {"secondary": secondary, "spread": spread, "line_load": line_load}
+    tracebacks: dict[str, str] = {}
+    out = {
+        "secondary": secondary,
+        "spread": spread,
+        "line_load": line_load,
+        "tracebacks": tracebacks,
+    }
     try:
         spark = get_session("pdp-bench-stress", cpus=CPUS, shuffle_partitions=CPUS)
         queries = {**local_only_queries(), **all_queries()}
@@ -687,87 +804,24 @@ def stress_tier_main() -> None:
         skew_dir = tempfile.mkdtemp(prefix="pdp_skew10_")
         try:
             write_skewed_sf(spark, SF_DIR, skew_dir, factor=10)
-            for name in (
-                "dedup_near_text",
-                "dedup_simhash",
-                "dedup_near_text_exact",
-                "topk_group",
-                "join_equi",
-                # r9 session 2: the hot-key census pointed at the slice
-                # whose hot key it exists to find (70% of a 10x fact
-                # table on one customer) — O(k*P) passes regardless of
-                # how hot the key is
-                "agg_heavy_hitters",
-                # r11: BM25 over the densified slice — the explode →
-                # (doc,term) agg under template-cluster term skew; the
-                # query-term broadcast and WindowGroupLimit top-k are
-                # the skew-immunity being measured
-                "text_bm25_topk",
-                # r12: the large-large hot-key join pair (r11 verdict
-                # #5) — the naive single-hot-reducer shuffle_hash join
-                # vs the salted form (salt-replicate-N spreads the
-                # viral orderkey over SALT_N reducers); the DELTA
-                # between these two lines is the mitigation measured
-                "join_skew_unsalted",
-                "join_salted_skew",
-                # r12 (late): the strategy rival — hot keys broadcast
-                # + map-side (the hot 70% never shuffles), cold keys
-                # ordinary shuffle join; three-way comparison on the
-                # same slice makes the mitigation choice a measurement
-                "join_hotcold_skew",
-                # r13 (r12 verdict #4): the OUTER-join skew pair — on
-                # this slice the viral orderkey maps to a NULL FK, so
-                # the naive left join sends 70%+ of the table to the
-                # NULL reducer and keeps every row; the routed form
-                # never shuffles the NULL mass at all
-                "join_null_skew_naive",
-                "left_join_null_skew",
-                # r13 (late): the COMPOSED outer-skew pair — ~1/3 NULL
-                # FK and the viral key still hot among the non-nulls;
-                # the mitigated form routes NULLs around the shuffle
-                # AND salt-spreads the hot key, in one operator
-                "join_left_skew_naive",
-                "left_join_skew_salted",
-                # r13 (late): the measurement-driven chooser — at this
-                # slice the build side outgrows the broadcast budget,
-                # the census finds the viral key, and the choice lands
-                # on hotcold (the measured winner); this line should
-                # track skew10_join_hotcold_skew plus decision cost
-                "join_adaptive_skew",
-                # r13 (session 2): the LEFT chooser on the composed
-                # outer-skew workload — NULL routing composed with the
-                # censused mitigation; compare against the naive and
-                # hand-salted forms above (same oracle, four queries)
-                "left_join_adaptive",
-            ):
-                # PAIR_OPS get the same untimed warmup pass the
-                # headline tier gives them (JMH warms within the
-                # fork): the r9 true-fork measurement showed the
-                # expression-heavy simhash plan pays ~5-8 s of cold
-                # JIT that min-of-2 alone doesn't amortize — r8's
-                # same-JVM number rode codegen warmed by the headline
-                # tier, so without this the fork reads as a false
-                # regression (decomposition in BASELINE.md round 9)
-                if name in PAIR_OPS:
-                    queries[name](spark, skew_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                line_load[f"skew10_{name}"] = round(os.getloadavg()[0], 2)
-                runs = []
-                for _ in range(2):
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    queries[name](spark, skew_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    runs.append(time.perf_counter() - t0)
-                secondary[f"skew10_{name}"] = round(min(runs), 3)
-                spread[f"skew10_{name}"] = [round(min(runs), 3), round(max(runs), 3)]
+            run_stress_lines(
+                spark,
+                queries,
+                skew_dir,
+                STRESS_LINES,
+                secondary,
+                spread,
+                line_load,
+                tracebacks,
+            )
         finally:
             shutil.rmtree(skew_dir, ignore_errors=True)
         spark.stop()
-    except Exception as exc:  # noqa: BLE001 — marker for the parent
+    except Exception as exc:  # noqa: BLE001 — tier-level (session/datagen)
+        # failure still marks the whole tier; per-LINE failures are
+        # isolated inside run_stress_lines and never reach here
         out["skew10_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        tracebacks["tier"] = traceback.format_exc()
     print(json.dumps(out), flush=True)
 
 

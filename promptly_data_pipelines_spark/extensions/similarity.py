@@ -1501,6 +1501,25 @@ def pq_index_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_index_add_vectors(spark, grown_idx, e.where(is_delta))
     pq_index_save(spark, e, rebuild_idx)
 
+    return _delta_recall_rows(
+        spark,
+        sf_dir,
+        pq_index_search(spark, grown_idx, e),
+        pq_index_search(spark, rebuild_idx, e),
+    )
+
+
+def _delta_recall_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    grown_topk: DataFrame,
+    rebuild_topk: DataFrame,
+) -> DataFrame:
+    """Shared contract tail for the delta-add queries (pq +  ivfpq):
+    exact top-k rows on the grown corpus, plus a per-query boolean —
+    the delta-grown index may lose at most ONE exact neighbor per
+    query relative to the from-scratch rebuild. Factored so the two
+    index formats cannot drift on what 'recall holds' means."""
     exact_plan = similarity_topk(spark, sf_dir)
     exact = spark.createDataFrame(exact_plan.collect(), schema=exact_plan.schema)
 
@@ -1515,10 +1534,8 @@ def pq_index_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias(name))
         )
 
-    ov_grown = per_query_overlap(pq_index_search(spark, grown_idx, e), "n_grown")
-    ov_rebuild = per_query_overlap(
-        pq_index_search(spark, rebuild_idx, e), "n_rebuild"
-    )
+    ov_grown = per_query_overlap(grown_topk, "n_grown")
+    ov_rebuild = per_query_overlap(rebuild_topk, "n_rebuild")
     flags = (
         exact.select("query_id")
         .distinct()
@@ -1534,4 +1551,46 @@ def pq_index_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.join(F.broadcast(flags), "query_id").select(
         "query_id", "vec_id", "cos_sim", "rk", "delta_recall_ok"
+    )
+
+
+@query(
+    "ivfpq_index_delta_add",
+    registered=False,
+    # same contract form as pq_index_delta_add: published rows are the
+    # exact top-k (oracle-mirrored) + the per-query delta-recall flag
+    oracle=_EXACT_TOPK_CTE
+    + "\n    SELECT query_id, vec_id, cos_sim, rk, TRUE AS delta_recall_ok FROM exact",
+)
+def ivfpq_index_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED serving index is incrementally maintainable end to
+    end (r13 verdict #7): build the IVF-PQ index on the base ~80% of
+    the corpus, delta-add the remaining ~20% against the FROZEN coarse
+    centroids AND frozen codebook (ivfpq_index_add_vectors — new
+    vectors get N_ASSIGN inverted-list rows + PQ codes, no k-means or
+    codebook re-run), build the from-scratch rival on the full corpus,
+    serve the standard queries from BOTH stores, and contract the
+    delta-grown index's per-query exact-neighbor overlap against the
+    rebuild's (>= rebuild - 1, the pq_index_delta_add slack: BOTH
+    frozen models may tie-break one boundary neighbor away on the
+    ANN-hostile near-uniform fixture). With pq_index_delta_add this
+    closes the maintenance story: codes-only (PQ) and cells+codes
+    (IVF-PQ) both grow by appending — at 100 TB a daily 0.2% arrival
+    costs one encode+assign pass over the delta instead of re-training
+    and re-encoding the corpus."""
+    from ..cdc.streaming import _fresh_staging_dir
+
+    e = _doubled(table(spark, sf_dir, "embeddings"))
+    is_delta = (F.col("vec_id") >= PQ_K) & (F.col("vec_id") % 5 == 3)
+    staging = _fresh_staging_dir(spark, sf_dir, "ivfpq_delta")
+    grown_idx = staging + "/grown"
+    rebuild_idx = staging + "/rebuild"
+    ivfpq_index_save(spark, e.where(~is_delta), grown_idx)
+    ivfpq_index_add_vectors(spark, grown_idx, e.where(is_delta))
+    ivfpq_index_save(spark, e, rebuild_idx)
+    return _delta_recall_rows(
+        spark,
+        sf_dir,
+        ivfpq_index_search(spark, grown_idx, e),
+        ivfpq_index_search(spark, rebuild_idx, e),
     )

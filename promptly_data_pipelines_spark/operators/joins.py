@@ -776,15 +776,23 @@ def salted_inner_join(
         hot = hot_key_census(probe, probe_key, hot_min_rows)
     if not hot:
         # no hot keys: the honest degenerate plan is the plain join —
-        # zero salt machinery in the plan at all
-        return probe.hint("shuffle_hash").join(
-            build, probe[probe_key] == build[build_key], "inner"
+        # zero salt machinery in the plan at all. The hint sits on the
+        # BUILD side: Spark builds the in-memory hash map on the
+        # hinted side when legal, and UnsafeHashedRelation cannot
+        # spill — hinting the probe side materializes the BIG side's
+        # partition into memory, which is exactly the r13/r14 stress
+        # abort (SparkOutOfMemoryError "not enough memory to build
+        # hash map" on the 4.2M-row hot partition) and a guaranteed
+        # OOM at 100 TB. Build small, stream big — every shuffle_hash
+        # site in this module follows it.
+        return probe.join(
+            build.hint("shuffle_hash"), probe[probe_key] == build[build_key], "inner"
         )
     salted_probe, salted_build = _salted_sides(
         probe, build, probe_key, build_key, hot, n
     )
-    return salted_probe.hint("shuffle_hash").join(
-        salted_build,
+    return salted_probe.join(
+        salted_build.hint("shuffle_hash"),
         (salted_probe[probe_key] == salted_build[build_key])
         & (salted_probe["_salt"] == salted_build["_salt"]),
         "inner",
@@ -836,8 +844,8 @@ def join_skew_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
-    joined = li.hint("shuffle_hash").join(
-        o, li["l_orderkey"] == o["o_orderkey"], "inner"
+    joined = li.join(
+        o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"], "inner"
     )
     return joined.groupBy("o_orderpriority", "l_returnflag").agg(
         F.count("*").cast("long").alias("n_lines"),
@@ -888,8 +896,8 @@ def hotcold_split_join(
     if hot is None:
         hot = hot_key_census(probe, probe_key, hot_min_rows)
     if not hot:
-        return probe.hint("shuffle_hash").join(
-            build, probe[probe_key] == build[build_key], how
+        return probe.join(
+            build.hint("shuffle_hash"), probe[probe_key] == build[build_key], how
         )
     probe_hot = probe.where(probe[probe_key].isin(hot))
     # inner-join semantics: NULL keys match nothing, so dropping them
@@ -903,8 +911,8 @@ def hotcold_split_join(
     joined_hot = probe_hot.join(
         F.broadcast(build_hot), probe_hot[probe_key] == build_hot[build_key], how
     )
-    joined_cold = probe_cold.hint("shuffle_hash").join(
-        build, probe_cold[probe_key] == build[build_key], how
+    joined_cold = probe_cold.join(
+        build.hint("shuffle_hash"), probe_cold[probe_key] == build[build_key], how
     )
     return joined_hot.unionByName(joined_cold)
 
@@ -962,10 +970,8 @@ def null_routed_left_join(
     Requires disjoint column names (the plain join's output would be
     ambiguous otherwise) and reserves no column names."""
     _require_disjoint_columns(probe, build, "null_routed_left_join")
-    matched = (
-        probe.where(probe[probe_key].isNotNull())
-        .hint("shuffle_hash")
-        .join(build, probe[probe_key] == build[build_key], "left")
+    matched = probe.where(probe[probe_key].isNotNull()).join(
+        build.hint("shuffle_hash"), probe[probe_key] == build[build_key], "left"
     )
     return matched.unionByName(_null_extended(probe, build, probe_key))
 
@@ -1023,8 +1029,8 @@ def join_null_skew_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. Benchmarked as skew10_join_null_skew_naive against the
     routed form on the slice where the NULL mass is 70% of the table."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = _null_skew_probe(spark, sf_dir).hint("shuffle_hash").join(
-        o, F.col("fk") == o["o_orderkey"], "left"
+    joined = _null_skew_probe(spark, sf_dir).join(
+        o.hint("shuffle_hash"), F.col("fk") == o["o_orderkey"], "left"
     )
     return _null_skew_rollup(joined)
 
@@ -1079,17 +1085,16 @@ def salted_left_join(
     if hot is None:
         hot = hot_key_census(nn, probe_key, hot_min_rows)
     if not hot:
-        matched = nn.hint("shuffle_hash").join(
-            build, nn[probe_key] == build[build_key], "left"
+        matched = nn.join(
+            build.hint("shuffle_hash"), nn[probe_key] == build[build_key], "left"
         )
         return matched.unionByName(null_rows)
     salted_probe, salted_build = _salted_sides(
         nn, build, probe_key, build_key, hot, n
     )
     matched = (
-        salted_probe.hint("shuffle_hash")
-        .join(
-            salted_build,
+        salted_probe.join(
+            salted_build.hint("shuffle_hash"),
             (salted_probe[probe_key] == salted_build[build_key])
             & (salted_probe["_salt"] == salted_build["_salt"]),
             "left",
@@ -1137,8 +1142,8 @@ def join_left_skew_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     join where BOTH the NULL mass and the viral non-null key pile onto
     single reducers — and left semantics keep every row."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = _left_skew_probe(spark, sf_dir).hint("shuffle_hash").join(
-        o, F.col("fk") == o["o_orderkey"], "left"
+    joined = _left_skew_probe(spark, sf_dir).join(
+        o.hint("shuffle_hash"), F.col("fk") == o["o_orderkey"], "left"
     )
     return _null_skew_rollup(joined)
 
@@ -1244,8 +1249,8 @@ def adaptive_inner_join(
             F.broadcast(build), probe[probe_key] == build[build_key], "inner"
         )
     if strategy == "plain":
-        return probe.hint("shuffle_hash").join(
-            build, probe[probe_key] == build[build_key], "inner"
+        return probe.join(
+            build.hint("shuffle_hash"), probe[probe_key] == build[build_key], "inner"
         )
     if strategy == "hotcold":
         return hotcold_split_join(

@@ -65,3 +65,74 @@ def test_committed_floors_file_parses_and_covers_the_r11_flag():
     with open(bench.FLOORS_PATH) as fh:
         raw = json.load(fh)
     assert set(raw) == {"note", "floors"}
+
+
+class _FakeWriter:
+    def format(self, _):
+        return self
+
+    def mode(self, _):
+        return self
+
+    def save(self):
+        pass
+
+
+class _FakeDF:
+    write = _FakeWriter()
+
+
+class _FakeCatalog:
+    def clearCache(self):
+        pass
+
+
+class _FakeSpark:
+    catalog = _FakeCatalog()
+
+
+def test_stress_lines_isolate_a_single_failure():
+    """r13 verdict #1: the r13 driver stress tier lost ALL six new skew
+    lines because one deliberately-pathological line failed inside a
+    shared try/except. run_stress_lines must record the failing line's
+    error marker + FULL traceback + loadavg-at-failure, and still time
+    every other line."""
+
+    def ok(_spark, _sf):
+        return _FakeDF()
+
+    def boom(_spark, _sf):
+        raise RuntimeError("lost task 10 in stage 396.0 (simulated)")
+
+    names = ["alpha", "boom_line", "omega"]
+    queries = {"alpha": ok, "boom_line": boom, "omega": ok}
+    secondary: dict[str, object] = {}
+    spread: dict[str, list[float]] = {}
+    line_load: dict[str, float] = {}
+    tracebacks: dict[str, str] = {}
+    bench.run_stress_lines(
+        _FakeSpark(), queries, "/nonexistent", names, secondary, spread, line_load, tracebacks
+    )
+    # lines AFTER the failure are present — the r13 defect inverted
+    assert "skew10_alpha" in secondary and "skew10_omega" in secondary
+    assert isinstance(secondary["skew10_omega"], float)
+    # the failing line leaves a 200-char-capped marker ...
+    err = secondary["skew10_boom_line_error"]
+    assert "RuntimeError" in err and len(err) <= 200
+    assert "skew10_boom_line" not in secondary
+    # ... a FULL traceback for the sidecar (attributable, not a stub) ...
+    assert "Traceback" in tracebacks["skew10_boom_line"]
+    assert "lost task 10" in tracebacks["skew10_boom_line"]
+    # ... and the loadavg at the moment of failure
+    assert "skew10_boom_line_at_failure" in line_load
+
+
+def test_stress_line_list_matches_the_registry():
+    """Every STRESS_LINES name must resolve in the query registry —
+    a typo'd rotation would otherwise only fail inside the forked
+    tier, where it degrades to an error marker instead of a test."""
+    from promptly_data_pipelines_spark.registry import all_queries, local_only_queries
+
+    known = {**local_only_queries(), **all_queries()}
+    missing = [n for n in bench.STRESS_LINES if n not in known]
+    assert not missing, missing

@@ -278,3 +278,62 @@ def test_kmv_hash_matches_duckdb(spark, oracle_con):
             "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)", [k]
         ).fetchone()[0]
         assert got[k] == exp, k
+
+
+def test_set_ops_one_row_even_with_empty_segment(spark, tmp_path):
+    """r13 ADVICE: the set-ops output must mirror the oracle's
+    always-one-row counts CTE. A fixture where one segment (or both)
+    is absent previously produced ZERO rows (crossJoin of an empty
+    side) — a confusing parity failure instead of the oracle's
+    one row of zero counts."""
+    from promptly_data_pipelines_spark.registry import run
+
+    base = table(spark, SF_DIR, "events")
+    # click-only slice: the purchase side is empty
+    base.filter(F.col("event_type") == "click").write.parquet(
+        str(tmp_path / "one" / "events.parquet")
+    )
+    row = run("agg_kmv_set_ops", spark, str(tmp_path / "one")).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["inter_sample"] == 0 and r["diff_sample"] == r["union_sample"] > 0
+    assert r["est_intersection"] == 0
+
+    # neither segment present: one row, zero counts, NULL theta/estimates
+    base.filter(F.col("event_type") == "error").write.parquet(
+        str(tmp_path / "none" / "events.parquet")
+    )
+    row = run("agg_kmv_set_ops", spark, str(tmp_path / "none")).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["union_sample"] == 0 and r["theta"] is None and r["est_union"] is None
+
+
+def test_overlap_matrix_serving_equals_direct(spark):
+    """r13 verdict #5: the serving matrix answered from the stream-fed
+    sketch STORE must equal the same matrix computed directly from
+    batch sketches over the raw rows — the store adds no error (KMV
+    merge is batching-independent), it only removes the rescan."""
+    from promptly_data_pipelines_spark.extensions.kmv import (
+        kmv_overlap_matrix,
+    )
+    from promptly_data_pipelines_spark.registry import run
+
+    served = [r.asDict() for r in run("kmv_serving_overlap_matrix", spark, SF_DIR).collect()]
+    ev = table(spark, SF_DIR, "events")
+    direct = [
+        r.asDict()
+        for r in kmv_overlap_matrix(
+            kmv_sketch(ev, ["event_type"], _user_day_col()), "event_type"
+        ).collect()
+    ]
+    assert served == direct
+    # shape + invariants: all unordered segment pairs, bounded ratios
+    n_seg = ev.select("event_type").distinct().count()
+    assert len(served) == n_seg * (n_seg - 1) // 2
+    for row in served:
+        assert row["seg_a"] < row["seg_b"]
+        assert 0.0 <= row["jaccard"] <= 1.0
+        assert row["jaccard"] <= row["overlap_coef"] <= 1.0
+        assert row["inter_sample"] <= row["union_sample"]
+        assert row["est_intersection"] <= row["est_union"]
