@@ -326,7 +326,6 @@ def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     sessions live minutes — are reaped, so leak cleanup survives and
     live runs can never collide."""
     prefix = f"pdp_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_"
-    app = spark.sparkContext.applicationId.replace(":", "_")
     tmp = tempfile.gettempdir()
     cutoff = time.time() - 3600
     for stale in glob.glob(os.path.join(tmp, prefix + "*")):
@@ -335,9 +334,19 @@ def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
                 shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             pass  # raced with its owner's own cleanup — fine
-    base = os.path.join(tmp, prefix + app)
+    base = staging_base(spark, sf_dir, tag)
     shutil.rmtree(base, ignore_errors=True)
     return base
+
+
+def staging_base(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Path-only twin of :func:`_fresh_staging_dir` (no wipe): lets a
+    test or follow-up query locate an existing run's staging artifacts
+    — e.g. the adaptive stream join's per-batch strategy record —
+    without restarting the staging lifecycle."""
+    prefix = f"pdp_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_"
+    app = spark.sparkContext.applicationId.replace(":", "_")
+    return os.path.join(tempfile.gettempdir(), prefix + app)
 
 
 def drain_stream(q, what: str, timeout_s: int = 300) -> None:
@@ -1113,3 +1122,136 @@ def stream_exec_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_stress.py drives the ENGAGED path with a low threshold
     on the amplified slice and asserts equality with the batch twin."""
     return skew_join_stream(spark, sf_dir)
+
+
+def adaptive_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_rows: int | None = None,
+    hot_min_rows: int = STREAM_SKEW_HOT_MIN,
+    arrival_order: str | None = None,
+) -> DataFrame:
+    """The measurement-driven join chooser in its REAL habitat (r13
+    verdict #6): a CDC stream's skew is TIME-VARYING — a batch of
+    backfill is uniform, the next batch carries a viral key, the one
+    after is tiny — so no single hand-picked strategy is right for
+    every trigger. Each foreachBatch runs
+    operators.joins.adaptive_inner_join against the static orders
+    side: per batch, one metadata count + one bounded census pick
+    broadcast / plain / hotcold / salted, and the census is reused by
+    the executed operator (the batch chooser's contract, unchanged).
+
+    Observability: the chosen strategy lands per batch at
+    ``staging_base(...)/choices/batch_id=N`` (one row: batch_id,
+    strategy, n_rows) through the same idempotent overwrite rule as
+    the partials — the record a production operator needs to audit
+    why trigger 113 was slow. tests/test_stress.py drives batches
+    with SHIFTING composition and asserts the chooser actually
+    changed its mind across triggers.
+
+    Results: integer-exact partials re-summed, bit-equal to the
+    one-shot batch join whatever the engine's batching and WHATEVER
+    strategies were chosen (every branch is
+    transparency-contracted), so the oracle is the plain batch join —
+    same as stream_exec_skew_join."""
+    from ..operators.joins import BROADCAST_MAX_ROWS, adaptive_inner_join
+
+    if broadcast_max_rows is None:
+        broadcast_max_rows = BROADCAST_MAX_ROWS
+    base = _fresh_staging_dir(spark, sf_dir, "stream_adp")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    store = os.path.join(base, "store")
+    choices = os.path.join(base, "choices")
+    par = spark.sparkContext.defaultParallelism
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    # arrival_order clusters the staged files by key range — the
+    # burst arrival shape (a viral key lands in consecutive triggers,
+    # not uniformly smeared): round-robin staging makes every batch a
+    # uniform sample, which can never shift the chooser's decision;
+    # range staging gives the shifting composition the operator exists
+    # for (and the test drives)
+    staged = (
+        li.repartitionByRange(par, F.col(arrival_order))
+        if arrival_order
+        else li.repartition(par)
+    )
+    staged.write.json(src)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    stream = (
+        spark.readStream.schema(
+            "l_orderkey bigint, l_returnflag string, l_extendedprice double"
+        )
+        .option("maxFilesPerTrigger", max(1, par // 4))
+        .json(src)
+    )
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        picked: list[str] = []
+        joined = adaptive_inner_join(
+            batch_df,
+            o,
+            "l_orderkey",
+            "o_orderkey",
+            broadcast_max_rows=broadcast_max_rows,
+            hot_min_rows=hot_min_rows,
+            on_decision=picked.append,
+        )
+        partial = joined.groupBy("o_orderpriority", "l_returnflag").agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch_id={batch_id}")
+        )
+        # batch_id comes back via hive-style partition discovery on the
+        # directory name (a data column of the same name would collide)
+        spark.createDataFrame(
+            [(picked[0], batch_df.count())], "strategy string, n_rows bigint"
+        ).write.mode("overwrite").parquet(
+            os.path.join(choices, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_stream(q, "adaptive-join")
+    return (
+        spark.read.parquet(store)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "stream_exec_adaptive_join",
+    registered=False,
+    oracle="""
+    SELECT o_orderpriority, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    """,
+)
+def stream_exec_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query form of :func:`adaptive_join_stream`: on the driver
+    fixtures orders fits the broadcast budget, so every micro-batch
+    picks the skew-immune broadcast branch; the shifting-composition
+    path (different strategies on different triggers of one stream)
+    is driven in tests/test_stress.py with lowered thresholds on the
+    skew10 slice. Same batch-twin oracle as stream_exec_skew_join —
+    per-trigger strategy choice is physics, never semantics."""
+    return adaptive_join_stream(spark, sf_dir)

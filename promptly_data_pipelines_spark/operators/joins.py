@@ -1234,16 +1234,22 @@ def adaptive_inner_join(
     build_key: str,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
     hot_min_rows: int = SALT_HOT_MIN_ROWS,
+    on_decision=None,
 ) -> DataFrame:
     """Inner equi-join that picks its own physical strategy from
     :func:`choose_join_strategy`'s measurements. Results are EXACTLY
     the plain inner join's under every branch (broadcast/plain are the
     engine's own forms; salted/hotcold are the transparency-contracted
     rewrites above), so the oracle for anything built on this is the
-    plain join — strategy choice can never be a correctness event."""
+    plain join — strategy choice can never be a correctness event.
+    ``on_decision`` (optional callable) receives the chosen strategy
+    string — the observability hook the streaming form uses to record
+    the per-micro-batch choice without a second census."""
     strategy, hot = _choose_with_census(
         probe, build, probe_key, build_key, broadcast_max_rows, hot_min_rows
     )
+    if on_decision is not None:
+        on_decision(strategy)
     if strategy == "broadcast":
         return probe.join(
             F.broadcast(build), probe[probe_key] == build[build_key], "inner"

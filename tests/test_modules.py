@@ -2287,3 +2287,70 @@ def test_ivfpq_index_delta_add_grows_lists_and_serves(spark, tmp_path):
     assert set(og) == set(orb)
     for q in og:
         assert og[q] + 1 >= orb[q], (q, og[q], orb[q])
+
+
+def test_stream_left_join_watermark_tie_is_withheld(spark, tmp_path):
+    """r13 ADVICE: stream_exec_left_join's oracle withholds unmatched
+    clicks with the STRICT predicate c.ts < final_watermark; a click
+    whose event time lands exactly ON the watermark would flip parity
+    if Spark's outer-join state eviction were <= instead of <. This
+    hand-built fixture makes an unmatched click TIE the final global
+    watermark (min(max click_ts, max view_ts) - 10 min) exactly and
+    pins the measured engine behavior: the tie is WITHHELD (eviction
+    requires ts strictly below the watermark), so the strict oracle
+    predicate is the correct mirror."""
+    import datetime as dt
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # odd event_id = view, even = click (the query's split);
+        # %10 != 0 keeps every row live through the tombstone filter
+        (1, 1, T0 + dt.timedelta(minutes=20)),   # view u1 -> max_view = T0+20
+        (2, 99, T0 + dt.timedelta(minutes=10)),  # unmatched click AT the wm tie
+        (4, 1, T0 + dt.timedelta(minutes=30)),   # matched click -> max_click = T0+30
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, "click", 1.0, "{}", ts) for (i, u, ts) in rows],
+        "event_id bigint, user_id bigint, event_type string, value double, "
+        "props string, ts timestamp",
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    synthesize_envelopes(ev).write.json(src)
+    r = S.live_rows(S.read_envelope_stream(spark, src))
+    clicks = (
+        r.filter(F.col("event_id") % 2 == 0)
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    views = (
+        r.filter(F.col("event_id") % 2 == 1)
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+    )
+    j = clicks.join(
+        views,
+        F.expr(
+            "user_id = view_user AND "
+            "view_ts BETWEEN click_ts - INTERVAL 10 MINUTES AND click_ts"
+        ),
+        "leftOuter",
+    ).select("click_id", "view_id")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("wm_tie")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    S.drain_stream(q, "wm tie probe")
+    got = {(r.click_id, r.view_id) for r in spark.table("wm_tie").collect()}
+    # final watermark = min(T0+30, T0+20) - 10 min = T0+10, exactly
+    # click 2's event time: the multiple-watermark MIN policy measured
+    # in recentProgress (assert it so a policy change fails loudly
+    # here, not as a confusing parity flip on some future fixture)
+    wms = [p["eventTime"].get("watermark") for p in q.recentProgress if p["eventTime"].get("watermark")]
+    assert wms and wms[-1] == "2024-01-01T00:10:00.000Z", wms
+    # matched click emits; the tie click is WITHHELD (strict <), which
+    # is exactly what the oracle's `c.ts < w` predicate encodes
+    assert got == {(4, 1)}, got
