@@ -125,6 +125,24 @@ Rotations so far:
   demonstration value (the exact COUNT(DISTINCT) semantics stay
   driver-visible inside `dq_suite`'s uniqueness checks and the
   local-tier oracle). Aggs keep group/salted + the sketch row.
+- **r14** (r13 verdict #4): the r13 oracle-checked work earned driver
+  rows — `join_adaptive_skew` (the measurement-driven chooser is the
+  skew family's real product: one metadata count + one bounded census
+  pick broadcast/plain/hotcold/salted, and it BEAT the hand-tuned
+  salted form on both benched workloads), `cogroup_order_reconcile_coarse`
+  (the two-sided cogroup surface at sane ~100-group granularity, full
+  outer oracle), `stream_exec_skew_join` (the per-micro-batch salted
+  mitigation under the real engine, batch-twin oracle),
+  `pq_index_delta_add` (ANN index maintenance: delta-encode under the
+  frozen codebook, recall contracted vs a from-scratch rebuild).
+  Rotated down, each leaving its family ≥1 driver row and keeping its
+  local oracle: `join_salted_skew` (the chooser executes the same
+  censused mitigation; hotcold stays as the named engaged form),
+  `text_doc_profile` (text keeps token_counts/tfidf/bm25_topk/
+  bm25_search), `stream_exec_warc` (WARC stays driver-visible via
+  `scan_warc`), `stream_exec_late_drop` (T6 keeps
+  `stream_exec_session`; the late-drop proof stays oracle-checked
+  locally and in tests/test_modules.py).
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

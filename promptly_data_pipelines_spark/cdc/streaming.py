@@ -635,6 +635,7 @@ def stage_arrival_batches(
 
 @query(
     "stream_exec_late_drop",
+    registered=False,
     oracle="""
     WITH sz AS (
       SELECT CAST(ceil(count(*) / 8.0) AS BIGINT) AS size FROM events
@@ -1105,7 +1106,6 @@ def skew_join_stream(
 
 @query(
     "stream_exec_skew_join",
-    registered=False,
     oracle="""
     SELECT o_orderpriority, l_returnflag,
            CAST(count(*) AS BIGINT) AS n_lines,

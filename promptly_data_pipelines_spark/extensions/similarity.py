@@ -1460,7 +1460,6 @@ def ivfpq_index_add_vectors(
 
 @query(
     "pq_index_delta_add",
-    registered=False,
     # Contract form in the similarity_topk_ivf family, but the claim is
     # the r12 verdict's exact wording: recall HOLDS VS A FROM-SCRATCH
     # REBUILD on the grown corpus. The published rows are the EXACT

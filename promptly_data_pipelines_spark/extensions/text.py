@@ -388,6 +388,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_doc_profile",
+    registered=False,
     oracle="""
     WITH ws AS (
       SELECT doc_id, lang, text,

@@ -337,7 +337,6 @@ def cogroup_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cogroup_order_reconcile_coarse",
-    registered=False,
     oracle="""
     WITH o AS (
       SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -808,7 +808,7 @@ _SKEW_JOIN_ORACLE = """
 """
 
 
-@query("join_salted_skew", oracle=_SKEW_JOIN_ORACLE)
+@query("join_salted_skew", registered=False, oracle=_SKEW_JOIN_ORACLE)  # r14 rotation: chooser supersedes
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join (orders ⋈ lineitem on orderkey) through
     :func:`salted_inner_join`, then the rollup a reporting query wants.
@@ -1269,7 +1269,7 @@ def adaptive_inner_join(
     )
 
 
-@query("join_adaptive_skew", registered=False, oracle=_SKEW_JOIN_ORACLE)
+@query("join_adaptive_skew", oracle=_SKEW_JOIN_ORACLE)  # r14 rotation: promoted (r13 verdict #4)
 def join_adaptive_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted/hotcold workload through the ADAPTIVE chooser: on the
     driver fixtures the orders side fits a broadcast and the plan is

@@ -706,6 +706,7 @@ def _warc_projection(raw: DataFrame) -> DataFrame:
 
 @query(
     "stream_exec_warc",
+    registered=False,
     oracle=f"""
     SELECT doc_id,
            'response' AS warc_type,

@@ -59,7 +59,10 @@ _ORDER: tuple[str, ...] = (
     "er_golden_records",
     "similarity_topk",
     "text_token_counts",
-    "text_doc_profile",
+    # r14 rotation: text_doc_profile demoted (text keeps token_counts/
+    # tfidf/bm25_topk/bm25_search); pq_index_delta_add earns the ANN
+    # family's maintenance row (r13 verdict #4)
+    "pq_index_delta_add",
     "text_tfidf_topk",
     # r11 rotation: retrieval family (BM25 ranking + zero-shuffle
     # positional phrase search) and the real-codec multimodal tier
@@ -73,6 +76,9 @@ _ORDER: tuple[str, ...] = (
     "text_bm25_search",
     "index_term_lookup",
     "udf_grouped_map",
+    # r14 rotation: the two-sided cogroup surface earns its driver row
+    # via the sane-granularity twin (r13 verdict #4)
+    "cogroup_order_reconcile_coarse",
     "dq_suite",
     "dataset_split",
     "multimodal_pipeline",
@@ -93,7 +99,11 @@ _ORDER: tuple[str, ...] = (
     # plain join it must be transparent to); r13 adds its strategy
     # rival (hot build rows broadcast, cold keys shuffled) on the
     # identical oracle — the driver now sees both mitigations
-    "join_salted_skew",
+    # r14 rotation: join_salted_skew demoted — the measurement-driven
+    # chooser is the family's real product (it BEAT the hand-tuned
+    # salted form on both benched workloads) and executes the same
+    # censused mitigation; hotcold stays as the named engaged form
+    "join_adaptive_skew",
     "join_hotcold_skew",
     "project_events_clean",
     "scan_csv",
@@ -116,8 +126,12 @@ _ORDER: tuple[str, ...] = (
     # rows run through the actual Structured Streaming engine.
     "stream_exec_tumbling",
     "stream_exec_session",
-    "stream_exec_warc",
-    "stream_exec_late_drop",
+    # r14 rotation: stream_exec_warc (WARC stays driver-visible via
+    # scan_warc) and stream_exec_late_drop (T6 keeps stream_exec_session;
+    # the late-drop proof stays oracle-checked locally) demoted; the
+    # per-micro-batch skew mitigation earns the streaming family's
+    # third row (r13 verdict #4)
+    "stream_exec_skew_join",
     "agg_group_salted",
 )
 

@@ -36,9 +36,10 @@ EXPECTED_DATA_DEPENDENT: dict[str, str] = {
     "similarity_topk_pq": "PQ codebook training needs seed vectors",
     # the IVF×PQ composite builds BOTH indexes — same contract
     "similarity_topk_ivfpq": "IVF+PQ index build needs seed vectors",
-    # the delta-add demo BUILDS a PQ index first (base + rebuild) —
-    # same seed contract as every other PQ build
+    # the delta-add demos BUILD their index first (base + rebuild) —
+    # same seed contract as every other IVF/PQ build
     "pq_index_delta_add": "PQ codebook training needs seed vectors",
+    "ivfpq_index_delta_add": "IVF+PQ index build needs seed vectors",
 }
 
 
