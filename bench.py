@@ -300,6 +300,16 @@ SECONDARY = [
     # this batching, not a regression channel worth a minute per
     # bench run. Correctness stays pinned by full oracle parity at
     # three SFs in pytest.
+    # r14, tracked from introduction: the KMV serving matrix (stream-fed
+    # store build + pairwise theta-clip set algebra over <=5x256 int64s
+    # — the stream drain dominates; the matrix itself is driver-sized).
+    # NOT timed, by explicit precedent: ivfpq_index_delta_add (build-
+    # dominated composite — the similarity_topk_pq retirement shape;
+    # its delta-vs-rebuild contract is what matters and lives in the
+    # oracle+pytest) and stream_exec_adaptive_join (streaming-line
+    # precedent: per-trigger chooser correctness is oracle+test-pinned;
+    # wall time is micro-batch scheduling, not operator signal).
+    "kmv_serving_overlap_matrix",
 ]
 
 

@@ -750,3 +750,30 @@ def test_kmv_sketch_partial_agg_and_pruning(spark):
     assert p.count("HashAggregate") >= 2, "distinct lost partial aggregation"
     assert "user_id" in p and "event_type" in p
     assert "props" not in p, "scan reads a column the sketch never uses"
+
+
+def test_shuffle_hash_joins_build_on_the_build_side(spark):
+    """r14: the r13 stress abort root-caused to shuffle_hash hints on
+    the PROBE side — Spark builds the (unspillable) hash map on the
+    hinted side, so the skewed partition itself was materialized,
+    OOMing at the per-task memory cliff. Pin the fix: every
+    shuffled-hash join in the skew family must build on the BUILD
+    (orders) side. In these plans orders is the RIGHT side, so the
+    node must say BuildRight and never BuildLeft."""
+    for name in (
+        "join_skew_unsalted",
+        "join_salted_skew",
+        "join_hotcold_skew",
+        "join_null_skew_naive",
+        "left_join_null_skew",
+        "join_left_skew_naive",
+        "left_join_skew_salted",
+    ):
+        p = _plan(spark, name)
+        assert "ShuffledHashJoin" in p, f"{name}: shuffled-hash join vanished"
+        assert "BuildLeft" not in p, (
+            f"{name}: a shuffled-hash join builds on the probe side — "
+            "the unspillable hash map would materialize the skewed "
+            "partition (the r13 stress OOM)"
+        )
+        assert "BuildRight" in p, f"{name}: no BuildRight node found"
