@@ -160,15 +160,95 @@ def _committed_snapshot(spark: SparkSession, target_path: str) -> str | None:
     return max(snaps, key=lambda p: int(p.rsplit("-", 1)[-1]))
 
 
-def read_upsert_target(spark: SparkSession, target_path: str) -> DataFrame:
-    """Read the committed state of an ``upsert_sink`` target."""
-    snap = _committed_snapshot(spark, target_path)
-    if snap is None:
-        raise FileNotFoundError(f"no committed snapshot under {target_path}")
+def read_upsert_target(
+    spark: SparkSession, target_path: str, as_of_batch: int | None = None
+) -> DataFrame:
+    """Read an ``upsert_sink`` target: the committed state, or — TIME
+    TRAVEL — the state exactly as of micro-batch ``as_of_batch``.
+    Every ``snap-N`` dir IS the full merged table after batch N (the
+    sink writes immutable snapshots and flips a pointer, the poor
+    man's Iceberg/Delta commit log), so reading history costs one
+    directory resolve, no replay. Raises a CLEAR error when the
+    requested snapshot has been expired by the sink's retention or
+    :func:`expire_snapshots` — never a silent fallback to a different
+    version (a training job reading 'yesterday's table' must fail
+    loudly if yesterday is gone, not read today's)."""
+    if as_of_batch is None:
+        snap = _committed_snapshot(spark, target_path)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot under {target_path}")
+        return spark.read.parquet(snap)
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    snap = f"{target_path}/snap-{as_of_batch}"
+    if not fs.exists(f"{snap}/_SUCCESS"):
+        kept = sorted(h["batch_id"] for h in upsert_history(spark, target_path))
+        raise FileNotFoundError(
+            f"snapshot snap-{as_of_batch} not available under {target_path} "
+            f"(retained batches: {kept or 'none'}) — expired by retention "
+            "or never committed"
+        )
     return spark.read.parquet(snap)
 
 
-def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str = "event_id"):
+def upsert_history(spark: SparkSession, target_path: str) -> list[dict]:
+    """Observability: the retained snapshot log of an ``upsert_sink``
+    target as [{batch_id, committed}] (committed = the _LATEST
+    pointer's current target), newest first — what Iceberg exposes as
+    the snapshots metadata table."""
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    if not fs.exists(target_path):
+        return []
+    committed = _committed_snapshot(spark, target_path)
+    committed_name = committed.rsplit("/", 1)[-1] if committed else None
+    out = []
+    for p in fs.list_paths(target_path):
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith("snap-") and fs.exists(f"{p}/_SUCCESS"):
+            out.append(
+                {
+                    "batch_id": int(name.split("-", 1)[1]),
+                    "committed": name == committed_name,
+                }
+            )
+    return sorted(out, key=lambda h: -h["batch_id"])
+
+
+def expire_snapshots(
+    spark: SparkSession, target_path: str, keep_last: int = 2
+) -> list[int]:
+    """Lakehouse maintenance (Iceberg's ``expire_snapshots`` /
+    Delta VACUUM for the snap-dir target): prune history to the newest
+    ``keep_last`` snapshots. The COMMITTED snapshot is always kept
+    regardless of ``keep_last`` (expiry is storage reclamation, never
+    a rollback). Returns the expired batch ids."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    hist = upsert_history(spark, target_path)
+    keep = {h["batch_id"] for h in hist[:keep_last]} | {
+        h["batch_id"] for h in hist if h["committed"]
+    }
+    expired = []
+    for h in hist:
+        if h["batch_id"] not in keep:
+            fs.delete(f"{target_path}/snap-{h['batch_id']}", recursive=True)
+            expired.append(h["batch_id"])
+    return sorted(expired)
+
+
+def upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key: str = "event_id",
+    keep_snapshots: int = 2,
+):
     """T3/S6 streaming form: foreachBatch MERGE. Each micro-batch is
     compacted latest-wins against the current committed snapshot and
     written as a NEW immutable ``snap-<batch_id>`` dir; only after the
@@ -182,7 +262,19 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
     idempotent. On Iceberg/Delta this whole body becomes a single
     ``MERGE INTO`` (reference declares exactly that intent:
     raw_provider_postgres.sql:9-10) and the catalog does the commit.
-    Read the target through ``read_upsert_target``."""
+    Read the target through ``read_upsert_target``.
+
+    ``keep_snapshots`` is the retention window: the newest N snapshots
+    survive each commit's GC (default 2 — the committed state and its
+    predecessor, the minimum a concurrent reader needs). Since every
+    ``snap-N`` is the FULL merged state after batch N, a larger window
+    buys TIME TRAVEL (``read_upsert_target(..., as_of_batch=N)``) at
+    the cost of N table copies — the Iceberg snapshot-log trade, made
+    explicit; prune later with :func:`expire_snapshots`."""
+    if keep_snapshots < 2:
+        # fewer than 2 would let GC delete the predecessor a concurrent
+        # reader resolved a moment before the pointer flip
+        raise ValueError(f"keep_snapshots must be >= 2, got {keep_snapshots}")
 
     def commit_pointer(fs, snap_name: str, batch_id: int) -> None:
         # commit: temp pointer + rename (never in-place truncation of
@@ -194,17 +286,28 @@ def upsert_sink(stream: DataFrame, target_path: str, checkpoint: str, key: str =
         fs.rename(tmp, f"{target_path}/_LATEST")
 
     def gc_superseded(fs, snap_name: str, prev_name: str | None) -> None:
-        # best-effort GC of superseded snapshots (the committed one and
-        # its predecessor stay until the next commit). Compare by snap
-        # NAME, not full path: list_paths returns scheme-qualified URIs
-        # (file:/...) while prev may be unqualified — a raw `p != prev`
-        # never matches and would delete the predecessor a concurrent
-        # reader just resolved. Stale _LATEST.tmp-* files (a crash
-        # between put_text and rename) are GC'd here too — the rename
-        # consumed the current batch's tmp, so any survivor is garbage.
+        # best-effort GC of superseded snapshots: the newest
+        # keep_snapshots survive, and the committed snapshot plus the
+        # predecessor a concurrent reader may have just resolved are
+        # ALWAYS kept regardless of age. Compare by snap NAME, not full
+        # path: list_paths returns scheme-qualified URIs (file:/...)
+        # while prev may be unqualified — a raw `p != prev` never
+        # matches and would delete the predecessor a concurrent reader
+        # just resolved. Stale _LATEST.tmp-* files (a crash between
+        # put_text and rename) are GC'd here too — the rename consumed
+        # the current batch's tmp, so any survivor is garbage.
+        snaps = [
+            p.rsplit("/", 1)[-1]
+            for p in fs.list_paths(target_path)
+            if p.rsplit("/", 1)[-1].startswith("snap-")
+        ]
+        newest = set(
+            sorted(snaps, key=lambda n: int(n.split("-", 1)[1]))[-keep_snapshots:]
+        )
+        keep = newest | {snap_name, prev_name}
         for p in fs.list_paths(target_path):
             name = p.rsplit("/", 1)[-1]
-            if name.startswith("snap-") and name not in (snap_name, prev_name):
+            if name.startswith("snap-") and name not in keep:
                 fs.delete(p, recursive=True)
             elif name.startswith("_LATEST.tmp-"):
                 fs.delete(p)

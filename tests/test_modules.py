@@ -2354,3 +2354,73 @@ def test_stream_left_join_watermark_tie_is_withheld(spark, tmp_path):
     # matched click emits; the tie click is WITHHELD (strict <), which
     # is exactly what the oracle's `c.ts < w` predicate encodes
     assert got == {(4, 1)}, got
+
+
+def test_upsert_time_travel_and_snapshot_expiry(spark):
+    """r14: every snap-N dir IS the full merged table after batch N,
+    so retention > 2 buys time travel for one directory resolve. Pin:
+    (a) as_of_batch b equals the latest-wins merge of the batch
+    prefix, for every retained batch; (b) GC honors keep_snapshots;
+    (c) expire_snapshots prunes to keep_last but NEVER the committed
+    snapshot; (d) an expired as_of fails LOUDLY with the retained ids
+    in the message — no silent fallback to a different version."""
+    import glob as _glob
+
+    d = tempfile.mkdtemp()
+    env_dir, ckpt, tgt = (os.path.join(d, x) for x in ("env", "ck", "tgt"))
+    ev = table(spark, SF_DIR, "events").limit(4000)
+    synthesize_envelopes(ev).repartition(4).write.json(env_dir)
+    stream = (
+        spark.readStream.schema(S.RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(env_dir)
+    )
+    rows = S.live_rows(stream)
+    q = S.upsert_sink(rows, tgt, ckpt, keep_snapshots=100).start()
+    q.awaitTermination(120)
+
+    hist = S.upsert_history(spark, tgt)
+    assert len(hist) >= 3, hist  # a real multi-batch drain
+    assert hist[0]["committed"] and not any(h["committed"] for h in hist[1:])
+
+    # (a) time travel: replay each batch prefix through the same
+    # latest-wins merge and compare exactly. The file->batch mapping
+    # comes from the CHECKPOINT's file-source log (the engine's own
+    # record), never from directory order assumptions.
+    import json as _json
+
+    from promptly_data_pipelines_spark.cdc.batch import merge_upsert_frames
+    from promptly_data_pipelines_spark.cdc.envelope import decode_envelopes
+
+    batch_ids = sorted(h["batch_id"] for h in hist)
+    acc = None
+    for b in batch_ids:
+        batch_files = [
+            _json.loads(line)["path"]
+            for line in open(os.path.join(ckpt, "sources", "0", str(b)))
+            if line.startswith("{")
+        ]
+        bdf = spark.read.schema(S.RAW_STREAM_SCHEMA).json(batch_files)
+        live = decode_envelopes(bdf).filter(F.col("after").isNotNull()).select(
+            "op",
+            F.timestamp_millis("ts_ms").alias("ts"),
+            F.col("after.event_id").alias("event_id"),
+            F.col("after.user_id").alias("user_id"),
+            F.col("after.event_type").alias("event_type"),
+            F.col("after.value").alias("value"),
+        )
+        acc = live if acc is None else merge_upsert_frames(acc, live, "event_id")
+        got = S.read_upsert_target(spark, tgt, as_of_batch=b)
+        assert got.exceptAll(acc).isEmpty() and acc.exceptAll(got).isEmpty(), b
+
+    # (c) expiry keeps the newest keep_last, never drops the committed
+    expired = S.expire_snapshots(spark, tgt, keep_last=2)
+    assert expired == batch_ids[:-2]
+    left = S.upsert_history(spark, tgt)
+    assert [h["batch_id"] for h in left] == batch_ids[-1:-3:-1]
+    assert left[0]["committed"]
+    S.read_upsert_target(spark, tgt)  # committed read still fine
+
+    # (d) expired as_of fails loudly, naming the retained ids
+    with pytest.raises(FileNotFoundError, match="retained batches"):
+        S.read_upsert_target(spark, tgt, as_of_batch=batch_ids[0])
