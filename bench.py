@@ -557,7 +557,20 @@ def main() -> None:
             text=True,
             timeout=1800,
         )
-        tier = json.loads(proc.stdout.strip().splitlines()[-1])
+        # Parse failure must NOT discard the fork's stderr: a fork
+        # killed before emitting JSON (OOM-kill, SIGKILL — the exact
+        # abort mode this capture exists for) leaves empty/partial
+        # stdout, and json.loads raising would previously skip the
+        # attribution below entirely (r14 review finding). Parse in
+        # its own try; always attribute on failure or nonzero exit.
+        tier: dict = {}
+        try:
+            tier = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (IndexError, ValueError):
+            secondary["skew10_error"] = (
+                f"stress fork exited {proc.returncode} without a parseable "
+                "record (killed?)"
+            )
         secondary.update(tier.get("secondary", {}))
         spread.update(tier.get("spread", {}))
         line_load.update(tier.get("line_load", {}))
@@ -568,14 +581,17 @@ def main() -> None:
         stress_tracebacks.update(tier.get("tracebacks", {}))
         if "skew10_error" in tier:
             secondary["skew10_error"] = tier["skew10_error"]
-        if proc.returncode != 0 and "tier" not in stress_tracebacks:
+        if (proc.returncode != 0 or not tier) and "tier" not in stress_tracebacks:
             # fork died without emitting a marker (e.g. JVM SIGKILL):
             # keep the tail of its stderr so the record is attributable
-            stress_tracebacks["fork_stderr_tail"] = proc.stderr[-8000:]
-            if not any(k.startswith("skew10_") for k in tier.get("secondary", {})):
-                secondary["skew10_error"] = (
-                    f"stress fork exited {proc.returncode} with no lines"
-                )
+            stress_tracebacks["fork_stderr_tail"] = (proc.stderr or "")[-8000:]
+    except subprocess.TimeoutExpired as exc:
+        secondary["skew10_error"] = "stress fork timed out after 1800s"
+        # TimeoutExpired carries the captured-so-far stderr — keep it
+        stderr = exc.stderr
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode("utf-8", "replace")
+        stress_tracebacks["fork_stderr_tail"] = (stderr or "")[-8000:]
     except Exception as exc:  # noqa: BLE001 — marker instead of a dead record
         import traceback as _tb
 

@@ -173,23 +173,34 @@ def read_upsert_target(
     :func:`expire_snapshots` — never a silent fallback to a different
     version (a training job reading 'yesterday's table' must fail
     loudly if yesterday is gone, not read today's)."""
+    snap = _committed_snapshot(spark, target_path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {target_path}")
     if as_of_batch is None:
-        snap = _committed_snapshot(spark, target_path)
-        if snap is None:
-            raise FileNotFoundError(f"no committed snapshot under {target_path}")
         return spark.read.parquet(snap)
     from ..operators.fs import FileSystemOps
 
     fs = FileSystemOps(spark)
-    snap = f"{target_path}/snap-{as_of_batch}"
-    if not fs.exists(f"{snap}/_SUCCESS"):
-        kept = sorted(h["batch_id"] for h in upsert_history(spark, target_path))
+    committed_id = int(snap.rsplit("-", 1)[-1])
+    requested = f"{target_path}/snap-{as_of_batch}"
+    # Both conditions are required: the dir must exist AND be at or
+    # below the COMMITTED batch. A crash after snap-N's parquet write
+    # but before the pointer flip leaves an orthographically-valid
+    # snap-N that was never committed — and the engine's redelivery
+    # will overwrite it in place on restart, so serving it would hand
+    # a reader torn state (r14 review finding).
+    if as_of_batch > committed_id or not fs.exists(f"{requested}/_SUCCESS"):
+        kept = sorted(
+            h["batch_id"]
+            for h in upsert_history(spark, target_path)
+            if h["batch_id"] <= committed_id
+        )
         raise FileNotFoundError(
             f"snapshot snap-{as_of_batch} not available under {target_path} "
-            f"(retained batches: {kept or 'none'}) — expired by retention "
-            "or never committed"
+            f"(committed: snap-{committed_id}; retained batches: "
+            f"{kept or 'none'}) — expired by retention or never committed"
         )
-    return spark.read.parquet(snap)
+    return spark.read.parquet(requested)
 
 
 def upsert_history(spark: SparkSession, target_path: str) -> list[dict]:
@@ -224,9 +235,16 @@ def expire_snapshots(
     Delta VACUUM for the snap-dir target): prune history to the newest
     ``keep_last`` snapshots. The COMMITTED snapshot is always kept
     regardless of ``keep_last`` (expiry is storage reclamation, never
-    a rollback). Returns the expired batch ids."""
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    a rollback). Returns the expired batch ids.
+
+    ``keep_last`` floors at 2, the same guard as upsert_sink's
+    ``keep_snapshots`` and for the same race: a reader that resolved
+    the committed snapshot a moment before a new commit flipped the
+    pointer is still lazily reading the PREDECESSOR — expiring it out
+    from under that reader fails their action mid-flight (r14
+    review finding)."""
+    if keep_last < 2:
+        raise ValueError(f"keep_last must be >= 2, got {keep_last}")
     from ..operators.fs import FileSystemOps
 
     fs = FileSystemOps(spark)
@@ -428,7 +446,7 @@ def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     only dirs untouched for ≥1 h — abandoned by construction, test
     sessions live minutes — are reaped, so leak cleanup survives and
     live runs can never collide."""
-    prefix = f"pdp_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_"
+    prefix = _staging_prefix(sf_dir, tag)
     tmp = tempfile.gettempdir()
     cutoff = time.time() - 3600
     for stale in glob.glob(os.path.join(tmp, prefix + "*")):
@@ -442,14 +460,20 @@ def _fresh_staging_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     return base
 
 
+def _staging_prefix(sf_dir: str, tag: str) -> str:
+    """The (tag, sf) staging-dir name prefix — ONE definition, shared
+    by the reap glob and the per-app path, so a naming change can
+    never desynchronize the reaper from the dirs it reaps."""
+    return f"pdp_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_"
+
+
 def staging_base(spark: SparkSession, sf_dir: str, tag: str) -> str:
     """Path-only twin of :func:`_fresh_staging_dir` (no wipe): lets a
     test or follow-up query locate an existing run's staging artifacts
     — e.g. the adaptive stream join's per-batch strategy record —
     without restarting the staging lifecycle."""
-    prefix = f"pdp_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_"
     app = spark.sparkContext.applicationId.replace(":", "_")
-    return os.path.join(tempfile.gettempdir(), prefix + app)
+    return os.path.join(tempfile.gettempdir(), _staging_prefix(sf_dir, tag) + app)
 
 
 def drain_stream(q, what: str, timeout_s: int = 300) -> None:
@@ -1293,32 +1317,40 @@ def adaptive_join_stream(
     )
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
-        picked: list[str] = []
-        joined = adaptive_inner_join(
-            batch_df,
-            o,
-            "l_orderkey",
-            "o_orderkey",
-            broadcast_max_rows=broadcast_max_rows,
-            hot_min_rows=hot_min_rows,
-            on_decision=picked.append,
-        )
-        partial = joined.groupBy("o_orderpriority", "l_returnflag").agg(
-            F.count("*").cast("long").alias("n_lines"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-            .cast("long")
-            .alias("sum_cents"),
-        )
-        partial.write.mode("overwrite").parquet(
-            os.path.join(store, f"batch_id={batch_id}")
-        )
-        # batch_id comes back via hive-style partition discovery on the
-        # directory name (a data column of the same name would collide)
-        spark.createDataFrame(
-            [(picked[0], batch_df.count())], "strategy string, n_rows bigint"
-        ).write.mode("overwrite").parquet(
-            os.path.join(choices, f"batch_id={batch_id}")
-        )
+        # the batch is read three times (chooser census, the join, the
+        # observability count) — persist so the source JSON is scanned
+        # once per trigger, not three times (r14 review finding)
+        batch_df = batch_df.persist()
+        try:
+            picked: list[str] = []
+            joined = adaptive_inner_join(
+                batch_df,
+                o,
+                "l_orderkey",
+                "o_orderkey",
+                broadcast_max_rows=broadcast_max_rows,
+                hot_min_rows=hot_min_rows,
+                on_decision=picked.append,
+            )
+            partial = joined.groupBy("o_orderpriority", "l_returnflag").agg(
+                F.count("*").cast("long").alias("n_lines"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            partial.write.mode("overwrite").parquet(
+                os.path.join(store, f"batch_id={batch_id}")
+            )
+            # batch_id comes back via hive-style partition discovery on
+            # the directory name (a data column of the same name would
+            # collide)
+            spark.createDataFrame(
+                [(picked[0], batch_df.count())], "strategy string, n_rows bigint"
+            ).write.mode("overwrite").parquet(
+                os.path.join(choices, f"batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(feed)

@@ -2424,3 +2424,13 @@ def test_upsert_time_travel_and_snapshot_expiry(spark):
     # (d) expired as_of fails loudly, naming the retained ids
     with pytest.raises(FileNotFoundError, match="retained batches"):
         S.read_upsert_target(spark, tgt, as_of_batch=batch_ids[0])
+
+    # (e) an UNCOMMITTED snapshot (crash between parquet write and
+    # pointer flip — engine redelivery will overwrite it in place)
+    # must never be served, even with a valid _SUCCESS marker
+    ghost = batch_ids[-1] + 7
+    S.read_upsert_target(spark, tgt).limit(1).write.mode("overwrite").parquet(
+        os.path.join(tgt, f"snap-{ghost}")
+    )
+    with pytest.raises(FileNotFoundError, match=f"snap-{ghost} not available"):
+        S.read_upsert_target(spark, tgt, as_of_batch=ghost)
