@@ -565,7 +565,13 @@ def main() -> None:
         # its own try; always attribute on failure or nonzero exit.
         tier: dict = {}
         try:
-            tier = json.loads(proc.stdout.strip().splitlines()[-1])
+            parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+            if not isinstance(parsed, dict):
+                # a stray numeric/string log line is valid JSON but not
+                # a record — treat it as a parse failure so the
+                # attribution below still runs (r14 advice)
+                raise ValueError("fork's last stdout line is not a JSON object")
+            tier = parsed
         except (IndexError, ValueError):
             secondary["skew10_error"] = (
                 f"stress fork exited {proc.returncode} without a parseable "

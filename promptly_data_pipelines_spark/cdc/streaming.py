@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -161,10 +162,16 @@ def _committed_snapshot(spark: SparkSession, target_path: str) -> str | None:
 
 
 def read_upsert_target(
-    spark: SparkSession, target_path: str, as_of_batch: int | None = None
+    spark: SparkSession,
+    target_path: str,
+    as_of_batch: int | None = None,
+    as_of_tag: str | None = None,
 ) -> DataFrame:
     """Read an ``upsert_sink`` target: the committed state, or — TIME
-    TRAVEL — the state exactly as of micro-batch ``as_of_batch``.
+    TRAVEL — the state exactly as of micro-batch ``as_of_batch``, or
+    as of a NAMED TAG (:func:`tag_snapshot`, the Nessie/Iceberg
+    ``VERSION AS OF 'tag'`` role; the reference's catalog is Nessie —
+    infra/trino/etc/catalog/iceberg.properties:1-5).
     Every ``snap-N`` dir IS the full merged table after batch N (the
     sink writes immutable snapshots and flips a pointer, the poor
     man's Iceberg/Delta commit log), so reading history costs one
@@ -172,7 +179,24 @@ def read_upsert_target(
     requested snapshot has been expired by the sink's retention or
     :func:`expire_snapshots` — never a silent fallback to a different
     version (a training job reading 'yesterday's table' must fail
-    loudly if yesterday is gone, not read today's)."""
+    loudly if yesterday is gone, not read today's).
+
+    CONCURRENCY CONTRACT (r14 advice): the returned DataFrame is LAZY
+    — the existence check here does not pin the snapshot for the
+    reader's later action. Retention must cover in-flight readers:
+    ``keep_last``/``keep_snapshots`` protect the committed snapshot
+    and its predecessor only, so a maintenance job running
+    :func:`expire_snapshots` concurrently with an ``as_of_batch`` read
+    of an OLDER batch can delete the dir mid-read. Either size
+    ``keep_last`` to the oldest batch any live reader uses, or — the
+    durable form — :func:`tag_snapshot` the batch first and read
+    ``as_of_tag=``: tagged snapshots are pinned against both
+    :func:`expire_snapshots` and the sink's own GC until the tag is
+    deleted."""
+    if as_of_batch is not None and as_of_tag is not None:
+        raise ValueError("pass at most one of as_of_batch / as_of_tag")
+    if as_of_tag is not None:
+        as_of_batch = _resolve_tag(spark, target_path, as_of_tag)
     snap = _committed_snapshot(spark, target_path)
     if snap is None:
         raise FileNotFoundError(f"no committed snapshot under {target_path}")
@@ -228,6 +252,103 @@ def upsert_history(spark: SparkSession, target_path: str) -> list[dict]:
     return sorted(out, key=lambda h: -h["batch_id"])
 
 
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _tag_pointer(target_path: str, name: str) -> str:
+    if not _TAG_NAME_RE.match(name):
+        raise ValueError(
+            f"invalid tag name {name!r}: must be alphanumeric plus ._- "
+            "and start with an alphanumeric"
+        )
+    return f"{target_path}/_TAG-{name}"
+
+
+def _resolve_tag(spark: SparkSession, target_path: str, name: str) -> int:
+    """Resolve a named tag to its pinned batch id, or raise loudly."""
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    ptr = _tag_pointer(target_path, name)
+    if not fs.exists(ptr):
+        known = sorted(list_tags(spark, target_path))
+        raise FileNotFoundError(
+            f"tag {name!r} not found under {target_path} "
+            f"(known tags: {known or 'none'})"
+        )
+    snap_name = fs.get_text(ptr).strip()
+    return int(snap_name.rsplit("-", 1)[-1])
+
+
+def tag_snapshot(
+    spark: SparkSession,
+    target_path: str,
+    name: str,
+    batch_id: int | None = None,
+) -> int:
+    """Create (or move) a NAMED TAG over an ``upsert_sink`` snapshot —
+    the catalog role the reference delegates to Nessie (branch/tag refs
+    over Iceberg snapshots, infra/trino/etc/catalog/iceberg.properties:
+    1-5). ``batch_id=None`` tags the currently-committed snapshot.
+    A tagged snapshot is PINNED: neither :func:`expire_snapshots` nor
+    the sink's own superseded-snapshot GC will delete it while the tag
+    exists, so ``read_upsert_target(..., as_of_tag=name)`` is safe
+    against concurrent maintenance (unlike a raw ``as_of_batch`` read
+    — see the concurrency contract there). The tag pointer commits via
+    the same temp-file+rename discipline as ``_LATEST`` (a reader or
+    crash mid-write never sees a truncated pointer). Returns the
+    pinned batch id."""
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    ptr = _tag_pointer(target_path, name)
+    if batch_id is None:
+        snap = _committed_snapshot(spark, target_path)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot under {target_path}")
+        batch_id = int(snap.rsplit("-", 1)[-1])
+    snap_name = f"snap-{batch_id}"
+    if not fs.exists(f"{target_path}/{snap_name}/_SUCCESS"):
+        raise FileNotFoundError(
+            f"cannot tag {snap_name}: no committed snapshot dir under "
+            f"{target_path} (expired or never committed)"
+        )
+    tmp = f"{target_path}/_TAG.tmp-{name}"
+    fs.put_text(tmp, snap_name)
+    fs.delete(ptr)
+    fs.rename(tmp, ptr)
+    return batch_id
+
+
+def delete_tag(spark: SparkSession, target_path: str, name: str) -> None:
+    """Drop a named tag. The snapshot it pinned becomes eligible for
+    the normal retention rules on the NEXT maintenance/GC pass —
+    deleting a tag never deletes data by itself."""
+    from ..operators.fs import FileSystemOps
+
+    FileSystemOps(spark).delete(_tag_pointer(target_path, name))
+
+
+def list_tags(spark: SparkSession, target_path: str) -> dict[str, int]:
+    """All named tags as {name: batch_id}, the Nessie ref listing."""
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    if not fs.exists(target_path):
+        return {}
+    out: dict[str, int] = {}
+    for p in fs.list_paths(target_path):
+        fname = p.rsplit("/", 1)[-1]
+        if fname.startswith("_TAG-"):
+            snap_name = fs.get_text(p).strip()
+            out[fname[len("_TAG-"):]] = int(snap_name.rsplit("-", 1)[-1])
+    return out
+
+
+def _tagged_batch_ids(spark: SparkSession, target_path: str) -> set[int]:
+    return set(list_tags(spark, target_path).values())
+
+
 def expire_snapshots(
     spark: SparkSession, target_path: str, keep_last: int = 2
 ) -> list[int]:
@@ -235,28 +356,57 @@ def expire_snapshots(
     Delta VACUUM for the snap-dir target): prune history to the newest
     ``keep_last`` snapshots. The COMMITTED snapshot is always kept
     regardless of ``keep_last`` (expiry is storage reclamation, never
-    a rollback). Returns the expired batch ids.
+    a rollback), and so is every snapshot pinned by a named tag
+    (:func:`tag_snapshot`) — delete the tag first to release it.
+    Crash-orphaned ``snap-N`` dirs lacking ``_SUCCESS`` whose batch id
+    is BELOW the committed id are also deleted (r14 advice): they can
+    never be served (``read_upsert_target`` refuses un-committed
+    snapshots) and the engine will never redeliver a batch below the
+    committed id, so without this they would leak storage forever.
+    An un-committed dir AT or ABOVE the committed id is left alone —
+    that is an in-flight or about-to-be-redelivered write, not
+    garbage. Returns the expired batch ids (committed snapshots only;
+    orphan cleanup is not 'expiry' of history).
 
     ``keep_last`` floors at 2, the same guard as upsert_sink's
     ``keep_snapshots`` and for the same race: a reader that resolved
     the committed snapshot a moment before a new commit flipped the
     pointer is still lazily reading the PREDECESSOR — expiring it out
     from under that reader fails their action mid-flight (r14
-    review finding)."""
+    review finding). The same race applies to TIME-TRAVEL readers of
+    arbitrary older batches: an ``as_of_batch`` read is lazy, so run
+    maintenance only when no reader holds an unexecuted plan over an
+    expirable batch — or have readers pin via :func:`tag_snapshot` /
+    ``as_of_tag``, which this function always honors."""
     if keep_last < 2:
         raise ValueError(f"keep_last must be >= 2, got {keep_last}")
     from ..operators.fs import FileSystemOps
 
     fs = FileSystemOps(spark)
     hist = upsert_history(spark, target_path)
-    keep = {h["batch_id"] for h in hist[:keep_last]} | {
-        h["batch_id"] for h in hist if h["committed"]
-    }
+    keep = (
+        {h["batch_id"] for h in hist[:keep_last]}
+        | {h["batch_id"] for h in hist if h["committed"]}
+        | _tagged_batch_ids(spark, target_path)
+    )
     expired = []
     for h in hist:
         if h["batch_id"] not in keep:
             fs.delete(f"{target_path}/snap-{h['batch_id']}", recursive=True)
             expired.append(h["batch_id"])
+    # orphan sweep: snap dirs without _SUCCESS below the committed id
+    # (upsert_history only lists _SUCCESS-marked dirs, so these are
+    # invisible to the history-driven loop above)
+    committed = next((h["batch_id"] for h in hist if h["committed"]), None)
+    if committed is not None and fs.exists(target_path):
+        for p in fs.list_paths(target_path):
+            fname = p.rsplit("/", 1)[-1]
+            if (
+                fname.startswith("snap-")
+                and not fs.exists(f"{p}/_SUCCESS")
+                and int(fname.rsplit("-", 1)[-1]) < committed
+            ):
+                fs.delete(p, recursive=True)
     return sorted(expired)
 
 
@@ -322,7 +472,12 @@ def upsert_sink(
         newest = set(
             sorted(snaps, key=lambda n: int(n.split("-", 1)[1]))[-keep_snapshots:]
         )
-        keep = newest | {snap_name, prev_name}
+        # named tags (tag_snapshot, the Nessie role) pin their snapshot
+        # against the sink's own GC exactly as against expire_snapshots
+        tagged = {
+            f"snap-{b}" for b in _tagged_batch_ids(fs._spark, target_path)
+        }
+        keep = newest | tagged | {snap_name, prev_name}
         for p in fs.list_paths(target_path):
             name = p.rsplit("/", 1)[-1]
             if name.startswith("snap-") and name not in keep:
@@ -1344,8 +1499,13 @@ def adaptive_join_stream(
             # batch_id comes back via hive-style partition discovery on
             # the directory name (a data column of the same name would
             # collide)
+            # picked may be empty if adaptive_inner_join's callback
+            # contract ever drifts (early return, skipped census) —
+            # degrade the observability record to "unknown" rather
+            # than raising IndexError and wedging the whole stream
+            strategy = picked[0] if picked else "unknown"
             spark.createDataFrame(
-                [(picked[0], batch_df.count())], "strategy string, n_rows bigint"
+                [(strategy, batch_df.count())], "strategy string, n_rows bigint"
             ).write.mode("overwrite").parquet(
                 os.path.join(choices, f"batch_id={batch_id}")
             )

@@ -469,18 +469,27 @@ def build_kmv_stream_store(spark: SparkSession, sf_dir: str, tag: str) -> str:
     """Feed the events table through the REAL streaming engine into a
     batch_id-keyed KMV partial-sketch store and return the store path.
     Shared by stream_exec_kmv_sketch (segment estimates) and
-    kmv_serving_overlap_matrix (segment-pair set algebra) — the store
-    is written once per staging dir and is bit-equal to the batch
-    sketch however the engine batched the input (KMV's merged value is
-    batching-independent; see stream_exec_kmv_sketch)."""
+    kmv_serving_overlap_matrix (segment-pair set algebra), which pass
+    the SAME tag so the second caller in a session reuses the drained
+    store (a ``_COMPLETE`` marker, written only after the stream fully
+    drains, gates reuse — a crash mid-drain leaves no marker and the
+    next caller rebuilds from scratch). Reuse is safe because the
+    source table is immutable for a given sf_dir and the merged sketch
+    is bit-equal to the batch sketch however the engine batched the
+    input (KMV's merged value is batching-independent; see
+    stream_exec_kmv_sketch)."""
     import os
 
-    from ..cdc.streaming import _fresh_staging_dir, drain_stream
+    from ..cdc.streaming import _fresh_staging_dir, drain_stream, staging_base
 
+    base = staging_base(spark, sf_dir, tag)
+    store = os.path.join(base, "store")
+    marker = os.path.join(base, "_COMPLETE")
+    if os.path.exists(marker) and os.path.exists(store):
+        return store
     base = _fresh_staging_dir(spark, sf_dir, tag)
     src = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
-    store = os.path.join(base, "store")
     ev = table(spark, sf_dir, "events")
     ev.select("event_type", _user_day(ev).alias("ud")).write.json(src)
 
@@ -500,6 +509,8 @@ def build_kmv_stream_store(spark: SparkSession, sf_dir: str, tag: str) -> str:
         .start()
     )
     drain_stream(q, "kmv ingest")
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("drained")
     return store
 
 
@@ -550,7 +561,7 @@ def stream_exec_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are never retained. At 100 TB this is the distinct-count
     serving loop: ingest writes kilobyte partials per trigger; any
     segment/rollup/set-algebra question reads sketches only."""
-    store = build_kmv_stream_store(spark, sf_dir, "stream_kmv")
+    store = build_kmv_stream_store(spark, sf_dir, "kmv_store")
     partials = spark.read.parquet(store).select("event_type", "hashes")
     return (
         kmv_estimate(kmv_merge(partials, ["event_type"]))
@@ -685,6 +696,6 @@ def kmv_serving_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a FULL DuckDB value oracle (the SQL replays sketch -> pairwise
     clip -> sample algebra exactly); serving == direct-computation is
     separately pinned in tests/test_kmv.py."""
-    store = build_kmv_stream_store(spark, sf_dir, "kmv_serve")
+    store = build_kmv_stream_store(spark, sf_dir, "kmv_store")
     partials = spark.read.parquet(store).select("event_type", "hashes")
     return kmv_overlap_matrix(kmv_merge(partials, ["event_type"]), "event_type")

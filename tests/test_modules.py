@@ -2434,3 +2434,99 @@ def test_upsert_time_travel_and_snapshot_expiry(spark):
     )
     with pytest.raises(FileNotFoundError, match=f"snap-{ghost} not available"):
         S.read_upsert_target(spark, tgt, as_of_batch=ghost)
+
+
+def test_named_tags_pin_snapshots_against_expiry_and_gc(spark):
+    """r15 (Nessie role): named tags over upsert snapshots. Pin:
+    (a) tag_snapshot resolves/validates and list_tags round-trips;
+    (b) a tagged snapshot SURVIVES expire_snapshots while untagged
+    siblings of the same age are pruned; (c) as_of_tag reads equal
+    the as_of_batch read of the pinned id; (d) the sink's OWN
+    superseded-snapshot GC honors tags across later commits;
+    (e) deleting the tag releases the snapshot to the next expiry;
+    (f) crash-orphaned un-committed snap dirs below the committed id
+    are swept by expire_snapshots (r14 advice #2); (g) loud errors
+    for unknown tags, bad names, and conflicting as_of args."""
+    d = tempfile.mkdtemp()
+    env_dir, ckpt, tgt = (os.path.join(d, x) for x in ("env", "ck", "tgt"))
+    ev = table(spark, SF_DIR, "events").limit(2000)
+    synthesize_envelopes(ev).repartition(3).write.json(env_dir)
+    stream = (
+        spark.readStream.schema(S.RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(env_dir)
+    )
+    q = S.upsert_sink(S.live_rows(stream), tgt, ckpt, keep_snapshots=100).start()
+    q.awaitTermination(120)
+
+    batch_ids = sorted(h["batch_id"] for h in S.upsert_history(spark, tgt))
+    assert len(batch_ids) >= 3
+    oldest, committed = batch_ids[0], batch_ids[-1]
+
+    # (a) tag the oldest explicitly; default tags the committed head
+    assert S.tag_snapshot(spark, tgt, "release-1", batch_id=oldest) == oldest
+    assert S.tag_snapshot(spark, tgt, "head") == committed
+    assert S.list_tags(spark, tgt) == {"release-1": oldest, "head": committed}
+
+    # (b) expiry prunes untagged old snapshots but keeps the tagged one
+    expired = S.expire_snapshots(spark, tgt, keep_last=2)
+    assert oldest not in expired
+    assert set(expired) == set(batch_ids[1:-2])
+    remaining = {h["batch_id"] for h in S.upsert_history(spark, tgt)}
+    assert oldest in remaining and committed in remaining
+
+    # (c) tagged read == as_of_batch read of the pinned id
+    via_tag = S.read_upsert_target(spark, tgt, as_of_tag="release-1")
+    via_batch = S.read_upsert_target(spark, tgt, as_of_batch=oldest)
+    assert via_tag.exceptAll(via_batch).isEmpty()
+    assert via_batch.exceptAll(via_tag).isEmpty()
+
+    # (d) the SINK's own GC honors the tag: drain three more batches
+    # with the tight default retention — release-1 must survive
+    more = table(spark, SF_DIR, "events").limit(3000)
+    synthesize_envelopes(more).repartition(3).write.json(
+        env_dir, mode="append"
+    )
+    stream2 = (
+        spark.readStream.schema(S.RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(env_dir)
+    )
+    q2 = S.upsert_sink(S.live_rows(stream2), tgt, ckpt, keep_snapshots=2).start()
+    q2.awaitTermination(120)
+    after = {h["batch_id"] for h in S.upsert_history(spark, tgt)}
+    assert oldest in after, "sink GC deleted a tagged snapshot"
+    assert max(after) > committed  # new commits really happened
+    S.read_upsert_target(spark, tgt, as_of_tag="release-1").count()
+
+    # (g) loud failures
+    with pytest.raises(FileNotFoundError, match="known tags"):
+        S.read_upsert_target(spark, tgt, as_of_tag="nope")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        S.tag_snapshot(spark, tgt, "../evil")
+    with pytest.raises(ValueError, match="at most one"):
+        S.read_upsert_target(spark, tgt, as_of_batch=oldest, as_of_tag="head")
+    with pytest.raises(FileNotFoundError, match="cannot tag"):
+        S.tag_snapshot(spark, tgt, "ghost", batch_id=max(after) + 99)
+
+    # (e) deleting the tag releases the snapshot to the NEXT expiry
+    S.delete_tag(spark, tgt, "release-1")
+    assert "release-1" not in S.list_tags(spark, tgt)
+    expired2 = S.expire_snapshots(spark, tgt, keep_last=2)
+    assert oldest in expired2
+    with pytest.raises(FileNotFoundError):
+        S.read_upsert_target(spark, tgt, as_of_tag="release-1")
+
+    # (f) orphan sweep: a snap dir with NO _SUCCESS below the committed
+    # id is unservable garbage — expire_snapshots removes it (while an
+    # un-committed dir ABOVE the committed id is left for redelivery)
+    head_now = max(h["batch_id"] for h in S.upsert_history(spark, tgt))
+    orphan_lo = os.path.join(tgt, "snap-0")
+    orphan_hi = os.path.join(tgt, f"snap-{head_now + 50}")
+    for p in (orphan_lo, orphan_hi):
+        os.makedirs(p, exist_ok=True)
+        with open(os.path.join(p, "part-00000.parquet"), "w") as fh:
+            fh.write("torn")
+    S.expire_snapshots(spark, tgt, keep_last=2)
+    assert not os.path.exists(orphan_lo), "orphan below committed must be swept"
+    assert os.path.exists(orphan_hi), "in-flight dir above committed must stay"
