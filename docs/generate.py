@@ -143,6 +143,22 @@ Rotations so far:
   `scan_warc`), `stream_exec_late_drop` (T6 keeps
   `stream_exec_session`; the late-drop proof stays oracle-checked
   locally and in tests/test_modules.py).
+- **r15** (r14 verdict #3): the r14 oracle-checked serving/maintenance
+  work earned driver rows — `kmv_serving_overlap_matrix` (the KMV
+  family's serving product: the full segment-pair Jaccard/overlap
+  matrix answered from the stream-fed sketch store alone, full value
+  oracle), `stream_exec_adaptive_join` (the per-micro-batch
+  measurement-driven chooser under the real engine — supersedes the
+  hand-salted streaming form the way the batch chooser superseded
+  `join_salted_skew`), `ivfpq_index_delta_add` (the COMPOSED serving
+  index — cells + codes — incrementally maintained under frozen
+  models, delta==rebuild recall contract). Rotated down, each a
+  strict-supersession within its own family: `agg_kmv_set_ops` (the
+  serving matrix answers the same sketch set algebra pairwise),
+  `stream_exec_skew_join` (the chooser executes the same mitigation
+  when the census calls for it), `pq_index_delta_add` (flat-codes
+  maintenance is a sub-case of the composed form). All three keep
+  their full local oracles.
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

@@ -533,6 +533,99 @@ def upsert_sink(
 
 
 @query(
+    "merge_upsert_time_travel",
+    registered=False,
+    # the oracle replays the batch prefix in SQL: the 'cut' state is
+    # the two insert slices (all live event_ids, original values); the
+    # 'head' state is that plus the update batch winning latest-ts on
+    # even ids. epoch_ms mirrors the envelope's unix_millis truncation
+    # (same as cdc_parse).
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value,
+             epoch_ms(ts) AS ms
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    upd AS (
+      SELECT event_id, user_id, event_type, value + 100.0 AS value,
+             epoch_ms(ts + INTERVAL 1 HOUR) AS ms
+      FROM events WHERE event_id % 2 = 0 AND event_id % 10 <> 0
+    ),
+    head AS (
+      SELECT * FROM base WHERE event_id % 2 <> 0
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT 'cut' AS state, event_id, user_id, event_type, value,
+           strftime(make_timestamp(ms * 1000), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM base
+    UNION ALL
+    SELECT 'head' AS state, event_id, user_id, event_type, value,
+           strftime(make_timestamp(ms * 1000), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM head
+    """,
+)
+def merge_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 time travel end to end under the REAL engine (r14 verdict
+    #5): three envelope files are staged with strictly increasing
+    mtimes — two insert slices (event_id%3==0, then the rest) and a
+    trailing UPDATE batch (even ids, value+100, ts+1h) — and drained
+    through ``upsert_sink`` one file per micro-batch (the file source
+    processes oldest-mtime first, so the batch order is pinned). The
+    second-to-last snapshot is then TAGGED ('cut', the Nessie-ref
+    form) and read back via ``as_of_tag`` alongside the committed
+    head; both states are returned labeled. The oracle replays the
+    same prefix algebra in SQL: 'cut' = all live inserts untouched,
+    'head' = latest-wins with the update slice beating the inserts on
+    even ids — so snapshot isolation, pointer commit, tagging, and
+    the merge itself are all value-checked, not just row-counted."""
+    ev = table(spark, sf_dir, "events")
+    slices = [
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 3 != 0),
+        ev.filter(F.col("event_id") % 2 == 0).withColumn(
+            "value", F.col("value") + F.lit(100.0)
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+    ]
+    base = _fresh_staging_dir(spark, sf_dir, "tt_upsert")
+    src, ckpt, tgt = (os.path.join(base, d) for d in ("src", "ckpt", "tgt"))
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, sl in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        synthesize_envelopes(sl).coalesce(1).write.json(stage)
+        part = next(
+            p for p in glob.glob(os.path.join(stage, "part-*")) if not p.endswith(".crc")
+        )
+        dst = os.path.join(src, f"{i:03d}.json")
+        shutil.move(part, dst)
+        # pin the file-source order: oldest-mtime-first, 10 s apart
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = upsert_sink(live_rows(stream), tgt, ckpt, keep_snapshots=100).start()
+    drain_stream(q, "time-travel upsert")
+    batch_ids = sorted(h["batch_id"] for h in upsert_history(spark, tgt))
+    tag_snapshot(spark, tgt, "cut", batch_id=batch_ids[-2])
+
+    def labeled(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("state"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            ts_str(F.col("ts")).alias("ts_str"),
+        )
+
+    return labeled(
+        read_upsert_target(spark, tgt, as_of_tag="cut"), "cut"
+    ).unionByName(labeled(read_upsert_target(spark, tgt), "head"))
+
+
+@query(
     "stream_exec_tumbling",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -1388,6 +1481,9 @@ def skew_join_stream(
 
 @query(
     "stream_exec_skew_join",
+    # r15 rotation: demoted for stream_exec_adaptive_join (the chooser
+    # executes the same mitigation when the census calls for it)
+    registered=False,
     oracle="""
     SELECT o_orderpriority, l_returnflag,
            CAST(count(*) AS BIGINT) AS n_lines,
@@ -1531,7 +1627,9 @@ def adaptive_join_stream(
 
 @query(
     "stream_exec_adaptive_join",
-    registered=False,
+    # r15 rotation (r14 verdict #3): promoted — supersedes
+    # stream_exec_skew_join the way the batch chooser superseded the
+    # hand-salted form: the chooser re-censuses EVERY micro-batch
     oracle="""
     SELECT o_orderpriority, l_returnflag,
            CAST(count(*) AS BIGINT) AS n_lines,

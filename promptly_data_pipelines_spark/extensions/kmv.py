@@ -283,7 +283,11 @@ _KMV_SEGMENT_SKETCH_SQL = f"""
 @query(
     "agg_kmv_set_ops",
     # r13 session 2: promoted to the driver tier (took the
-    # distinct-count family row from exact agg_count_distinct)
+    # distinct-count family row from exact agg_count_distinct);
+    # r15 rotation: demoted for kmv_serving_overlap_matrix — the
+    # serving matrix answers the same set algebra PAIRWISE from the
+    # stream-fed store, strictly superseding the two-sketch demo
+    registered=False,
     oracle=f"""
     WITH {_KMV_SEGMENT_SKETCH_SQL},
     counts AS (
@@ -633,7 +637,9 @@ def kmv_overlap_matrix(sketches: DataFrame, seg_col: str, k: int = KMV_K) -> Dat
 
 @query(
     "kmv_serving_overlap_matrix",
-    registered=False,
+    # r15 rotation (r14 verdict #3): promoted — the KMV family's
+    # serving product (segment-pair set algebra from the stream-fed
+    # store alone), superseding the agg_kmv_set_ops two-sketch demo
     oracle=f"""
     WITH h AS (
       SELECT DISTINCT event_type, {_KMV_HASH_SQL} AS hv FROM events

@@ -1460,6 +1460,9 @@ def ivfpq_index_add_vectors(
 
 @query(
     "pq_index_delta_add",
+    # r15 rotation: demoted for ivfpq_index_delta_add — the composed
+    # cells+codes maintenance strictly supersedes the flat-codes form
+    registered=False,
     # Contract form in the similarity_topk_ivf family, but the claim is
     # the r12 verdict's exact wording: recall HOLDS VS A FROM-SCRATCH
     # REBUILD on the grown corpus. The published rows are the EXACT
@@ -1555,7 +1558,8 @@ def _delta_recall_rows(
 
 @query(
     "ivfpq_index_delta_add",
-    registered=False,
+    # r15 rotation (r14 verdict #3): promoted — the composed serving
+    # index (cells + codes) is incrementally maintainable end to end
     # same contract form as pq_index_delta_add: published rows are the
     # exact top-k (oracle-mirrored) + the per-query delta-recall flag
     oracle=_EXACT_TOPK_CTE

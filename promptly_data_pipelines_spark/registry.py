@@ -60,9 +60,11 @@ _ORDER: tuple[str, ...] = (
     "similarity_topk",
     "text_token_counts",
     # r14 rotation: text_doc_profile demoted (text keeps token_counts/
-    # tfidf/bm25_topk/bm25_search); pq_index_delta_add earns the ANN
-    # family's maintenance row (r13 verdict #4)
-    "pq_index_delta_add",
+    # tfidf/bm25_topk/bm25_search); pq_index_delta_add earned the ANN
+    # family's maintenance row (r13 verdict #4); r15: superseded by
+    # the composed cells+codes maintenance (pq form demoted, oracle
+    # kept — the ANN family keeps similarity_topk + this row)
+    "ivfpq_index_delta_add",
     "text_tfidf_topk",
     # r11 rotation: retrieval family (BM25 ranking + zero-shuffle
     # positional phrase search) and the real-codec multimodal tier
@@ -89,8 +91,10 @@ _ORDER: tuple[str, ...] = (
     # §2 operator core
     "agg_group",
     # r13 session 2: the KMV set-algebra sketch took the distinct-count
-    # family's row from exact agg_count_distinct (demoted, oracle kept)
-    "agg_kmv_set_ops",
+    # family's row from exact agg_count_distinct (demoted, oracle
+    # kept); r15: superseded by the serving matrix — the SAME set
+    # algebra answered pairwise from the stream-fed sketch store
+    "kmv_serving_overlap_matrix",
     "dedup_latest",
     "join_anti_semi",
     "join_star",
@@ -129,9 +133,10 @@ _ORDER: tuple[str, ...] = (
     # r14 rotation: stream_exec_warc (WARC stays driver-visible via
     # scan_warc) and stream_exec_late_drop (T6 keeps stream_exec_session;
     # the late-drop proof stays oracle-checked locally) demoted; the
-    # per-micro-batch skew mitigation earns the streaming family's
-    # third row (r13 verdict #4)
-    "stream_exec_skew_join",
+    # per-micro-batch skew mitigation earned the streaming family's
+    # third row (r13 verdict #4); r15: superseded by the per-micro-batch
+    # CHOOSER (salted form demoted, oracle kept)
+    "stream_exec_adaptive_join",
     "agg_group_salted",
 )
 
