@@ -53,6 +53,36 @@ FLOORS_PATH = os.path.join(
 )
 FLOOR_WARN_RATIO = 2.0
 
+# r15 (r14 verdict #1): the absolute 0.7 quiet gate encodes the
+# r11-era host baseline — on a day the host runs 1.3x slower the gate
+# is unreachable BY CONSTRUCTION (r14: eight attempts, zero passes,
+# so a full round's perf evidence lived in probes and prose). The
+# gate is now HOST-RELATIVE: a fresh-JVM calibration ensemble (3
+# back-to-back probes in a forked subprocess, taken immediately
+# before the run) measures what THIS host can do RIGHT NOW, and the
+# run qualifies when its own calibration_start is within
+# QUIET_REL_SLACK of that ensemble minimum — i.e. the run's JVM sees
+# the same machine the probe saw, whatever today's baseline is. The
+# legacy absolute reading is still logged alongside (quiet_gate.abs)
+# for cross-round comparability. Floor WARNING comparisons are
+# normalized by calibration_start / FLOOR_CAL_REF (the historical
+# quiet band the committed floor table was captured under) so a
+# slow-host day doesn't read as 80 false regressions; the RATCHET
+# still min-merges RAW values — inflated slow-day readings can't
+# lower a floor (no corruption), and a new line seeded high simply
+# ratchets down on the next near-reference day.
+FLOOR_CAL_REF = 0.55  # mid of the 0.51-0.62 historical quiet-start band
+QUIET_REL_SLACK = 1.1
+
+
+def floor_scale(calibration_start: float | None) -> float:
+    """Host-day slowdown factor for floor comparisons, >= 1.0 (a
+    faster-than-reference day never scales readings up). Pure,
+    unit-tested."""
+    if not calibration_start or calibration_start <= 0:
+        return 1.0
+    return max(1.0, calibration_start / FLOOR_CAL_REF)
+
 
 def _load_floors() -> dict[str, float]:
     try:
@@ -76,14 +106,27 @@ def check_floors(
     timings: dict[str, object],
     floors: dict[str, float],
     ratio: float = FLOOR_WARN_RATIO,
+    scale: float = 1.0,
 ) -> dict[str, list[float]]:
-    """{name: [value, floor, value/floor]} for every timing line that
-    exceeds ratio × its recorded quiet floor. Pure, unit-tested."""
+    """{name: [value, floor, value/floor, (value/scale)/floor]} for
+    every timing line whose CALIBRATION-NORMALIZED reading exceeds
+    ratio × its recorded quiet floor (r14 verdict #1: raw comparison
+    on a 1.5x-slower host-day produced 22 floor warnings, all machine
+    state). scale=1.0 preserves the raw behavior; callers pass
+    floor_scale(calibration_start). Pure, unit-tested."""
     out: dict[str, list[float]] = {}
     for name, value in timings.items():
         floor = floors.get(name)
-        if floor and floor > 0 and _is_timing_line(name, value) and value > ratio * floor:
-            out[name] = [round(float(value), 3), floor, round(float(value) / floor, 2)]
+        if not (floor and floor > 0 and _is_timing_line(name, value)):
+            continue
+        norm = float(value) / scale
+        if norm > ratio * floor:
+            out[name] = [
+                round(float(value), 3),
+                floor,
+                round(float(value) / floor, 2),
+                round(norm / floor, 2),
+            ]
     return out
 
 
@@ -442,10 +485,69 @@ def run_stress_lines(
             line_load[f"{key}_at_failure"] = round(os.getloadavg()[0], 2)
 
 
+def calibration_probe(spark, reps: int = 2) -> float:
+    """The fixed, CODE-INDEPENDENT machine probe (r9): pure engine
+    work — range → modulo → groupBy shuffle, no file IO, no repo
+    operators — whose cost by construction never changes round to
+    round. min over ``reps`` back-to-back runs."""
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, CPUS).selectExpr(
+            "id % 9973 AS k"
+        ).groupBy("k").count().write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
+def _host_calibration_ensemble() -> float | None:
+    """Fork a FRESH JVM and run the calibration probe 3x back-to-back:
+    the host-day baseline the relative quiet gate compares against
+    (r14 verdict #1). A fresh fork — not the main session — so the
+    ensemble sees exactly the conditions a new bench JVM gets,
+    including any launcher throttle (the r14 finding: background-
+    launched processes measured 1.5x slower; the ensemble inherits
+    the same throttle as the run it gates, which is the point).
+    Returns None (gate falls back to the absolute form) on any
+    failure — the ensemble must never kill a record."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "PDP_BENCH_TIER": "calibrate"},
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+        if isinstance(parsed, dict) and isinstance(
+            parsed.get("host_cal"), (int, float)
+        ):
+            return float(parsed["host_cal"])
+    except Exception:  # noqa: BLE001 — diagnostics never kill the record
+        pass
+    return None
+
+
+def calibrate_tier_main() -> None:
+    """PDP_BENCH_TIER=calibrate entry: fresh-JVM calibration ensemble.
+    Prints one JSON line {"host_cal": min, "runs": [...]} as the last
+    stdout line."""
+    spark = get_session("pdp-bench-cal", cpus=CPUS, shuffle_partitions=CPUS)
+    runs = [calibration_probe(spark, reps=1) for _ in range(3)]
+    spark.stop()
+    print(json.dumps({"host_cal": min(runs), "runs": runs}), flush=True)
+
+
 def main() -> None:
     # machine-state capture (r5 verdict #6): cross-round totals proved
     # noise-dominated by host drift; record enough in the JSON itself
     # to attribute a swing to environment vs code without prose.
+    # The host-day calibration ensemble runs FIRST, in its own fork,
+    # before the main session exists (two full-size JVM heaps must
+    # never coexist — the stress-tier lesson).
+    host_cal = _host_calibration_ensemble()
     load_start = os.getloadavg()
     if load_start[0] >= 2.0:
         # r7 lesson: a record taken on a loaded machine set inflated
@@ -476,14 +578,7 @@ def main() -> None:
     # the record itself. r5-r9 all spent verdict space attributing
     # swings to machine state; this makes the attribution arithmetic.
     def _calibrate() -> float:
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spark.range(0, 50_000_000, 1, CPUS).selectExpr(
-                "id % 9973 AS k"
-            ).groupBy("k").count().write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        return round(min(runs), 3)
+        return calibration_probe(spark, reps=2)
 
     calibration_start = _calibrate()
 
@@ -727,25 +822,40 @@ def main() -> None:
     # whose readings are inflated — cannot corrupt the table).
     all_lines: dict[str, object] = {**timings, **secondary}
     floors = _load_floors()
-    floor_warnings = check_floors(all_lines, floors)
-    for name, (val, floor, r) in sorted(floor_warnings.items()):
+    scale = floor_scale(calibration_start)
+    floor_warnings = check_floors(all_lines, floors, scale=scale)
+    for name, (val, floor, r, norm_r) in sorted(floor_warnings.items()):
         print(
             f"WARN: {name} = {val}s exceeds {FLOOR_WARN_RATIO}x its quiet "
-            f"floor {floor}s ({r}x) — A/B on a quiet machine before "
+            f"floor {floor}s ({r}x raw, {norm_r}x calibration-normalized "
+            f"at scale {scale:.2f}) — A/B on a quiet machine before "
             "reading this as a regression",
             file=sys.stderr,
         )
-    quiet_run = load_start[0] < 2.0 and calibration_start < 0.7
+    # Host-relative quiet gate (r14 verdict #1): legacy absolute form
+    # kept and logged alongside; either passing qualifies the run to
+    # ratchet floors (the relative form can only be MORE selective
+    # than absolute when the host-day is fast, and is the only
+    # reachable form when the host-day is slow).
+    quiet_abs = load_start[0] < 2.0 and calibration_start < 0.7
+    quiet_rel = (
+        host_cal is not None
+        and load_start[0] < 2.0
+        and calibration_start <= QUIET_REL_SLACK * host_cal
+    )
+    quiet_run = quiet_abs or quiet_rel
     if quiet_run:
         try:
             with open(FLOORS_PATH, "w") as fh:
                 json.dump(
                     {
                         "note": "best quiet-run seconds per bench line "
-                        "(loadavg<2 + calibration<0.7 runs only; "
-                        "min-merged, never rises). Consumed by "
-                        "check_floors — any line > "
-                        f"{FLOOR_WARN_RATIO}x floor WARNs.",
+                        "(gate: loadavg<2 AND (calibration<0.7 OR "
+                        f"calibration <= {QUIET_REL_SLACK}x the fresh-JVM "
+                        "host ensemble); raw min-merge, never rises). "
+                        "Consumed by check_floors — any line > "
+                        f"{FLOOR_WARN_RATIO}x floor (calibration-"
+                        "normalized) WARNs.",
                         "floors": update_floors(all_lines, floors),
                     },
                     fh,
@@ -761,6 +871,17 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "calibration_start": calibration_start,
         "calibration_end": calibration_end,
+        # r15 host-relative gate record: host_cal = fresh-JVM ensemble
+        # min; abs = the legacy 0.7 reading, kept for comparability
+        "host_cal": host_cal,
+        "quiet_gate": {
+            "abs": quiet_abs,
+            "rel": quiet_rel,
+            "ratio": (
+                round(calibration_start / host_cal, 3) if host_cal else None
+            ),
+            "floor_scale": round(scale, 3),
+        },
         "cpus": CPUS,
         "spread": spread,
         "line_load": line_load,
@@ -783,6 +904,25 @@ def main() -> None:
             # verdict #1: the sidecar has no size budget; the stdout
             # env line stays small so the driver's capture parses)
             json.dump({**env_detail, "stress_tracebacks": stress_tracebacks}, fh, indent=1)
+        # round-closing runs set PDP_BENCH_CLOSING_TAG=rN: the sidecar
+        # is ALSO written under a versioned name the driver's own
+        # post-round run can't overwrite (r14 "what's wrong" #3 — the
+        # BASELINE.md citation pointed at a sidecar the driver had
+        # since replaced)
+        tag = os.environ.get("PDP_BENCH_CLOSING_TAG")
+        if tag:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    f"bench_closing_{tag}_env.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(
+                    {**env_detail, "stress_tracebacks": stress_tracebacks},
+                    fh,
+                    indent=1,
+                )
     except OSError:
         pass
     print(json.dumps(env_detail))
@@ -860,5 +1000,7 @@ def stress_tier_main() -> None:
 if __name__ == "__main__":
     if os.environ.get("PDP_BENCH_TIER") == "stress":
         stress_tier_main()
+    elif os.environ.get("PDP_BENCH_TIER") == "calibrate":
+        calibrate_tier_main()
     else:
         main()

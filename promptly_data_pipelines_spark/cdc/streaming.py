@@ -349,6 +349,65 @@ def _tagged_batch_ids(spark: SparkSession, target_path: str) -> set[int]:
     return set(list_tags(spark, target_path).values())
 
 
+def upsert_changelog(
+    spark: SparkSession,
+    target_path: str,
+    key: str,
+    from_batch: int | None = None,
+    to_batch: int | None = None,
+    from_tag: str | None = None,
+    to_tag: str | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between two retained snapshots — the Delta CDF
+    / Iceberg ``changelog`` role, derivable for free because every
+    ``snap-N`` is the full table state: one full-outer join on the key
+    yields, per row, ``insert`` (key only in the newer state),
+    ``delete`` (key only in the older), or an ``update_preimage`` /
+    ``update_postimage`` pair (key in both, any column differing,
+    null-safe). Unchanged keys emit nothing. Endpoints are batch ids
+    or named tags (:func:`tag_snapshot`); ``to_batch=None`` diffs
+    against the committed head.
+
+    Scale posture: both sides hash-partition on the key for the single
+    shuffle the full-outer join needs; the per-row change rows come
+    from a ``when``-built array + ``explode`` (one pass, no second
+    join, no driver involvement), so at 100 TB the cost is two
+    snapshot scans + one co-partitioned join — the same shape Delta's
+    CDF read amortizes by storing change files, which the snap-dir
+    target trades for storage-free derivation over its retained
+    window."""
+    if from_tag is not None:
+        from_batch = _resolve_tag(spark, target_path, from_tag)
+    if to_tag is not None:
+        to_batch = _resolve_tag(spark, target_path, to_tag)
+    old = read_upsert_target(spark, target_path, as_of_batch=from_batch)
+    new = read_upsert_target(spark, target_path, as_of_batch=to_batch)
+    cols = old.columns
+    sa = F.struct(*[F.col(f"a.{c}").alias(c) for c in cols])
+    sb = F.struct(*[F.col(f"b.{c}").alias(c) for c in cols])
+    j = old.alias("a").join(
+        new.alias("b"), F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer"
+    )
+
+    def tagged(label: str, row: F.Column) -> F.Column:
+        return F.struct(F.lit(label).alias("change_type"), row.alias("row"))
+
+    changes = (
+        F.when(F.col(f"a.{key}").isNull(), F.array(tagged("insert", sb)))
+        .when(F.col(f"b.{key}").isNull(), F.array(tagged("delete", sa)))
+        .when(
+            ~sa.eqNullSafe(sb),
+            F.array(tagged("update_preimage", sa), tagged("update_postimage", sb)),
+        )
+        # no otherwise: unchanged keys fall through to NULL, and
+        # explode() of a NULL array emits zero rows — the unchanged
+        # mass (normally ~all of the table) never materializes a row
+    )
+    return j.select(F.explode(changes).alias("e")).select(
+        F.col("e.change_type").alias("change_type"), "e.row.*"
+    )
+
+
 def expire_snapshots(
     spark: SparkSession, target_path: str, keep_last: int = 2
 ) -> list[int]:
@@ -623,6 +682,95 @@ def merge_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled(
         read_upsert_target(spark, tgt, as_of_tag="cut"), "cut"
     ).unionByName(labeled(read_upsert_target(spark, tgt), "head"))
+
+
+@query(
+    "merge_upsert_changelog",
+    registered=False,
+    # the oracle replays both directions of the change feed in SQL:
+    # forward (cut -> head) = inserts of the %4==1 ids + pre/post
+    # pairs for the evens update; backward (head -> cut) = the exact
+    # mirror (inserts become deletes, pre/post swap). Unchanged keys
+    # (all other live ids) must emit NOTHING in either direction.
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    ins AS (SELECT * FROM live WHERE event_id % 4 = 1),
+    upd_pre AS (SELECT * FROM live WHERE event_id % 2 = 0),
+    upd_post AS (
+      SELECT event_id, user_id, event_type, value + 100.0 AS value,
+             ms + 3600000 AS ms
+      FROM upd_pre
+    ),
+    lab AS (
+      SELECT 'fwd' AS direction, 'insert' AS change_type, * FROM ins
+      UNION ALL SELECT 'fwd', 'update_preimage', * FROM upd_pre
+      UNION ALL SELECT 'fwd', 'update_postimage', * FROM upd_post
+      UNION ALL SELECT 'bwd', 'delete', * FROM ins
+      UNION ALL SELECT 'bwd', 'update_preimage', * FROM upd_post
+      UNION ALL SELECT 'bwd', 'update_postimage', * FROM upd_pre
+    )
+    SELECT direction, change_type, event_id, user_id, event_type, value,
+           strftime(make_timestamp(ms * 1000), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM lab
+    """,
+)
+def merge_upsert_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the snap-dir target (the Delta CDF role),
+    end to end under the real engine: batch 0 seeds the table with the
+    %4!=1 live ids, batch 1 delivers inserts (the %4==1 ids) plus an
+    update pass over the evens (value+100, ts+1h); the seed snapshot
+    is tagged 'cut' and :func:`upsert_changelog` is computed in BOTH
+    directions (cut->head and head->cut), so every change_type —
+    insert, delete, update_preimage, update_postimage — is exercised
+    and value-checked, and the unchanged mass (odd non-insert ids,
+    identical in both states) is pinned to emit nothing."""
+    ev = table(spark, sf_dir, "events")
+    seed = ev.filter(F.col("event_id") % 4 != 1)
+    delta = ev.filter(F.col("event_id") % 4 == 1).unionByName(
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    base = _fresh_staging_dir(spark, sf_dir, "cdf_upsert")
+    src, ckpt, tgt = (os.path.join(base, d) for d in ("src", "ckpt", "tgt"))
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, sl in enumerate((seed, delta)):
+        stage = os.path.join(base, f"stage{i}")
+        synthesize_envelopes(sl).coalesce(1).write.json(stage)
+        part = next(
+            p for p in glob.glob(os.path.join(stage, "part-*")) if not p.endswith(".crc")
+        )
+        dst = os.path.join(src, f"{i:03d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = upsert_sink(live_rows(stream), tgt, ckpt, keep_snapshots=100).start()
+    drain_stream(q, "changelog upsert")
+    batch_ids = sorted(h["batch_id"] for h in upsert_history(spark, tgt))
+    tag_snapshot(spark, tgt, "cut", batch_id=batch_ids[0])
+
+    def labeled(df: DataFrame, direction: str) -> DataFrame:
+        return df.select(
+            F.lit(direction).alias("direction"),
+            "change_type",
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            ts_str(F.col("ts")).alias("ts_str"),
+        )
+
+    fwd = upsert_changelog(spark, tgt, "event_id", from_tag="cut")
+    bwd = upsert_changelog(spark, tgt, "event_id", from_batch=None, to_tag="cut")
+    return labeled(fwd, "fwd").unionByName(labeled(bwd, "bwd"))
 
 
 @query(

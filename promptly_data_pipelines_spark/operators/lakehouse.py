@@ -13,13 +13,14 @@ absent, callers fall back to the storage-free union+window form
 test is skipped-without-jars and green-with-jars by construction.
 
 INFEASIBILITY PROOF (verified in-sandbox, rounds 3-4, re-verified
-rounds 7-13 AND 14 — the r14 re-probe on 2026-08-16 (round 14
+every round through 15 — the r15 re-probe on 2026-08-16 (round 15
 session) reproduced the identical state: DNS failure on all three
 hosts (``[Errno -2] Name or service not known`` for repo1.maven.org,
 repo.maven.apache.org, pypi.org), ``pip download delta-spark
 --no-deps`` rc=1 with zero candidates (``pip download avro`` likewise
-rc=1), and no iceberg/delta jar anywhere under /opt/spark*/jars or
-any ivy cache. The r13 re-probe on 2026-08-15 was identical. The r12 re-probe, same date,
+rc=1), no iceberg/delta jar anywhere under /opt/spark*/jars, and
+empty ~/.ivy2 and ~/.m2 caches. The r14 re-probe (same date, round 14
+session) and the r13 re-probe on 2026-08-15 were identical. The r12 re-probe, same date,
 identical: DNS failure on
 repo1.maven.org, repo.maven.apache.org AND pypi.org
 (``[Errno -2] Name or service not known`` on all three),

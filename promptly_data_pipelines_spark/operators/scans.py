@@ -408,10 +408,10 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark-avro DataSource) and both Maven hosts are DNS-dead in this
     environment — the same re-probed infeasibility as Iceberg/Delta
     (operators/lakehouse.py; both proofs re-stamped 2026-08-16 in the
-    ROUND 14 session — identical result to the r12/r13 probes: DNS
-    ``Errno -2`` on repo1/repo.maven/pypi, ``pip download
+    ROUND 15 session — identical result to the r12/r13/r14 probes:
+    DNS ``Errno -2`` on repo1/repo.maven/pypi, ``pip download
     delta-spark``/``avro`` zero candidates, no spark-avro jar on
-    disk)."""
+    disk, empty ivy/m2 caches)."""
     out = os.path.join(
         tempfile.gettempdir(),
         f"pdp_xml_{os.path.basename(sf_dir.rstrip('/'))}_{_session_tag(spark)}",

@@ -22,8 +22,33 @@ def test_check_floors_flags_only_true_timing_regressions():
     }
     warns = bench.check_floors(timings, floors)
     assert set(warns) == {"a", "c"}
-    val, floor, ratio = warns["a"]
+    val, floor, ratio, norm_ratio = warns["a"]
     assert (val, floor) == (2.5, 1.0) and ratio == 2.5
+    assert norm_ratio == 2.5  # scale=1.0 -> normalized == raw
+
+
+def test_check_floors_calibration_normalization():
+    """r14 verdict #1: a 1.5x-slower host-day inflated every line and
+    produced 22 raw floor warnings, all machine state. The comparison
+    is now normalized by the calibration scale; the raw ratio stays
+    in the record for attribution."""
+    floors = {"a": 1.0, "b": 1.0}
+    timings = {"a": 2.5, "b": 3.5}
+    # scale 1.5: a's normalized reading 1.67x -> clean; b's 2.33x -> flagged
+    warns = bench.check_floors(timings, floors, scale=1.5)
+    assert set(warns) == {"b"}
+    val, floor, raw, norm = warns["b"]
+    assert (val, floor, raw) == (3.5, 1.0, 3.5) and norm == 2.33
+
+
+def test_floor_scale_clamps_at_reference():
+    # faster-than-reference days never scale readings up
+    assert bench.floor_scale(0.45) == 1.0
+    assert bench.floor_scale(None) == 1.0
+    assert bench.floor_scale(0.0) == 1.0
+    # the r14 slow-day band: 0.843 start -> ~1.53x the 0.55 reference
+    assert abs(bench.floor_scale(0.843) - 0.843 / bench.FLOOR_CAL_REF) < 1e-9
+    assert bench.floor_scale(0.843) > 1.5
 
 
 def test_update_floors_only_ratchets_down():

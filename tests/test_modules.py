@@ -2530,3 +2530,45 @@ def test_named_tags_pin_snapshots_against_expiry_and_gc(spark):
     S.expire_snapshots(spark, tgt, keep_last=2)
     assert not os.path.exists(orphan_lo), "orphan below committed must be swept"
     assert os.path.exists(orphan_hi), "in-flight dir above committed must stay"
+
+
+def test_upsert_changelog_null_safety_and_identity(spark):
+    """upsert_changelog pins (a) null-safe update detection: null->value
+    and value->null ARE updates, null==null is unchanged; (b) identity:
+    diffing a snapshot against itself emits zero rows; (c) insert and
+    delete branches carry the correct side's full row."""
+    d = tempfile.mkdtemp()
+    tgt = os.path.join(d, "tgt")
+
+    def snap(batch_id, rows):
+        path = os.path.join(tgt, f"snap-{batch_id}")
+        spark.createDataFrame(rows, "k bigint, v string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    # snap-0: k=1 (v null), k=2, k=3, k=4 (v null)
+    snap(0, [(1, None), (2, "b"), (3, "c"), (4, None)])
+    # snap-1: k=1 null->'x' (update), k=2 'b'->null (update),
+    #         k=3 unchanged, k=4 null->null unchanged, k=5 insert; no k... 
+    snap(1, [(1, "x"), (2, None), (3, "c"), (4, None), (5, "e")])
+    with open(os.path.join(tgt, "_LATEST"), "w") as fh:
+        fh.write("snap-1")
+
+    log = S.upsert_changelog(spark, tgt, "k", from_batch=0, to_batch=1)
+    got = sorted(tuple(r) for r in log.collect())
+    assert got == sorted(
+        [
+            ("update_preimage", 1, None),
+            ("update_postimage", 1, "x"),
+            ("update_preimage", 2, "b"),
+            ("update_postimage", 2, None),
+            ("insert", 5, "e"),
+        ]
+    ), got
+
+    # delete branch: reverse direction turns the insert into a delete
+    rev = S.upsert_changelog(spark, tgt, "k", from_batch=1, to_batch=0)
+    assert ("delete", 5, "e") in {tuple(r) for r in rev.collect()}
+
+    # identity: a snapshot diffed against itself is empty
+    assert S.upsert_changelog(spark, tgt, "k", from_batch=1, to_batch=1).count() == 0
