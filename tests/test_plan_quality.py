@@ -777,3 +777,37 @@ def test_shuffle_hash_joins_build_on_the_build_side(spark):
             "partition (the r13 stress OOM)"
         )
         assert "BuildRight" in p, f"{name}: no BuildRight node found"
+
+
+def test_upsert_changelog_plan_single_join_no_cartesian(spark, tmp_path):
+    """r15: the change data feed's plan contract — ONE key-equi
+    full-outer join (SortMergeJoin; full outer can never broadcast or
+    nested-loop), the change rows produced by a single Generate
+    (explode) over the when-built array, and no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere: at 100 TB the cost must be two
+    snapshot scans + one co-partitioned shuffle, nothing quadratic."""
+    import io as _io
+    import contextlib as _ctx
+
+    from promptly_data_pipelines_spark.cdc import streaming as S
+
+    tgt = str(tmp_path / "tgt")
+    for b, rows in ((0, [(1, "a")]), (1, [(1, "b"), (2, "c")])):
+        spark.createDataFrame(rows, "k bigint, v string").write.mode(
+            "overwrite"
+        ).parquet(f"{tgt}/snap-{b}")
+    (tmp_path / "tgt" / "_LATEST").write_text("snap-1")
+
+    df = S.upsert_changelog(spark, tgt, "k", from_batch=0, to_batch=1)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # the tree section only: "formatted" repeats each node in the
+    # details block, so count on the part before the first detail
+    tree = p.split("\n\n(")[0]
+    assert tree.count("SortMergeJoin") == 1, "exactly one full-outer SMJ"
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p, "explode() vanished — change rows now need a second pass"
