@@ -1314,3 +1314,98 @@ def test_varint_delta_codec_roundtrip(positions):
     blob = _varint_delta_encode(positions)
     assert _varint_delta_decode(blob) == list(positions)
     assert len(blob) <= 8 * max(1, len(positions))
+
+
+# --- snapshot-store lifecycle (r15: tags + expiry + time travel) ----------
+
+store_ops = st.lists(
+    st.one_of(
+        st.just(("commit",)),
+        st.tuples(st.just("tag"), st.integers(0, 2), st.booleans()),
+        st.tuples(st.just("untag"), st.integers(0, 2)),
+        st.tuples(st.just("expire"), st.integers(2, 4)),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(ops=store_ops)
+def test_snapshot_store_lifecycle_invariants(spark, ops):
+    """Adversarial pin of the snap-dir store's lifecycle semantics
+    against a pure-Python model, under ANY interleaving of commits,
+    tagging (head or oldest-retained), tag deletion, and expiry:
+    (a) the committed state is always readable and equals the model;
+    (b) every retained batch time-travels to exactly its own rows;
+    (c) expire_snapshots removes precisely model-retained minus
+        (newest keep_last ∪ committed ∪ tagged) — the committed and
+        tagged snapshots are NEVER expired;
+    (d) list_tags always round-trips the model's tag map."""
+    import os
+    import tempfile
+
+    from promptly_data_pipelines_spark.cdc import streaming as S
+    from promptly_data_pipelines_spark.operators.fs import FileSystemOps
+
+    tgt = tempfile.mkdtemp(prefix="pdp_store_prop_")
+    fs = FileSystemOps(spark)
+    snaps: set[int] = set()
+    committed: int | None = None
+    tags: dict[str, int] = {}
+    next_id = 0
+    names = ["alpha", "beta", "gamma"]
+
+    def commit(bid: int) -> None:
+        spark.createDataFrame([(bid, f"v{bid}")], "batch bigint, payload string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{tgt}/snap-{bid}")
+        tmp = f"{tgt}/_LATEST.tmp-{bid}"
+        fs.put_text(tmp, f"snap-{bid}")
+        fs.delete(f"{tgt}/_LATEST")
+        fs.rename(tmp, f"{tgt}/_LATEST")
+
+    for op in ops:
+        if op[0] == "commit":
+            commit(next_id)
+            snaps.add(next_id)
+            committed = next_id
+            next_id += 1
+        elif op[0] == "tag":
+            name = names[op[1]]
+            if committed is None:
+                with pytest.raises(FileNotFoundError):
+                    S.tag_snapshot(spark, tgt, name)
+                continue
+            target = committed if op[2] else min(snaps)
+            got = S.tag_snapshot(spark, tgt, name, batch_id=target)
+            assert got == target
+            tags[name] = target
+        elif op[0] == "untag":
+            name = names[op[1]]
+            S.delete_tag(spark, tgt, name)
+            tags.pop(name, None)
+        elif op[0] == "expire":
+            keep_last = op[1]
+            if committed is None:
+                assert S.expire_snapshots(spark, tgt, keep_last=keep_last) == []
+                continue
+            newest = set(sorted(snaps)[-keep_last:])
+            keep = newest | {committed} | set(tags.values())
+            expect = sorted(snaps - keep)
+            assert S.expire_snapshots(spark, tgt, keep_last=keep_last) == expect
+            snaps -= set(expect)
+
+        # invariants after every op
+        assert S.list_tags(spark, tgt) == tags
+        if committed is None:
+            continue
+        head = S.read_upsert_target(spark, tgt).collect()
+        assert [(r.batch, r.payload) for r in head] == [(committed, f"v{committed}")]
+        hist = {h["batch_id"] for h in S.upsert_history(spark, tgt)}
+        assert hist == snaps
+        for b in snaps:
+            rows = S.read_upsert_target(spark, tgt, as_of_batch=b).collect()
+            assert [(r.batch, r.payload) for r in rows] == [(b, f"v{b}")]
+        for name, b in tags.items():
+            rows = S.read_upsert_target(spark, tgt, as_of_tag=name).collect()
+            assert [(r.batch, r.payload) for r in rows] == [(b, f"v{b}")]
