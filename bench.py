@@ -533,8 +533,19 @@ def _host_calibration_ensemble() -> float | None:
 def calibrate_tier_main() -> None:
     """PDP_BENCH_TIER=calibrate entry: fresh-JVM calibration ensemble.
     Prints one JSON line {"host_cal": min, "runs": [...]} as the last
-    stdout line."""
+    stdout line.
+
+    The ensemble JVM is WARMED with one untimed probe first (r15
+    attempts 1-4: single-rep probes in a cold JVM carry 2-20 s of
+    whole-stage-codegen/JIT warmup — attempt 4's ensemble read
+    host_cal 2.168 on an idle box whose warm probe runs 0.5-0.6 s,
+    making the relative gate too lax exactly when the host looks
+    slow). One discarded warmup probe puts the 3 timed probes in the
+    same JIT state as the main run's calibration_start, whose JVM has
+    already executed the agg_count warmup query — like-for-like, or
+    the ratio gates nothing."""
     spark = get_session("pdp-bench-cal", cpus=CPUS, shuffle_partitions=CPUS)
+    calibration_probe(spark, reps=1)  # discarded: JIT/codegen warmup
     runs = [calibration_probe(spark, reps=1) for _ in range(3)]
     spark.stop()
     print(json.dumps({"host_cal": min(runs), "runs": runs}), flush=True)
