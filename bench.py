@@ -591,6 +591,17 @@ def main() -> None:
     def _calibrate() -> float:
         return calibration_probe(spark, reps=2)
 
+    # One discarded probe before the timed pair, the same warmup the
+    # ensemble JVM gets (r15 attempt 5 was the diagnosis: the WARMED
+    # ensemble read host_cal 0.578 — the historical 0.51-0.62 quiet
+    # band — while calibration_start read 1.155 in the same minute and
+    # fell to 0.41 by run end; the "slow host-day" r14 fought was the
+    # first-minute cold state — CPU-governor ramp + probe-path JIT —
+    # not the host. The r13-era 0.513 starts came from runs launched
+    # on an already-hot box. Without matching warmup on both sides the
+    # ratio gate compares a cold JVM to a warm one and fails on every
+    # idle-start day).
+    calibration_probe(spark, reps=1)  # discarded: clock/JIT warmup
     calibration_start = _calibrate()
 
     # min of two runs per query: first-touch effects (codegen, shuffle
