@@ -555,11 +555,16 @@ def main() -> None:
     # machine-state capture (r5 verdict #6): cross-round totals proved
     # noise-dominated by host drift; record enough in the JSON itself
     # to attribute a swing to environment vs code without prose.
+    # load_start is AMBIENT state, so it must be read BEFORE the
+    # ensemble fork: the ensemble is itself a 32-thread Spark burst
+    # that pushes the 1-min loadavg past the gate's own 2.0 bound
+    # (r15 attempt 6: loadavg 0.46 at launch, 3.73 after the ensemble
+    # — the gate was failing every run on self-load).
+    load_start = os.getloadavg()
     # The host-day calibration ensemble runs FIRST, in its own fork,
     # before the main session exists (two full-size JVM heaps must
     # never coexist — the stress-tier lesson).
     host_cal = _host_calibration_ensemble()
-    load_start = os.getloadavg()
     if load_start[0] >= 2.0:
         # r7 lesson: a record taken on a loaded machine set inflated
         # first-time baselines that read as false wins the next round.
