@@ -103,6 +103,7 @@ def merge_upsert_frames(
     updates: DataFrame,
     key: str,
     order_cols: tuple[str, ...] = ("ts",),
+    allow_missing_columns: bool = False,
 ) -> DataFrame:
     """S6: MERGE upsert, engine-agnostic batch form: union the current
     snapshot with the change set, keep latest per key. On an Iceberg/
@@ -115,10 +116,20 @@ def merge_upsert_frames(
     with equal (order_cols) pick a nondeterministic winner whenever the
     caller's key makes the old event_id tiebreaker constant within the
     partition (e.g. key='event_id'). order_cols is caller-suppliable
-    for change sets ordered by something other than ts."""
+    for change sets ordered by something other than ts.
+
+    ``allow_missing_columns`` is SCHEMA EVOLUTION (r15, Delta's
+    ``mergeSchema`` on MERGE): a change set carrying an additive
+    column widens the result, with snapshot rows NULL-filled — and
+    symmetrically, a late replay of an old-shape change set against
+    an already-widened snapshot NULL-fills the other way. Off by
+    default: strict unionByName failing loudly on a schema mismatch
+    is the right default for a typo; widening must be opted into,
+    exactly as Delta requires mergeSchema."""
     pri = "__src_priority"
     unioned = snapshot.withColumn(pri, F.lit(0)).unionByName(
-        updates.withColumn(pri, F.lit(1))
+        updates.withColumn(pri, F.lit(1)),
+        allowMissingColumns=allow_missing_columns,
     )
     return latest_wins(unioned, key, [*order_cols, pri]).drop(pri)
 

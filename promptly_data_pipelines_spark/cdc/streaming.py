@@ -53,10 +53,23 @@ def read_envelope_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(RAW_STREAM_SCHEMA).json(path)
 
 
-def live_rows(stream: DataFrame) -> DataFrame:
+def live_rows(
+    stream: DataFrame,
+    schema=None,
+    extra_image_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Decode + tombstone-filter (T1+T2), streaming-safe (stateless
-    select/filter — identical semantics to the batch path)."""
-    decoded = decode_envelopes(stream)
+    select/filter — identical semantics to the batch path).
+    ``schema``/``extra_image_cols`` are the post-DDL consumer shape:
+    decode under a widened envelope schema (e.g. ENVELOPE_V2_SCHEMA)
+    and surface the additive ``after.<col>`` fields — pre-DDL
+    messages NULL-fill them (cdc_schema_evolution's decode posture,
+    reusable by the upsert sink's schema-evolution path)."""
+    decoded = (
+        decode_envelopes(stream)
+        if schema is None
+        else decode_envelopes(stream, schema=schema)
+    )
     return decoded.filter(F.col("after").isNotNull()).select(
         "op",
         F.timestamp_millis("ts_ms").alias("ts"),
@@ -64,6 +77,7 @@ def live_rows(stream: DataFrame) -> DataFrame:
         F.col("after.user_id").alias("user_id"),
         F.col("after.event_type").alias("event_type"),
         F.col("after.value").alias("value"),
+        *[F.col(f"after.{c}").alias(c) for c in extra_image_cols],
     )
 
 
@@ -475,6 +489,7 @@ def upsert_sink(
     checkpoint: str,
     key: str = "event_id",
     keep_snapshots: int = 2,
+    evolve_schema: bool = False,
 ):
     """T3/S6 streaming form: foreachBatch MERGE. Each micro-batch is
     compacted latest-wins against the current committed snapshot and
@@ -577,7 +592,20 @@ def upsert_sink(
             gc_superseded(fs, snap_name, prior)
             return
         if prev is not None:
-            merged = merge_upsert_frames(spark.read.parquet(prev), batch_df, key)
+            # evolve_schema (r15): a consumer redeployed with a widened
+            # decode (additive DDL upstream) delivers batches with new
+            # columns against a narrower committed snapshot — and its
+            # checkpoint may also REPLAY an old-shape batch against an
+            # already-widened snapshot. Both directions NULL-fill; the
+            # next snapshot carries the union schema (Delta's
+            # mergeSchema-on-MERGE). Default strict: a mismatch fails
+            # the batch loudly rather than silently widening on a typo.
+            merged = merge_upsert_frames(
+                spark.read.parquet(prev),
+                batch_df,
+                key,
+                allow_missing_columns=evolve_schema,
+            )
         else:
             merged = batch_df
         merged.write.mode("overwrite").parquet(f"{target_path}/{snap_name}")
@@ -771,6 +799,100 @@ def merge_upsert_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = upsert_changelog(spark, tgt, "event_id", from_tag="cut")
     bwd = upsert_changelog(spark, tgt, "event_id", from_batch=None, to_tag="cut")
     return labeled(fwd, "fwd").unionByName(labeled(bwd, "bwd"))
+
+
+@query(
+    "merge_upsert_schema_evolution",
+    registered=False,
+    # oracle: evens keep their v1 rows with channel NULL-backfilled;
+    # odds carry the post-DDL update (value+100, ts+1h, channel by id
+    # arithmetic — the deterministic fixture cdc_schema_evolution uses)
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
+      FROM events WHERE event_id % 10 <> 0
+    )
+    SELECT event_id, user_id, event_type, value,
+           CAST(NULL AS VARCHAR) AS channel,
+           strftime(make_timestamp(ms * 1000), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM live WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, value + 100.0 AS value,
+           CASE WHEN event_id % 4 = 1 THEN 'web' ELSE 'mobile' END AS channel,
+           strftime(make_timestamp((ms + 3600000) * 1000),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM live WHERE event_id % 2 = 1
+    """,
+)
+def merge_upsert_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION ON THE SINK, end to end under the real engine
+    (the gap cdc_schema_evolution leaves: decoding a widened envelope
+    is r11 work — STORING it against a narrower committed snapshot is
+    this): drain 1 commits the whole feed under the v1 shape; the
+    upstream then gains ``channel`` (ALTER TABLE), the producer emits
+    post-DDL updates for the odd ids, and the consumer restarts from
+    the SAME checkpoint redeployed with the v2 decode and
+    ``evolve_schema=True`` — the next snapshot carries the union
+    schema, v1 rows NULL-backfilled, exactly Delta's
+    mergeSchema-on-MERGE. The committed state is then value-checked
+    whole: evens = untouched v1 rows with channel NULL, odds = the
+    post-DDL update with its channel."""
+    from .envelope import ENVELOPE_V2_SCHEMA
+
+    ev = table(spark, sf_dir, "events")
+    post_ddl_channel = F.when(
+        F.col("event_id") % 4 == 1, F.lit("web")
+    ).otherwise(F.lit("mobile"))
+    updates = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    base = _fresh_staging_dir(spark, sf_dir, "evo_upsert")
+    src, ckpt, tgt = (os.path.join(base, d) for d in ("src", "ckpt", "tgt"))
+    os.makedirs(src, exist_ok=True)
+
+    def stage(frame: DataFrame, name: str, mtime: float) -> None:
+        d = os.path.join(base, f"stage_{name}")
+        frame.coalesce(1).write.json(d)
+        part = next(
+            p for p in glob.glob(os.path.join(d, "part-*")) if not p.endswith(".crc")
+        )
+        dst = os.path.join(src, name)
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    # generation 1: the whole feed, v1 wire shape (no channel key)
+    stage(synthesize_envelopes(ev), "000.json", now)
+    s1 = spark.readStream.schema(RAW_STREAM_SCHEMA).json(src)
+    q1 = upsert_sink(live_rows(s1), tgt, ckpt, keep_snapshots=100).start()
+    drain_stream(q1, "schema-evolution drain 1 (v1)")
+
+    # generation 2: post-DDL updates carrying channel; consumer
+    # restarts from the SAME checkpoint with the widened decode
+    stage(
+        synthesize_envelopes(updates, image_extra={"channel": post_ddl_channel}),
+        "001.json",
+        now + 10,
+    )
+    s2 = spark.readStream.schema(RAW_STREAM_SCHEMA).json(src)
+    rows2 = live_rows(
+        s2, schema=ENVELOPE_V2_SCHEMA, extra_image_cols=("channel",)
+    )
+    q2 = upsert_sink(
+        rows2, tgt, ckpt, keep_snapshots=100, evolve_schema=True
+    ).start()
+    drain_stream(q2, "schema-evolution drain 2 (v2)")
+
+    return read_upsert_target(spark, tgt).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "channel",
+        ts_str(F.col("ts")).alias("ts_str"),
+    )
 
 
 @query(

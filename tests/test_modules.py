@@ -2572,3 +2572,51 @@ def test_upsert_changelog_null_safety_and_identity(spark):
 
     # identity: a snapshot diffed against itself is empty
     assert S.upsert_changelog(spark, tgt, "k", from_batch=1, to_batch=1).count() == 0
+
+
+def test_merge_upsert_schema_evolution_semantics(spark):
+    """r15 sink schema evolution, batch-form pins: (a) STRICT default —
+    a widened change set against a narrower snapshot fails loudly
+    (widening must be opted into, as Delta requires mergeSchema);
+    (b) opt-in widening NULL-backfills snapshot rows and keeps
+    latest-wins; (c) the REVERSE direction — an old-shape (checkpoint
+    replay) change set against an already-widened snapshot —
+    NULL-fills the other way without dropping the column."""
+    from promptly_data_pipelines_spark.cdc.batch import merge_upsert_frames
+
+    snap = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k bigint, ts bigint, v string"
+    )
+    widened = spark.createDataFrame(
+        [(2, 30, "b2", "web"), (3, 5, "c", "mobile")],
+        "k bigint, ts bigint, v string, channel string",
+    )
+    # (a) strict default raises
+    with pytest.raises(Exception, match="NUM_COLUMNS_MISMATCH|UNION|union"):
+        merge_upsert_frames(snap, widened, "k").collect()
+    # (b) opt-in widens: k=1 keeps v1 row with channel NULL; k=2 takes
+    # the newer widened row; k=3 inserts
+    got = {
+        r.k: (r.ts, r.v, r.channel)
+        for r in merge_upsert_frames(
+            snap, widened, "k", allow_missing_columns=True
+        ).collect()
+    }
+    assert got == {1: (10, "a", None), 2: (30, "b2", "web"), 3: (5, "c", "mobile")}
+    # (c) reverse: old-shape replay against the widened state — column
+    # survives, replayed row NULL-fills it (and loses latest-wins to
+    # the newer widened row where ts says so)
+    widened_state = merge_upsert_frames(snap, widened, "k", allow_missing_columns=True)
+    replay = spark.createDataFrame([(1, 40, "a2"), (2, 1, "stale")],
+                                   "k bigint, ts bigint, v string")
+    got2 = {
+        r.k: (r.ts, r.v, r.channel)
+        for r in merge_upsert_frames(
+            widened_state, replay, "k", allow_missing_columns=True
+        ).collect()
+    }
+    assert got2 == {
+        1: (40, "a2", None),      # newer replay wins, channel NULL-filled
+        2: (30, "b2", "web"),     # stale replay loses to the widened row
+        3: (5, "c", "mobile"),
+    }
