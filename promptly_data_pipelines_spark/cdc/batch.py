@@ -136,6 +136,10 @@ def merge_upsert_frames(
 
 @query(
     "merge_upsert",
+    # r16 rotation: demoted to local tier — the S6 driver row is now
+    # merge_upsert_schema_evolution, which drains the same latest-wins
+    # merge through the real engine across an ALTER TABLE boundary
+    registered=False,
     oracle="""
     WITH snap AS (
       SELECT event_id, ts, user_id, event_type, value

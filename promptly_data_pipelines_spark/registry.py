@@ -123,7 +123,12 @@ _ORDER: tuple[str, ...] = (
     "sql_surface_q3",
     "reference_curated_provider",
     "cdc_parse",
-    "merge_upsert",
+    # r16 rotation (r15 verdict #3): the S6 family's driver row is now
+    # the real-engine schema-evolution drain — a strict superset of the
+    # batch merge_upsert it demotes (same latest-wins merge, exercised
+    # through upsert_sink across an ALTER TABLE boundary, the #1
+    # real-world CDC failure); merge_upsert stays local with its oracle
+    "merge_upsert_schema_evolution",
     # r5 rotation: the real-engine exec forms replaced their batch twins
     # (stream_tumbling_counts, stream_session, stream_late_drop — now
     # local-tier, still oracle-checked by pytest) so T5/T6's primary

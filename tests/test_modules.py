@@ -4,7 +4,9 @@ helper functions, multimodal codec boundary."""
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 import tempfile
 
 import pytest
@@ -2582,7 +2584,209 @@ def test_tag_crash_recovery_and_sweep(spark):
     assert S.list_tags(spark, tgt) == {}, "deleted tag resurrected from tmp"
 
 
-def test_upsert_changelog_null_safety_and_identity(spark):
+def test_changelog_sink_matches_endpoint_diff_and_exactly_once(spark):
+    """r16 streaming change feed: (a) each commit_batch partition of
+    the sink-produced feed equals upsert_changelog between the same
+    snapshot endpoints (same derivation, now produced incrementally);
+    (b) a crash between the pointer flip and the checkpoint commit
+    redelivers the batch — the feed must come back IDENTICAL (the
+    id-keyed overwrite is the exactly-once mechanism), no duplicate
+    or phantom change rows."""
+    from promptly_data_pipelines_spark.cdc.envelope import synthesize_envelopes
+
+    base = os.path.join(tempfile.gettempdir(), "pdp_cdf_sink_test")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, tgt, cl = (os.path.join(base, x) for x in ("src", "ck", "tgt", "cl"))
+    ev = table(spark, SF_DIR, "events").limit(2000)
+
+    def drain():
+        S.upsert_sink(
+            S.live_rows(S.read_envelope_stream(spark, src)), tgt, ckpt,
+            keep_snapshots=100, changelog_path=cl,
+        ).start().awaitTermination(120)
+
+    synthesize_envelopes(ev.filter(F.col("event_id") % 2 == 0)).write.json(src)
+    drain()
+    synthesize_envelopes(
+        ev.filter(F.col("event_id") % 4 == 0)
+        .withColumn("value", F.col("value") + F.lit(7.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    ).write.mode("append").json(src)
+    drain()
+
+    feed = spark.read.parquet(cl)
+    batches = sorted(r[0] for r in feed.select("commit_batch").distinct().collect())
+    assert batches == [0, 1]
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "change_type", "event_id", "value", "ts"
+            ).collect()
+        )
+
+    # (a) per-batch partition == endpoint diff
+    want = canon(S.upsert_changelog(spark, tgt, "event_id", from_batch=0, to_batch=1))
+    got = canon(feed.filter(F.col("commit_batch") == 1))
+    assert got == want
+    before = canon(feed)
+
+    # (b) crash + redelivery: drop the newest checkpoint commit marker
+    commits = glob.glob(os.path.join(ckpt, "commits", "[0-9]*"))
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert canon(spark.read.parquet(cl)) == before, (
+        "redelivery duplicated or mutated the change feed"
+    )
+
+
+def test_branch_fork_merge_conflict_and_pinning(spark):
+    """r16 writable branches (the Nessie merge semantic): (a) a fresh
+    branch reads as its fork base (zero-copy); (b) a branch commit is
+    invisible to main until merge (fork isolation); (c) fast-forward
+    merge-back renames the branch state into main under a minted id
+    above every retained main id and consumes the branch; (d) merging
+    when main MOVED since the fork raises a loud conflict, and the
+    branch survives for inspection; (e) the fork base is pinned
+    against expire_snapshots while the branch exists; (f) duplicate
+    branch names, bad names, and unknown branches raise."""
+    d = tempfile.mkdtemp()
+    tgt = os.path.join(d, "tgt")
+    from promptly_data_pipelines_spark.operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+
+    def snap(root, batch_id, rows):
+        spark.createDataFrame(rows, "k bigint, v string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"snap-{batch_id}"))
+
+    def flip(root, batch_id):
+        with open(os.path.join(root, "_LATEST"), "w") as fh:
+            fh.write(f"snap-{batch_id}")
+
+    for b in range(3):
+        snap(tgt, b, [(1, f"m{b}")])
+    flip(tgt, 2)
+
+    # (a) fork reads as base
+    assert S.branch_snapshot(spark, tgt, "dev") == 2
+    assert S.list_branches(spark, tgt) == {"dev": 2}
+    assert [tuple(r) for r in S.read_branch(spark, tgt, "dev").collect()] == [(1, "m2")]
+
+    # (e) base pinned: expire with keep_last=2 keeps snap-2 anyway
+    # (committed); re-point main ahead and verify the OLD base survives
+    snap(tgt, 5, [(1, "m5")])
+    flip(tgt, 5)
+    expired = S.expire_snapshots(spark, tgt, keep_last=2)
+    assert 2 not in expired, "branch base expired while branch exists"
+    assert {h["batch_id"] for h in S.upsert_history(spark, tgt)} >= {2, 5}
+
+    # (d) main moved (committed snap-5 != base snap-2): loud conflict
+    broot = os.path.join(tgt, "_BRANCH-dev")
+    snap(broot, 3, [(1, "b3"), (2, "b-new")])
+    flip(broot, 3)
+    with pytest.raises(ValueError, match="merge conflict"):
+        S.merge_branch(spark, tgt, "dev")
+    assert S.list_branches(spark, tgt) == {"dev": 2}, "conflict consumed the branch"
+
+    # (b)+(c): re-fork from the head, commit on the branch, merge back
+    S.delete_branch(spark, tgt, "dev")
+    S.branch_snapshot(spark, tgt, "dev2")  # base = snap-5
+    broot2 = os.path.join(tgt, "_BRANCH-dev2")
+    snap(broot2, 6, [(1, "m5"), (2, "from-branch")])
+    flip(broot2, 6)
+    # isolation: main unchanged pre-merge
+    assert [tuple(r) for r in S.read_upsert_target(spark, tgt).collect()] == [(1, "m5")]
+    new_id = S.merge_branch(spark, tgt, "dev2")
+    assert new_id == 6, f"minted id must top retained main ids, got {new_id}"
+    got = sorted(tuple(r) for r in S.read_upsert_target(spark, tgt).collect())
+    assert got == [(1, "m5"), (2, "from-branch")]
+    assert S.list_branches(spark, tgt) == {}, "merge must consume the branch"
+    assert not fs.exists(broot2)
+
+    # (f) error surface
+    with pytest.raises(ValueError, match="already exists"):
+        S.branch_snapshot(spark, tgt, "x") and S.branch_snapshot(spark, tgt, "x")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        S.branch_snapshot(spark, tgt, "../escape")
+    with pytest.raises(FileNotFoundError, match="not found"):
+        S.read_branch(spark, tgt, "nope")
+    with pytest.raises(FileNotFoundError, match="not found"):
+        S.merge_branch(spark, tgt, "nope")
+
+
+def test_upsert_sink_monotonic_ids_past_merge(spark):
+    """r16 id minting under the REAL engine: after a merge_branch
+    commit pushes the store ahead of the engine's batch counter, the
+    SAME main checkpoint keeps committing — snap ids must mint past
+    the merged id (never clobber it, never false-redeliver against
+    its marker) and the final state must be the latest-wins fold of
+    everything."""
+    from promptly_data_pipelines_spark.cdc.envelope import synthesize_envelopes
+
+    base = os.path.join(tempfile.gettempdir(), "pdp_branch_monotonic")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, src_br, ck_br, tgt = (
+        os.path.join(base, x) for x in ("src", "ck", "src_br", "ck_br", "tgt")
+    )
+    ev = table(spark, SF_DIR, "events").limit(4000)
+    live = ev.filter(F.col("event_id") % 10 != 0)
+
+    # main batch 0 (engine bid 0 -> snap-0)
+    synthesize_envelopes(ev.filter(F.col("event_id") % 2 == 0)).write.json(src)
+    S.upsert_sink(
+        S.live_rows(S.read_envelope_stream(spark, src)), tgt, ckpt,
+        keep_snapshots=100,
+    ).start().awaitTermination(120)
+
+    # branch, one branch commit (engine bid 0 -> branch snap-1), merge
+    S.branch_snapshot(spark, tgt, "dev")
+    synthesize_envelopes(
+        ev.filter(F.col("event_id") % 2 == 1)
+    ).write.json(src_br)
+    S.upsert_sink(
+        S.live_rows(S.read_envelope_stream(spark, src_br)), tgt, ck_br,
+        keep_snapshots=100, branch="dev",
+    ).start().awaitTermination(120)
+    merged_id = S.merge_branch(spark, tgt, "dev")
+
+    # main batch 1 from the SAME checkpoint (engine bid 1) must mint
+    # ABOVE the merged id
+    upd = (
+        ev.filter(F.col("event_id") % 4 == 2)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    synthesize_envelopes(upd).write.mode("append").json(src)
+    S.upsert_sink(
+        S.live_rows(S.read_envelope_stream(spark, src)), tgt, ckpt,
+        keep_snapshots=100,
+    ).start().awaitTermination(120)
+
+    hist = sorted(h["batch_id"] for h in S.upsert_history(spark, tgt))
+    assert hist == sorted(set(hist)), f"duplicate snap ids: {hist}"
+    assert max(hist) > merged_id, (
+        f"post-merge commit failed to mint past the merged id: {hist}"
+    )
+    head = S.read_upsert_target(spark, tgt)
+    assert head.count() == live.select("event_id").distinct().count()
+    # the %4==2 update (latest ts) must have won over both earlier gens
+    orig = (
+        live.filter(F.col("event_id") % 4 == 2)
+        .select("event_id", (F.col("value") + 1000.0).alias("want"))
+    )
+    joined = (
+        head.filter(F.col("event_id") % 4 == 2)
+        .select("event_id", "value")
+        .join(orig, "event_id")
+    )
+    assert joined.filter(F.col("value") != F.col("want")).count() == 0
     """upsert_changelog pins (a) null-safe update detection: null->value
     and value->null ARE updates, null==null is unchanged; (b) identity:
     diffing a snapshot against itself emits zero rows; (c) insert and

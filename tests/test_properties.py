@@ -1329,9 +1329,16 @@ store_ops = st.lists(
         # silently unpinning a snapshot. Recovery must complete the
         # move, so the model commits it.
         st.tuples(st.just("tag_crash"), st.integers(0, 2), st.booleans()),
+        # r16 branches: fork (at head or oldest), commit on the
+        # branch, fast-forward merge (conflict iff main moved since
+        # the fork), delete
+        st.tuples(st.just("branch"), st.integers(0, 2), st.booleans()),
+        st.tuples(st.just("branch_commit"), st.integers(0, 2)),
+        st.tuples(st.just("merge"), st.integers(0, 2)),
+        st.tuples(st.just("delete_branch"), st.integers(0, 2)),
     ),
     min_size=1,
-    max_size=10,
+    max_size=12,
 )
 
 
@@ -1349,7 +1356,12 @@ def test_snapshot_store_lifecycle_invariants(spark, ops):
     (d) list_tags always round-trips the model's tag map — INCLUDING
         after a tag re-point crashed between delete and rename
         (the 'tag_crash' op): recovery promotes the orphaned tmp, so
-        a mid-retag crash can no longer unpin a snapshot (r16)."""
+        a mid-retag crash can no longer unpin a snapshot (r16);
+    (e) r16 branches: a fresh branch reads as its fork base, branch
+        commits stay invisible to main, merge fast-forwards exactly
+        when main's committed snapshot is still the fork base (loud
+        conflict otherwise, branch left intact), merge consumes the
+        branch, and a live branch's base is never expired."""
     import os
     import tempfile
 
@@ -1361,16 +1373,22 @@ def test_snapshot_store_lifecycle_invariants(spark, ops):
     snaps: set[int] = set()
     committed: int | None = None
     tags: dict[str, int] = {}
+    payloads: dict[int, tuple] = {}  # main snap id -> its (batch, payload) row
+    branches: dict[str, dict] = {}   # name -> {base, snaps: {id: row}, committed}
     next_id = 0
     names = ["alpha", "beta", "gamma"]
 
-    def commit(bid: int) -> None:
-        spark.createDataFrame([(bid, f"v{bid}")], "batch bigint, payload string") \
-            .coalesce(1).write.mode("overwrite").parquet(f"{tgt}/snap-{bid}")
-        tmp = f"{tgt}/_LATEST.tmp-{bid}"
+    def write_snap(root: str, bid: int, row: tuple) -> None:
+        spark.createDataFrame([row], "batch bigint, payload string") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{root}/snap-{bid}")
+        tmp = f"{root}/_LATEST.tmp-{bid}"
         fs.put_text(tmp, f"snap-{bid}")
-        fs.delete(f"{tgt}/_LATEST")
-        fs.rename(tmp, f"{tgt}/_LATEST")
+        fs.delete(f"{root}/_LATEST")
+        fs.rename(tmp, f"{root}/_LATEST")
+
+    def commit(bid: int) -> None:
+        payloads[bid] = (bid, f"v{bid}")
+        write_snap(tgt, bid, payloads[bid])
 
     for op in ops:
         if op[0] == "commit":
@@ -1378,6 +1396,57 @@ def test_snapshot_store_lifecycle_invariants(spark, ops):
             snaps.add(next_id)
             committed = next_id
             next_id += 1
+        elif op[0] == "branch":
+            name = names[op[1]]
+            if committed is None:
+                with pytest.raises(FileNotFoundError):
+                    S.branch_snapshot(spark, tgt, name)
+                continue
+            if name in branches:
+                with pytest.raises(ValueError, match="already exists"):
+                    S.branch_snapshot(spark, tgt, name)
+                continue
+            base = committed if op[2] else min(snaps)
+            assert S.branch_snapshot(spark, tgt, name, batch_id=base) == base
+            branches[name] = {"base": base, "snaps": {}, "committed": None}
+        elif op[0] == "branch_commit":
+            name = names[op[1]]
+            if name not in branches:
+                continue
+            b = branches[name]
+            bid = (max(b["snaps"]) if b["snaps"] else b["base"]) + 1
+            row = (bid, f"b{name}{bid}")
+            write_snap(f"{tgt}/_BRANCH-{name}", bid, row)
+            b["snaps"][bid] = row
+            b["committed"] = bid
+        elif op[0] == "merge":
+            name = names[op[1]]
+            if name not in branches:
+                with pytest.raises(FileNotFoundError):
+                    S.merge_branch(spark, tgt, name)
+                continue
+            b = branches[name]
+            if committed != b["base"]:
+                with pytest.raises(ValueError, match="merge conflict"):
+                    S.merge_branch(spark, tgt, name)
+                continue  # branch must survive a conflict — checked below
+            got = S.merge_branch(spark, tgt, name)
+            if b["committed"] is None:
+                assert got == b["base"]  # nothing to merge: trivial ff
+            else:
+                minted = max(snaps) + 1
+                assert got == minted
+                payloads[minted] = b["snaps"][b["committed"]]
+                snaps.add(minted)
+                committed = minted
+                # the sink mints max(engine id, committed+1); the
+                # model's direct-commit counter must respect the same
+                next_id = max(next_id, minted + 1)
+            del branches[name]
+        elif op[0] == "delete_branch":
+            name = names[op[1]]
+            S.delete_branch(spark, tgt, name)
+            branches.pop(name, None)
         elif op[0] == "tag":
             name = names[op[1]]
             if committed is None:
@@ -1410,22 +1479,38 @@ def test_snapshot_store_lifecycle_invariants(spark, ops):
                 assert S.expire_snapshots(spark, tgt, keep_last=keep_last) == []
                 continue
             newest = set(sorted(snaps)[-keep_last:])
-            keep = newest | {committed} | set(tags.values())
+            keep = (
+                newest
+                | {committed}
+                | set(tags.values())
+                | {b["base"] for b in branches.values()}
+            )
             expect = sorted(snaps - keep)
             assert S.expire_snapshots(spark, tgt, keep_last=keep_last) == expect
             snaps -= set(expect)
 
         # invariants after every op
         assert S.list_tags(spark, tgt) == tags
+        assert S.list_branches(spark, tgt) == {
+            n: b["base"] for n, b in branches.items()
+        }
         if committed is None:
             continue
         head = S.read_upsert_target(spark, tgt).collect()
-        assert [(r.batch, r.payload) for r in head] == [(committed, f"v{committed}")]
+        assert [(r.batch, r.payload) for r in head] == [payloads[committed]]
         hist = {h["batch_id"] for h in S.upsert_history(spark, tgt)}
         assert hist == snaps
         for b in snaps:
             rows = S.read_upsert_target(spark, tgt, as_of_batch=b).collect()
-            assert [(r.batch, r.payload) for r in rows] == [(b, f"v{b}")]
+            assert [(r.batch, r.payload) for r in rows] == [payloads[b]]
         for name, b in tags.items():
             rows = S.read_upsert_target(spark, tgt, as_of_tag=name).collect()
-            assert [(r.batch, r.payload) for r in rows] == [(b, f"v{b}")]
+            assert [(r.batch, r.payload) for r in rows] == [payloads[b]]
+        for name, b in branches.items():
+            want = (
+                b["snaps"][b["committed"]]
+                if b["committed"] is not None
+                else payloads[b["base"]]
+            )
+            rows = S.read_branch(spark, tgt, name).collect()
+            assert [(r.batch, r.payload) for r in rows] == [want]

@@ -120,12 +120,44 @@ def main() -> int:
     # path; the sweep-style modules (every-query-over-empty-tables,
     # every-plan-built, hypothesis suites, scaling probes) get their
     # own process, roughly halving main's wall.
+    # r16 (r15 verdict #5): sweeps itself became a 10-min straggler —
+    # 92% of total wall — dominated by the six join-transparency /
+    # incremental-equivalence hypothesis suites (~350 s of its 603 s).
+    # Those split into two dedicated processes, partitioned BY NAME so
+    # the three -k expressions are a provable partition of
+    # test_properties (the third process runs `not (a or b)`):
+    # coverage is identical, the critical path drops to the ~4-6 min
+    # mid-size shards.
+    joins_a_k = (
+        "test_null_routed_left_join_transparent_any_input or "
+        "test_adaptive_join_transparent_any_thresholds or "
+        "test_adaptive_left_join_transparent_any_thresholds"
+    )
+    joins_b_k = (
+        "test_salted_join_transparent_any_input or "
+        "test_salted_left_join_transparent_any_input or "
+        "test_er_incremental_equals_full_any_split"
+    )
+    launch(
+        "sweeps_joins_a",
+        base + ["tests/test_properties.py", "-k", joins_a_k],
+        {},
+    )
+    launch(
+        "sweeps_joins_b",
+        base + ["tests/test_properties.py", "-k", joins_b_k],
+        {},
+    )
     sweeps = [
         "tests/test_plan_quality.py",
-        "tests/test_properties.py",
         "tests/test_scaling.py",
+        "tests/test_properties.py",
     ]
-    launch("sweeps", base + sweeps, {})
+    launch(
+        "sweeps",
+        base + sweeps + ["-k", f"not ({joins_a_k} or {joins_b_k})"],
+        {},
+    )
     # every-query-over-empty-tables is a full registry sweep on its
     # own (r11 second split: sweeps+empty together measured 6:30 and
     # became the new critical path)
@@ -156,7 +188,7 @@ def main() -> int:
         rc = rc or p.returncode
     print(f"total wall-clock: {time.perf_counter() - t0:.0f}s "
           f"(serial pyds_stream, then {args.shards} parity shards + modules "
-          f"+ stream_io + sweeps + empties + main)")
+          f"+ stream_io + sweeps_joins_a/b + sweeps + empties + main)")
     return rc
 
 
