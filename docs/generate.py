@@ -159,6 +159,17 @@ Rotations so far:
   when the census calls for it), `pq_index_delta_add` (flat-codes
   maintenance is a sub-case of the composed form). All three keep
   their full local oracles.
+- **r16** (r15 verdict #3): `merge_upsert_schema_evolution` takes the
+  S6 family's driver row — the full arc (v1 drain, upstream ALTER
+  TABLE, v2 decode restarting from the SAME checkpoint) under the
+  real engine; a wedged stream on the first upstream DDL is the #1
+  real-world CDC failure, so it's the form the driver should see.
+  Demoted: the batch `merge_upsert` it strictly supersedes (same
+  latest-wins merge, minus the engine and the boundary), local with
+  its full oracle. The round's other lakehouse additions
+  (`merge_upsert_branch`, `stream_exec_changelog`,
+  `merge_upsert_changelog_evolved`) enter at the local tier with
+  full oracles, rotation candidates for r17.
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)

@@ -13,7 +13,7 @@ absent, callers fall back to the storage-free union+window form
 test is skipped-without-jars and green-with-jars by construction.
 
 INFEASIBILITY PROOF (verified in-sandbox, rounds 3-4, re-verified
-every round through 15 — the r15 re-probe on 2026-08-16 (round 15
+every round through 16 — the r16 re-probe on 2026-08-16 (round 16
 session) reproduced the identical state: DNS failure on all three
 hosts (``[Errno -2] Name or service not known`` for repo1.maven.org,
 repo.maven.apache.org, pypi.org), ``pip download delta-spark
