@@ -1615,6 +1615,201 @@ def stream_exec_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_change_feed(
+    spark: SparkSession,
+    changelog_path: str,
+    after_batch: int | None = None,
+    up_to_batch: int | None = None,
+) -> DataFrame:
+    """CHANGE-FEED CONSUMER (the read side of
+    ``upsert_sink(changelog_path=...)`` — Delta CDF's
+    ``readChangeFeed`` + ``startingVersion`` role): the feed slice
+    with ``after_batch < commit_batch <= up_to_batch``. ``after_batch``
+    is the consumer's CURSOR — exclusive, so "everything I have not
+    consumed yet" is ``after_batch=<last cursor>``; advance it to
+    :func:`latest_feed_batch` after processing. ``None`` means
+    unbounded on that side.
+
+    Scale posture: ``commit_batch`` is the feed's PARTITION column, so
+    both bounds are partition-pruning predicates — a consumer that is
+    N batches behind lists the directory and scans exactly N partition
+    dirs, never the consumed history (plan-pinned in
+    tests/test_plan_quality.py). Exactly-once composition: the
+    producer overwrites its own id-keyed partition on redelivery, so
+    any cursor walk sees each commit's rows exactly once."""
+    feed = spark.read.parquet(changelog_path)
+    if after_batch is not None:
+        feed = feed.filter(F.col("commit_batch") > F.lit(int(after_batch)))
+    if up_to_batch is not None:
+        feed = feed.filter(F.col("commit_batch") <= F.lit(int(up_to_batch)))
+    return feed
+
+
+def latest_feed_batch(spark: SparkSession, changelog_path: str) -> int | None:
+    """The newest ``commit_batch`` present in the feed — the cursor a
+    consumer advances to after draining :func:`read_change_feed`. Read
+    from the partition-directory NAMES (one file listing, no data
+    scan); ``None`` when the feed is empty / not yet created."""
+    from ..operators.fs import FileSystemOps
+
+    fs = FileSystemOps(spark)
+    if not fs.exists(changelog_path):
+        return None
+    ids = [
+        int(p.rsplit("=", 1)[-1])
+        for p in fs.list_paths(changelog_path)
+        if p.rsplit("/", 1)[-1].startswith("commit_batch=")
+    ]
+    return max(ids) if ids else None
+
+
+def maintain_grouped_agg(
+    materialized: DataFrame,
+    feed: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_alias: str = "n_rows",
+    sum_alias: str = "sum_value",
+) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a grouped count+sum from the
+    change feed alone — the materialized-view delta algebra (Delta
+    Live Tables / Materialize role): ``insert``/``update_postimage``
+    rows contribute ``(+1, +value)`` to their group,
+    ``delete``/``update_preimage`` rows ``(-1, -value)``, so an update
+    that MOVES a row between groups decrements the old group and
+    increments the new one, and a group whose count reaches zero
+    disappears (as it would under direct re-aggregation). Returns the
+    maintained ``(group_col, count_alias, sum_alias)`` frame — by
+    construction equal to re-aggregating the target's new state, which
+    is exactly what the ``changelog_incremental_agg`` oracle pins.
+
+    Scale posture — the reason IVM exists: cost is (a) one aggregation
+    over the FEED SLICE only (cursor-pruned, sized by what changed,
+    partial/map-side combined) and (b) one co-partitioned full-outer
+    join against the materialization, sized |groups|, NOT a rescan of
+    the base table. At 100 TB with a per-commit feed this turns an
+    hourly full re-aggregation into seconds of delta work.
+
+    Contract: ``feed`` rows must carry the four producer change types;
+    the sums stay full-precision doubles — round in the final
+    projection, not here, so maintenance never accumulates rounding
+    error."""
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy(group_col).agg(
+        F.sum(sign).alias("_dn"),
+        F.sum(sign.cast("double") * F.col(value_col)).alias("_dsum"),
+    )
+    merged = materialized.join(delta, on=group_col, how="full_outer")
+    return (
+        merged.select(
+            group_col,
+            (
+                F.coalesce(F.col(count_alias), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias(count_alias),
+            (
+                F.coalesce(F.col(sum_alias), F.lit(0.0))
+                + F.coalesce(F.col("_dsum"), F.lit(0.0))
+            ).alias(sum_alias),
+        )
+        .filter(F.col(count_alias) > 0)
+    )
+
+
+@query(
+    "changelog_incremental_agg",
+    registered=False,
+    # oracle = DIRECT re-aggregation of the final state the SQL replay
+    # produces (seed waves, then evens get value+100 and the %4==0
+    # slice migrates to event_type 'migrated') — the IVM path on the
+    # Spark side must land on the same groups to the cent, including
+    # the 'migrated' group that did not exist at the cursor.
+    oracle="""
+    WITH live AS (
+      SELECT event_id, event_type, value
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    final AS (
+      SELECT CASE WHEN event_id % 4 = 0 THEN 'migrated'
+                  ELSE event_type END AS event_type,
+             CASE WHEN event_id % 2 = 0 THEN value + 100.0
+                  ELSE value END AS value
+      FROM live
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM final GROUP BY event_type
+    """,
+)
+def changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE end to end (r16, the change-feed
+    CONSUMER): three envelope files drain one per micro-batch through
+    ``upsert_sink(changelog_path=...)`` — two insert waves, then an
+    update pass that bumps every even id's value AND migrates the
+    %4==0 slice to a new ``event_type`` (so group membership moves,
+    not just a measure). A per-group count+sum is materialized from
+    the FIRST committed snapshot only; everything after it reaches the
+    result exclusively through :func:`read_change_feed` (cursor = the
+    first snap id) + :func:`maintain_grouped_agg`. The oracle
+    re-aggregates the final state directly — value-hash equality IS
+    the IVM correctness proof, including the group that only exists
+    post-cursor."""
+    ev = table(spark, sf_dir, "events")
+    slices = [
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 3 != 0),
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 4 == 0, F.lit("migrated")).otherwise(
+                F.col("event_type")
+            ),
+        ),
+    ]
+    base = _fresh_staging_dir(spark, sf_dir, "cdf_ivm")
+    src, ckpt, tgt, cl = (
+        os.path.join(base, d) for d in ("src", "ckpt", "tgt", "changelog")
+    )
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, sl in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        synthesize_envelopes(sl).coalesce(1).write.json(stage)
+        part = next(
+            p for p in glob.glob(os.path.join(stage, "part-*")) if not p.endswith(".crc")
+        )
+        dst = os.path.join(src, f"{i:03d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = upsert_sink(
+        live_rows(stream), tgt, ckpt, keep_snapshots=100, changelog_path=cl
+    ).start()
+    drain_stream(q, "IVM changelog upsert")
+    cursor = sorted(h["batch_id"] for h in upsert_history(spark, tgt))[0]
+    materialized = (
+        read_upsert_target(spark, tgt, as_of_batch=cursor)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+    )
+    head = latest_feed_batch(spark, cl)
+    feed = read_change_feed(spark, cl, after_batch=cursor, up_to_batch=head)
+    maintained = maintain_grouped_agg(
+        materialized, feed, group_col="event_type", value_col="value"
+    )
+    return maintained.select(
+        "event_type", "n_rows", F.round(F.col("sum_value"), 2).alias("sum_value")
+    )
+
+
 @query(
     "stream_exec_tumbling",
     oracle="""

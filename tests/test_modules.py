@@ -2645,6 +2645,61 @@ def test_changelog_sink_matches_endpoint_diff_and_exactly_once(spark):
     )
 
 
+def test_change_feed_consumer_cursor_and_ivm(spark, tmp_path):
+    """r16 change-feed consumer + incremental view maintenance:
+    (a) read_change_feed's cursor is exclusive-on-after_batch /
+        inclusive-on-up_to_batch, and the cursored read touches ONLY
+        the unconsumed partition dirs (inputFiles check — consumed
+        history is never scanned);
+    (b) latest_feed_batch reads the cursor from the partition dir
+        names, None on a missing/empty feed;
+    (c) maintain_grouped_agg over a feed slice equals DIRECT
+        re-aggregation of the new state — including a group that
+        empties (count->0 must vanish) and a group born after the
+        cursor, via an update that moves a row between groups."""
+    cl = str(tmp_path / "feed")
+    feed_rows = [
+        (0, "insert", "a", 4.0),
+        (0, "insert", "a", 6.0),
+        (0, "insert", "b", 5.0),
+        (1, "update_preimage", "b", 5.0),
+        (1, "update_postimage", "c", 6.0),
+        (2, "delete", "a", 4.0),
+        (2, "insert", "a", 3.0),
+    ]
+    spark.createDataFrame(
+        feed_rows, "commit_batch int, change_type string, g string, v double"
+    ).write.partitionBy("commit_batch").parquet(cl)
+
+    # (a) cursor bounds + partition pruning down to the file listing
+    assert S.latest_feed_batch(spark, cl) == 2
+    assert S.latest_feed_batch(spark, str(tmp_path / "nope")) is None
+    unread = S.read_change_feed(spark, cl, after_batch=0)
+    assert sorted(r[0] for r in unread.select("commit_batch").collect()) == [1, 1, 2, 2]
+    read_files = [
+        r[0] for r in unread.select(F.input_file_name()).distinct().collect()
+    ]
+    assert read_files and all("commit_batch=0" not in f for f in read_files), (
+        "cursored read scanned a consumed partition"
+    )
+    only1 = S.read_change_feed(spark, cl, after_batch=0, up_to_batch=1)
+    assert sorted(r[0] for r in only1.select("commit_batch").collect()) == [1, 1]
+
+    # (c) IVM == direct re-aggregation. State at cursor 0:
+    # a{4,6}, b{5}; changes: b's row moves to group c (6.0), one a
+    # deleted, one a inserted (3.0) -> final a{6,3}, c{6}, b GONE.
+    materialized = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)], "g string, n_rows bigint, sum_value double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in S.maintain_grouped_agg(
+            materialized, unread, group_col="g", value_col="v"
+        ).collect()
+    )
+    assert got == [("a", 2, 9.0), ("c", 1, 6.0)], got
+
+
 def test_branch_fork_merge_conflict_and_pinning(spark):
     """r16 writable branches (the Nessie merge semantic): (a) a fresh
     branch reads as its fork base (zero-copy); (b) a branch commit is

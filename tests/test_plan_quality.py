@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import io
 import contextlib
+import re
 
 from promptly_data_pipelines_spark.registry import all_queries, local_only_queries
 
@@ -811,3 +812,38 @@ def test_upsert_changelog_plan_single_join_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Generate" in p, "explode() vanished — change rows now need a second pass"
+
+
+def test_read_change_feed_cursor_is_partition_pruned(spark, tmp_path):
+    """r16: the feed consumer's cursor must reach the scan as a
+    PARTITION filter — a consumer N batches behind scans exactly the N
+    unconsumed ``commit_batch=`` dirs, never the consumed history.
+    Pinned on both the plan text (PartitionFilters carries the cursor
+    predicate, no post-scan Filter needed for it) and the actual file
+    list."""
+    from promptly_data_pipelines_spark.cdc import streaming as S
+
+    cl = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(b, "insert", float(b)) for b in range(4)],
+        "commit_batch int, change_type string, v double",
+    ).write.partitionBy("commit_batch").parquet(cl)
+
+    df = S.read_change_feed(spark, cl, after_batch=1, up_to_batch=3)
+    import contextlib as _ctx
+    import io as _io
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "commit_batch" in m.group(1), (
+        "cursor predicate did not reach PartitionFilters — the scan "
+        "reads consumed feed history"
+    )
+    from pyspark.sql import functions as F
+
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files, "empty scan"
+    assert all("commit_batch=2" in f or "commit_batch=3" in f for f in files), files
