@@ -867,48 +867,6 @@ def upsert_sink(
     if branch is not None:
         target_path = _branch_root(target_path, branch)
 
-    def commit_pointer(fs, snap_name: str, batch_id: int) -> None:
-        # commit: temp pointer + rename (never in-place truncation of
-        # _LATEST — a reader or crash mid-write would see an empty
-        # pointer; the _SUCCESS-based fallback would still recover)
-        tmp = f"{target_path}/_LATEST.tmp-{batch_id}"
-        fs.put_text(tmp, snap_name)
-        fs.delete(f"{target_path}/_LATEST")
-        fs.rename(tmp, f"{target_path}/_LATEST")
-
-    def gc_superseded(fs, snap_name: str, prev_name: str | None) -> None:
-        # best-effort GC of superseded snapshots: the newest
-        # keep_snapshots survive, and the committed snapshot plus the
-        # predecessor a concurrent reader may have just resolved are
-        # ALWAYS kept regardless of age. Compare by snap NAME, not full
-        # path: list_paths returns scheme-qualified URIs (file:/...)
-        # while prev may be unqualified — a raw `p != prev` never
-        # matches and would delete the predecessor a concurrent reader
-        # just resolved. Stale _LATEST.tmp-* files (a crash between
-        # put_text and rename) are GC'd here too — the rename consumed
-        # the current batch's tmp, so any survivor is garbage.
-        snaps = [
-            p.rsplit("/", 1)[-1]
-            for p in fs.list_paths(target_path)
-            if p.rsplit("/", 1)[-1].startswith("snap-")
-        ]
-        newest = set(
-            sorted(snaps, key=lambda n: int(n.split("-", 1)[1]))[-keep_snapshots:]
-        )
-        # named tags and branch fork bases (the Nessie refs) pin their
-        # snapshot against the sink's own GC exactly as against
-        # expire_snapshots
-        tagged = {
-            f"snap-{b}" for b in _pinned_batch_ids(fs._spark, target_path)
-        }
-        keep = newest | tagged | {snap_name, prev_name}
-        for p in fs.list_paths(target_path):
-            name = p.rsplit("/", 1)[-1]
-            if name.startswith("snap-") and name not in keep:
-                fs.delete(p, recursive=True)
-            elif name.startswith("_LATEST.tmp-"):
-                fs.delete(p)
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         from ..operators.fs import FileSystemOps
@@ -919,62 +877,10 @@ def upsert_sink(
                 f"branch {branch!r} does not exist — create it with "
                 "branch_snapshot before writing to it"
             )
-        prev = _committed_snapshot(spark, target_path)
-        prev_name = prev.rsplit("/", 1)[-1] if prev is not None else None
-        # the committed snapshot is LOCAL to this store when its dir
-        # lives under target_path; a branch root's base fallback
-        # resolves into the PARENT store, whose _BATCH marker belongs
-        # to main's engine sequence — never match redelivery against it
-        prev_is_local = prev is not None and fs.exists(
-            f"{target_path}/{prev_name}/_SUCCESS"
-        )
-        if prev_is_local:
-            marker = f"{target_path}/{prev_name}/_BATCH"
-            prev_engine = (
-                fs.get_text(marker).strip()
-                if fs.exists(marker)
-                # legacy dirs predate the marker: their name IS the
-                # engine batch id
-                else prev_name.split("-", 1)[1]
-            )
-        else:
-            prev_engine = None
-        if prev_engine == str(batch_id):
-            # Re-delivery after a crash between the pointer flip and the
-            # checkpoint commit: this batch's snapshot IS the committed
-            # state. Merging again would lazily read the very dir the
-            # overwrite targets ("Cannot overwrite a path that is also
-            # being read from") and wedge the stream on every restart.
-            # Re-flip the pointer (covers the fallback-resolved case
-            # where _LATEST itself was lost mid-rename) and move on.
-            # GC must keep the PRIOR snapshot exactly like the normal
-            # path does (a concurrent reader may have resolved it just
-            # before the crash-interrupted flip) — recompute it as the
-            # newest other snap dir rather than passing None, so a
-            # re-commit of the same state never shrinks retention.
-            commit_pointer(fs, prev_name, batch_id)
-            others = [
-                n
-                for n in (p.rsplit("/", 1)[-1] for p in fs.list_paths(target_path))
-                if n.startswith("snap-") and n != prev_name
-            ]
-            prior = (
-                max(others, key=lambda n: int(n.split("-", 1)[1])) if others else None
-            )
-            gc_superseded(fs, prev_name, prior)
-            return
-        # mint the snap id: the engine's batch id unless the store is
-        # already at or past it — a merge_branch commit or a branch's
-        # fork base outruns the engine counter, and snapshot ids must
-        # stay monotonic (GC, the _SUCCESS fallback, and upsert_history
-        # all order by id)
-        snap_id = (
-            batch_id
-            if prev_name is None
-            else max(batch_id, int(prev_name.split("-", 1)[1]) + 1)
-        )
-        snap_name = f"snap-{snap_id}"
-        if prev is not None:
+
+        def transform(prev_df: DataFrame | None) -> DataFrame:
+            if prev_df is None:
+                return batch_df
             # evolve_schema (r15): a consumer redeployed with a widened
             # decode (additive DDL upstream) delivers batches with new
             # columns against a narrower committed snapshot — and its
@@ -983,46 +889,171 @@ def upsert_sink(
             # next snapshot carries the union schema (Delta's
             # mergeSchema-on-MERGE). Default strict: a mismatch fails
             # the batch loudly rather than silently widening on a typo.
-            merged = merge_upsert_frames(
-                spark.read.parquet(prev),
-                batch_df,
-                key,
-                allow_missing_columns=evolve_schema,
+            return merge_upsert_frames(
+                prev_df, batch_df, key, allow_missing_columns=evolve_schema
             )
-        else:
-            merged = batch_df
-        merged.write.mode("overwrite").parquet(f"{target_path}/{snap_name}")
-        # record the engine batch id that produced this snapshot — the
-        # redelivery short-circuit keys on it now that snap ids and
-        # engine ids are separate sequences
-        fs.put_text(f"{target_path}/{snap_name}/_BATCH", str(batch_id))
-        if changelog_path is not None:
+
+        def emit(prev_df: DataFrame | None, new_state: DataFrame, snap_id: int) -> None:
+            if changelog_path is None:
+                return
             # the per-commit change feed, derived from the MATERIALIZED
-            # snapshots (not the lazy `merged` plan — one scan of
-            # written parquet beats re-running the merge window) and
-            # written BEFORE the pointer flip: a crash after the flip
+            # snapshots (not the lazy merge plan — one scan of written
+            # parquet beats re-running the merge window) and written
+            # BEFORE the pointer flip: a crash after the flip
             # short-circuits as redelivery with the feed already
             # durable; a crash before it re-derives identical rows
             # into the same id-keyed dir (exactly-once by overwrite)
-            new_state = spark.read.parquet(f"{target_path}/{snap_name}")
             feed = (
-                _changelog_frame(spark.read.parquet(prev), new_state, key)
-                if prev is not None
-                else new_state.select(
-                    F.lit("insert").alias("change_type"), "*"
-                )
+                _changelog_frame(prev_df, new_state, key)
+                if prev_df is not None
+                else new_state.select(F.lit("insert").alias("change_type"), "*")
             )
             feed.write.mode("overwrite").parquet(
                 f"{changelog_path}/commit_batch={snap_id}"
             )
-        commit_pointer(fs, snap_name, batch_id)
-        gc_superseded(fs, snap_name, prev_name)
+
+        _snapshot_commit(
+            spark, fs, target_path, keep_snapshots, batch_id, transform, emit
+        )
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def _commit_pointer(fs, target_path: str, snap_name: str, batch_id: int) -> None:
+    # commit: temp pointer + rename (never in-place truncation of
+    # _LATEST — a reader or crash mid-write would see an empty
+    # pointer; the _SUCCESS-based fallback would still recover)
+    tmp = f"{target_path}/_LATEST.tmp-{batch_id}"
+    fs.put_text(tmp, snap_name)
+    fs.delete(f"{target_path}/_LATEST")
+    fs.rename(tmp, f"{target_path}/_LATEST")
+
+
+def _gc_superseded(
+    fs, target_path: str, keep_snapshots: int, snap_name: str, prev_name: str | None
+) -> None:
+    # best-effort GC of superseded snapshots: the newest
+    # keep_snapshots survive, and the committed snapshot plus the
+    # predecessor a concurrent reader may have just resolved are
+    # ALWAYS kept regardless of age. Compare by snap NAME, not full
+    # path: list_paths returns scheme-qualified URIs (file:/...)
+    # while prev may be unqualified — a raw `p != prev` never
+    # matches and would delete the predecessor a concurrent reader
+    # just resolved. Stale _LATEST.tmp-* files (a crash between
+    # put_text and rename) are GC'd here too — the rename consumed
+    # the current batch's tmp, so any survivor is garbage.
+    snaps = [
+        p.rsplit("/", 1)[-1]
+        for p in fs.list_paths(target_path)
+        if p.rsplit("/", 1)[-1].startswith("snap-")
+    ]
+    newest = set(
+        sorted(snaps, key=lambda n: int(n.split("-", 1)[1]))[-keep_snapshots:]
+    )
+    # named tags and branch fork bases (the Nessie refs) pin their
+    # snapshot against the sink's own GC exactly as against
+    # expire_snapshots
+    tagged = {f"snap-{b}" for b in _pinned_batch_ids(fs._spark, target_path)}
+    keep = newest | tagged | {snap_name, prev_name}
+    for p in fs.list_paths(target_path):
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith("snap-") and name not in keep:
+            fs.delete(p, recursive=True)
+        elif name.startswith("_LATEST.tmp-"):
+            fs.delete(p)
+
+
+def _snapshot_commit(
+    spark: SparkSession,
+    fs,
+    target_path: str,
+    keep_snapshots: int,
+    batch_id: int,
+    transform,
+    emit=None,
+) -> None:
+    """The snap-dir COMMIT PROTOCOL, shared by every foreachBatch sink
+    over the snapshot store (``upsert_sink``'s latest-wins merge,
+    ``materialized_view_sink``'s incremental aggregate): resolve the
+    committed predecessor, short-circuit crash redelivery, apply
+    ``transform(prev_df_or_None) -> new_state``, write the new
+    immutable ``snap-<id>`` dir + its ``_BATCH`` engine-id marker, run
+    the optional ``emit(prev_df, materialized_new_state, snap_id)``
+    hook (the change-feed writer — BEFORE the pointer flip, so a
+    post-flip crash redelivers with the emit already durable), then
+    flip ``_LATEST`` and GC superseded snapshots. Extracting it keeps
+    the crash matrix (pointer flip vs checkpoint commit vs emit) in
+    ONE place instead of re-deriving it per sink."""
+    prev = _committed_snapshot(spark, target_path)
+    prev_name = prev.rsplit("/", 1)[-1] if prev is not None else None
+    # the committed snapshot is LOCAL to this store when its dir
+    # lives under target_path; a branch root's base fallback
+    # resolves into the PARENT store, whose _BATCH marker belongs
+    # to main's engine sequence — never match redelivery against it
+    prev_is_local = prev is not None and fs.exists(
+        f"{target_path}/{prev_name}/_SUCCESS"
+    )
+    if prev_is_local:
+        marker = f"{target_path}/{prev_name}/_BATCH"
+        prev_engine = (
+            fs.get_text(marker).strip()
+            if fs.exists(marker)
+            # legacy dirs predate the marker: their name IS the
+            # engine batch id
+            else prev_name.split("-", 1)[1]
+        )
+    else:
+        prev_engine = None
+    if prev_engine == str(batch_id):
+        # Re-delivery after a crash between the pointer flip and the
+        # checkpoint commit: this batch's snapshot IS the committed
+        # state. Transforming again would lazily read the very dir the
+        # overwrite targets ("Cannot overwrite a path that is also
+        # being read from") and wedge the stream on every restart.
+        # Re-flip the pointer (covers the fallback-resolved case
+        # where _LATEST itself was lost mid-rename) and move on.
+        # GC must keep the PRIOR snapshot exactly like the normal
+        # path does (a concurrent reader may have resolved it just
+        # before the crash-interrupted flip) — recompute it as the
+        # newest other snap dir rather than passing None, so a
+        # re-commit of the same state never shrinks retention.
+        _commit_pointer(fs, target_path, prev_name, batch_id)
+        others = [
+            n
+            for n in (p.rsplit("/", 1)[-1] for p in fs.list_paths(target_path))
+            if n.startswith("snap-") and n != prev_name
+        ]
+        prior = (
+            max(others, key=lambda n: int(n.split("-", 1)[1])) if others else None
+        )
+        _gc_superseded(fs, target_path, keep_snapshots, prev_name, prior)
+        return
+    # mint the snap id: the engine's batch id unless the store is
+    # already at or past it — a merge_branch commit or a branch's
+    # fork base outruns the engine counter, and snapshot ids must
+    # stay monotonic (GC, the _SUCCESS fallback, and upsert_history
+    # all order by id)
+    snap_id = (
+        batch_id
+        if prev_name is None
+        else max(batch_id, int(prev_name.split("-", 1)[1]) + 1)
+    )
+    snap_name = f"snap-{snap_id}"
+    prev_df = spark.read.parquet(prev) if prev is not None else None
+    new_state = transform(prev_df)
+    new_state.write.mode("overwrite").parquet(f"{target_path}/{snap_name}")
+    # record the engine batch id that produced this snapshot — the
+    # redelivery short-circuit keys on it now that snap ids and
+    # engine ids are separate sequences
+    fs.put_text(f"{target_path}/{snap_name}/_BATCH", str(batch_id))
+    if emit is not None:
+        emit(prev_df, spark.read.parquet(f"{target_path}/{snap_name}"), snap_id)
+    _commit_pointer(fs, target_path, snap_name, batch_id)
+    _gc_superseded(fs, target_path, keep_snapshots, snap_name, prev_name)
 
 
 @query(
@@ -1715,6 +1746,168 @@ def maintain_grouped_agg(
             ).alias(sum_alias),
         )
         .filter(F.col(count_alias) > 0)
+    )
+
+
+def materialized_view_sink(
+    changes: DataFrame,
+    view_path: str,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+    keep_snapshots: int = 2,
+):
+    """CONTINUOUS INCREMENTAL VIEW MAINTENANCE (the Delta Live Tables
+    / Materialize role): a streaming frame of change rows (normally
+    ``readStream`` over a sink's ``changelog_path``) maintains a
+    grouped count+sum view, one :func:`maintain_grouped_agg` step per
+    micro-batch, committed through the SAME snap-dir protocol as
+    ``upsert_sink`` (:func:`_snapshot_commit`) — so the view gets the
+    whole catalog surface for free: crash-safe pointer-flip commits,
+    redelivery short-circuit, retention, tags, time travel via
+    ``read_upsert_target``. Count+sum (and avg = sum/count derived at
+    read time) is exactly the aggregate family that is incrementally
+    maintainable under deletes without auxiliary state; min/max are
+    not (a deleted extremum needs the full group to recompute) and
+    are deliberately not offered here.
+
+    Scale posture: per micro-batch the cost is one aggregation over
+    that batch's change rows plus one |groups|-sized co-partitioned
+    merge — the base table is never rescanned, which is what makes a
+    continuously-maintained view affordable at 100 TB.
+
+    Consumption contract: micro-batch boundaries don't matter (the
+    delta algebra is commutative and associative across batches), but
+    each change row must be DELIVERED exactly once. The file source
+    guarantees that for feed partitions written once; a feed partition
+    REWRITTEN by producer crash-redelivery lands under new part-file
+    names, which a file-source consumer would re-ingest — at scale
+    this seam is a Kafka topic or a transaction log, and the module
+    test pins the view == direct re-aggregation contract on the
+    committed-producer case this harness can express."""
+    if keep_snapshots < 2:
+        raise ValueError(f"keep_snapshots must be >= 2, got {keep_snapshots}")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ..operators.fs import FileSystemOps
+
+        fs = FileSystemOps(spark)
+        empty_schema = T.StructType(
+            [
+                batch_df.schema[group_col],
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("sum_value", T.DoubleType()),
+            ]
+        )
+
+        def transform(prev_df: DataFrame | None) -> DataFrame:
+            mat = (
+                prev_df
+                if prev_df is not None
+                else spark.createDataFrame([], empty_schema)
+            )
+            return maintain_grouped_agg(
+                mat, batch_df, group_col=group_col, value_col=value_col
+            )
+
+        _snapshot_commit(spark, fs, view_path, keep_snapshots, batch_id, transform)
+
+    return (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+@query(
+    "stream_ivm_view",
+    registered=False,
+    # same final-state oracle as changelog_incremental_agg: the view,
+    # maintained purely from the streaming feed, must re-derive the
+    # direct aggregation of the final table state to the cent.
+    oracle="""
+    WITH live AS (
+      SELECT event_id, event_type, value
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    final AS (
+      SELECT CASE WHEN event_id % 4 = 0 THEN 'migrated'
+                  ELSE event_type END AS event_type,
+             CASE WHEN event_id % 2 = 0 THEN value + 100.0
+                  ELSE value END AS value
+      FROM live
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 2) AS sum_value
+    FROM final GROUP BY event_type
+    """,
+)
+def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATERIALIZED VIEW end to end — two real engines
+    chained through the feed: (1) ``upsert_sink(changelog_path=...)``
+    drains three micro-batches (two insert waves, then the
+    value-bump + group-migration update pass) and emits the
+    per-commit change feed; (2) a SECOND streaming query reads that
+    feed with ``readStream`` (schema declared from the feed itself,
+    never inferred) and maintains a per-``event_type`` count+sum view
+    through :func:`materialized_view_sink` — base table never
+    rescanned. The committed view snapshot is read back and
+    value-checked against direct re-aggregation of the final state,
+    pinning the whole producer→feed→consumer→view loop."""
+    ev = table(spark, sf_dir, "events")
+    slices = [
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 3 != 0),
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 4 == 0, F.lit("migrated")).otherwise(
+                F.col("event_type")
+            ),
+        ),
+    ]
+    base = _fresh_staging_dir(spark, sf_dir, "ivm_view")
+    src, ckpt, tgt, cl, view, vckpt = (
+        os.path.join(base, d)
+        for d in ("src", "ckpt", "tgt", "changelog", "view", "vckpt")
+    )
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, sl in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        synthesize_envelopes(sl).coalesce(1).write.json(stage)
+        part = next(
+            p for p in glob.glob(os.path.join(stage, "part-*")) if not p.endswith(".crc")
+        )
+        dst = os.path.join(src, f"{i:03d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = upsert_sink(
+        live_rows(stream), tgt, ckpt, keep_snapshots=100, changelog_path=cl
+    ).start()
+    drain_stream(q, "IVM view producer")
+    feed_schema = spark.read.parquet(cl).schema
+    feed_stream = spark.readStream.schema(feed_schema).parquet(cl)
+    vq = materialized_view_sink(
+        feed_stream, view, vckpt, group_col="event_type", value_col="value"
+    ).start()
+    drain_stream(vq, "IVM view consumer")
+    if _committed_snapshot(spark, view) is None:
+        # empty corpus: the feed has no data files, the consumer
+        # drains zero batches, the view store never commits
+        return spark.createDataFrame(
+            [], "event_type string, n_rows bigint, sum_value double"
+        )
+    return read_upsert_target(spark, view).select(
+        "event_type", "n_rows", F.round(F.col("sum_value"), 2).alias("sum_value")
     )
 
 

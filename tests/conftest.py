@@ -20,6 +20,25 @@ import os
 SF_DIR = os.environ.get("PDP_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """PDP_MODULES_SHARD=i/n round-robins collected tests across n
+    pytest processes by collection index — the same wall-clock split
+    the parity sweep gets from PDP_PARITY_SHARD, for modules that
+    aren't registry-parametrized (r16: test_modules.py became the
+    564 s straggler). Collection order is stable for the same file
+    set, so the shards are a provable partition; tools/run_tests.py
+    launches each shard with the same file list and a different i."""
+    spec = os.environ.get("PDP_MODULES_SHARD")
+    if not spec:
+        return
+    i, n = (int(x) for x in spec.split("/"))
+    keep, drop = [], []
+    for k, it in enumerate(items):
+        (keep if k % n == i else drop).append(it)
+    items[:] = keep
+    config.hook.pytest_deselected(items=drop)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_session("pdp-tests", cpus=4, shuffle_partitions=4)

@@ -2700,6 +2700,59 @@ def test_change_feed_consumer_cursor_and_ivm(spark, tmp_path):
     assert got == [("a", 2, 9.0), ("c", 1, 6.0)], got
 
 
+def test_materialized_view_sink_multibatch_and_crash_redelivery(spark, tmp_path):
+    """r16 streaming materialized view: (a) the view maintained one
+    micro-batch per feed partition (maxFilesPerTrigger=1, so the
+    delta algebra accumulates across batches, not within one) equals
+    direct re-aggregation of the final state; (b) a crash between the
+    view's pointer flip and its checkpoint commit redelivers the
+    batch — the _BATCH short-circuit must keep the view IDENTICAL
+    (double-applying a delta is the IVM-specific corruption: counts
+    drift by the batch's row count)."""
+    cl = str(tmp_path / "feed")
+    feed_rows = [
+        (0, "insert", "a", 4.0),
+        (0, "insert", "a", 6.0),
+        (0, "insert", "b", 5.0),
+        (1, "update_preimage", "b", 5.0),
+        (1, "update_postimage", "c", 6.0),
+        (2, "delete", "a", 4.0),
+        (2, "insert", "a", 3.0),
+    ]
+    spark.createDataFrame(
+        feed_rows, "commit_batch int, change_type string, g string, v double"
+    ).write.partitionBy("commit_batch").parquet(cl)
+    view, vckpt = str(tmp_path / "view"), str(tmp_path / "vckpt")
+
+    def drain():
+        feed = (
+            spark.readStream.schema(spark.read.parquet(cl).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(cl)
+        )
+        S.materialized_view_sink(
+            feed, view, vckpt, group_col="g", value_col="v"
+        ).start().awaitTermination(120)
+
+    drain()
+
+    def canon():
+        return sorted(tuple(r) for r in S.read_upsert_target(spark, view).collect())
+
+    want = [("a", 2, 9.0), ("c", 1, 6.0)]
+    assert canon() == want, canon()
+
+    # (b) crash + redelivery: drop the newest checkpoint commit marker
+    commits = glob.glob(os.path.join(vckpt, "commits", "[0-9]*"))
+    last = max(commits, key=lambda p: int(os.path.basename(p)))
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert canon() == want, "redelivered batch double-applied its delta"
+
+
 def test_branch_fork_merge_conflict_and_pinning(spark):
     """r16 writable branches (the Nessie merge semantic): (a) a fresh
     branch reads as its fork base (zero-copy); (b) a branch commit is

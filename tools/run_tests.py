@@ -89,8 +89,17 @@ def main() -> int:
     # test_modules is the largest non-parity module (operator unit +
     # recall/determinism tests) — its own process keeps the residual
     # "main" shard from becoming the wall-clock bottleneck as the
-    # module grows (r8: main crept past 10 min with modules inside it)
-    launch("modules", base + ["tests/test_modules.py"], {})
+    # module grows (r8: main crept past 10 min with modules inside it).
+    # r16: at 564 s it became the straggler itself (92% of a 612 s
+    # quiet-box wall); split in two by collection-index round-robin
+    # (PDP_MODULES_SHARD in conftest) — a provable partition, same
+    # mechanism as the parity shards.
+    for i in range(2):
+        launch(
+            f"modules{i}",
+            base + ["tests/test_modules.py"],
+            {"PDP_MODULES_SHARD": f"{i}/2"},
+        )
     # streaming/file-IO-heavy modules (r9 verdict item #5): each test
     # here spends seconds in micro-batch engine startup or sink
     # write+readback, so together they dominated "main"'s wall. Their
@@ -187,7 +196,7 @@ def main() -> int:
             print(f"    {line}")
         rc = rc or p.returncode
     print(f"total wall-clock: {time.perf_counter() - t0:.0f}s "
-          f"(serial pyds_stream, then {args.shards} parity shards + modules "
+          f"(serial pyds_stream, then {args.shards} parity shards + modules0/1 "
           f"+ stream_io + sweeps_joins_a/b + sweeps + empties + main)")
     return rc
 
