@@ -542,28 +542,54 @@ def read_branch(spark: SparkSession, target_path: str, name: str) -> DataFrame:
     return read_upsert_target(spark, broot)
 
 
-def merge_branch(spark: SparkSession, target_path: str, name: str) -> int:
-    """FAST-FORWARD merge a branch back into main — Nessie's merge,
-    restricted to the only always-safe case: main's committed snapshot
-    must still BE the branch's fork base. Then the branch's committed
-    state is by construction main-prefix + branch batches (a pure
-    latest-wins fold), so the merge is a zero-copy RENAME of the
-    branch's committed snap dir into main under a freshly minted id,
-    followed by the usual pointer flip. If main moved since the fork,
-    this raises a LOUD conflict — rewriting history or silently
-    re-folding divergent writes is exactly what a catalog must never
-    do; re-branch from the new head and replay instead.
+def merge_branch(
+    spark: SparkSession,
+    target_path: str,
+    name: str,
+    key: str | None = None,
+    allow_rebase: bool = False,
+    on_conflict: str = "fail",
+) -> int:
+    """Merge a branch back into main — Nessie's merge. Two modes:
 
-    The merge CONSUMES the branch (its snap chain is superseded and
-    its committed dir was renamed away); a crash between the pointer
+    **Fast-forward** (the default, always safe): main's committed
+    snapshot must still BE the branch's fork base. Then the branch's
+    committed state is by construction main-prefix + branch batches
+    (a pure latest-wins fold), so the merge is a zero-copy RENAME of
+    the branch's committed snap dir into main under a freshly minted
+    id, followed by the usual pointer flip. If main moved since the
+    fork, this raises a LOUD conflict — silently re-folding divergent
+    writes is exactly what a catalog must never do.
+
+    **Rebase** (``allow_rebase=True``, requires ``key``): when main
+    HAS moved, re-apply the branch's delta onto main's head — the
+    Nessie content-aware merge. The branch delta is the set of rows
+    that differ from the fork base (:func:`_changelog_frame`, so it
+    is union-schema and null-safe); a key changed on BOTH sides since
+    the base is a CONTENT CONFLICT: ``on_conflict='fail'`` (default)
+    raises with the count and sample keys, ``'branch'`` lets the
+    branch's version win on conflicting keys, ``'main'`` keeps
+    main's. Non-conflicting branch changes always apply. The merged
+    state is written as a NEW main snapshot — unlike fast-forward
+    this moves data (one write of the merged table), the honest cost
+    of a real rebase; the plan is two key-partitioned diff joins + an
+    anti-join + union, no cartesian anywhere.
+
+    The merge CONSUMES the branch (fast-forward renames its committed
+    dir away; rebase supersedes it); a crash between the pointer
     flip and the branch delete leaves a stale branch whose next merge
     attempt fails the conflict check — delete it with
     :func:`delete_branch`. Returns the new committed main batch id.
 
-    Scale posture: rename + two pointer files — no data movement at
-    any size. The minted id is max(retained main ids) + 1; the sink's
-    id minting (``snap_id = max(engine batch id, committed + 1)``)
-    keeps main's own subsequent commits monotonic past it."""
+    Scale posture: fast-forward is rename + two pointer files — no
+    data movement at any size. The minted id is max(retained main
+    ids) + 1; the sink's id minting (``snap_id = max(engine batch id,
+    committed + 1)``) keeps main's own subsequent commits monotonic
+    past it."""
+    if on_conflict not in ("fail", "branch", "main"):
+        raise ValueError(
+            f"on_conflict must be 'fail', 'branch', or 'main', got {on_conflict!r}"
+        )
     from ..operators.fs import FileSystemOps
 
     fs = FileSystemOps(spark)
@@ -579,12 +605,18 @@ def merge_branch(spark: SparkSession, target_path: str, name: str) -> int:
         raise FileNotFoundError(f"no committed snapshot under {target_path}")
     main_name = main_snap.rsplit("/", 1)[-1]
     if main_name != base_name:
-        raise ValueError(
-            f"merge conflict: main committed {main_name} but branch "
-            f"{name!r} forked from {base_name} — main moved since the "
-            "fork; re-branch from the head and replay the changes "
-            "(fast-forward is the only safe automatic merge)"
-        )
+        if not allow_rebase:
+            raise ValueError(
+                f"merge conflict: main committed {main_name} but branch "
+                f"{name!r} forked from {base_name} — main moved since the "
+                "fork; re-branch from the head and replay the changes, or "
+                "pass allow_rebase=True (with key=) for a content-aware "
+                "rebase merge"
+            )
+        if key is None:
+            raise ValueError("allow_rebase=True requires key= (the merge key)")
+        return _rebase_merge(spark, fs, target_path, name, broot, base_name, key,
+                             on_conflict)
     bsnap = _committed_snapshot(spark, broot)
     bname = bsnap.rsplit("/", 1)[-1]
     if not fs.exists(f"{broot}/{bname}/_SUCCESS"):
@@ -608,6 +640,76 @@ def merge_branch(spark: SparkSession, target_path: str, name: str) -> int:
     fs.put_text(tmp, new_name)
     fs.delete(f"{target_path}/_LATEST")
     fs.rename(tmp, f"{target_path}/_LATEST")
+    delete_branch(spark, target_path, name)
+    return new_id
+
+
+def _rebase_merge(
+    spark: SparkSession,
+    fs,
+    target_path: str,
+    name: str,
+    broot: str,
+    base_name: str,
+    key: str,
+    on_conflict: str,
+) -> int:
+    """The non-fast-forward arm of :func:`merge_branch`: re-apply the
+    branch's delta-vs-base onto main's moved head. Both deltas come
+    from :func:`_changelog_frame` (union-schema, null-safe), so the
+    rebase composes with sink schema evolution on either side. The
+    snap store never deletes rows, so a delta is inserts + update
+    postimages only — each postimage carries the full row, which is
+    what gets applied. Branch rows win UNCONDITIONALLY on the keys
+    they apply to (a catalog merge is by-version, not by-timestamp —
+    latest-wins by ts would silently drop a branch fix older than a
+    main write); ``on_conflict`` decides which side's keys those are."""
+    base_id = int(base_name.rsplit("-", 1)[-1])
+    base_df = read_upsert_target(spark, target_path, as_of_batch=base_id)
+    branch_df = read_upsert_target(spark, broot)
+    main_df = read_upsert_target(spark, target_path)
+
+    def delta(new: DataFrame) -> DataFrame:
+        return (
+            _changelog_frame(base_df, new, key)
+            .filter(F.col("change_type").isin("insert", "update_postimage"))
+            .drop("change_type")
+        )
+
+    branch_new = delta(branch_df)
+    main_changed = delta(main_df).select(key)
+    conflicts = branch_new.select(key).join(main_changed, on=key, how="inner")
+    if on_conflict == "fail":
+        sample = [r[0] for r in conflicts.limit(5).collect()]
+        if sample:
+            n = conflicts.count()
+            raise ValueError(
+                f"rebase conflict merging branch {name!r}: {n} key(s) "
+                f"changed on BOTH main and the branch since {base_name} "
+                f"(sample: {sample}) — resolve with on_conflict='branch' "
+                "or 'main', or reconcile manually and re-branch"
+            )
+        apply_rows = branch_new
+    elif on_conflict == "branch":
+        apply_rows = branch_new
+    else:  # main wins on conflicting keys
+        apply_rows = branch_new.join(main_changed, on=key, how="left_anti")
+    # apply: branch rows replace main rows on their keys, main rows
+    # pass through elsewhere; unionByName with NULL-fill keeps the
+    # union schema when either side evolved
+    merged = main_df.join(apply_rows.select(key), on=key, how="left_anti").unionByName(
+        apply_rows, allowMissingColumns=True
+    )
+    ids = [
+        int(p.rsplit("/", 1)[-1].split("-", 1)[1])
+        for p in fs.list_paths(target_path)
+        if p.rsplit("/", 1)[-1].startswith("snap-")
+    ]
+    new_id = max(ids) + 1
+    new_name = f"snap-{new_id}"
+    merged.write.mode("overwrite").parquet(f"{target_path}/{new_name}")
+    fs.put_text(f"{target_path}/{new_name}/_BATCH", f"merge-rebase:{name}")
+    _commit_pointer(fs, target_path, new_name, f"merge-{new_id}")
     delete_branch(spark, target_path, name)
     return new_id
 
@@ -913,7 +1015,8 @@ def upsert_sink(
             )
 
         _snapshot_commit(
-            spark, fs, target_path, keep_snapshots, batch_id, transform, emit
+            spark, fs, target_path, keep_snapshots, batch_id, transform, emit,
+            run_id=checkpoint,
         )
 
     return (
@@ -975,19 +1078,32 @@ def _snapshot_commit(
     batch_id: int,
     transform,
     emit=None,
+    run_id: str = "",
 ) -> None:
     """The snap-dir COMMIT PROTOCOL, shared by every foreachBatch sink
     over the snapshot store (``upsert_sink``'s latest-wins merge,
     ``materialized_view_sink``'s incremental aggregate): resolve the
     committed predecessor, short-circuit crash redelivery, apply
     ``transform(prev_df_or_None) -> new_state``, write the new
-    immutable ``snap-<id>`` dir + its ``_BATCH`` engine-id marker, run
-    the optional ``emit(prev_df, materialized_new_state, snap_id)``
+    immutable ``snap-<id>`` dir + its ``_BATCH`` marker, run the
+    optional ``emit(prev_df, materialized_new_state, snap_id)``
     hook (the change-feed writer — BEFORE the pointer flip, so a
     post-flip crash redelivers with the emit already durable), then
     flip ``_LATEST`` and GC superseded snapshots. Extracting it keeps
     the crash matrix (pointer flip vs checkpoint commit vs emit) in
-    ONE place instead of re-deriving it per sink."""
+    ONE place instead of re-deriving it per sink.
+
+    ``run_id`` scopes the redelivery short-circuit to the WRITING
+    QUERY (its checkpoint path): engine batch ids restart at 0 for
+    every fresh checkpoint, so a bare id match would swallow the
+    first batch of a *different* query appending to the same target
+    whenever the committed ``_BATCH`` happened to carry the same
+    number (found live: a rebase fixture's 'main moves' drain was
+    silently skipped as redelivery of the seed). The marker stores
+    ``<run_id>\\n<batch_id>``; redelivery requires BOTH to match.
+    Pre-run_id markers (a bare id) keep the old id-only compare so
+    existing stores read unchanged — their hazard window closes on
+    their next commit."""
     prev = _committed_snapshot(spark, target_path)
     prev_name = prev.rsplit("/", 1)[-1] if prev is not None else None
     # the committed snapshot is LOCAL to this store when its dir
@@ -999,16 +1115,22 @@ def _snapshot_commit(
     )
     if prev_is_local:
         marker = f"{target_path}/{prev_name}/_BATCH"
-        prev_engine = (
-            fs.get_text(marker).strip()
-            if fs.exists(marker)
+        if fs.exists(marker):
+            raw = fs.get_text(marker)
+            if "\n" in raw:
+                prev_run, prev_engine = raw.split("\n", 1)
+                prev_run, prev_engine = prev_run.strip(), prev_engine.strip()
+            else:
+                # legacy single-line marker (or a merge commit's
+                # free-form tag): id-only compare, old behavior
+                prev_run, prev_engine = None, raw.strip()
+        else:
             # legacy dirs predate the marker: their name IS the
             # engine batch id
-            else prev_name.split("-", 1)[1]
-        )
+            prev_run, prev_engine = None, prev_name.split("-", 1)[1]
     else:
-        prev_engine = None
-    if prev_engine == str(batch_id):
+        prev_run, prev_engine = None, None
+    if prev_engine == str(batch_id) and (prev_run is None or prev_run == run_id):
         # Re-delivery after a crash between the pointer flip and the
         # checkpoint commit: this batch's snapshot IS the committed
         # state. Transforming again would lazily read the very dir the
@@ -1046,10 +1168,11 @@ def _snapshot_commit(
     prev_df = spark.read.parquet(prev) if prev is not None else None
     new_state = transform(prev_df)
     new_state.write.mode("overwrite").parquet(f"{target_path}/{snap_name}")
-    # record the engine batch id that produced this snapshot — the
-    # redelivery short-circuit keys on it now that snap ids and
-    # engine ids are separate sequences
-    fs.put_text(f"{target_path}/{snap_name}/_BATCH", str(batch_id))
+    # record the writing query (run_id = its checkpoint) and engine
+    # batch id that produced this snapshot — the redelivery
+    # short-circuit keys on the PAIR: snap ids, engine ids, and
+    # queries are three separate sequences
+    fs.put_text(f"{target_path}/{snap_name}/_BATCH", f"{run_id}\n{batch_id}")
     if emit is not None:
         emit(prev_df, spark.read.parquet(f"{target_path}/{snap_name}"), snap_id)
     _commit_pointer(fs, target_path, snap_name, batch_id)
@@ -1559,6 +1682,106 @@ def merge_upsert_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_upsert_rebase",
+    registered=False,
+    # oracle = the rebase algebra replayed in SQL: main seeded with
+    # every live id, the branch bumps the EVENS (+100, +1h), main
+    # concurrently bumps the %4==3 ids (+7, +2h) — disjoint key sets,
+    # so the rebase applies cleanly and the merged head carries both
+    # sides' changes over the common base.
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    final AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_id % 2 = 0 THEN value + 100.0
+                  WHEN event_id % 4 = 3 THEN value + 7.0
+                  ELSE value END AS value,
+             CASE WHEN event_id % 2 = 0 THEN ms + 3600000
+                  WHEN event_id % 4 = 3 THEN ms + 7200000
+                  ELSE ms END AS ms
+      FROM live
+    )
+    SELECT event_id, user_id, event_type, value,
+           strftime(make_timestamp(ms * 1000), '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM final
+    """,
+)
+def merge_upsert_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBASE MERGE under the real engine (r16, the non-fast-forward
+    arm of :func:`merge_branch`): batch 0 seeds MAIN with every live
+    id; 'fix' forks at the head; the branch drains an update pass over
+    the evens (+100, +1h) while MAIN concurrently drains its own
+    update over the %4==3 ids (+7, +2h) — so by merge time main has
+    MOVED and fast-forward is impossible. ``merge_branch(...,
+    allow_rebase=True)`` diffs both sides against the common base,
+    finds no overlapping keys (evens vs %4==3 are disjoint), and
+    re-applies the branch delta onto main's head; the committed result
+    must equal the SQL replay carrying BOTH sides' changes. The
+    conflict paths (overlap → fail / branch-wins / main-wins) are
+    module-tested; this query value-checks the clean-rebase algebra
+    end to end."""
+    ev = table(spark, sf_dir, "events")
+    live_pred = F.col("event_id") % 10 != 0
+    branch_delta = (
+        ev.filter(live_pred & (F.col("event_id") % 2 == 0))
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    main_delta = (
+        ev.filter(live_pred & (F.col("event_id") % 4 == 3))
+        .withColumn("value", F.col("value") + F.lit(7.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    base = _fresh_staging_dir(spark, sf_dir, "rebase_upsert")
+    src_main, ck_main, src_main2, ck_main2, src_br, ck_br, tgt = (
+        os.path.join(base, d)
+        for d in ("src_main", "ck_main", "src_main2", "ck_main2",
+                  "src_br", "ck_br", "tgt")
+    )
+    for d in (src_main, src_main2, src_br):
+        os.makedirs(d, exist_ok=True)
+
+    def stage(frame: DataFrame, src: str, name: str) -> None:
+        d = os.path.join(base, f"stage_{os.path.basename(src)}_{name}")
+        synthesize_envelopes(frame).coalesce(1).write.json(d)
+        part = next(
+            p for p in glob.glob(os.path.join(d, "part-*")) if not p.endswith(".crc")
+        )
+        shutil.move(part, os.path.join(src, name))
+
+    stage(ev, src_main, "000.json")
+    s1 = spark.readStream.schema(RAW_STREAM_SCHEMA).json(src_main)
+    q1 = upsert_sink(live_rows(s1), tgt, ck_main, keep_snapshots=100).start()
+    drain_stream(q1, "rebase demo: main seed")
+
+    branch_snapshot(spark, tgt, "fix")
+    stage(branch_delta, src_br, "000.json")
+    s2 = spark.readStream.schema(RAW_STREAM_SCHEMA).json(src_br)
+    q2 = upsert_sink(
+        live_rows(s2), tgt, ck_br, keep_snapshots=100, branch="fix"
+    ).start()
+    drain_stream(q2, "rebase demo: branch drain")
+
+    # main moves AFTER the fork — its own stream, its own checkpoint
+    stage(main_delta, src_main2, "000.json")
+    s3 = spark.readStream.schema(RAW_STREAM_SCHEMA).json(src_main2)
+    q3 = upsert_sink(live_rows(s3), tgt, ck_main2, keep_snapshots=100).start()
+    drain_stream(q3, "rebase demo: main moves")
+
+    merge_branch(spark, tgt, "fix", key="event_id", allow_rebase=True)
+    return read_upsert_target(spark, tgt).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ts_str(F.col("ts")).alias("ts_str"),
+    )
+
+
+@query(
     "stream_exec_changelog",
     registered=False,
     # oracle = the full feed, batch by batch: batch 0 and 1 are pure
@@ -1811,7 +2034,10 @@ def materialized_view_sink(
                 mat, batch_df, group_col=group_col, value_col=value_col
             )
 
-        _snapshot_commit(spark, fs, view_path, keep_snapshots, batch_id, transform)
+        _snapshot_commit(
+            spark, fs, view_path, keep_snapshots, batch_id, transform,
+            run_id=checkpoint,
+        )
 
     return (
         changes.writeStream.foreachBatch(apply_batch)

@@ -2753,6 +2753,89 @@ def test_materialized_view_sink_multibatch_and_crash_redelivery(spark, tmp_path)
     assert canon() == want, "redelivered batch double-applied its delta"
 
 
+def test_second_query_batch_zero_not_swallowed_as_redelivery(spark, tmp_path):
+    """r16 regression (found by the rebase fixture): engine batch ids
+    restart at 0 for every fresh checkpoint, so a SECOND streaming
+    query appending to the same target used to have its batch 0
+    swallowed by the redelivery short-circuit whenever the committed
+    _BATCH also read 0. The marker is now (run_id, batch_id); only
+    the SAME query's redelivery short-circuits."""
+    from promptly_data_pipelines_spark.cdc.envelope import synthesize_envelopes
+
+    ev = table(spark, SF_DIR, "events").limit(200)
+    tgt = str(tmp_path / "tgt")
+
+    def drain(frame, src, ckpt):
+        synthesize_envelopes(frame).write.json(src)
+        S.upsert_sink(
+            S.live_rows(S.read_envelope_stream(spark, src)), tgt, ckpt,
+            keep_snapshots=100,
+        ).start().awaitTermination(120)
+
+    drain(ev, str(tmp_path / "s1"), str(tmp_path / "c1"))
+    n_seed = S.read_upsert_target(spark, tgt).count()
+    # second, INDEPENDENT query (fresh checkpoint → its batch id is 0
+    # again) updates every row; before the fix this commit vanished
+    drain(
+        ev.withColumn("value", F.col("value") + F.lit(1000.0)),
+        str(tmp_path / "s2"), str(tmp_path / "c2"),
+    )
+    got = S.read_upsert_target(spark, tgt)
+    assert got.count() == n_seed
+    assert got.filter(F.col("value") < 1000.0).count() == 0, (
+        "second query's batch 0 was swallowed as redelivery"
+    )
+
+
+def test_rebase_merge_conflict_paths(spark, tmp_path):
+    """r16 rebase merge: when main moved since the fork, (a) plain
+    merge still raises the fast-forward conflict; (b) rebase with an
+    overlapping key raises a CONTENT conflict naming the key count;
+    (c) on_conflict='branch' applies the branch's version on the
+    overlap, (d) on_conflict='main' keeps main's — and in both cases
+    the NON-conflicting branch change and main's own change survive."""
+
+    def build(tgt):
+        # base snap-0: three keys; main snap-1 changes k=1; branch
+        # 'dev' forks at snap-0 and changes k=1 (CONFLICT) and k=2
+        spark.createDataFrame(
+            [(1, "base1"), (2, "base2"), (3, "base3")], "k bigint, v string"
+        ).write.mode("overwrite").parquet(f"{tgt}/snap-0")
+        spark.createDataFrame(
+            [(1, "main1"), (2, "base2"), (3, "base3")], "k bigint, v string"
+        ).write.mode("overwrite").parquet(f"{tgt}/snap-1")
+        os.makedirs(tgt, exist_ok=True)
+        with open(f"{tgt}/_LATEST", "w") as fh:
+            fh.write("snap-1")
+        broot = f"{tgt}/_BRANCH-dev"
+        os.makedirs(broot, exist_ok=True)
+        with open(f"{broot}/_BASE", "w") as fh:
+            fh.write("snap-0")
+        spark.createDataFrame(
+            [(1, "br1"), (2, "br2"), (3, "base3")], "k bigint, v string"
+        ).write.mode("overwrite").parquet(f"{broot}/snap-5")
+
+    def state(tgt):
+        return sorted(tuple(r) for r in S.read_upsert_target(spark, tgt).collect())
+
+    tgt = str(tmp_path / "t1")
+    build(tgt)
+    with pytest.raises(ValueError, match="fast-forward|allow_rebase"):
+        S.merge_branch(spark, tgt, "dev")
+    with pytest.raises(ValueError, match="rebase conflict.*1 key"):
+        S.merge_branch(spark, tgt, "dev", key="k", allow_rebase=True)
+    S.merge_branch(spark, tgt, "dev", key="k", allow_rebase=True,
+                   on_conflict="branch")
+    assert state(tgt) == [(1, "br1"), (2, "br2"), (3, "base3")]
+    assert "dev" not in S.list_branches(spark, tgt), "merge must consume the branch"
+
+    tgt2 = str(tmp_path / "t2")
+    build(tgt2)
+    S.merge_branch(spark, tgt2, "dev", key="k", allow_rebase=True,
+                   on_conflict="main")
+    assert state(tgt2) == [(1, "main1"), (2, "br2"), (3, "base3")]
+
+
 def test_branch_fork_merge_conflict_and_pinning(spark):
     """r16 writable branches (the Nessie merge semantic): (a) a fresh
     branch reads as its fork base (zero-copy); (b) a branch commit is
