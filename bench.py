@@ -353,6 +353,15 @@ SECONDARY = [
     # precedent: per-trigger chooser correctness is oracle+test-pinned;
     # wall time is micro-batch scheduling, not operator signal).
     "kmv_serving_overlap_matrix",
+    # r16: the lakehouse arc's new queries (changelog_incremental_agg,
+    # stream_ivm_view, merge_upsert_rebase, merge_upsert_branch,
+    # stream_exec_changelog) are NOT timed, same precedent as the
+    # stream_exec_* retirements: each drains 1-3 real streaming
+    # checkpoints, so wall time is micro-batch engine startup, not
+    # operator signal. Their operator cost is structural and pinned
+    # elsewhere: the changelog is plan-pinned to one full-outer SMJ,
+    # the feed consumer to a partition-pruned scan, and the IVM merge
+    # is a |groups|-sized join — correctness lives in the oracles.
 ]
 
 

@@ -169,7 +169,12 @@ Rotations so far:
   its full oracle. The round's other lakehouse additions
   (`merge_upsert_branch`, `stream_exec_changelog`,
   `merge_upsert_changelog_evolved`) enter at the local tier with
-  full oracles, rotation candidates for r17.
+  full oracles, rotation candidates for r17 — joined later in the
+  round by the change-feed CONSUMER arc
+  (`changelog_incremental_agg` — cursored read + incremental view
+  maintenance, `stream_ivm_view` — the continuous two-engine form)
+  and the non-fast-forward `merge_upsert_rebase`, all full-oracle
+  local entries.
 """
 
 # name -> prose note for PLANS.md (what the plan MUST show and why)
