@@ -1972,6 +1972,134 @@ def maintain_grouped_agg(
     )
 
 
+def maintain_grouped_distinct(
+    support: DataFrame,
+    feed: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """INCREMENTAL COUNT(DISTINCT) from the change feed — the support
+    -table algebra that makes distinct counts deletable (a plain
+    sketch can union but never subtract): maintain
+    ``(group_col, distinct_col, n)`` where ``n`` is the surviving ROW
+    multiplicity of that pair; a pair leaves the distinct set only
+    when its LAST row leaves (n reaches 0), so deletes and
+    group-moving updates are exact, not approximate. Serve
+    ``COUNT(DISTINCT)`` as ``support.groupBy(group_col).count()`` —
+    the ``changelog_incremental_distinct`` oracle pins that equals
+    direct ``count(DISTINCT ...)`` over the new state.
+
+    Scale posture: the support table is |group × distinct value|
+    rows — the same cardinality an exact ``COUNT(DISTINCT)`` shuffle
+    materializes transiently on every full recompute, here kept and
+    delta-merged instead of rebuilt; per batch the cost is one
+    aggregation over the feed slice plus one co-partitioned merge
+    join. When the pair space itself is too big to keep, the KMV/HLL
+    sketches (extensions/kmv.py) are the insert-only trade."""
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy(group_col, distinct_col).agg(F.sum(sign).alias("_dn"))
+    merged = support.join(delta, on=[group_col, distinct_col], how="full_outer")
+    return merged.select(
+        group_col,
+        distinct_col,
+        (
+            F.coalesce(F.col(count_alias), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias(count_alias),
+    ).filter(F.col(count_alias) > 0)
+
+
+@query(
+    "changelog_incremental_distinct",
+    registered=False,
+    # oracle = direct COUNT(DISTINCT) over the final state: evens'
+    # value bump is distinct-invariant noise, the %4==0 migration
+    # MOVES (event_type, user_id) pairs into 'migrated' — a user with
+    # rows left behind must still count in the old group (row
+    # multiplicity), one whose last row moved must not.
+    oracle="""
+    WITH live AS (
+      SELECT event_id, user_id, event_type
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    final AS (
+      SELECT user_id,
+             CASE WHEN event_id % 4 = 0 THEN 'migrated'
+                  ELSE event_type END AS event_type
+      FROM live
+    )
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM final GROUP BY event_type
+    """,
+)
+def changelog_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COUNT(DISTINCT) MAINTENANCE end to end: the same
+    three-batch feed fixture as ``changelog_incremental_agg`` (two
+    insert waves, then the update pass that migrates the %4==0 slice
+    to a new ``event_type``), but the maintained object is the
+    (group, user, multiplicity) SUPPORT table — everything after the
+    first commit reaches it only through the feed. The served
+    per-group distinct-user count must equal direct
+    ``count(DISTINCT)`` over the final state, which only holds if
+    multiplicity bookkeeping is exact: an update pair at unchanged
+    group is a net zero, a migration decrements the old pair and
+    increments the new, and a pair dies only with its last row."""
+    ev = table(spark, sf_dir, "events")
+    slices = [
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 3 != 0),
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 4 == 0, F.lit("migrated")).otherwise(
+                F.col("event_type")
+            ),
+        ),
+    ]
+    base = _fresh_staging_dir(spark, sf_dir, "cdf_ivm_distinct")
+    src, ckpt, tgt, cl = (
+        os.path.join(base, d) for d in ("src", "ckpt", "tgt", "changelog")
+    )
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, sl in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        synthesize_envelopes(sl).coalesce(1).write.json(stage)
+        part = next(
+            p for p in glob.glob(os.path.join(stage, "part-*")) if not p.endswith(".crc")
+        )
+        dst = os.path.join(src, f"{i:03d}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(RAW_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = upsert_sink(
+        live_rows(stream), tgt, ckpt, keep_snapshots=100, changelog_path=cl
+    ).start()
+    drain_stream(q, "IVM distinct upsert")
+    cursor = sorted(h["batch_id"] for h in upsert_history(spark, tgt))[0]
+    support = (
+        read_upsert_target(spark, tgt, as_of_batch=cursor)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    feed = read_change_feed(spark, cl, after_batch=cursor)
+    maintained = maintain_grouped_distinct(
+        support, feed, group_col="event_type", distinct_col="user_id"
+    )
+    return maintained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def materialized_view_sink(
     changes: DataFrame,
     view_path: str,

@@ -2700,6 +2700,38 @@ def test_change_feed_consumer_cursor_and_ivm(spark, tmp_path):
     assert got == [("a", 2, 9.0), ("c", 1, 6.0)], got
 
 
+def test_maintain_grouped_distinct_multiplicity(spark):
+    """r16 exact COUNT(DISTINCT) maintenance: the support table tracks
+    ROW multiplicity per (group, value) pair, so (a) deleting one of a
+    user's two rows must NOT drop them from the distinct set, (b)
+    deleting the last row must, (c) an update at unchanged pair is a
+    net zero, (d) a group-moving update decrements the old pair and
+    increments the new."""
+    support = spark.createDataFrame(
+        # g=a: u1 twice, u2 once; g=b: u1 once
+        [("a", "u1", 2), ("a", "u2", 1), ("b", "u1", 1)],
+        "g string, u string, n_rows bigint",
+    )
+    feed = spark.createDataFrame(
+        [
+            ("delete", "a", "u1"),            # (a) multiplicity 2 -> 1: u1 stays
+            ("delete", "a", "u2"),            # (b) last row: u2 leaves group a
+            ("update_preimage", "b", "u1"),   # (d) u1 moves b -> c
+            ("update_postimage", "c", "u1"),
+            ("update_preimage", "a", "u1"),   # (c) same-pair update: net zero
+            ("update_postimage", "a", "u1"),
+        ],
+        "change_type string, g string, u string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in S.maintain_grouped_distinct(
+            support, feed, group_col="g", distinct_col="u"
+        ).collect()
+    )
+    assert got == [("a", "u1", 1), ("c", "u1", 1)], got
+
+
 def test_materialized_view_sink_multibatch_and_crash_redelivery(spark, tmp_path):
     """r16 streaming materialized view: (a) the view maintained one
     micro-batch per feed partition (maxFilesPerTrigger=1, so the
