@@ -2751,9 +2751,13 @@ def test_materialized_view_sink_multibatch_and_crash_redelivery(spark, tmp_path)
         (2, "delete", "a", 4.0),
         (2, "insert", "a", 3.0),
     ]
+    # one file per commit partition: with maxFilesPerTrigger=1 that is
+    # exactly 3 micro-batches (an unbounded per-row file count made the
+    # drain outrun its timeout under a loaded fan-out, and a timed-out
+    # awaitTermination used to let the assert read a half-applied view)
     spark.createDataFrame(
         feed_rows, "commit_batch int, change_type string, g string, v double"
-    ).write.partitionBy("commit_batch").parquet(cl)
+    ).repartition(1).write.partitionBy("commit_batch").parquet(cl)
     view, vckpt = str(tmp_path / "view"), str(tmp_path / "vckpt")
 
     def drain():
@@ -2762,9 +2766,10 @@ def test_materialized_view_sink_multibatch_and_crash_redelivery(spark, tmp_path)
             .option("maxFilesPerTrigger", "1")
             .parquet(cl)
         )
-        S.materialized_view_sink(
+        q = S.materialized_view_sink(
             feed, view, vckpt, group_col="g", value_col="v"
-        ).start().awaitTermination(120)
+        ).start()
+        assert q.awaitTermination(300), "view drain timed out"
 
     drain()
 
@@ -2799,10 +2804,11 @@ def test_second_query_batch_zero_not_swallowed_as_redelivery(spark, tmp_path):
 
     def drain(frame, src, ckpt):
         synthesize_envelopes(frame).write.json(src)
-        S.upsert_sink(
+        q = S.upsert_sink(
             S.live_rows(S.read_envelope_stream(spark, src)), tgt, ckpt,
             keep_snapshots=100,
-        ).start().awaitTermination(120)
+        ).start()
+        assert q.awaitTermination(300), "upsert drain timed out"
 
     drain(ev, str(tmp_path / "s1"), str(tmp_path / "c1"))
     n_seed = S.read_upsert_target(spark, tgt).count()
