@@ -295,6 +295,18 @@ def _lsh_candidate_pairs(d: DataFrame, pair_cols=None) -> DataFrame:
     )
     bands = lsh_band_keys(sig_arr, "doc_id", "sig")
     extra = pair_cols() if pair_cols is not None else []
+    # r16 A/B note (guide §1: measure, then decide): applying the
+    # caller's est-Jaccard threshold BEFORE this dropDuplicates was
+    # tried and REVERTED — the filter on the aliased projection gets
+    # pushed into the join condition, double-evaluating the 16-element
+    # est fold per candidate, and LSH band candidates mostly PASS the
+    # threshold (full-band equality already implies high est), so the
+    # exchange saves almost nothing: same-session skew10 A/B measured
+    # a wash (6.0 s filtered-early vs 6.3 s as-is, inside the line's
+    # noise band) — keep the simpler committed form. Contrast
+    # dedup_simhash, where the same move WON big (hamming is two
+    # scalar ops and most block collisions fail the ≤3 verify:
+    # skew10 15.8 s → 2.6-3.1 s).
     return (
         bands.alias("a")
         .join(
@@ -757,7 +769,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
+    # r16 (guide §2.3 "shuffle fewer bytes"): hamming is a pure
+    # function of the pair, so compute it IN the join projection and
+    # filter BEFORE the dropDuplicates exchange — the distinct used to
+    # shuffle every block-colliding candidate (incl. all the ones the
+    # verify then rejects) carrying both 8-byte signatures; now only
+    # verified pairs shuffle, as (doc_a, doc_b, hamming). Identical
+    # result: filter-then-distinct ≡ distinct-then-filter for a
+    # deterministic per-pair predicate, and every duplicate of a pair
+    # carries the same hamming.
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -767,15 +789,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 

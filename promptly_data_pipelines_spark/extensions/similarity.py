@@ -41,34 +41,149 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _cents_row(cents: DataFrame) -> DataFrame:
     """The whole centroid table as ONE row carrying an
-    array<struct<cent_id,cvec>> column — the broadcast shape the
+    array<struct<cent_id,cvec,cnorm>> column — the broadcast shape the
     map-only assignment forms consume. array_sort fixes the order
     (collect_list is shuffle-order-dependent; cent_id leads the
     struct, so the sort is a deterministic id sort). Size bound: the
     array is nlist·dim doubles — the same bytes the old per-row
     broadcast table carried; beyond ~10^5 centroids (≈50 MB) coarse
     assignment should move to a GEMM mapInPandas kernel like
-    _gemm_candidates instead."""
-    return cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cvec"))).alias("_cents")
+    _gemm_candidates instead.
+
+    r16 (optimization round, guide §1.2 "per-task work"): each struct
+    carries its centroid's norm, precomputed ONCE per centroid here —
+    the old form's per-row `cosine` re-evaluated sqrt(dot(cvec,cvec))
+    for every (row × centroid) pair, i.e. a third of the assignment
+    flops spent recomputing nlist constants per row. Same expression,
+    same doubles — bit-identical scores (see _scored_cells)."""
+    return cents.select(
+        "cent_id",
+        "cvec",
+        F.sqrt(dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cvec", "cnorm"))).alias(
+            "_cents"
+        )
     )
 
 
-def _scored_cells(vec: Column) -> Column:
+def _scored_cells(vec: Column, nrm: Column) -> Column:
     """Per-row array of struct(dist, cent_id) against the broadcast
     '_cents' column: the same `1 - cosine` expression the window form
     computed per exploded row, now evaluated in-row — array_min /
     array_sort over it reproduce the window's (dist ASC, cent_id ASC)
     order bit-for-bit (struct comparison is lexicographic), proven by
     the r13 A/B: identical assignments at sf0.001 and sf0.1 for both
-    the argmin and the top-n forms."""
+    the argmin and the top-n forms.
+
+    r16: both norms are HOISTED — ``nrm`` is the row's own norm,
+    computed once per row in a projection BELOW the centroid
+    crossJoin (an attribute here, so interpreted-HOF evaluation can't
+    re-expand it per centroid), and ``c.cnorm`` is the per-centroid
+    constant from _cents_row. The expression is algebraically AND
+    bit-identically the old ``1 - cosine(vec, cvec)``: dot(a,b) /
+    (sqrt(dot(a,a)) * sqrt(dot(b,b))) with the two sqrt factors
+    produced by the same `dot` expression over the same values in the
+    same multiplication order — only the redundant re-evaluations are
+    gone (k+1 dots per row instead of 3k). Bit-equality is pinned by
+    tests/test_modules.py::test_scored_cells_norm_hoist_bit_identical."""
     return F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            (1 - cosine(vec, c["cvec"])).alias("dist"),
+            (1 - dot(vec, c["cvec"]) / (nrm * c["cnorm"])).alias("dist"),
             c["cent_id"].alias("cent_id"),
         ),
     )
+
+
+def _with_nrm(df: DataFrame, vec_col: str, out: str = "_nrm") -> DataFrame:
+    """Append sqrt(dot(vec,vec)) as ``out`` — the row-norm hoist all
+    assignment/scoring forms share. Must be a SEPARATE projection
+    below the centroid/query join so the norm is evaluated once per
+    row (see _scored_cells)."""
+    return df.select(
+        "*", F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias(out)
+    )
+
+
+def _cells_list(cents: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Collected (cent_id, cvec, cnorm) sorted by cent_id — nlist·dim
+    doubles, model metadata (the same bytes _cents_row broadcasts; the
+    collect mirrors _codebook_by_sub's established pattern). cnorm is
+    the same left-to-right Σx² fold the JVM `dot` performs, through
+    math.sqrt — bit-identical to sqrt(dot(cvec,cvec))."""
+    return _cells_from_rows(cents.collect())
+
+
+def _cell_topn_kernel(
+    cells: list[tuple[int, list[float], float]],
+    n: int,
+    id_col: str,
+    vec_col: str,
+    nrm_col: str,
+):
+    """mapInPandas kernel for coarse (IVF) cell assignment — the
+    Arrow-vectorized twin of the `_scored_cells` + array_sort/array_min
+    expression form (r16 optimization round, guide §4.2: the
+    interpreted per-(row × centroid) cosine fold was the whole cost of
+    learned_centroids / _cell_assign — measured 3.6 s + 1.3 s of the
+    ivfpq build at sf0.1 AFTER the norm hoist). Emits each input row's
+    ``n`` nearest cells in (dist ASC, cent_id ASC) order, plus the
+    row's hoisted norm. Bit-identical by construction (pinned by
+    test_cell_assign_kernel_bit_identical):
+
+    - dot products accumulate SEQUENTIALLY over dims (vectorized over
+      rows), reproducing the JVM fold's left-to-right order — never
+      np.dot/np.sum;
+    - dist = 1.0 − dot/(nrm·cnorm), the hoisted cosine form, same
+      operand order;
+    - per-row ranking via stable argsort over the cent_id-ordered
+      distance matrix: equal dists keep cent_id order (the struct
+      (dist, cent_id) lexicographic tie-break) and NaN sorts last
+      (Spark's double ordering).
+    The expression form stays in-tree (_cell_assign_expr /
+    _scored_cells) as the independent reference twin."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        k = len(cells)
+        if k == 0:  # empty centroid table: no cells to assign (the
+            return  # explode-of-empty-slice behavior of the expr twin)
+        take = min(n, k)
+        cids = np.array([c for c, _, _ in cells], dtype=np.int64)
+        C = np.array([v for _, v, _ in cells], dtype=np.float64)
+        cn = np.array([x for _, _, x in cells], dtype=np.float64)
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = M.shape[1]
+            acc = np.zeros(n_rows, dtype=np.float64)
+            for i in range(d):  # sequential: JVM fold order
+                acc = acc + M[:, i] * M[:, i]
+            nrm = np.sqrt(acc)
+            D = np.empty((n_rows, k), dtype=np.float64)
+            for j in range(k):
+                accj = np.zeros(n_rows, dtype=np.float64)
+                for i in range(d):
+                    accj = accj + M[:, i] * C[j, i]
+                D[:, j] = 1.0 - accj / (nrm * cn[j])
+            idx = np.argsort(D, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), take),
+                    vec_col: [
+                        v for v in pdf[vec_col] for _ in range(take)
+                    ],
+                    nrm_col: np.repeat(nrm, take),
+                    "cell": cids[idx].reshape(-1),
+                }
+            )
+
+    return fn
 
 
 def _doubled(df: DataFrame, out: str = "vec") -> DataFrame:
@@ -102,9 +217,16 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 baseline: exact brute-force cosine top-k. Queries (vec_id<5)
     broadcast against the full corpus; rank on cosine rounded to 6dp
     with vec_id tiebreak keeps selection deterministic across engines."""
-    e = _doubled(table(spark, sf_dir, "embeddings"))
+    # r16 norm hoist (guide §1.2): cosine's two sqrt(dot(x,x)) factors
+    # are per-row / per-query constants — computed once per side below
+    # the crossJoin instead of 3 dots per (row × query) pair. Same
+    # expression, same operand order, bit-identical cos_sim (pinned by
+    # the full value-hash oracle + test_scored_cells_norm_hoist...).
+    e = _with_nrm(_doubled(table(spark, sf_dir, "embeddings")), "vec")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("_nrm").alias("_qnrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -112,7 +234,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("_qnrm") * F.col("_nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -123,7 +249,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def learned_centroids(e: DataFrame, iters: int = 3) -> DataFrame:
+def learned_centroids(
+    e: DataFrame, iters: int = 3, use_kernel: bool = True
+) -> DataFrame:
     """Deterministic k-means (Lloyd) over the corpus, DataFrame-native:
 
     - init: the positional stand-ins (vec_id ≡ 0 mod 64) — fixed, so
@@ -158,24 +286,73 @@ def learned_centroids(e: DataFrame, iters: int = 3) -> DataFrame:
         raise ValueError(
             "learned_centroids: empty corpus (no centroid seeds, vec_id % 64 == 0)"
         )
-    for _ in range(iters):
-        assigned = e.crossJoin(F.broadcast(_cents_row(cents))).select(
-            F.array_min(_scored_cells(F.col("vec")))["cent_id"].alias("cent_id"),
-            "vec",
-        )
-        means = (
-            assigned.select("cent_id", F.posexplode("vec").alias("pos", "val"))
-            .groupBy("cent_id", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-            .groupBy("cent_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
-                ).alias("cvec")
+    if not use_kernel:
+        # JVM-expression reference twin (norm-hoisted form) — kept so
+        # the Arrow-kernel production path below is pinned bit-identical
+        # against an independent implementation
+        en = _with_nrm(e.select("vec"), "vec")
+        for _ in range(iters):
+            assigned = en.crossJoin(F.broadcast(_cents_row(cents))).select(
+                F.array_min(_scored_cells(F.col("vec"), F.col("_nrm")))[
+                    "cent_id"
+                ].alias("cent_id"),
+                "vec",
             )
-        )
-        cents = spark.createDataFrame(means.collect(), schema=means.schema)
+            means = _cell_means(assigned)
+            cents = spark.createDataFrame(means.collect(), schema=means.schema)
+        return cents
+    # r16 kernel form: the per-(row × centroid) cosine argmin runs in
+    # the Arrow kernel (_cell_topn_kernel, n=1) — one map-side pass per
+    # iteration, same rows into the same means reduce, bit-identical
+    # assignments (pinned by test_cell_assign_kernel_bit_identical).
+    # The per-iteration codebook still re-materializes through the
+    # driver (k·dim scalars), now as the kernel's closure instead of a
+    # broadcast one-row frame.
+    cells = _cells_list(cents)
+    src = e.select("vec_id", "vec")
+    for _ in range(iters):
+        assigned = src.mapInPandas(
+            _cell_topn_kernel(cells, 1, "vec_id", "vec", "_nrm"),
+            "vec_id bigint, vec array<double>, _nrm double, cell bigint",
+        ).select(F.col("cell").alias("cent_id"), "vec")
+        means = _cell_means(assigned)
+        rows = means.collect()
+        cells = _cells_from_rows(rows)
+        cents = spark.createDataFrame(rows, schema=means.schema)
     return cents
+
+
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """The per-cell mean reduce shared by both learned_centroids forms:
+    posexplode → groupBy(cent_id, pos) avg rounded 6dp → re-assembled
+    cvec (distributed; never collects vectors)."""
+    return (
+        assigned.select("cent_id", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("cvec")
+        )
+    )
+
+
+def _cells_from_rows(rows) -> list[tuple[int, list[float], float]]:
+    """(cent_id, cvec, cnorm) sorted by cent_id from collected centroid
+    rows — the driver-side twin of _cells_list for rows already in
+    hand (per-iteration Lloyd updates)."""
+    import math
+
+    out = []
+    for r in sorted(rows, key=lambda r: int(r.cent_id)):
+        cv = [float(x) for x in r.cvec]
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        out.append((int(r.cent_id), cv, math.sqrt(acc)))
+    return out
 
 
 @query(
@@ -270,32 +447,44 @@ def _default_nprobe(nlist: int) -> int:
 
 
 def _cell_assign(e: DataFrame, cents: DataFrame, n_assign: int) -> DataFrame:
-    """(vec_id, vec, cell): each corpus vector indexed in its n_assign
-    nearest cells — shared by ivf_topk and the IVF-PQ composite so
-    cell semantics cannot drift. MAP-ONLY (r13): per-row top-n via
-    slice(array_sort(_scored_cells), 1, n) + explode against the
-    one-row broadcast centroid array — the former crossJoin-explode +
-    row_number window SORT-SHUFFLED all k·n candidate rows to rank an
-    argmin over constants (the 100× hazard: at 10^9 vectors that's a
-    64×-amplified network pass). A/B-proven bit-equal at both parity
-    SFs; local timing a wash at fixture scale (overhead-dominated) —
-    the shuffle elimination is the cluster story."""
-    top = F.slice(F.array_sort(_scored_cells(F.col("vec"))), 1, n_assign)
+    """(vec_id, vec, _nrm, cell): each corpus vector indexed in its
+    n_assign nearest cells — shared by ivf_topk and the IVF-PQ
+    composite so cell semantics cannot drift. MAP-ONLY (r13): the
+    former crossJoin-explode + row_number window SORT-SHUFFLED all k·n
+    candidate rows to rank an argmin over constants (the 100× hazard:
+    at 10^9 vectors that's a 64×-amplified network pass). r16: the
+    per-row top-n runs in the Arrow kernel (_cell_topn_kernel) instead
+    of interpreted array_sort(_scored_cells) expressions — still one
+    map-side pass, zero shuffle (the plan pin
+    test_cell_assign_is_map_only holds unchanged), bit-identical cells
+    (pinned vs _cell_assign_expr), and the row's hoisted norm rides
+    along for the downstream cosine."""
+    return e.select("vec_id", "vec").mapInPandas(
+        _cell_topn_kernel(_cells_list(cents), n_assign, "vec_id", "vec", "_nrm"),
+        "vec_id bigint, vec array<double>, _nrm double, cell bigint",
+    )
+
+
+def _cell_assign_expr(e: DataFrame, cents: DataFrame, n_assign: int) -> DataFrame:
+    """JVM-expression reference twin of _cell_assign (norm-hoisted
+    array_sort/slice form) — kept for the kernel's bit-identity pin."""
+    top = F.slice(
+        F.array_sort(_scored_cells(F.col("vec"), F.col("_nrm"))), 1, n_assign
+    )
     return (
-        e.crossJoin(F.broadcast(_cents_row(cents)))
-        .select("vec_id", "vec", F.explode(top).alias("ent"))
-        .select("vec_id", "vec", F.col("ent.cent_id").alias("cell"))
+        _with_nrm(e.select("vec_id", "vec"), "vec")
+        .crossJoin(F.broadcast(_cents_row(cents)))
+        .select("vec_id", "vec", "_nrm", F.explode(top).alias("ent"))
+        .select("vec_id", "vec", "_nrm", F.col("ent.cent_id").alias("cell"))
     )
 
 
 def _cell_probes(q: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """(query_id, qvec, cell): each query's nprobe nearest cells —
     same map-only top-n shape as _cell_assign."""
-    top = F.slice(F.array_sort(_scored_cells(F.col("qvec"))), 1, nprobe)
-    return (
-        q.crossJoin(F.broadcast(_cents_row(cents)))
-        .select("query_id", "qvec", F.explode(top).alias("ent"))
-        .select("query_id", "qvec", F.col("ent.cent_id").alias("cell"))
+    return q.select("query_id", "qvec").mapInPandas(
+        _cell_topn_kernel(_cells_list(cents), nprobe, "query_id", "qvec", "_qnrm"),
+        "query_id bigint, qvec array<double>, _qnrm double, cell bigint",
     )
 
 
@@ -317,10 +506,26 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
+        # r16: score BEFORE the dedup exchange — the candidate rows
+        # used to carry both raw vectors (≈1 KB/row) through the
+        # dropDuplicates shuffle just to compute cosine afterwards;
+        # cosine is a pure function of the pair, so computing it in the
+        # join projection shrinks the exchange to (ids, double) and the
+        # surviving value is identical whichever duplicate wins
+        # (guide §2.3 "project before the exchange"). Norms hoisted as
+        # everywhere (bit-identical — see _scored_cells).
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("_qnrm") * F.col("_nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
         # multi-assignment can surface the same (query, vector) pair
         # through two shared cells — dedupe before ranking
         .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "vec_id", F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -464,11 +669,13 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``similarity_topk`` with the label-mismatch predicate applied
     before ranking; at 100 TB the pruned variant swaps the corpus scan
     for IVF probing exactly like similarity_topk_ivf does."""
-    e = _doubled(table(spark, sf_dir, "embeddings"))
+    # r16 norm hoist — same bit-identical rewrite as similarity_topk
+    e = _with_nrm(_doubled(table(spark, sf_dir, "embeddings")), "vec")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("vec").alias("qvec"),
+        F.col("_nrm").alias("_qnrm"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
@@ -477,7 +684,11 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("_qnrm") * F.col("_nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -837,6 +1048,7 @@ def pq_train(
     iters: int = 1,
     n_corpus: int | None = None,
     sample_target: int = PQ_TRAIN_SAMPLE_TARGET,
+    assign_fn=None,
 ) -> DataFrame:
     """Per-subspace Lloyd codebooks, deterministic end to end: seeds are
     the subvectors of vec_id < PQ_K (fixed, no RNG), means round at 6dp,
@@ -887,7 +1099,7 @@ def pq_train(
         for s in range(PQ_M)
     }
     for _ in range(iters):
-        assigned = _assigned_subvectors(train, by_sub)
+        assigned = (assign_fn or _assigned_subvectors)(train, by_sub)
         means = (
             assigned.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
             .groupBy("sub", "code", "pos")
@@ -910,11 +1122,15 @@ def pq_train(
     )
 
 
-def _assigned_subvectors(
+def _assigned_subvectors_expr(
     e: DataFrame, by_sub: dict[int, list[tuple[int, list[float]]]]
 ) -> DataFrame:
     """(vec_id, sub, svec, code) with the code computed in-row against
-    the literal codebook — zero shuffle before the consumer's reduce."""
+    the literal codebook — zero shuffle before the consumer's reduce.
+    r16: the JVM-expression REFERENCE TWIN of _assigned_subvectors —
+    kept so the Arrow-kernel production form is pinned bit-identical
+    against an independent implementation (the simhash_signatures /
+    simhash_signatures_np precedent)."""
     entries = F.array(
         *[
             F.struct(
@@ -929,11 +1145,128 @@ def _assigned_subvectors(
     )
 
 
+def _round6_np(d):
+    """Vectorized twin of Spark's round(double, 6) = HALF_UP on the
+    double's shortest decimal representation (BigDecimal.valueOf →
+    setScale(6, HALF_UP)). Fast path: floor(x·1e6 + 0.5)/1e6 — exact
+    except within float error of a .5 boundary, where the binary
+    product can disagree with the decimal-string rounding; those few
+    elements (|frac(x·1e6) − 0.5| < 1e-7) are recomputed exactly via
+    decimal.Decimal(repr(x)), which sees the same shortest-repr digits
+    BigDecimal.valueOf does. Inputs here are squared distances ≥ 0, so
+    no negative-HALF_UP branch is needed."""
+    import numpy as np
+
+    scaled = d * 1e6
+    fast = np.floor(scaled + 0.5) / 1e6
+    suspect = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-7
+    if suspect.any():
+        import decimal
+
+        q = decimal.Decimal("0.000001")
+        flat = fast.reshape(-1)
+        dflat = d.reshape(-1)
+        for i in np.nonzero(suspect.reshape(-1))[0]:
+            flat[i] = float(
+                decimal.Decimal(repr(float(dflat[i]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+    return fast
+
+
+def _pq_codes_kernel(by_sub: dict[int, list[tuple[int, list[float]]]], with_svec: bool):
+    """mapInPandas kernel computing the per-subspace code assignment —
+    the Arrow-vectorized twin of _code_expr (r16 optimization round,
+    guide §4.2: the interpreted zip_with/aggregate fold was ~10 s of
+    the 18.6 s ivfpq build at sf0.1; one numpy pass over each Arrow
+    batch does the same flops at native speed). Bit-identical by
+    construction and pinned by test_pq_codes_kernel_bit_identical:
+
+    - Σ(aᵢ−bᵢ)² is accumulated SEQUENTIALLY over dims (a Python loop
+      of vectorized elementwise ops), reproducing the JVM fold's
+      left-to-right order exactly — never np.sum/np.dot, whose pairwise
+      /SIMD reassociation rounds differently;
+    - distances round at 6 dp via _round6_np (HALF_UP twin);
+    - argmin over the code-ordered distance array: np.argmin returns
+      the FIRST minimum — the same lowest-code tie-break as
+      array_position(d_arr, array_min(d_arr))."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cbs = {
+            s: np.array([cv for _, cv in codes], dtype=np.float64)
+            for s, codes in by_sub.items()
+        }
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_id, out_sub, out_code, out_svec = [], [], [], []
+            for s in range(PQ_M):
+                S = M[:, s * PQ_DIM : (s + 1) * PQ_DIM]
+                C = cbs[s]  # k × PQ_DIM, code order
+                dists = np.empty((n, len(C)), dtype=np.float64)
+                for c in range(len(C)):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for i in range(PQ_DIM):  # sequential: JVM fold order
+                        diff = S[:, i] - C[c, i]
+                        acc = acc + diff * diff
+                    dists[:, c] = _round6_np(acc)
+                codes = np.argmin(dists, axis=1).astype(np.int32)
+                out_id.append(vec_ids)
+                out_sub.append(np.full(n, s, dtype=np.int32))
+                out_code.append(codes)
+                if with_svec:
+                    out_svec.extend(list(S))
+            res = {
+                "vec_id": np.concatenate(out_id),
+                "sub": np.concatenate(out_sub),
+                "code": np.concatenate(out_code),
+            }
+            if with_svec:
+                res["svec"] = out_svec
+            yield pd.DataFrame(res)
+
+    return fn
+
+
+def _assigned_subvectors(
+    e: DataFrame, by_sub: dict[int, list[tuple[int, list[float]]]]
+) -> DataFrame:
+    """(vec_id, sub, svec, code) — Arrow-kernel form (see
+    _pq_codes_kernel); still one map-side pass, zero shuffle before
+    the consumer's reduce, codebook riding the closure instead of the
+    plan literals. _assigned_subvectors_expr is the JVM reference twin."""
+    return e.select("vec_id", "vec").mapInPandas(
+        _pq_codes_kernel(by_sub, with_svec=True),
+        "vec_id bigint, sub int, code int, svec array<double>",
+    ).select("vec_id", "sub", "svec", "code")
+
+
 def pq_encode(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, sub, code) — the compressed corpus: PQ_M small ints per
-    vector, computed in ONE map-side pass (codebook as plan literals,
-    no join, no shuffle — plan-pinned); this is the table a serving
-    layer materializes (4 B/vector where the raw corpus is 512 B)."""
+    vector, computed in ONE map-side pass (no join, no shuffle —
+    plan-pinned); this is the table a serving layer materializes
+    (4 B/vector where the raw corpus is 512 B). r16: the code argmin
+    runs in the Arrow kernel (_pq_codes_kernel) instead of interpreted
+    per-row HOF expressions — bit-identical (pinned vs pq_encode_expr),
+    measured 4.8 s → ~0.6 s per encode pass at sf0.1."""
+    by_sub = _codebook_by_sub(cents)
+    return e.select("vec_id", "vec").mapInPandas(
+        _pq_codes_kernel(by_sub, with_svec=False),
+        "vec_id bigint, sub int, code int",
+    )
+
+
+def pq_encode_expr(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """JVM-expression reference twin of pq_encode (codebook as plan
+    literals) — kept for the bit-identity pin, exactly like
+    simhash_signatures vs simhash_signatures_np."""
     by_sub = _codebook_by_sub(cents)
     codes = F.array(*[_code_expr(_slice_sub(s), by_sub[s]) for s in range(PQ_M)])
     return e.select("vec_id", F.posexplode(codes).alias("sub", "code"))
@@ -1004,8 +1337,15 @@ def _pq_adc_rerank(
     None scans every code against every query (flat PQ)."""
     if shortlist_k is None:
         shortlist_k = max(PQ_SHORTLIST_MIN, -(-n_corpus // 5))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    # r16: the query table carries its hoisted norm (5 rows — free);
+    # the rerank below then pays sqrt(dot) once per shortlist VECTOR
+    # instead of three dots per pair (bit-identical, see _scored_cells)
+    q = _with_nrm(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        ),
+        "qvec",
+        out="_qnrm",
     )
     qsub = q.select(
         "query_id",
@@ -1051,7 +1391,14 @@ def _pq_adc_rerank(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (
+                    F.col("_qnrm")
+                    * F.sqrt(dot(F.col("vec"), F.col("vec")))
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

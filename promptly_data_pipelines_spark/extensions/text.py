@@ -197,6 +197,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would infer size>0 and double-evaluate the split
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # r16 optimization-round note: count(*) was A/B'd against this
+    # countDistinct — the physical plans are byte-identical (Catalyst
+    # recognizes doc_id as a grouping key of tf and folds the distinct
+    # away: plans/r16/text_tfidf_topk_{before,after}.txt), so the
+    # original form stays.
     idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # driver-side scalar: one tiny action, constant-folded into the plan
     scored = tf.join(F.broadcast(idf), "token").select(

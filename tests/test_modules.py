@@ -3167,3 +3167,114 @@ def test_merge_upsert_schema_evolution_semantics(spark):
         2: (30, "b2", "web"),     # stale replay loses to the widened row
         3: (5, "c", "mobile"),
     }
+
+
+# --- r16 optimization round: ANN kernel/expression twin pins -----------
+
+
+def test_pq_codes_kernel_bit_identical(spark):
+    """The Arrow-kernel PQ code assignment (production form since r16:
+    numpy sequential-fold distances + _round6_np HALF_UP + first-min
+    argmin) and the JVM literal-codebook expression form must agree
+    bit-for-bit: same trained codebook when either drives pq_train's
+    assignment pass, same codes from pq_encode vs pq_encode_expr, and
+    same (vec_id, sub, svec, code) rows from the two assignment forms.
+    Catches a silent drift in either implementation (rounding boundary,
+    tie-break, fold order)."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        _assigned_subvectors,
+        _assigned_subvectors_expr,
+        _codebook_by_sub,
+        _doubled,
+        pq_encode,
+        pq_encode_expr,
+        pq_train,
+    )
+
+    e = _doubled(table(spark, SF_DIR, "embeddings"))
+    cb_np = pq_train(spark, e)
+    cb_ex = pq_train(spark, e, assign_fn=_assigned_subvectors_expr)
+    assert sorted(
+        (r.sub, r.code, tuple(r.cvec)) for r in cb_np.collect()
+    ) == sorted((r.sub, r.code, tuple(r.cvec)) for r in cb_ex.collect())
+    enc_np = sorted((r.vec_id, r.sub, r.code) for r in pq_encode(e, cb_np).collect())
+    enc_ex = sorted(
+        (r.vec_id, r.sub, r.code) for r in pq_encode_expr(e, cb_np).collect()
+    )
+    assert enc_np == enc_ex and len(enc_np) > 0
+    by_sub = _codebook_by_sub(cb_np)
+    asn_np = sorted(
+        (r.vec_id, r.sub, r.code, tuple(r.svec))
+        for r in _assigned_subvectors(e, by_sub).collect()
+    )
+    asn_ex = sorted(
+        (r.vec_id, r.sub, r.code, tuple(r.svec))
+        for r in _assigned_subvectors_expr(e, by_sub).collect()
+    )
+    assert asn_np == asn_ex
+
+
+def test_cell_assign_kernel_bit_identical(spark):
+    """Coarse (IVF) assignment twins: learned_centroids' Arrow-kernel
+    Lloyd iterations vs the norm-hoisted JVM expression form
+    (use_kernel=False), and _cell_assign vs _cell_assign_expr — cells,
+    hoisted norms, and the (dist ASC, cent_id ASC) top-n order must be
+    bit-identical."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        N_ASSIGN,
+        _cell_assign,
+        _cell_assign_expr,
+        _doubled,
+        learned_centroids,
+    )
+
+    e = _doubled(table(spark, SF_DIR, "embeddings"))
+    ck = learned_centroids(e)
+    cx = learned_centroids(e, use_kernel=False)
+    assert sorted((int(r.cent_id), tuple(r.cvec)) for r in ck.collect()) == sorted(
+        (int(r.cent_id), tuple(r.cvec)) for r in cx.collect()
+    )
+    ak = sorted(
+        (int(r.vec_id), float(r["_nrm"]), int(r.cell))
+        for r in _cell_assign(e, ck, N_ASSIGN).collect()
+    )
+    ax = sorted(
+        (int(r.vec_id), float(r["_nrm"]), int(r.cell))
+        for r in _cell_assign_expr(e, ck, N_ASSIGN).collect()
+    )
+    assert ak == ax and len(ak) > 0
+
+
+def test_cosine_norm_hoist_bit_identical(spark):
+    """The r16 norm hoist rewrites cosine as dot/(nrm·cnorm) with both
+    sqrt factors precomputed. Pin full-precision equality against the
+    original unhoisted `cosine(a, b)` expression on every (query ×
+    corpus) pair of the fixture — the hoist must be a pure
+    re-evaluation-count change, never a value change."""
+    import pyspark.sql.functions as F
+
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.similarity import (
+        _doubled,
+        _with_nrm,
+        cosine,
+        dot,
+    )
+
+    e = _with_nrm(_doubled(table(spark, SF_DIR, "embeddings")), "vec")
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("_nrm").alias("_qnrm"),
+    ).limit(20)
+    pairs = e.crossJoin(F.broadcast(q))
+    mismatch = pairs.select(
+        (
+            cosine(F.col("qvec"), F.col("vec"))
+            == dot(F.col("qvec"), F.col("vec"))
+            / (F.col("_qnrm") * F.col("_nrm"))
+        ).alias("same")
+    ).filter(~F.col("same"))
+    assert mismatch.count() == 0

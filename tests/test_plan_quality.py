@@ -483,28 +483,37 @@ def test_remove_dup_spans_census_broadcast_single_scan(spark):
 
 
 def test_pq_adc_scan_joins_codes_not_vectors(spark):
-    """similarity_topk_pq scale contract (r7): the ADC scan joins the
-    ENCODED corpus to the broadcast partial-distance table — the
-    query-side partials must be broadcast (model-sized), never shuffled
-    against the corpus, and no Python appears anywhere in
-    train/encode/search."""
+    """similarity_topk_pq scale contract (r7, amended r16): the ADC
+    scan joins the ENCODED corpus to the broadcast partial-distance
+    table — the query-side partials must be broadcast (model-sized),
+    never shuffled against the corpus. r16: code assignment moved from
+    interpreted JVM HOF expressions to the Arrow batch kernel
+    (_pq_codes_kernel, guide §4.2 — measured 4.8 s → 0.85 s per encode
+    pass at sf0.1, bit-identical pinned by
+    test_pq_codes_kernel_bit_identical), so the plan now carries
+    MapInPandas for the encode — still map-side, zero shuffle; what
+    stays banned is row-at-a-time Python (BatchEvalPython) and any
+    Python in the ADC/re-rank expressions."""
     p = _plan(spark, "similarity_topk_pq")
     assert "BroadcastHashJoin" in p, "partials join lost its broadcast"
     assert "CartesianProduct" not in p
-    assert "EvalPython" not in p, "PQ must be pure JVM expressions"
+    assert "MapInPandas" in p, "encode lost its Arrow kernel"
+    assert "BatchEvalPython" not in p, "row-at-a-time Python crept in"
 
 
 def test_ivfpq_plan_shape(spark):
-    """similarity_topk_ivfpq scale contract (r8): the candidate join
-    (cell assignments × query probes) and the partial-distance join
-    are broadcast (probe/partial tables are model/query-sized); the
-    only nested-loop joins are the intentional broadcast×centroid
-    crossJoins (k centroids per row — bounded); no raw CartesianProduct
-    and no Python anywhere."""
+    """similarity_topk_ivfpq scale contract (r8, amended r16): the
+    candidate join (cell assignments × query probes) and the
+    partial-distance join are broadcast (probe/partial tables are
+    model/query-sized); no raw CartesianProduct. r16: cell assignment
+    and PQ encode run in Arrow batch kernels (map-side, zero shuffle —
+    see test_pq_adc_scan_joins_codes_not_vectors); row-at-a-time
+    Python stays banned."""
     p = _plan(spark, "similarity_topk_ivfpq")
     assert "BroadcastHashJoin" in p, "probe/partials join lost its broadcast"
     assert "CartesianProduct" not in p
-    assert "EvalPython" not in p, "IVF-PQ must be pure JVM expressions"
+    assert "MapInPandas" in p, "assign/encode lost their Arrow kernels"
+    assert "BatchEvalPython" not in p, "row-at-a-time Python crept in"
 
 
 def test_pq_encode_is_map_side(spark):
