@@ -37,7 +37,17 @@ def main() -> None:
     )
     from promptly_data_pipelines_spark.session import get_session
 
-    spark = get_session("pdp-time-query", cpus=CPUS, shuffle_partitions=CPUS)
+    # conf A/B hook: PDP_TIME_QUERY_CONF="k=v,k=v" applies extra confs
+    # on top of the engine defaults, so a candidate session setting can
+    # be measured without touching session.py
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("PDP_TIME_QUERY_CONF", "").split(",")
+        if "=" in kv
+    )
+    spark = get_session(
+        "pdp-time-query", cpus=CPUS, shuffle_partitions=CPUS, extra_conf=extra or None
+    )
     queries = {**local_only_queries(), **all_queries()}
     # the bench's tiny JIT warmup
     queries["agg_count"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
