@@ -144,21 +144,34 @@ def er_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing — A~B, B~C with A~C absent is exactly what the transitive
     clustering supplies."""
     records = _er_records(spark, sf_dir)
-    return _label(records, _er_pairs(records, records))
+    return _label(records, _er_pairs(records, records, symmetric=True))
 
 
-def _er_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+def _er_pairs(
+    left: DataFrame, right: DataFrame, symmetric: bool = False
+) -> DataFrame:
     """Blocked candidate pairs under the match rule, canonically
     ordered (doc_a < doc_b) and deduplicated — ``left`` may be a
     subset of ``right`` (the incremental path matches only the NEW
-    batch against everything)."""
+    batch against everything, so it must see pairs on BOTH sides of a
+    new record's id and keeps the ``!=`` condition).
+
+    r16 (optimization round, guide §2.3): pass ``symmetric=True`` when
+    left IS right — the ``!=`` join emits every unordered pair twice
+    ((A,B) and (B,A)), paying the levenshtein verify twice and
+    shuffling twice the candidate rows into the dedup, only for
+    least/greatest+dropDuplicates to collapse the mirror image.
+    ``<`` emits each pair once; the canonical select and the
+    dropDuplicates (still needed: two records can share several
+    blocks) are unchanged, so the output pair set is identical."""
     a, b = left.alias("a"), right.alias("b")
+    pair_cond = (
+        F.col("a.rec_id") < F.col("b.rec_id")
+        if symmetric
+        else F.col("a.rec_id") != F.col("b.rec_id")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.rec_id") != F.col("b.rec_id")),
-        )
+        a.join(b, (F.col("a.block") == F.col("b.block")) & pair_cond)
         .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= ER_MAX_DIST)
         .select(
             F.least("a.rec_id", "b.rec_id").alias("doc_a"),
@@ -252,7 +265,7 @@ def er_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _er_records(spark, sf_dir)
     base = records.where(F.col("rec_id") < 1_000_000)
     new = records.where(F.col("rec_id") >= 1_000_000)
-    prior = _label(base, _er_pairs(base, base))
+    prior = _label(base, _er_pairs(base, base, symmetric=True))
     prior_edges = prior.where(F.col("rec_id") != F.col("entity_id")).select(
         F.col("entity_id").alias("doc_a"), F.col("rec_id").alias("doc_b")
     )
