@@ -59,25 +59,34 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     a power-law group (social graph) would need the self-join form with
     a skew-salted key instead."""
     sets = lineitem.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    return (
-        sets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda a: F.filter(
-                            F.transform(
-                                "ps", lambda b: F.struct(a.alias("src"), b.alias("dst"))
-                            ),
-                            lambda s: s["src"] != s["dst"],
-                        ),
-                    )
-                )
-            ).alias("e")
+    # r16 (guide §2.3): the construction is symmetric — (a,b) shares an
+    # order iff (b,a) does — so expand only the i<j HALF in-row as
+    # canonical (least, greatest) pairs, distinct that (half the pair
+    # structs born, half the rows/bytes through the distinct exchange),
+    # and mirror AFTER the dedup with a shuffle-free union of two
+    # projections. The edge SET is identical to the old full k²
+    # expansion (pinned by the unchanged full value-hash oracle and
+    # test_graph edge-count asserts).
+    n = F.size(F.col("ps"))
+    half_pairs = F.flatten(
+        F.transform(
+            "ps",
+            lambda a, i: F.transform(
+                F.slice(F.col("ps"), i + 2, n),
+                lambda b: F.struct(
+                    F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+                ),
+            ),
         )
-        .select("e.src", "e.dst")
+    )
+    canon = (
+        sets.select(F.explode(half_pairs).alias("e"))
+        .select("e.u", "e.v")
         .distinct()
     )
+    return canon.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(canon.select(F.col("v").alias("src"), F.col("u").alias("dst")))
 
 
 def pagerank_scaled(
