@@ -77,14 +77,101 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
-    """Word-shingle MinHash: explode w-shingles, derive N_HASHES hash
-    values per shingle by double hashing (h_i = h1 + i·h2, the
-    Kirsch–Mitzenmacher construction — ONE md5 per shingle instead of
-    N seeded hashes, and oracle-expressible: DuckDB computes the
-    identical h1/h2 from the same md5 hex), take the per-doc min of
-    each. Everything is built-in exprs; the only shuffle is the
-    per-doc re-aggregation.
+def _minhash_kernel(shingle_len: int = 3):
+    """mapInPandas kernel computing per-doc MinHash signatures — the
+    Arrow twin of the explode→md5→groupBy-mins expression form (r17
+    optimization round, guide §4.2 + §2.3: the expression form
+    materialized one posting row per shingle and re-aggregated them
+    through a (doc_id)-keyed hash aggregate; the kernel emits the 16
+    finished mins per doc MAP-SIDE, so the posting stream never exists
+    and the signature build has ZERO shuffle). Bit-identical to the
+    expression twin (pinned by test_minhash_kernel_bit_identical):
+
+    - tokenize exactly like words(): split on single space, drop
+      empties (the simhash kernel precedent, proven at every SF);
+    - per shingle, hashlib.md5 == JVM md5 byte-for-byte; h1/h2 take
+      the same digest windows and masks as _md5_word (bytes 8..16 &
+      MASK62, bytes 0..8 & MASK58);
+    - h_i = h1 + i·h2 in exact int64 arithmetic (max < 2^63 by the
+      mask construction — the same ANSI-overflow bound the JVM form
+      relies on), min per position is order-free;
+    - docs with < shingle_len words emit NO row — the groupBy-over-
+      empty-postings semantics of the expression form.
+
+    A per-batch memo hashes each DISTINCT shingle once (Zipf: template
+    clusters share most shingles — the skew tier's exact shape),
+    where the expression form pays one md5 per posting row."""
+
+    def fn(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pandas as pd
+
+        m62 = (1 << 62) - 1
+        m58 = (1 << 58) - 1
+        ii = np.arange(N_HASHES, dtype=np.int64)
+        cols = [f"mh_{i}" for i in range(N_HASHES)]
+        for pdf in batches:
+            memo: dict[str, tuple[int, int]] = {}
+            out_ids: list[int] = []
+            out_sigs: list = []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                ws = [w for w in t.split(" ") if w] if t else []
+                n = len(ws)
+                if n < shingle_len:
+                    continue  # zero shingles → no signature row
+                n_sh = n - shingle_len + 1
+                h1 = np.empty(n_sh, dtype=np.int64)
+                h2 = np.empty(n_sh, dtype=np.int64)
+                for j in range(n_sh):
+                    s = " ".join(ws[j : j + shingle_len])
+                    hv = memo.get(s)
+                    if hv is None:
+                        dg = md5(s.encode()).digest()
+                        hv = (
+                            int.from_bytes(dg[8:16], "big") & m62,
+                            int.from_bytes(dg[:8], "big") & m58,
+                        )
+                        memo[s] = hv
+                    h1[j] = hv[0]
+                    h2[j] = hv[1]
+                out_ids.append(doc_id)
+                out_sigs.append(
+                    (h1[:, None] + ii[None, :] * h2[:, None]).min(axis=0)
+                )
+            sig = (
+                np.stack(out_sigs)
+                if out_sigs
+                else np.empty((0, N_HASHES), dtype=np.int64)
+            )
+            res = {"doc_id": np.array(out_ids, dtype=np.int64)}
+            for i, c in enumerate(cols):
+                res[c] = sig[:, i]
+            yield pd.DataFrame(res)
+
+    return fn
+
+
+_MINHASH_SCHEMA = "doc_id bigint, " + ", ".join(
+    f"mh_{i} bigint" for i in range(N_HASHES)
+)
+
+
+def minhash_signatures(
+    d: DataFrame, shingle_len: int = 3, use_kernel: bool = True
+) -> DataFrame:
+    """Word-shingle MinHash: derive N_HASHES hash values per shingle by
+    double hashing (h_i = h1 + i·h2, the Kirsch–Mitzenmacher
+    construction — ONE md5 per shingle instead of N seeded hashes, and
+    oracle-expressible: DuckDB computes the identical h1/h2 from the
+    same md5 hex), take the per-doc min of each.
+
+    r17 production form: the Arrow kernel (_minhash_kernel) — one
+    map-side pass, zero shuffle (the expression form's posting explode
+    + per-doc re-aggregation is gone), bit-identical values. The
+    expression form stays below (use_kernel=False) as the independent
+    reference twin, the simhash_signatures/_np pattern.
 
     The input is repartitioned first: fixture tables are single-row-
     group parquet (unsplittable → 1 scan task), and shingling+16
@@ -92,6 +179,10 @@ def minhash_signatures(d: DataFrame, shingle_len: int = 3) -> DataFrame:
     full-width parallelism for it. On a real multi-file table the
     repartition is a no-op cost-wise (AQE coalesces)."""
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    if use_kernel:
+        return d.select("doc_id", "text").mapInPandas(
+            _minhash_kernel(shingle_len), _MINHASH_SCHEMA
+        )
     # Guard short documents: with fewer than shingle_len words the
     # sequence upper bound goes negative (descending sequence → slice
     # at start 0 throws). Such docs have no w-shingles — emit an empty

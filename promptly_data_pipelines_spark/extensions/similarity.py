@@ -186,6 +186,99 @@ def _cell_topn_kernel(
     return fn
 
 
+def _cell_sums_kernel(cells: list[tuple[int, list[float], float]], vec_col: str):
+    """mapInPandas kernel for ONE Lloyd means pass (r17 optimization
+    round, guide §2.3 "aggregate before you shuffle"): assigns each row
+    to its nearest cell with EXACTLY the `_cell_topn_kernel(n=1)` logic
+    (sequential per-dim dot folds, hoisted norms, stable-argsort
+    first-min/NaN-last), but instead of emitting corpus rows for a
+    downstream posexplode→groupBy means reduce, it accumulates per-cell
+    vector sums and counts ACROSS ALL BATCHES OF THE TASK and emits one
+    (cent_id, n, s[dim]) partial row per non-empty cell per task. The
+    exchange then carries k·n_tasks partial rows instead of corpus×dim
+    posexploded rows — the r16 means reduce was the remaining ~2.2 s of
+    the ivfpq build, all of it shuffle/aggregate plumbing around an
+    argmin the assignment kernel had already paid for.
+
+    Result identity: the published means are round(Σx/Σn, 6); the old
+    form's round(avg(x), 6) accumulated the same values in partition/
+    merge order (already nondeterministic run-to-run — the 6 dp round
+    is what makes Lloyd deterministic, see learned_centroids). The
+    partial-sum order here is just another accumulation order under
+    that same contract; centroid equality vs the expression twin is
+    pinned by test_cell_assign_kernel_bit_identical and was verified
+    at sf0.001/0.01/0.1 (see OPTIMIZATION_r17.md)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        k = len(cells)
+        if k == 0:
+            return
+        cids = np.array([c for c, _, _ in cells], dtype=np.int64)
+        C = np.array([v for _, v, _ in cells], dtype=np.float64)
+        cn = np.array([x for _, _, x in cells], dtype=np.float64)
+        sums = None
+        counts = None
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = M.shape[1]
+            if sums is None:
+                sums = np.zeros((k, d), dtype=np.float64)
+                counts = np.zeros(k, dtype=np.int64)
+            acc = np.zeros(n_rows, dtype=np.float64)
+            for i in range(d):  # sequential: JVM fold order
+                acc = acc + M[:, i] * M[:, i]
+            nrm = np.sqrt(acc)
+            D = np.empty((n_rows, k), dtype=np.float64)
+            for j in range(k):
+                accj = np.zeros(n_rows, dtype=np.float64)
+                for i in range(d):
+                    accj = accj + M[:, i] * C[j, i]
+                D[:, j] = 1.0 - accj / (nrm * cn[j])
+            # stable argsort[:, 0] ≡ _cell_topn_kernel(n=1): first-min
+            # tie-break toward the lower cent_id, NaN sorts last
+            idx = np.argsort(D, axis=1, kind="stable")[:, 0]
+            for j in np.unique(idx):
+                rows = M[idx == j]
+                sums[j] += rows.sum(axis=0)
+                counts[j] += rows.shape[0]
+        if sums is not None:
+            nz = np.nonzero(counts)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cent_id": cids[nz],
+                        "n": counts[nz],
+                        "s": [sums[j].tolist() for j in nz],
+                    }
+                )
+
+    return fn
+
+
+def _cell_means_from_partials(partials: DataFrame) -> DataFrame:
+    """(cent_id, cvec) means from _cell_sums_kernel partial rows:
+    round(Σs/Σn, 6) per dim — the same F.round HALF_UP the old
+    round(avg) form published, over totals instead of raw values. The
+    reduce input is k·n_tasks rows (model-sized at any corpus size)."""
+    return (
+        partials.select("cent_id", "n", F.posexplode("s").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(F.round(F.sum("val") / F.sum("n"), 6).alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("cvec")
+        )
+    )
+
+
 def _doubled(df: DataFrame, out: str = "vec") -> DataFrame:
     return df.withColumn(out, F.col("embedding").cast("array<double>"))
 
@@ -301,25 +394,31 @@ def learned_centroids(
             means = _cell_means(assigned)
             cents = spark.createDataFrame(means.collect(), schema=means.schema)
         return cents
-    # r16 kernel form: the per-(row × centroid) cosine argmin runs in
-    # the Arrow kernel (_cell_topn_kernel, n=1) — one map-side pass per
-    # iteration, same rows into the same means reduce, bit-identical
-    # assignments (pinned by test_cell_assign_kernel_bit_identical).
-    # The per-iteration codebook still re-materializes through the
-    # driver (k·dim scalars), now as the kernel's closure instead of a
-    # broadcast one-row frame.
+    # r16 kernel form, r17 partial-sums rewrite (guide §2.3/§5): each
+    # Lloyd iteration is ONE map-side pass — the Arrow kernel assigns
+    # every row to its nearest cell AND accumulates per-cell vector
+    # sums+counts across its task's batches (_cell_sums_kernel), so
+    # the only exchange per iteration carries k·n_tasks partial rows
+    # instead of corpus×dim posexploded assignment rows. The collected
+    # means (k·dim scalars — model metadata) feed the next iteration's
+    # kernel closure; the DataFrame form is built ONCE after the loop
+    # (the r16 form also ran a per-iteration createDataFrame whose
+    # intermediate frames were never consumed). Assignment logic and
+    # the published round(mean, 6) values are pinned against the
+    # expression twin by test_cell_assign_kernel_bit_identical.
     cells = _cells_list(cents)
-    src = e.select("vec_id", "vec")
+    src = e.select("vec")
+    rows = None
     for _ in range(iters):
-        assigned = src.mapInPandas(
-            _cell_topn_kernel(cells, 1, "vec_id", "vec", "_nrm"),
-            "vec_id bigint, vec array<double>, _nrm double, cell bigint",
-        ).select(F.col("cell").alias("cent_id"), "vec")
-        means = _cell_means(assigned)
-        rows = means.collect()
+        partials = src.mapInPandas(
+            _cell_sums_kernel(cells, "vec"),
+            "cent_id bigint, n bigint, s array<double>",
+        )
+        rows = _cell_means_from_partials(partials).collect()
         cells = _cells_from_rows(rows)
-        cents = spark.createDataFrame(rows, schema=means.schema)
-    return cents
+    if rows is None:  # iters=0: the seed table IS the model
+        return cents
+    return spark.createDataFrame(rows, schema="cent_id bigint, cvec array<double>")
 
 
 def _cell_means(assigned: DataFrame) -> DataFrame:
@@ -618,7 +717,17 @@ def similar_pairs_hyperplane(e: DataFrame, max_hamming: int = 2) -> DataFrame:
         ).alias("bk"),
     ).select("vec_id", "hsig", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
+    # r17 (r16 advice): the dedup_simhash filter-before-distinct
+    # rewrite, applied to the identical shape it was missed on —
+    # hamming (two scalar ops) is computed IN the join projection and
+    # the ≤ max_hamming verify runs BEFORE the candidate dropDuplicates,
+    # so rejected block collisions never reach the dedup exchange and
+    # the exchange row carries (ids, int) instead of two signatures.
+    # Same result: filter∘distinct ≡ distinct∘filter for a
+    # deterministic per-pair predicate (every duplicate of a pair
+    # carries the same hamming).
+    hamming = F.bit_count(F.col("a.hsig").bitwiseXOR(F.col("b.hsig")))
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -628,15 +737,11 @@ def similar_pairs_hyperplane(e: DataFrame, max_hamming: int = 2) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("doc_a"),
             F.col("b.vec_id").alias("doc_b"),
-            F.col("a.hsig").alias("sig_a"),
-            F.col("b.hsig").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 @query(
@@ -1072,8 +1177,11 @@ def pq_train(
     resolves to 1 — the sample IS the corpus, so fixture results are
     unchanged by construction (pinned in test_modules). Pass n_corpus
     when the caller already counted; None counts here.
-    Each iteration: one MAP-SIDE assignment pass over the corpus (the
-    codebook rides the plan as literals — see _code_expr) + the
+    Each iteration: one MAP-SIDE assignment pass over the corpus —
+    the default ``assign_fn`` is the Arrow kernel
+    (:func:`_assigned_subvectors`, codebook riding the Python closure;
+    the literal-codebook JVM form ``_assigned_subvectors_expr`` /
+    ``_code_expr`` is kept as the bit-identity reference twin) + the
     irreducible k-means reduce (groupBy (sub, code, pos) means); the
     codebook is re-materialized through the driver per iteration,
     metadata-sized like learned_centroids. Returns the (sub, code,
@@ -1151,15 +1259,24 @@ def _round6_np(d):
     setScale(6, HALF_UP)). Fast path: floor(x·1e6 + 0.5)/1e6 — exact
     except within float error of a .5 boundary, where the binary
     product can disagree with the decimal-string rounding; those few
-    elements (|frac(x·1e6) − 0.5| < 1e-7) are recomputed exactly via
+    elements within the suspect window are recomputed exactly via
     decimal.Decimal(repr(x)), which sees the same shortest-repr digits
     BigDecimal.valueOf does. Inputs here are squared distances ≥ 0, so
-    no negative-HALF_UP branch is needed."""
+    no negative-HALF_UP branch is needed.
+
+    The suspect window SCALES with the value (r16 advice): the binary
+    error of x·1e6 is ~ulp(scaled), which exceeds a fixed 1e-7 once
+    the scaled value passes ~4.5e8 (squared distances ≳ 450) — a
+    boundary case there could take the fast path and misround. The
+    window is max(1e-7, 4·ulp(scaled)), so large-magnitude inputs
+    route their near-.5 cases through the exact Decimal path too."""
     import numpy as np
 
     scaled = d * 1e6
     fast = np.floor(scaled + 0.5) / 1e6
-    suspect = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-7
+    suspect = np.abs(scaled - np.floor(scaled) - 0.5) < np.maximum(
+        1e-7, 4 * np.spacing(scaled)
+    )
     if suspect.any():
         import decimal
 
@@ -1385,18 +1502,20 @@ def _pq_adc_rerank(
         .filter(F.col("srk") <= shortlist_k)
         .select("query_id", "vec_id")
     )
+    # r17: the CORPUS-side norm is hoisted too (the r16 sweep's
+    # acknowledged leftover) — computed once per corpus row in a
+    # projection BELOW the shortlist join instead of once per
+    # (query × shortlist) pair; same expression, same operand order,
+    # bit-identical cos_sim (the _scored_cells argument).
     rerank = (
-        shortlist.join(e.select("vec_id", "vec"), "vec_id")
+        shortlist.join(_with_nrm(e.select("vec_id", "vec"), "vec"), "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "vec_id",
             F.round(
                 dot(F.col("qvec"), F.col("vec"))
-                / (
-                    F.col("_qnrm")
-                    * F.sqrt(dot(F.col("vec"), F.col("vec")))
-                ),
+                / (F.col("_qnrm") * F.col("_nrm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -1700,13 +1819,30 @@ def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gemm_candidates(qids, qmat, GEMM_MARGIN * TOP_K),
         "query_id bigint, vec_id bigint, vec array<double>",
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    # r17 norm hoist (the r16 sweep's acknowledged leftover): the
+    # query norm is a per-query constant (5 rows) and the candidate's
+    # own norm is computed once per candidate row in a projection
+    # BELOW the broadcast join — dot/(qnrm·nrm) with the same operand
+    # order as cosine(), bit-identical (test_cosine_norm_hoist...).
+    q = _with_nrm(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        ),
+        "qvec",
+        out="_qnrm",
     )
-    rescored = cands.join(F.broadcast(q), "query_id").select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+    rescored = (
+        _with_nrm(cands, "vec")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("_qnrm") * F.col("_nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

@@ -2108,6 +2108,32 @@ def test_simhash_np_bit_identical(spark):
     assert a == b and len(a) == 500
 
 
+def test_minhash_kernel_bit_identical(spark):
+    """Two INDEPENDENT MinHash implementations — the r17 Arrow kernel
+    (hashlib.md5 + int64 double hashing, map-side mins) and the
+    explode→md5→groupBy expression twin (use_kernel=False) — must
+    agree bit-for-bit on real data, including which docs get a row at
+    all (< 3 words ⇒ none). Catches a silent drift in either
+    (tokenizer, digest window, mask, overflow, min semantics)."""
+    from promptly_data_pipelines_spark.catalog import table
+    from promptly_data_pipelines_spark.extensions.dedup import (
+        N_HASHES,
+        minhash_signatures,
+    )
+
+    d = table(spark, "/root/testdata/sf0.01", "documents")
+    cols = [f"mh_{i}" for i in range(N_HASHES)]
+    a = {
+        r.doc_id: tuple(r[c] for c in cols)
+        for r in minhash_signatures(d).collect()
+    }
+    b = {
+        r.doc_id: tuple(r[c] for c in cols)
+        for r in minhash_signatures(d, use_kernel=False).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_simhash_plan_stays_compact(spark):
     """The r5 form's 63 unrolled reassembly terms each inlined the
     full 17-lane aggregate (CollapseProject), costing ~1.5 s of
