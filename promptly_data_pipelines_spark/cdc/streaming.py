@@ -2467,6 +2467,55 @@ def drain_stream(q, what: str, timeout_s: int = 300) -> None:
         raise RuntimeError(f"{what} stream did not drain within {timeout_s}s")
 
 
+def _state_sized_partitions(spark: SparkSession, n_rows: int) -> int:
+    """Data-sized state-store partition count (r16 verdict #3, guide
+    §2.2/§5): a stateful stream's shuffle-partition count is pinned
+    into the checkpoint at first start from spark.sql.shuffle.partitions
+    — a CORE-COUNT-derived value under the session defaults, so a
+    low-throughput stream on local[32] paid 32 state-store commits per
+    store per micro-batch for a few thousand rows of state (measured on
+    stream_exec_left_join: 36.9 s at 32 partitions vs 9.0 s at 2 —
+    the per-partition commit is the whole cost). Size to the DATA
+    instead: ceil(n_rows / rowsPerStatePartition), clamped to [1,
+    session shuffle partitions]. ``spark.pdp.stream.rowsPerStatePartition``
+    (default 50000 — the sf0.1 sweep read 36.9/10.8/9.0/9.1 s at
+    32/8/2/1 partitions for 100k replayed rows, flat below ~8, and an
+    HDFS-backed store holds tens of thousands of keys per partition
+    comfortably) is the conf knob; at production volumes the clamp cap
+    (the cluster-sized session conf) is what binds, so this is
+    local-friendly without hardcoding a local[32] constant."""
+    per = int(spark.conf.get("spark.pdp.stream.rowsPerStatePartition", "50000"))
+    cap = int(
+        spark.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    return max(1, min(cap, -(-n_rows // max(1, per))))
+
+
+class _state_sized_shuffle:
+    """Context manager: set spark.sql.shuffle.partitions to the
+    data-sized state partition count for a stream START (the value is
+    checkpoint-pinned at start), restore the session conf after."""
+
+    def __init__(self, spark: SparkSession, n_rows: int):
+        self.spark = spark
+        self.n_rows = n_rows
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_state_sized_partitions(self.spark, self.n_rows)),
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _run_memory_sink(agg: DataFrame, name: str, ckpt: str, mode: str):
     """Run a bounded streaming aggregation into a memory sink with
     availableNow and return the finished StreamingQuery (its
@@ -2980,7 +3029,11 @@ def stream_exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
     )
     name = f"pdp_stream_ij_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
-    _run_memory_sink(joined, name, ckpt, "append")
+    # r17: state partitions sized to the replayed volume, not the core
+    # count (see _state_sized_partitions) — partitioning never changes
+    # a join's row set, only where state lives
+    with _state_sized_shuffle(spark, ev.count()):
+        _run_memory_sink(joined, name, ckpt, "append")
     return spark.table(name)
 
 
@@ -3081,7 +3134,12 @@ def stream_exec_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
     )
     name = f"pdp_stream_loj_{os.path.basename(sf_dir.rstrip('/'))}".replace(".", "_")
-    _run_memory_sink(joined, name, os.path.join(base, "ckpt"), "append")
+    # r17 (r16 verdict #3): the outer stream-stream join's wall time was
+    # per-partition state-store commits — 8 micro-batches × 4 join state
+    # stores × a core-count-derived 32 partitions. Size state to the
+    # replayed volume instead (measured 36.9 s → 9.0 s, identical rows).
+    with _state_sized_shuffle(spark, table(spark, sf_dir, "events").count()):
+        _run_memory_sink(joined, name, os.path.join(base, "ckpt"), "append")
     return spark.table(name)
 
 

@@ -285,7 +285,24 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute at 2.97 vs 3.04 s steady-state — the second scan's
     map-side work is cheap next to its vocabulary-sized shuffle, so
     the simpler recompute form wins at any scale where the corpus
-    outgrows cache."""
+    outgrows cache.
+
+    r17 re-probe (r16 verdict #4), two negatives kept as documentation:
+    (a) the duplicated tf subtree is genuinely computed twice — AQE/
+    ReuseExchange never fires on it because Generate (explode) nodes
+    defeat plan canonicalization (verified: a dup aggregate subtree
+    without a Generate reuses, the same subtree behind explode(split)
+    does not — the same reason the dedup signature tables need explicit
+    persists); the r11 persist-vs-recompute wash therefore stands.
+    (b) filtering the token stream to the 5 query terms BEFORE the
+    scoring aggregate (broadcast qt below the groupBy) is row-identical
+    and shrinks the scoring exchange to 5 terms, but measured 2.35 →
+    3.82 s same-session: the scoring tokenize then WAITS on the qt
+    broadcast (whole stats branch) instead of running concurrently with
+    it — the two-independent-branches schedule beats the smaller
+    shuffle at any size where the corpus fits the cluster's concurrent
+    capacity; at 100 TB the filtered form is the right trade and this
+    note is the pointer."""
     d = table(spark, sf_dir, "documents")
     ws = _words(F.col("text"))
     # dl rides along as a grouping key, so tf and doc length come out

@@ -1687,27 +1687,54 @@ def ivfpq_index_save(
     (n_corpus + nlist). The build touches the corpus several times
     (count, k-means, cell assign, codebook train, encode) — persist
     bounds that to ONE source read (r8 advice); every subsequent
-    query batch probes cells and scans codes only."""
+    query batch probes cells and scans codes only.
+
+    r17 (guide §2.6 "overlap independent jobs"): the coarse layer
+    (k-means → centroids → inverted lists) and the fine layer
+    (codebook train → codes) share no data dependency — only the
+    persisted corpus — so they run as two concurrent driver threads.
+    Lloyd's per-iteration barrier collects serialize each BRANCH, not
+    the build: while one branch waits on a collect, the other's tasks
+    fill the idle executors (the guide's back-fill shape). Outputs are
+    byte-identical (each branch is deterministic and writes disjoint
+    paths); meta commits last, after both branches."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.storagelevel import StorageLevel
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = e.count()
-        cents = learned_centroids(e)
-        nlist = cents.count()
-        cents.write.mode("overwrite").parquet(
-            os.path.join(dest_dir, "centroids.parquet")
-        )
-        _cell_assign(e, cents, N_ASSIGN).select("vec_id", "cell").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(dest_dir, "assign.parquet"))
-        cb = pq_train(spark, e, iters=iters, n_corpus=n)
-        cb.write.mode("overwrite").parquet(os.path.join(dest_dir, "codebook.parquet"))
-        pq_encode(e, cb).write.mode("overwrite").parquet(
-            os.path.join(dest_dir, "codes.parquet")
-        )
+
+        def _coarse_layer() -> int:
+            spark.sparkContext.setJobDescription("ivfpq build: coarse cells")
+            cents = learned_centroids(e)
+            nlist = cents.count()
+            cents.write.mode("overwrite").parquet(
+                os.path.join(dest_dir, "centroids.parquet")
+            )
+            _cell_assign(e, cents, N_ASSIGN).select("vec_id", "cell").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dest_dir, "assign.parquet"))
+            return nlist
+
+        def _fine_layer() -> None:
+            spark.sparkContext.setJobDescription("ivfpq build: pq layer")
+            cb = pq_train(spark, e, iters=iters, n_corpus=n)
+            cb.write.mode("overwrite").parquet(
+                os.path.join(dest_dir, "codebook.parquet")
+            )
+            pq_encode(e, cb).write.mode("overwrite").parquet(
+                os.path.join(dest_dir, "codes.parquet")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            coarse = pool.submit(_coarse_layer)
+            fine = pool.submit(_fine_layer)
+            nlist = coarse.result()
+            fine.result()
+        spark.sparkContext.setJobDescription(None)
         spark.createDataFrame([(n, nlist)], "n_corpus bigint, nlist int").write.mode(
             "overwrite"
         ).parquet(os.path.join(dest_dir, "meta.parquet"))
