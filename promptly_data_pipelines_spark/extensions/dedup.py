@@ -982,7 +982,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets and bounded blocks; the 100 TB / dense-crawl path is
     dedup_near_text_exact (LSH candidates → in-row array_intersect
     verify — pair count independent of doc length), which replaced this
-    query in the bench skew suite in r8."""
+    query in the bench skew suite in r8.
+
+    r17 A/B (r16 verdict #2), negative kept as documentation: an Arrow
+    postings kernel (tokenize+shingle+md5-hash per batch with a shingle
+    memo, emitting the exploded (doc_id, sz, lang, sh) stream map-side
+    — legal because the oracle intersects raw strings, so the shingle
+    hash family is engine-internal) measured row-identical and 1.80 →
+    1.71 s same-session at sf0.1 — inside the line's noise band, and it
+    trades the JVM's few-ns-per-shingle xxhash64 for a Python-side
+    crypto hash, strictly worse per byte at scale (hashing.py's own
+    100 TB note points the OTHER way, md5 → xxhash64). The shuffles
+    (census, lists, pair groupBy) are the real cost and the kernel
+    changes none of them. Expression form kept."""
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 

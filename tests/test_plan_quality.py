@@ -491,13 +491,17 @@ def test_pq_adc_scan_joins_codes_not_vectors(spark):
     (_pq_codes_kernel, guide §4.2 — measured 4.8 s → 0.85 s per encode
     pass at sf0.1, bit-identical pinned by
     test_pq_codes_kernel_bit_identical), so the plan now carries
-    MapInPandas for the encode — still map-side, zero shuffle; what
-    stays banned is row-at-a-time Python (BatchEvalPython) and any
-    Python in the ADC/re-rank expressions."""
+    MapInPandas for the encode. r17 (r16 advice): the pin asserts the
+    INVARIANTS only — row-at-a-time Python (BatchEvalPython) banned,
+    broadcast joins kept, no cartesian — because requiring MapInPandas
+    would fail a future improvement that returns the stage to pure-JVM
+    codegen even though that satisfies the real contract; the kernel's
+    map-side/no-shuffle property is pinned by
+    test_pq_encode_is_map_side, and kernel-vs-twin value equality by
+    test_pq_codes_kernel_bit_identical."""
     p = _plan(spark, "similarity_topk_pq")
     assert "BroadcastHashJoin" in p, "partials join lost its broadcast"
     assert "CartesianProduct" not in p
-    assert "MapInPandas" in p, "encode lost its Arrow kernel"
     assert "BatchEvalPython" not in p, "row-at-a-time Python crept in"
 
 
@@ -508,11 +512,12 @@ def test_ivfpq_plan_shape(spark):
     model/query-sized); no raw CartesianProduct. r16: cell assignment
     and PQ encode run in Arrow batch kernels (map-side, zero shuffle —
     see test_pq_adc_scan_joins_codes_not_vectors); row-at-a-time
-    Python stays banned."""
+    Python stays banned. r17 (r16 advice): MapInPandas presence is
+    informational, not required — see
+    test_pq_adc_scan_joins_codes_not_vectors."""
     p = _plan(spark, "similarity_topk_ivfpq")
     assert "BroadcastHashJoin" in p, "probe/partials join lost its broadcast"
     assert "CartesianProduct" not in p
-    assert "MapInPandas" in p, "assign/encode lost their Arrow kernels"
     assert "BatchEvalPython" not in p, "row-at-a-time Python crept in"
 
 
